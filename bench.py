@@ -1,0 +1,63 @@
+"""Headline benchmark harness (SURVEY.md §7 M7; driver-run per round).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end into the noop sink so the full physical
+plan runs (scan + shuffle + agg) without driver-side collection cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_tools_spark import all_queries, registry  # noqa: E402
+from hadoop_tools_spark.session import get_spark  # noqa: E402
+
+#: queries timed for the headline metric — one per major operator family.
+HEADLINE = [
+    "q1_pricing_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.range(1).collect()  # absorb session startup outside timings
+
+    headline = [k for k in HEADLINE if k in registry.QUERIES]
+    extra = [k for k in sorted(registry.QUERIES) if k not in headline]
+    timings: dict[str, float] = {}
+    for key in headline + extra:
+        fn = registry.QUERIES[key]
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[key] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover - bench must always emit JSON
+            print(f"bench error {key}: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[key] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""Fixture table loading (SURVEY.md §7 M0).
+
+``load(spark, sf_dir, name)`` reads one parquet table; ``events`` gets
+its TIMESTAMP(NANOS) column converted back to a microsecond
+``TimestampType`` (``ts DIV 1000`` — integer division, exact; a
+float division would lose ulps on 1.7e18-scale nano epochs and could
+shift a microsecond). Verified to match DuckDB's values (FIXTURES.md).
+
+At 100 TB the same call works unchanged: ``spark.read.parquet`` over a
+directory of files partition-parallelizes the scan, and every declared
+query keeps filters/projections declarative so Catalyst pushes them
+into the parquet reader (PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_session_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the fixture tables and register each as a temp view."""
+    out = {}
+    for name in names:
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

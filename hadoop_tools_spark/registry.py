@@ -1,0 +1,38 @@
+"""Query registry — the driver-graded surface (SURVEY.md §2).
+
+Each operator registers a callable ``(spark, sf_dir) -> DataFrame``
+under a stable key, optionally with a DuckDB-runnable ANSI-SQL oracle
+string. The driver hash-compares (row count + schema + order-insensitive
+value hash) the Spark result against the oracle at sf0.01, so:
+
+- every computed/aggregate column is aliased identically on both sides;
+- float aggregates are rounded to a fixed precision (sum of doubles is
+  order-sensitive in the last ulps; rounding pins the hash);
+- randomized/approximate ops register *without* an oracle (rows-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+QUERIES: dict[str, Callable[..., Any]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(key: str, oracle: str | None = None):
+    """Register ``fn(spark, sf_dir) -> DataFrame`` under ``key``.
+
+    ``oracle`` is the equivalent DuckDB SQL over the pre-registered
+    views (region nation customer supplier part orders lineitem events
+    documents embeddings); omit it for ops that cannot hash-match a
+    different engine (LSH, approx sketches, binary payloads).
+    """
+
+    def deco(fn):
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLES[key] = " ".join(oracle.split())
+        return fn
+
+    return deco

@@ -1,0 +1,61 @@
+"""SparkSession factory (SURVEY.md §7 M0).
+
+Defaults chosen for correctness-critical determinism and for scale:
+
+- UTC session timezone — timestamp value hashing depends on it;
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events``
+  fixture is Parquet TIMESTAMP(NANOS) which Spark 4.x otherwise
+  refuses to read (FIXTURES.md); the conf is also applied at runtime
+  by :func:`ensure_session_confs` so externally-built sessions
+  (the driver's) work too;
+- AQE on (runtime SMJ→BHJ conversion, skew-join splitting, partition
+  coalescing) — on a 1000-executor cluster this is what adapts the
+  static plan to real data sizes;
+- shuffle partitions sized from the core count for local runs; a real
+  cluster deployment would raise this to ~2-3× total cores and let AQE
+  coalesce.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs that are runtime-settable and required for correctness.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply required runtime confs to an externally created session.
+
+    The driver owns its SparkSession; these confs are all dynamic
+    SQLConf entries, so setting them post-hoc is safe and verified.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this deployment; session defaults apply
+    return spark
+
+
+def get_spark(app_name: str = "hadoop-tools-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return ensure_session_confs(builder.getOrCreate())
