@@ -4,7 +4,8 @@
 module; anything not imported here is invisible to the driver.
 """
 
-from .operators import relational  # noqa: F401
+from .operators import aggregates, joins, relational, setops, windows  # noqa: F401
+from .sources import roundtrip  # noqa: F401
 
 #: key of the flagship query used by ``entry(spark)``.
 FLAGSHIP = "q1_pricing_summary"

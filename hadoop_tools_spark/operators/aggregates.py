@@ -1,0 +1,224 @@
+"""Aggregation family (SURVEY.md §2.B).
+
+All are groupBy().agg() over built-ins, so Spark plans partial
+(map-side) + final hash aggregation automatically — the shuffle
+carries only group keys × partial states, which is what makes these
+O(groups) not O(rows) at 100 TB. Float aggregates are rounded to pin
+the oracle hash (sum-of-doubles is order-sensitive in the last ulps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "agg_basic",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           ROUND(AVG(o_totalprice), 6) AS avg_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_basic(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """Exact distinct counts — planned as expand + two-phase agg."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def agg_approx_distinct(spark, sf_dir):
+    """HLL approximate distinct — the 100 TB path for cardinality.
+
+    Sketch values are engine-specific, so this key ships without an
+    oracle; the exact twin (`agg_distinct`) carries correctness and
+    ``tests/test_approx.py`` bounds the relative error vs exact.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"))
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6)  AS std_qty,
+           ROUND(VAR_SAMP(l_quantity), 6)     AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 4) AS median_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark, sf_dir):
+    """Exact median / continuous quantile (interpolating, both engines).
+
+    ``percentile_approx`` is the sketch-based scale path; like the HLL
+    key it cannot hash-match another engine, so the declared key uses
+    the exact forms and the approx variant is bounded in tests.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+                "p90_price"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT o_orderstatus,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), ',')
+               AS priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_collect(spark, sf_dir):
+    """collect_set → sorted → joined to a string (type-stable hash)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities")
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals — planned as a single Expand + agg."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(AVG(c_acctbal), 6) AS avg_bal
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "customer")
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot with pinned value list (no extra pass to discover values).
+
+    Missing combinations become 0 on both sides (``na.fill`` here,
+    COUNT CASE there) so nullable-int pandas dtype drift can't break
+    the hash.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )

@@ -1,0 +1,268 @@
+"""Join family (SURVEY.md §2.B).
+
+Scale notes: equi joins shuffle on their keys (sort-merge by default);
+small dimensions are broadcast explicitly so at 100 TB the big fact
+side never shuffles for those joins. The as-of join deliberately
+avoids an inequality join (quadratic blowup) in favor of a
+union+window formulation whose shuffle is a single hash partition by
+key — the pattern that survives 1000 executors. AQE converts SMJ→BHJ
+at runtime and splits skewed partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, n.n_name,
+           ROUND(o.o_totalprice, 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner(spark, sf_dir):
+    """Fact→dim chain: orders ⋈ customer ⋈ nation.
+
+    customer/nation are dims — broadcast them so the orders side never
+    shuffles; at 100 TB the orders scan streams through two broadcast
+    hash joins inside one codegen stage.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            "n_name",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    WITH left_side AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 12
+    ), right_side AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(l.c_custkey, r.o_custkey) AS custkey,
+           l.c_name, r.n_orders, r.sum_price
+    FROM left_side l FULL OUTER JOIN right_side r ON l.c_custkey = r.o_custkey
+    """,
+)
+def join_outer(spark, sf_dir):
+    """Full outer join with unmatched rows on both sides."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 12)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+        "sum_price",
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Left semi: customers with at least one finished order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+    """,
+)
+def join_anti(spark, sf_dir):
+    """Left anti: customers with no pending ('P') orders.
+
+    (Anti against *all* orders is empty at every fixture sf — a
+    trivially-empty result would witness nothing.)
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS sum_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """Explicit broadcast of a 25-row dim — no shuffle of the fact side.
+
+    ``tests/test_plans.py`` asserts BroadcastHashJoin in the physical
+    plan; the aggregation is partial on the scan side so the only
+    shuffle carries 25 groups.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n_later_nations
+    FROM supplier s JOIN nation n ON s.s_nationkey < n.n_nationkey
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_theta(spark, sf_dir):
+    """Non-equi (theta) join — Spark plans a broadcast nested-loop.
+
+    Only sane when one side broadcasts; at scale a raw theta join is a
+    cross product, so keys like this must keep the broadcast side tiny
+    or be rewritten with a bucketized equi prefix (see join_range).
+    """
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey < n.n_nationkey)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_later_nations"))
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n_shipped_90d
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def join_range(spark, sf_dir):
+    """Range predicate riding an equi prefix.
+
+    The equi key (l_orderkey = o_orderkey) carries the shuffle, so the
+    range condition evaluates inside the sort-merge join — no
+    quadratic pair generation. A range join *without* an equi prefix
+    would instead bucketize the time dimension into an artificial equi
+    key (SURVEY §4.3) — pattern documented in SCALE.md.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(F.count("*").alias("n_shipped_90d"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         j AS (
+            SELECT p.event_id, p.user_id, c.event_id AS c_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+            FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts < p.ts
+         )
+    SELECT event_id, user_id, c_id AS prev_click_id FROM j WHERE rn = 1
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: latest click strictly before each purchase, per user.
+
+    Spark has no native as-of join; the scalable formulation is
+    union + window (`last(..., ignorenulls=True)`): one shuffle by
+    user_id, linear state, no inequality join. Tie discipline: clicks
+    at exactly the purchase ts are excluded (strict <) by ordering
+    purchases (side=0) before same-ts clicks (side=1); among earlier
+    clicks the latest is (ts, event_id)-max. The DuckDB oracle states
+    the same semantics relationally.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = purchases.unionByName(clicks).withColumn(
+        "prev_click_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 0).select(
+        "event_id", "user_id", "prev_click_id"
+    )

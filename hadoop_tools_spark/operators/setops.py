@@ -1,0 +1,148 @@
+"""Set operations, projection/filter surface, deterministic sampling
+(SURVEY.md §2.B)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "project_basic",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           UPPER(c_name) AS name_upper,
+           c_custkey + 100000 AS shifted_key,
+           c_mktsegment || ':' || c_name AS tagged
+    FROM customer
+    """,
+)
+def project_basic(spark, sf_dir):
+    """Select / rename / computed columns — pure narrow projection,
+    no shuffle; Catalyst prunes the parquet scan to 3 columns."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        (F.col("c_custkey") + 100000).alias("shifted_key"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 150000
+      AND o_orderstatus IN ('F', 'O')
+      AND o_orderpriority LIKE '%URGENT'
+      AND REGEXP_MATCHES(o_orderpriority, '^[0-9]-')
+      AND o_orderdate IS NOT NULL
+    """,
+)
+def filter_pred(spark, sf_dir):
+    """Compound predicate surface: between / isin / like / rlike /
+    null test — all pushed to the parquet scan where eligible."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(50000, 150000)
+        & F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_orderpriority").like("%URGENT")
+        & F.col("o_orderpriority").rlike("^[0-9]-")
+        & F.col("o_orderdate").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def set_union(spark, sf_dir):
+    a = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersect(op)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.subtract(f)
+
+
+@query(
+    "sample_hashmod",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_hashmod(spark, sf_dir):
+    """Deterministic ~12.5% sample via md5 prefix bucket.
+
+    ``df.sample()`` uses engine-specific RNG and can never hash-match
+    another engine; hashing the key gives a reproducible, uniformly
+    distributed sample that any engine reproduces — also the right
+    tool at 100 TB (stable across retries/speculative tasks, unlike
+    seeded sample() under partition re-splits).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin(
+            "0", "1"
+        )
+    ).select("o_orderkey", "o_custkey")

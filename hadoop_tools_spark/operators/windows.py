@@ -1,0 +1,189 @@
+"""Window function family (SURVEY.md §2.B).
+
+Window ops shuffle once on the partition key then sort within
+partitions; every ORDER BY below carries a unique tie-breaker so
+results are deterministic (the oracle hash demands it). At 100 TB the
+partition key must be high-cardinality (user_id, custkey) — a window
+over a single global partition serializes onto one task, which is why
+`sort_multi` (global order) is only sane on small/aggregated inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROW_NUMBER()   OVER w AS rn,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_rank(spark, sf_dir):
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "win_lag",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(LAG(o_totalprice)  OVER w, 2) AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lag(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+    )
+
+
+@query(
+    "win_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_sum,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg3
+    FROM events
+    """,
+)
+def win_frame(spark, sf_dir):
+    """Running / sliding frames — both engines sum in identical row
+    order (deterministic tie-break), so even float accumulation
+    matches bit-for-bit before the stabilizing round."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running_sum"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@query(
+    "sort_multi",
+    oracle="""
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal,
+           ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS pos
+    FROM supplier
+    """,
+)
+def sort_multi(spark, sf_dir):
+    """Global multi-column order made hash-observable via position.
+
+    The oracle hash is order-insensitive, so the sort itself is
+    witnessed by materializing the rank. Global windows serialize to
+    one task — acceptable only because supplier is a dim; large-table
+    global order goes through topk_global (TakeOrderedAndProject).
+    """
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+@query(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def topk_global(spark, sf_dir):
+    """Global top-k — Spark plans TakeOrderedAndProject: each task
+    keeps a k-heap, the driver merges k×tasks rows; no global sort,
+    no full shuffle. Ties broken by key for a deterministic set."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+@query(
+    "topk_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(o_totalprice, 2) AS total_price, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def topk_group(spark, sf_dir):
+    """Per-group top-k via ranked window + filter.
+
+    Spark 3.5+ pushes the rn<=3 predicate into the window sort
+    (WindowGroupLimit) so each partition only keeps k rows — the
+    shuffle still carries all rows but state stays O(k·groups).
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rn",
+        )
+    )

@@ -1,0 +1,115 @@
+"""Source/sink surface: csv/json scans and partitioned parquet sink
+(SURVEY.md §2.B scan/sink rows).
+
+Each key writes a real file set to scratch space, reads it back
+through the corresponding source, and aggregates — so the declared
+query witnesses the full write→scan→(pruned) read path, and the
+DuckDB oracle (same aggregate over the original table) proves the roundtrip
+was lossless. Scratch lives under /tmp with mode=overwrite so repeat
+runs don't grow unboundedly.
+
+Scale: `partitionBy` on a low-cardinality column gives directory-level
+partition pruning — the `sink_parquet_roundtrip` read filters one
+partition value and Spark only lists/reads that directory, the same
+mechanism that prunes a 100 TB date-partitioned lake down to one day.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load
+from ..registry import query
+
+SCRATCH = os.environ.get("HTS_SCRATCH", "/tmp/hts_scratch")
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    """orders → csv (header) → read with explicit schema → agg.
+
+    Doubles survive because Spark writes shortest-roundtrip decimal
+    strings; the explicit read schema avoids a second inference pass
+    over the data (mandatory at scale).
+    """
+    path = f"{SCRATCH}/csv_roundtrip"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_json_roundtrip(spark, sf_dir):
+    """events → json lines → read with explicit schema → agg."""
+    path = f"{SCRATCH}/json_roundtrip"
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "sink_parquet_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_parquet_roundtrip(spark, sf_dir):
+    """Partitioned parquet sink + pruned read-back.
+
+    The read filters o_orderstatus='F', which is the partition column —
+    Spark prunes to the single `o_orderstatus=F/` directory (verified
+    by plan assertion in tests/test_plans.py).
+    """
+    path = f"{SCRATCH}/parquet_roundtrip"
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
