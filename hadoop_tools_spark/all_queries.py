@@ -4,6 +4,7 @@
 module; anything not imported here is invisible to the driver.
 """
 
+from .functions import scalar  # noqa: F401
 from .operators import aggregates, joins, relational, setops, windows  # noqa: F401
 from .sources import roundtrip  # noqa: F401
 

@@ -1,0 +1,287 @@
+"""Scalar function surface (SURVEY.md §2.C) — one multi-function key
+per family.
+
+Everything stays JVM-side (built-in ``pyspark.sql.functions``) so the
+expressions live inside whole-stage codegen; no Python UDF appears in
+any hot path. Cross-engine type discipline: integer-ish outputs are
+cast to BIGINT on both sides (Spark INT vs DuckDB BIGINT/HUGEINT/
+TINYINT would otherwise drift the schema), floats are rounded, dates
+are emitted as strings or timestamps, never bare DATE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name)                        AS name_lower,
+           UPPER(p_brand)                       AS brand_upper,
+           TRIM(' ' || p_name || ' ')           AS name_trimmed,
+           SUBSTR(p_name, 1, 10)                AS name_prefix,
+           CAST(LENGTH(p_name) AS BIGINT)       AS name_len,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+           STRING_SPLIT(p_type, ' ')[1]         AS type_first_word,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1)    AS brand_num,
+           REGEXP_REPLACE(p_type, '[aeiou]', '_', 'g') AS type_devoweled,
+           CONCAT(p_brand, '/', p_type)         AS brand_type
+    FROM part
+    """,
+)
+def fn_string(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias(
+            "brand_type"
+        ),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT)        AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT)       AS order_month,
+           CAST(DAY(o_orderdate) AS BIGINT)         AS order_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           STRFTIME(o_orderdate, '%Y-%m-%d')        AS order_date_str,
+           CAST(DATE_DIFF('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
+           CAST(EPOCH(o_orderdate) AS BIGINT)       AS epoch_sec,
+           CAST(MAKE_DATE(2030, 1, 15) AS VARCHAR)  AS fixed_date
+    FROM orders
+    """,
+)
+def fn_datetime(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.unix_timestamp(
+            F.col("o_orderdate").cast("timestamp")
+        ).alias("epoch_sec"),
+        F.make_date(F.lit(2030), F.lit(1), F.lit(15))
+        .cast("string")
+        .alias("fixed_date"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_extendedprice - 50000), 2)    AS abs_diff,
+           ROUND(POW(l_quantity, 2), 2)              AS qty_sq,
+           ROUND(SQRT(l_extendedprice), 6)           AS price_sqrt,
+           ROUND(LN(l_extendedprice), 6)             AS price_ln,
+           ROUND(EXP(l_discount), 6)                 AS disc_exp,
+           CAST(l_partkey % 7 AS BIGINT)             AS key_mod7,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)    AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT)     AS price_ceil,
+           CAST(SIGN(l_extendedprice - 50000) AS DOUBLE) AS diff_sign
+    FROM lineitem
+    """,
+)
+def fn_math(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("abs_diff"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.pmod(F.col("l_partkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.signum(F.col("l_extendedprice") - 50000)
+        .cast("double")
+        .alias("diff_sign"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END                      AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           ROUND(GREATEST(c_acctbal, 0.0), 2)        AS bal_floor0,
+           ROUND(LEAST(c_acctbal, 5000.0), 2)        AS bal_cap5k
+    FROM customer
+    """,
+)
+def fn_cond(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_masked"),
+        F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("bal_floor0"),
+        F.round(F.least("c_acctbal", F.lit(5000.0)), 2).alias("bal_cap5k"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)  AS n_words,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
+               AS n_distinct_words,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' ')))[1:5],
+                           ',') AS first5_sorted,
+           CAST(LIST_AGGREGATE(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                                              x -> LENGTH(x)), 'sum')
+                AS BIGINT) AS total_word_chars,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                x -> LENGTH(x) > 5)) AS BIGINT) AS n_long_words
+    FROM documents
+    """,
+)
+def fn_array(spark, sf_dir):
+    """Array surface incl. higher-order transform/filter/aggregate —
+    all JVM-side lambda expressions, no Python round-trip."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(words)), 1, 5), ","
+        ).alias("first5_sorted"),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("total_word_chars"),
+        F.size(F.filter(words, lambda x: F.length(x) > 5))
+        .cast("long")
+        .alias("n_long_words"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT e.event_id,
+           MAP_EXTRACT(MAP(['type', 'user'],
+                           [e.event_type, CAST(e.user_id AS VARCHAR)]),
+                       'type')[1] AS type_from_map,
+           ARRAY_TO_STRING(MAP_KEYS(MAP(['type', 'user'],
+                           [e.event_type, CAST(e.user_id AS VARCHAR)])), ',')
+               AS map_keys_csv,
+           ARRAY_TO_STRING(MAP_VALUES(MAP(['type', 'user'],
+                           [e.event_type, CAST(e.user_id AS VARCHAR)])), ',')
+               AS map_values_csv
+    FROM events e
+    """,
+)
+def fn_map(spark, sf_dir):
+    """Map construction/inspection. DuckDB map extraction yields a
+    single-element list, unwrapped with [1] in the oracle."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("user"),
+        F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        m.getItem("type").alias("type_from_map"),
+        F.array_join(F.map_keys(m), ",").alias("map_keys_csv"),
+        F.array_join(F.map_values(m), ",").alias("map_values_csv"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                THEN TRUE ELSE FALSE END AS has_k
+    FROM events
+    """,
+)
+def fn_json(spark, sf_dir):
+    """JSON extraction over the semi-structured ``events.props``."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           MD5(c_name)          AS name_md5,
+           SHA256(c_name)       AS name_sha256
+    FROM customer
+    """,
+)
+def fn_hash(spark, sf_dir):
+    """Cross-engine-stable hashes (md5/sha256 verified identical)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
+    )
+
+
+@query("fn_hash_engine")  # rows-only: xxhash64/crc32 are engine-specific
+def fn_hash_engine(spark, sf_dir):
+    """Engine-native hashes (xxhash64 with Spark's seed, crc32) —
+    useful for salting/bucketing at scale; no cross-engine oracle."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("name_xxh64"),
+        F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
+    )

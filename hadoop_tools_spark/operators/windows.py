@@ -38,10 +38,10 @@ def win_rank(spark, sf_dir):
     return load(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
 
@@ -127,7 +127,7 @@ def sort_multi(spark, sf_dir):
         "s_suppkey",
         "s_name",
         F.round("s_acctbal", 2).alias("acctbal"),
-        F.row_number().over(w).alias("pos"),
+        F.row_number().over(w).cast("long").alias("pos"),
     )
 
 
@@ -178,7 +178,7 @@ def topk_group(spark, sf_dir):
     )
     return (
         load(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select(
             "o_orderpriority",
