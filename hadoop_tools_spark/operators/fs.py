@@ -1,0 +1,124 @@
+"""Layer-A filesystem metadata queries (SURVEY.md §2.A): the
+reference's ``hh ls / find / du`` re-expressed as DataFrame queries
+over the FileStatus listing (sources/listing.py).
+
+Oracle strategy: DuckDB lists the same directories with
+``read_blob``/``glob`` table functions, so the `fs_*` keys get true
+hash-matched oracles (FIXTURES.md "Layer-A fixture"). The oracle SQL
+necessarily hardcodes the sf0.01 paths the driver verifies at;
+`fs_find`/`fs_du`/`fs_du_rollup` walk the whole read-only testdata
+tree and are sf-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.listing import glob_to_regex, list_status_df
+
+TESTDATA_ROOT = "/root/testdata"
+
+
+@query(
+    "fs_ls",
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
+           CAST(size AS BIGINT) AS size_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
+def fs_ls(spark, sf_dir):
+    """`hh ls GLOB`: one row per matching entry with name + size.
+
+    Driver verifies at sf0.01 (the oracle's hardcoded dir); the Spark
+    side lists whatever sf_dir it is handed via the Hadoop FileSystem
+    API — same code path that speaks hdfs:// on a cluster.
+    """
+    df = list_status_df(spark, sf_dir, recursive=False, glob="*.parquet")
+    return df.filter(~F.col("is_dir")).select(
+        "name", F.col("size").alias("size_bytes")
+    )
+
+
+@query(
+    "fs_find",
+    oracle="""
+    SELECT file AS path
+    FROM glob('/root/testdata/**/*.parquet')
+    WHERE regexp_matches(regexp_extract(file, '([^/]+)$', 1),
+                         '^[cl][^/]*\\.parquet$')
+    """,
+)
+def fs_find(spark, sf_dir):
+    """`hh find PATH -name GLOB`: recursive descent + glob predicate.
+
+    Exercises the glob→regex translator on a char-class pattern
+    (`[cl]*.parquet` — customer/lineitem tables in every sf dir).
+    """
+    rx = glob_to_regex("[cl]*.parquet")
+    df = list_status_df(spark, TESTDATA_ROOT, recursive=True)
+    return (
+        df.filter(~F.col("is_dir"))
+        .filter(F.col("name").rlike(rx))
+        .select("path")
+    )
+
+
+@query(
+    "fs_du",
+    oracle="""
+    SELECT regexp_extract(filename, '/root/testdata/([^/]+)/', 1) AS dir,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(size) AS BIGINT) AS total_bytes
+    FROM read_blob('/root/testdata/**/*.parquet')
+    GROUP BY 1
+    """,
+)
+def fs_du(spark, sf_dir):
+    """`hh du PATH`: recursive per-child totals.
+
+    The reference gets this from one NameNode RPC (server-side
+    recursion); our engine computes the same aggregate over the
+    listing DataFrame — partial aggregation means only per-dir
+    partials cross the shuffle, so a 10^8-file namespace aggregates
+    in one round.
+    """
+    df = list_status_df(spark, TESTDATA_ROOT, recursive=True)
+    return (
+        df.filter(~F.col("is_dir"))
+        .withColumn(
+            "dir", F.regexp_extract("path", "/root/testdata/([^/]+)/", 1)
+        )
+        .groupBy("dir")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("size").alias("total_bytes"),
+        )
+    )
+
+
+@query(
+    "fs_du_rollup",
+    oracle="""
+    SELECT regexp_extract(filename, '/root/testdata/([^/]+)/', 1) AS dir,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(size) AS BIGINT) AS total_bytes
+    FROM read_blob('/root/testdata/**/*.parquet')
+    GROUP BY ROLLUP (regexp_extract(filename, '/root/testdata/([^/]+)/', 1))
+    """,
+)
+def fs_du_rollup(spark, sf_dir):
+    """`hh count`-style rollup: per-dir totals + grand total row."""
+    df = list_status_df(spark, TESTDATA_ROOT, recursive=True)
+    return (
+        df.filter(~F.col("is_dir"))
+        .withColumn(
+            "dir", F.regexp_extract("path", "/root/testdata/([^/]+)/", 1)
+        )
+        .rollup("dir")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("size").alias("total_bytes"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Namespace mutation + predicates (SURVEY.md §2.A: ``hh mkdir / mv /
+rm / chmod / chown / test / get / put``).
+
+These are metadata side-effects, not relational queries, so they ship
+as library functions (exercised in tests/test_fsops.py) rather than
+driver-graded query keys. All go through the Hadoop ``FileSystem``
+JVM API, so the identical calls run against ``hdfs://`` on a cluster —
+Spark's Hadoop client supplies config loading, NameNode HA failover,
+and auth, which the reference implemented by hand (its
+``Data.Hadoop.Configuration`` / ``Network.Hadoop.Rpc`` layer).
+
+Data movement (``hh get`` / ``hh put``) is deliberately *DataFrame*
+read/write — ``spark.read.parquet(hdfs_path)`` /
+``df.write.parquet(hdfs_path)`` — per the north-star approach; the
+helpers here only cover small file-level copies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .listing import _hadoop_fs
+
+
+def mkdirs(spark: SparkSession, path: str) -> bool:
+    """`hh mkdir -p`: create path and missing parents."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    return bool(fs.mkdirs(jpath))
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
+    """`hh rm [-r]`."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    return bool(fs.delete(jpath, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """`hh mv` (namespace rename — atomic on HDFS)."""
+    fs, jsrc, jvm = _hadoop_fs(spark, src)
+    return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def set_permission(spark: SparkSession, path: str, octal: str) -> None:
+    """`hh chmod OCTAL PATH`."""
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    perm = jvm.org.apache.hadoop.fs.permission.FsPermission(
+        int(octal, 8)
+    )
+    fs.setPermission(jpath, perm)
+
+
+def set_owner(spark: SparkSession, path: str, owner: str | None, group: str | None) -> None:
+    """`hh chown / chgrp` (requires superuser on real HDFS)."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    fs.setOwner(jpath, owner, group)
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    """`hh test -e`."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    """`hh test -d`."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    return fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory()
+
+
+def is_file(spark: SparkSession, path: str) -> bool:
+    """`hh test -f`."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    return fs.exists(jpath) and fs.getFileStatus(jpath).isFile()
+
+
+def copy_to_local(spark: SparkSession, src: str, dst: str) -> None:
+    """`hh get SRC DST` for single files (bulk data goes via
+    DataFrame read/write)."""
+    fs, jsrc, jvm = _hadoop_fs(spark, src)
+    fs.copyToLocalFile(jsrc, jvm.org.apache.hadoop.fs.Path(dst))
+
+
+def copy_from_local(spark: SparkSession, src: str, dst: str) -> None:
+    """`hh put SRC DST` for single files."""
+    fs, jdst, jvm = _hadoop_fs(spark, dst)
+    fs.copyFromLocalFile(jvm.org.apache.hadoop.fs.Path(src), jdst)

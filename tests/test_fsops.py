@@ -1,0 +1,69 @@
+"""Namespace mutation ops (`hh mkdir/mv/rm/test/chmod/get/put`)
+against the local scheme — same FileSystem API calls a cluster would
+send to the NameNode."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hadoop_tools_spark.sources import fsops
+from hadoop_tools_spark.sources.listing import list_files_distributed, list_status_df
+
+
+def test_mkdir_exists_rename_delete(spark, tmp_path):
+    base = str(tmp_path / "ns")
+    assert fsops.mkdirs(spark, f"{base}/a/b/c")
+    assert fsops.exists(spark, f"{base}/a/b/c")
+    assert fsops.is_dir(spark, f"{base}/a/b/c")
+    assert not fsops.is_file(spark, f"{base}/a/b/c")
+
+    assert fsops.rename(spark, f"{base}/a/b/c", f"{base}/a/b/d")
+    assert not fsops.exists(spark, f"{base}/a/b/c")
+    assert fsops.exists(spark, f"{base}/a/b/d")
+
+    assert fsops.delete(spark, f"{base}/a", recursive=True)
+    assert not fsops.exists(spark, f"{base}/a")
+
+
+def test_chmod_and_file_predicates(spark, tmp_path):
+    f = tmp_path / "x.txt"
+    f.write_text("hello")
+    assert fsops.is_file(spark, str(f))
+    fsops.set_permission(spark, str(f), "600")
+    st = list_status_df(spark, str(tmp_path)).collect()
+    row = next(r for r in st if r.name == "x.txt")
+    assert row.perm == "rw-------"
+    assert row.size == 5
+
+
+def test_get_put_roundtrip(spark, tmp_path):
+    src = tmp_path / "src.txt"
+    src.write_text("payload")
+    fsops.copy_from_local(spark, str(src), str(tmp_path / "up.txt"))
+    fsops.copy_to_local(spark, str(tmp_path / "up.txt"), str(tmp_path / "down.txt"))
+    assert (tmp_path / "down.txt").read_text() == "payload"
+
+
+def test_listing_matches_os_walk(spark):
+    df = list_status_df(spark, "/root/testdata", recursive=True)
+    got = {(r.path, r.size) for r in df.collect() if not r.is_dir}
+    expect = set()
+    for root, _, files in os.walk("/root/testdata"):
+        for f in files:
+            p = os.path.join(root, f)
+            expect.add((p, os.path.getsize(p)))
+    assert got == expect
+    assert len(got) == 30
+
+
+def test_distributed_walker_matches_driver_bfs(spark):
+    dist = list_files_distributed(spark, "/root/testdata")
+    got = {(r.path, r.size) for r in dist.collect()}
+    drv = {
+        (r.path, r.size)
+        for r in list_status_df(spark, "/root/testdata", recursive=True).collect()
+        if not r.is_dir
+    }
+    assert got == drv
