@@ -5,7 +5,18 @@ module; anything not imported here is invisible to the driver.
 """
 
 from .functions import scalar  # noqa: F401
-from .operators import aggregates, fs, joins, relational, setops, windows  # noqa: F401
+from .operators import (  # noqa: F401
+    aggregates,
+    fs,
+    joins,
+    llm_dedup,
+    llm_knn,
+    llm_text,
+    multimodal,
+    relational,
+    setops,
+    windows,
+)
 from .sources import roundtrip  # noqa: F401
 
 #: key of the flagship query used by ``entry(spark)``.

@@ -1,0 +1,389 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.E).
+
+The 100 TB playbook:
+
+- exact dedup: content-hash groupBy — shuffle carries (hash, min_id)
+  partials only; never the text.
+- near-dup candidates: blocking on a deterministic key (prefix or
+  MinHash band) turns the quadratic pair problem into equi-joins whose
+  groups are tiny; only candidate pairs are verified.
+- MinHash here uses an md5-derived hash family, which makes the whole
+  LSH pipeline *deterministic and cross-engine reproducible* — the
+  randomized `pyspark.ml` variant (llm_neardup_lsh, rows-only) is kept
+  for comparison, but determinism is what lets a production pipeline
+  re-run incrementally without re-bucketing history.
+- duplicate clustering: iterative min-label propagation (no GraphFrames
+  dependency); O(log n) rounds, lineage cut per round via
+  localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+#: documents doubled with shifted ids — the fixture has zero exact
+#: duplicates (FIXTURES.md), so dedup keys build an input where every
+#: text occurs twice and the operator must keep exactly the min id.
+_DOUBLED_SQL = """
+    doubled AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+"""
+
+
+def _doubled(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+
+@query(
+    "llm_dedup_exact",
+    oracle=f"""
+    WITH {_DOUBLED_SQL}
+    SELECT MIN(doc_id) AS doc_id FROM doubled GROUP BY sha256(text)
+    """,
+)
+def llm_dedup_exact(spark, sf_dir):
+    """Exact dedup: sha256(text) → keep min doc_id.
+
+    Hash-groupBy is the exact-dedup scale pattern: the full text never
+    crosses the shuffle (only the 32-byte digest + id), and partial
+    aggregation collapses per-partition duplicates before the exchange.
+    """
+    return (
+        _doubled(spark, sf_dir)
+        .withColumn("h", F.sha2(F.col("text").cast("binary"), 256))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+@query(
+    "llm_neardup_pairs",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM documents a JOIN documents b
+      ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+     AND a.doc_id < b.doc_id
+    """,
+)
+def llm_neardup_pairs(spark, sf_dir):
+    """Deterministic near-dup candidates by normalized-prefix blocking.
+
+    Self-equi-join on the blocking key: pairs are only generated
+    *within* a block, so cost is Σ|block|², not N². The fixture seeds
+    shared 40-char prefixes (FIXTURES.md) — 25 pairs at sf0.01.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("pfx")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return a.join(
+        b,
+        (F.col("a.pfx") == F.col("b.pfx"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+
+
+_N_HASHES = 4  # 2 bands × 2 rows
+
+
+@query(
+    "llm_neardup_minhash",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]))) AS word
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               MIN(md5('s0:' || word)) AS h0, MIN(md5('s1:' || word)) AS h1,
+               MIN(md5('s2:' || word)) AS h2, MIN(md5('s3:' || word)) AS h3
+        FROM w GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, h2 || h3 AS key FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def llm_neardup_minhash(spark, sf_dir):
+    """Deterministic MinHash-LSH over word-trigram shingles:
+    md5-derived hash family, 2 bands × 2 rows.
+
+    Same banding structure as classic MinHash-LSH but with a content-
+    derived hash family, so the candidate set is reproducible across
+    engines and across incremental runs — at 100 TB you bucket new
+    documents without re-hashing the corpus. Shingles are trigrams,
+    not words: the fixture vocabulary is ~31 words, so word-level
+    Jaccard between *random* docs is ~0.7 and word MinHash floods the
+    candidate set; trigram space is sparse enough that banding
+    separates the seeded near-dups from noise. Candidate generation
+    is an equi-join on band keys (shuffle by band key).
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    trigram = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        )
+    )
+    words = d.select("doc_id", F.explode(trigram).alias("word"))
+    sig = words.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("word")).cast("binary"))).alias(
+                f"h{i}"
+            )
+            for i in range(_N_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.lit(0).alias("band"), F.concat("h0", "h1").alias("key")
+    ).unionByName(
+        sig.select(
+            "doc_id", F.lit(1).alias("band"), F.concat("h2", "h3").alias("key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "llm_jaccard_ngram",
+    oracle="""
+    WITH cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM documents a JOIN documents b
+          ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+         AND a.doc_id < b.doc_id
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]))) AS gram
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.doc_a
+        JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.n_shared AS DOUBLE) /
+                 (sa.n + sb.n - i.n_shared), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def llm_jaccard_ngram(spark, sf_dir):
+    """Verified n-gram Jaccard over blocked candidates.
+
+    Candidates come from prefix blocking (cheap); only those pairs pay
+    the set-intersection cost — the candidate→verify split that keeps
+    near-dup detection linear-ish at corpus scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    gram_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        )
+    )
+    grams = d.select("doc_id", F.explode(gram_expr).alias("gram"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    pfx = d.select("doc_id", F.substring("text", 1, 40).alias("pfx"))
+    cand = (
+        pfx.alias("a")
+        .join(
+            pfx.alias("b"),
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    ga = grams.alias("ga")
+    gb = grams.alias("gb")
+    inter = (
+        cand.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
+        .join(
+            gb,
+            (F.col("gb.doc_id") == F.col("doc_b"))
+            & (F.col("gb.gram") == F.col("ga.gram")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query("llm_neardup_lsh")  # rows-only: randomized hash family
+def llm_neardup_lsh(spark, sf_dir):
+    """pyspark.ml MinHashLSH approxSimilarityJoin — the stock scale
+    path. Randomized hash family ⇒ rows-only; recall vs the exact
+    prefix pairs is bounded in tests/test_approx.py."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, Tokenizer
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    words = tok.transform(d)
+    grams = NGram(n=3, inputCol="words", outputCol="grams").transform(words)
+    cv = CountVectorizer(
+        inputCol="grams", outputCol="features", binary=True, minDF=1.0
+    ).fit(grams)
+    feats = cv.transform(grams)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feats)
+    pairs = lsh.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@query(
+    "llm_dup_cluster",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b
+          ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+         AND a.doc_id <> b.doc_id
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def llm_dup_cluster(spark, sf_dir):
+    """Connected components over near-dup edges → canonical doc id.
+
+    Iterative min-label propagation: each round every node takes the
+    min label among itself and its neighbors; converges in O(diameter)
+    rounds (≤ log n with the min-id shortcut). Per-round
+    localCheckpoint cuts lineage so 100 rounds don't build a 100-deep
+    plan. No GraphFrames dependency.
+    """
+    d = load(spark, sf_dir, "documents")
+    pfx = d.select("doc_id", F.substring("text", 1, 40).alias("pfx"))
+    pairs = (
+        pfx.alias("a")
+        .join(
+            pfx.alias("b"),
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = edges_from_pairs(pairs, src="src", dst="dst").localCheckpoint()
+    return connected_components(d, edges)
+
+
+def edges_from_pairs(pairs_df, src="doc_a", dst="doc_b"):
+    """Reusable: symmetric edge list from an a<b pair DataFrame."""
+    fwd = pairs_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return fwd.unionByName(
+        pairs_df.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    )
+
+
+def connected_components(vertices_df, edges_df, id_col="doc_id", max_rounds=30):
+    """Generic min-label propagation over any vertex/edge DataFrames."""
+    labels = vertices_df.select(
+        F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
+    )
+    for _ in range(max_rounds):
+        prop = edges_df.join(labels, edges_df.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+

@@ -1,0 +1,247 @@
+"""Similarity search over embeddings (SURVEY.md §2.E).
+
+Layers, slow→fast at 100 TB:
+
+1. `llm_knn_exact` — brute-force cosine top-k with pure JVM lambda
+   expressions (zip_with/aggregate). Correctness anchor; identical
+   arithmetic shape to the DuckDB oracle so doubles match bitwise.
+2. `llm_knn_numpy` — the same brute force via `mapInPandas` + numpy
+   matmul over Arrow batches: ~BLAS throughput per partition; the
+   practical exact path at scale (queries broadcast, corpus
+   partitioned). Rows-only key (BLAS summation order differs in ulps);
+   tests assert neighbor-set equality vs the exact key.
+3. `llm_knn_lsh` — BucketedRandomProjectionLSH: sublinear candidate
+   generation; randomized ⇒ rows-only + recall bound in tests.
+4. `llm_embed_neardup` — cosine-threshold near-dup pairs, the
+   embedding analogue of text near-dup.
+
+At real scale the corpus side stays partitioned while only queries
+broadcast; an IVF refinement (cluster with k-means, probe nearest
+cells) drops compute ~Nprobe/Ncells — sketched in SCALE.md.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load
+from ..registry import query
+
+_K = 5
+_QUERY_MOD = 50  # vec_id % 50 == 0 → deterministic query subset
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_KNN_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % {_QUERY_MOD} = 0
+    ),
+    s AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               list_inner_product(e.emb, q.q_emb) /
+               (sqrt(list_inner_product(e.emb, e.emb)) *
+                sqrt(list_inner_product(q.q_emb, q.q_emb))) AS cos
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+    ),
+    r AS (
+        SELECT q_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM s
+    )
+    SELECT q_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {_K}
+"""
+
+
+@query("llm_knn_exact", oracle=_KNN_ORACLE)
+def llm_knn_exact(spark, sf_dir):
+    """Exact cosine top-k: corpus × broadcast(queries), JVM-side dot
+    products, per-query row_number ≤ k.
+
+    The double-precision dot product is written with the *same
+    left-to-right summation* as the oracle's list_inner_product, so
+    cosines agree bitwise and ranks can't flip on ties.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    joined = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    cos = _dot(F.col("emb"), F.col("q_emb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        joined.select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _K)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )
+
+
+_KNN_SCHEMA = T.StructType(
+    [
+        T.StructField("q_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+@query("llm_knn_numpy")  # rows-only: BLAS summation order ≠ sequential
+def llm_knn_numpy(spark, sf_dir):
+    """Blocked brute-force k-NN via mapInPandas + numpy matmul.
+
+    Each Arrow batch of corpus vectors multiplies against the (small,
+    broadcast) query matrix in one BLAS call — within-partition top-k
+    keeps only k rows per query per partition, and a final per-query
+    row_number merges partitions. This is the throughput path: the
+    shuffle carries ≤ k·partitions rows per query, never the corpus.
+    """
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q_rows = (
+        e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .select("vec_id", "emb")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows])
+    q_mat = np.array([r.emb for r in q_rows])  # (Q, dim)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def block_knn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy()
+            c = np.vstack(pdf["emb"].to_numpy())  # (B, dim)
+            c = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ qm.T  # (B, Q)
+            out = []
+            for qi in range(len(ids)):
+                col = sims[:, qi]
+                mask = c_ids != ids[qi]
+                order = np.lexsort((c_ids[mask], -col[mask]))[: _K]
+                sel = np.flatnonzero(mask)[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": ids[qi],
+                            "neighbor_id": c_ids[sel],
+                            "cosine": col[sel],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = e.mapInPandas(block_knn, schema=_KNN_SCHEMA)
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        partial.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _K)
+        .select(
+            "q_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rn"
+        )
+    )
+
+
+@query("llm_knn_lsh")  # rows-only: randomized projections
+def llm_knn_lsh(spark, sf_dir):
+    """Approximate neighbors via BucketedRandomProjectionLSH — the
+    sublinear path; recall vs exact bounded in tests/test_approx.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_vec(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    q = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=6,
+        seed=42,
+    ).fit(e)
+    pairs = lsh.approxSimilarityJoin(q, e, 6.0, distCol="euclid")
+    w = Window.partitionBy("q_id").orderBy("euclid", "neighbor_id")
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("q_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round("euclid", 6).alias("euclid"),
+        )
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _K)
+    )
+
+
+@query(
+    "llm_embed_neardup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    s AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_inner_product(a.emb, b.emb) /
+               (sqrt(list_inner_product(a.emb, a.emb)) *
+                sqrt(list_inner_product(b.emb, b.emb))) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
+    FROM s WHERE cos > 0.4
+    """,
+)
+def llm_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos > 0.4).
+
+    Exact all-pairs at fixture scale; the 100 TB variant blocks by
+    LSH bucket or IVF cell first and only scores within-bucket pairs
+    (same candidate→verify split as text near-dup).
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
+        * F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
+    )
+    return (
+        joined.select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") > 0.4)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )

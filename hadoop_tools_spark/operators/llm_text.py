@@ -1,0 +1,314 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.E):
+token stats, n-grams, TF-IDF, quality scoring, language ID,
+fingerprinting.
+
+All tokenization is JVM-side (`split`/`explode`/higher-order lambdas)
+— no Python in the hot path, so a 100 TB corpus tokenizes inside
+whole-stage codegen at scan speed. Word-level explodes multiply row
+counts ~100×; partial aggregation collapses them again before any
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+#: tiny function-word list present in the fixture vocabulary —
+#: stands in for a per-language stopword table.
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+@query(
+    "llm_wordcount",
+    oracle="""
+    WITH w AS (
+        SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    SELECT lang, word, COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM w GROUP BY lang, word
+    """,
+)
+def llm_wordcount(spark, sf_dir):
+    """Token counts per (lang, word) with document frequency."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", "doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "llm_ngram",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM d
+    )
+    SELECT bigram, COUNT(*) AS n FROM g GROUP BY bigram
+    """,
+)
+def llm_ngram(spark, sf_dir):
+    """Word-bigram counts via a JVM-side sequence/transform — the
+    n-gram generator used by shingling and language modeling."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    return (
+        d.filter(F.size(words) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "llm_tfidf",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word
+    ),
+    dl AS (SELECT doc_id, SUM(n) AS doc_len FROM tf GROUP BY doc_id),
+    df AS (SELECT word, COUNT(*) AS n_docs FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_total FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               (CAST(tf.n AS DOUBLE) / dl.doc_len) *
+               LN((n.n_total + 1.0) / (df.n_docs + 1.0)) AS tfidf
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN df ON df.word = tf.word
+        CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, word, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, word) AS rn
+        FROM scored
+    )
+    SELECT doc_id, word, ROUND(tfidf, 6) AS tfidf, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def llm_tfidf(spark, sf_dir):
+    """Explicit-formula TF-IDF (tf = n/doc_len, idf = ln((N+1)/(df+1)))
+    with top-3 terms per document.
+
+    `HashingTF`+`IDF` from pyspark.ml uses engine-specific hashing;
+    the explicit DataFrame arithmetic is reproducible anywhere and the
+    formula lives in one place on both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_total = d.count()
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("n").alias("doc_len"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "word")
+        .select(
+            "doc_id",
+            "word",
+            (
+                (F.col("n").cast("double") / F.col("doc_len"))
+                * F.log((n_total + 1.0) / (F.col("n_docs") + 1.0))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", F.round("tfidf", 6).alias("tfidf"), "rn")
+    )
+
+
+@query(
+    "llm_quality_filter",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains({list(STOPWORDS)}, x))) AS BIGINT)
+                   AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_words,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) AS uniq_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio
+    FROM feats
+    WHERE n_words BETWEEN 5 AND 10000
+      AND CAST(n_distinct AS DOUBLE) / n_words > 0.2
+      AND CAST(n_stop AS DOUBLE) / n_words < 0.5
+    """,
+)
+def llm_quality_filter(spark, sf_dir):
+    """Heuristic quality gate: length bounds, lexical diversity,
+    function-word ratio — the standard pre-training corpus filters,
+    all as pushed-down columnar expressions."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    uniq = F.col("n_distinct").cast("double") / F.col("n_words")
+    stop = F.col("n_stop").cast("double") / F.col("n_words")
+    return feats.filter(
+        F.col("n_words").between(5, 10000) & (uniq > 0.2) & (stop < 0.5)
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_words",
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.round(stop, 6).alias("stop_ratio"),
+    )
+
+
+@query(
+    "llm_langid",
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+             WHEN regexp_matches(text, '[ñ¿¡]')                 THEN 'es'
+             WHEN regexp_matches(text, '[àâçèêëîïôûœ]')         THEN 'fr'
+             WHEN regexp_matches(text, '[äößü]')                THEN 'de'
+             ELSE 'en'
+           END AS lang_pred
+    FROM documents
+    """,
+)
+def llm_langid(spark, sf_dir):
+    """Character-class language ID heuristic (script + diacritics).
+
+    The fixture corpus is synthetic ASCII for every `lang` value
+    (FIXTURES.md), so here everything predicts 'en' — the *mechanism*
+    (regex character-class scoring, deterministic tie order) is what
+    this key witnesses; tests/test_llm.py feeds real multilingual
+    strings through the same rules and asserts correct predictions.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", langid_expr("text").alias("lang_pred"))
+
+
+def langid_expr(text_col):
+    """The language-ID expression, reusable on arbitrary DataFrames
+    (tested on genuine multilingual strings in tests/test_llm.py)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return (
+        F.when(c.rlike("[一-鿿]"), "zh")
+        .when(c.rlike("[ñ¿¡]"), "es")
+        .when(c.rlike("[àâçèêëîïôûœ]"), "fr")
+        .when(c.rlike("[äößü]"), "de")
+        .otherwise("en")
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS bag_fingerprint,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS vocab_size
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark, sf_dir):
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token bag — catches shuffled/reordered duplicates that
+    exact text hashing misses."""
+    d = load(spark, sf_dir, "documents")
+    bag = F.array_sort(F.array_distinct(F.split("text", " ")))
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(bag, " ").cast("binary")).alias("bag_fingerprint"),
+        F.size(bag).cast("long").alias("vocab_size"),
+    )
+
+
+@query("llm_simhash")  # rows-only: no tractable SQL analogue
+def llm_simhash(spark, sf_dir):
+    """64-bit SimHash per document via Arrow-batched mapInPandas.
+
+    md5-derived word hashes (deterministic, engine-independent) with
+    numpy bit-vote majority — near-dup docs differ in few bits, so
+    hamming distance over signatures blocks candidates at scale.
+    Property-tested in tests/test_llm.py (prefix-pair docs have much
+    smaller hamming distance than random pairs).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def simhash_batch(batches):
+        for pdf in batches:
+            sigs = []
+            for text in pdf["text"]:
+                votes = np.zeros(64, dtype=np.int64)
+                words = text.split(" ")
+                for w, cnt in zip(*np.unique(words, return_counts=True)):
+                    h = int.from_bytes(
+                        hashlib.md5(w.encode()).digest()[:8], "big"
+                    )
+                    bits = (
+                        (np.uint64(h) >> np.arange(64, dtype=np.uint64))
+                        & np.uint64(1)
+                    ).astype(np.int64)
+                    votes += (2 * bits - 1) * cnt
+                sig = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                sigs.append(np.int64(np.uint64(sig)))  # two's-complement
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash64": sigs})
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id long, simhash64 long"
+    return d.mapInPandas(simhash_batch, schema=schema)
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit simhash columns (JVM-side
+    bit_count of xor)."""
+    return F.bit_count(
+        F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b)
+    )

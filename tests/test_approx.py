@@ -1,0 +1,101 @@
+"""Recall / error bounds for approximate operators (SURVEY.md §5.3
+layer 4) — these can't hash-match an oracle, so their contract is
+proximity to the exact twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    from hadoop_tools_spark.operators.aggregates import (
+        agg_approx_distinct,
+        agg_distinct,
+    )
+
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in agg_distinct(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["n_parts_approx"]
+        for r in agg_approx_distinct(spark, sf_dir).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.1  # rsd=0.02, generous bound
+
+
+def test_knn_numpy_matches_exact_sets(spark, sf_dir):
+    from hadoop_tools_spark.operators.llm_knn import llm_knn_exact, llm_knn_numpy
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = sets(llm_knn_exact(spark, sf_dir))
+    numpy_ = sets(llm_knn_numpy(spark, sf_dir))
+    assert exact.keys() == numpy_.keys()
+    for q in exact:
+        # identical up to knife-edge cosine ties
+        assert len(exact[q] & numpy_[q]) >= 4, (q, exact[q], numpy_[q])
+
+
+def test_knn_lsh_recall(spark, sf_dir):
+    from hadoop_tools_spark.operators.llm_knn import llm_knn_exact, llm_knn_lsh
+
+    exact = {}
+    for r in llm_knn_exact(spark, sf_dir).collect():
+        exact.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    lsh = {}
+    for r in llm_knn_lsh(spark, sf_dir).collect():
+        lsh.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & lsh.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"LSH recall {hits}/{total}"
+
+
+def test_minhash_lsh_recall_vs_seeded_pairs(spark, sf_dir):
+    """Both LSH variants must recover most seeded prefix near-dups."""
+    from hadoop_tools_spark.operators.llm_dedup import (
+        llm_neardup_lsh,
+        llm_neardup_minhash,
+        llm_neardup_pairs,
+    )
+
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in llm_neardup_pairs(spark, sf_dir).collect()
+    }
+    if not truth:
+        pytest.skip("fixture has no seeded near-dup pairs at this sf")
+    det = {
+        (r["doc_a"], r["doc_b"])
+        for r in llm_neardup_minhash(spark, sf_dir).collect()
+    }
+    ml = {
+        (r["doc_a"], r["doc_b"])
+        for r in llm_neardup_lsh(spark, sf_dir).collect()
+    }
+    assert len(truth & det) / len(truth) >= 0.6, "deterministic minhash recall"
+    assert len(truth & ml) / len(truth) >= 0.6, "ml MinHashLSH recall"
+
+
+def test_simhash_separates_neardups_from_random(spark, sf_dir):
+    from hadoop_tools_spark.operators.llm_dedup import llm_neardup_pairs
+    from hadoop_tools_spark.operators.llm_text import llm_simhash
+
+    sig = {r["doc_id"]: r["simhash64"] for r in llm_simhash(spark, sf_dir).collect()}
+    pairs = [(r["doc_a"], r["doc_b"]) for r in llm_neardup_pairs(spark, sf_dir).collect()]
+    if not pairs:
+        pytest.skip("no seeded pairs")
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    near = [ham(sig[a], sig[b]) for a, b in pairs]
+    ids = sorted(sig)
+    rand = [ham(sig[ids[i]], sig[ids[-(i + 1)]]) for i in range(20)]
+    assert sum(near) / len(near) < sum(rand) / len(rand), (near, rand)
