@@ -18,6 +18,7 @@ from .operators import (  # noqa: F401
     windows,
 )
 from .sources import roundtrip  # noqa: F401
+from .streaming import ops as streaming_ops  # noqa: F401
 
 #: key of the flagship query used by ``entry(spark)``.
 FLAGSHIP = "q1_pricing_summary"

@@ -1,0 +1,193 @@
+"""Streaming operators (SURVEY.md §2.D), declared in batch form.
+
+Structured Streaming guarantees that a windowed/stateful plan over a
+finite stream equals the same plan run as a batch — so each key here
+is the *batch-equivalent* DataFrame (hash-matchable against DuckDB),
+and tests/test_streaming.py executes the identical logical plans as
+real file-source micro-batch streams (`trigger(availableNow=True)`,
+watermarks, state stores) asserting stream-result == batch-result.
+
+Scale notes: windowed aggregation state is keyed by (window, keys) in
+the state store; the watermark bounds state size — without it an
+unbounded-key stream OOMs the store. Session windows additionally
+merge adjacent state entries. All keys below use event-time columns,
+never processing time, so replays are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event type."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+                - k * INTERVAL '15 minutes' AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+    GROUP BY window_start
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """Sliding 1-hour windows every 15 minutes (each event lands in 4
+    windows — Spark's window() expands exactly the offsets the oracle
+    generates)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    f AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev > INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_s,
+               event_id
+        FROM o
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL '10 minutes' AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark, sf_dir):
+    """Gap-based session windows (10-minute inactivity gap) per user.
+
+    `F.session_window` end = last event + gap; the oracle's classic
+    lag/flag/running-sum islands formulation states identical
+    semantics relationally.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """First occurrence per (user, event_type) in event-time order —
+    the deterministic batch statement of streaming dropDuplicates
+    over an ordered source (the streaming run itself is asserted
+    equal in tests/test_streaming.py)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "stream_state_running",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_state_running(spark, sf_dir):
+    """Final per-user state of a running aggregate — the batch answer
+    that the arbitrary-stateful streaming op (applyInPandasWithState,
+    streaming/stateful.py) must converge to after the last
+    micro-batch."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_enrich(spark, sf_dir):
+    """Stream–static join: events enriched with a broadcast dimension.
+
+    In the streaming run the static side is broadcast once per batch;
+    no state is kept — the cheapest streaming join shape.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return ev.join(
+        F.broadcast(c), ev.user_id == c.c_custkey
+    ).select("event_id", "user_id", "c_mktsegment", "event_type")

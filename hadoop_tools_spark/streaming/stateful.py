@@ -1,0 +1,65 @@
+"""Arbitrary stateful streaming (SURVEY.md §2.D: `applyInPandasWithState`).
+
+Per-user running aggregates maintained in the state store across
+micro-batches — the custom-operator escape hatch when windowed
+built-ins can't express the state machine. The final emitted state
+must equal the batch groupBy (`stream_state_running`), asserted in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
+STATE_SCHEMA = "n long, total double, last_us long"
+
+
+def _update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        if pd.notna(batch_max):
+            last_us = max(last_us, int(batch_max.value // 1000))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [pd.Timestamp(last_us * 1000)],
+        }
+    )
+
+
+def running_user_stats(stream_events: DataFrame) -> DataFrame:
+    """Streaming per-user running (count, sum, last event time).
+
+    State is one tiny tuple per user — bounded by user cardinality;
+    a production deployment adds a timeout
+    (GroupStateTimeout.EventTimeTimeout) to expire idle users, which
+    is what bounds state at 100 TB event volume.
+    """
+    return (
+        stream_events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,169 @@
+"""Streaming batch-equivalence layer (SURVEY.md §5.3 layer 3).
+
+Each declared streaming key runs as a REAL file-source micro-batch
+stream (5 ordered files, maxFilesPerTrigger=1, availableNow) and must
+produce exactly the batch answer. Plus: watermark late-data dropping
+and arbitrary stateful processing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_tools_spark.streaming import ops
+from hadoop_tools_spark.streaming.runner import (
+    read_event_stream,
+    run_to_completion,
+    stage_stream_files,
+)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    stage_stream_files(spark, sf_dir, out, n_files=5)
+    return out
+
+
+def _canon(df_like) -> pd.DataFrame:
+    pdf = df_like.toPandas() if not isinstance(df_like, pd.DataFrame) else df_like
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(list(pdf.columns), ignore_index=True)
+
+
+def assert_stream_equals_batch(spark, staged, batch_df, transform, mode):
+    name = run_to_completion(transform(read_event_stream(spark, staged)), mode)
+    got = _canon(spark.sql(f"SELECT * FROM {name}"))
+    want = _canon(batch_df)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, staged):
+    def t(s):
+        return (
+            s.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    # complete mode: final window values must equal batch
+    assert_stream_equals_batch(
+        spark, staged, ops.stream_tumbling(spark, sf_dir), t, "complete"
+    )
+
+
+def test_stream_session_equals_batch(spark, sf_dir, staged):
+    def t(s):
+        return (
+            s.withWatermark("ts", "30 minutes")
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    assert_stream_equals_batch(
+        spark, staged, ops.stream_session(spark, sf_dir), t, "complete"
+    )
+
+
+def test_stream_dedup_equals_batch(spark, sf_dir, staged):
+    def t(s):
+        return s.dropDuplicates(["user_id", "event_type"]).select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+
+    # source files are time-ordered, so streaming first-seen ==
+    # batch first-by-event-time
+    assert_stream_equals_batch(
+        spark, staged, ops.stream_dedup(spark, sf_dir), t, "append"
+    )
+
+
+def test_stream_enrich_equals_batch(spark, sf_dir, staged):
+    from hadoop_tools_spark.io import load
+
+    c = load(spark, sf_dir, "customer")
+
+    def t(s):
+        return s.join(F.broadcast(c), s.user_id == c.c_custkey).select(
+            "event_id", "user_id", "c_mktsegment", "event_type"
+        )
+
+    assert_stream_equals_batch(
+        spark, staged, ops.stream_enrich(spark, sf_dir), t, "append"
+    )
+
+
+def test_stateful_running_stats_converge_to_batch(spark, sf_dir, staged):
+    from hadoop_tools_spark.streaming.stateful import running_user_stats
+
+    name = run_to_completion(
+        running_user_stats(read_event_stream(spark, staged)), "update"
+    )
+    # memory sink in update mode appends every emission; the LAST row
+    # per user is the final state
+    final = spark.sql(
+        f"""
+        SELECT user_id, n_events, ROUND(total_value, 4) AS total_value, last_ts
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) rn
+              FROM {name}) WHERE rn = 1
+        """
+    ).drop("rn")
+    want = ops.stream_state_running(spark, sf_dir)
+    pd.testing.assert_frame_equal(
+        _canon(final), _canon(want), check_dtype=False
+    )
+
+
+def test_watermark_drops_late_rows(spark, sf_dir, tmp_path):
+    """A row older than (max event time − watermark delay) arriving in
+    a later micro-batch must not resurrect its window."""
+    from hadoop_tools_spark.io import load
+
+    ev = load(spark, sf_dir, "events")
+    first_ts = ev.agg(F.min("ts")).collect()[0][0]
+    late = spark.createDataFrame(
+        [(999999999, first_ts, 0, "late", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = str(tmp_path / "late_events")
+    stage_stream_files(spark, sf_dir, out, n_files=3, late_df=late)
+
+    def t(s):
+        return (
+            s.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+
+    name = run_to_completion(t(read_event_stream(spark, out)), "append")
+    got = {
+        r["window_start"]: r["n"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # batch count for the first hour WITHOUT the late row
+    want_first = (
+        ev.filter(F.date_trunc("hour", "ts") == F.date_trunc("hour", F.lit(first_ts)))
+        .count()
+    )
+    first_window = got[min(got)]
+    assert first_window == want_first, (first_window, want_first)
