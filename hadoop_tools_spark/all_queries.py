@@ -4,7 +4,7 @@
 module; anything not imported here is invisible to the driver.
 """
 
-from .functions import scalar  # noqa: F401
+from .functions import scalar, udfs  # noqa: F401
 from .operators import (  # noqa: F401
     aggregates,
     fs,

@@ -1,0 +1,149 @@
+"""User-defined function surface (SURVEY.md §2.F): scalar Python UDF,
+vectorized pandas UDF, grouped pandas UDAF, Python UDTF.
+
+UDFs are the slow path — every key here deliberately computes
+something also expressible without Python so the DuckDB oracle can
+hash-match it; hot-path operators elsewhere in the engine never use
+row-at-a-time UDFs. Ranking of costs at 100 TB:
+built-in expr (codegen) ≪ pandas UDF (Arrow batches) ≪ scalar Python
+UDF (pickled rows).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..io import load
+from ..registry import query
+from ..sources.listing import glob_to_regex
+
+_GLOB = "{s,p}*"  # part names starting with s or p
+_GLOB_RX = glob_to_regex(_GLOB)  # == ^(?:s|p)[^/]*$
+_GLOB_RX_SQL = _GLOB_RX.replace("\\", "\\\\")
+
+
+@query(
+    "udf_scalar",
+    oracle=f"""
+    SELECT p_partkey, p_name,
+           regexp_matches(p_name, '{_GLOB_RX_SQL}') AS glob_matched
+    FROM part
+    """,
+)
+def udf_scalar(spark, sf_dir):
+    """Row-at-a-time Python UDF: HDFS-glob matcher applied per row
+    (Arrow-optimized in Spark 4, still the slowest execution tier —
+    kept off every hot path; this key exists to pin its semantics)."""
+    rx = re.compile(_GLOB_RX)
+
+    @F.udf("boolean")
+    def glob_match(name: str) -> bool:
+        return rx.match(name) is not None
+
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", "p_name", glob_match("p_name").alias("glob_matched")
+    )
+
+
+@query(
+    "udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 10000 + 0.5) AS BIGINT) AS charged_e4
+    FROM lineitem
+    """,
+)
+def udf_pandas(spark, sf_dir):
+    """Vectorized pandas UDF over Arrow batches — numerically
+    identical to the built-in expression (same double ops in the same
+    order). Output is fixed-point (×10⁴, floor+0.5): decimal ROUND of
+    a 3-factor double product hits tie cases where engines' rounding
+    paths disagree in the last digit, whereas floor of the identical
+    IEEE expression is bitwise-deterministic across engines."""
+
+    @pandas_udf("double")
+    def charge(
+        price: pd.Series, disc: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(
+            charge("l_extendedprice", "l_discount", "l_tax") * 10000 + 0.5
+        )
+        .cast("long")
+        .alias("charged_e4"),
+    )
+
+
+@query(
+    "udaf_grouped",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND((SUM(o_totalprice) - MIN(o_totalprice) - MAX(o_totalprice))
+                 / (COUNT(*) - 2), 2) AS olympic_avg
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udaf_grouped(spark, sf_dir):
+    """Grouped-aggregate pandas UDF: olympic average (mean excluding
+    one min and one max) — a custom UDAF whose exact SQL twin keeps
+    the oracle honest. Planned as partial-less grouped agg: each
+    group's values stream to one Python worker as an Arrow batch."""
+
+    @pandas_udf("double")
+    def olympic(v: pd.Series) -> float:
+        return float((v.sum() - v.min() - v.max()) / (len(v) - 2))
+
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(olympic("o_totalprice"), 2).alias("olympic_avg")
+    )
+
+
+@query(
+    "udtf_shingles",
+    oracle="""
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 4),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3] || ' ' ||
+                    string_split(text, ' ')[i+4])) AS shingle
+    FROM documents
+    """,
+)
+def udtf_shingles(spark, sf_dir):
+    """Python UDTF (table function): 5-word shingle exploder — one
+    input row fans out to N output rows; registered and invoked via
+    SQL lateral join, the UDTF execution path new in Spark 3.5/4.x."""
+
+    @udtf(returnType="shingle: string")
+    class ShingleUDTF:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(len(words) - 4):
+                yield (" ".join(words[i : i + 5]),)
+
+    spark.udtf.register("shingle_udtf", ShingleUDTF)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.shingle
+        FROM docs_udtf_src d,
+             LATERAL shingle_udtf(d.text) s
+        """
+    )
