@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..io import load
 from ..registry import query
 from ..sources.listing import glob_to_regex, list_status_df
 
@@ -95,6 +96,39 @@ def fs_du(spark, sf_dir):
             F.count("*").alias("n_files"),
             F.sum("size").alias("total_bytes"),
         )
+    )
+
+
+@query(
+    "fs_cat_text",
+    oracle="""
+    SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_text_chars
+    FROM documents
+    """,
+)
+def fs_cat_text(spark, sf_dir):
+    """`hh cat` as a text source roundtrip: documents stream out to
+    line-oriented text files and back through ``spark.read.text``.
+
+    The reference streams raw bytes block-by-block with CRC checks
+    (`Network.Hadoop.Read`); the engine's analogue of `cat` for
+    line-structured data is the text source, whose scan distributes
+    across line-split ranges. The oracle (lengths from the original
+    table) proves the byte stream survived the roundtrip intact.
+    """
+    import os
+
+    scratch = os.environ.get("HTS_SCRATCH", "/tmp/hts_scratch")
+    path = f"{scratch}/cat_text"
+    d = load(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    tab = F.instr("value", "\t")
+    return lines.select(
+        F.substring_index("value", "\t", 1).cast("long").alias("doc_id"),
+        (F.length("value") - tab).cast("long").alias("n_text_chars"),
     )
 
 

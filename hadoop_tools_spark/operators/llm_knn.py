@@ -45,18 +45,29 @@ def _dot(a, b):
     )
 
 
+def _unit(emb):
+    """L2-normalize once so each candidate pair later costs ONE dot
+    product instead of three (the 3-dot form tripled pair-stage cost
+    in bench). The element-wise division is mirrored verbatim in the
+    DuckDB oracles so doubles stay bitwise-identical."""
+    norm = F.sqrt(_dot(emb, emb))
+    return F.transform(emb, lambda x: x / norm)
+
+
 _KNN_ORACLE = f"""
     WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                                    embedding::DOUBLE[]))) AS u
+        FROM embeddings
     ),
     q AS (
-        SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % {_QUERY_MOD} = 0
+        SELECT vec_id AS q_id, u AS q_u FROM e WHERE vec_id % {_QUERY_MOD} = 0
     ),
     s AS (
         SELECT q.q_id, e.vec_id AS neighbor_id,
-               list_inner_product(e.emb, q.q_emb) /
-               (sqrt(list_inner_product(e.emb, e.emb)) *
-                sqrt(list_inner_product(q.q_emb, q.q_emb))) AS cos
+               list_inner_product(e.u, q.q_u) AS cos
         FROM e CROSS JOIN q
         WHERE e.vec_id <> q.q_id
     ),
@@ -77,20 +88,26 @@ def llm_knn_exact(spark, sf_dir):
     products, per-query row_number ≤ k.
 
     The double-precision dot product is written with the *same
-    left-to-right summation* as the oracle's list_inner_product, so
-    cosines agree bitwise and ranks can't flip on ties.
+    left-to-right summation* as the oracle's list_inner_product, and
+    both engines pre-normalize with the identical element-wise
+    division, so cosines agree bitwise and ranks can't flip on ties.
     """
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        "vec_id",
+        _unit(F.col("embedding").cast("array<double>")).alias("u"),
     )
     q = e.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")
     )
-    joined = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
-    cos = _dot(F.col("emb"), F.col("q_emb")) / (
-        F.sqrt(_dot(F.col("emb"), F.col("emb")))
-        * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    # fixture parquet is a single file -> one input partition; spread
+    # the corpus side so the pair stage uses every core
+    par = spark.sparkContext.defaultParallelism
+    joined = (
+        e.repartition(par)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
     )
+    cos = _dot(F.col("u"), F.col("q_u"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         joined.select(
@@ -210,13 +227,15 @@ def llm_knn_lsh(spark, sf_dir):
     "llm_embed_neardup",
     oracle="""
     WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                                    embedding::DOUBLE[]))) AS u
+        FROM embeddings
     ),
     s AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               list_inner_product(a.emb, b.emb) /
-               (sqrt(list_inner_product(a.emb, a.emb)) *
-                sqrt(list_inner_product(b.emb, b.emb))) AS cos
+               list_inner_product(a.u, b.u) AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine
@@ -231,15 +250,16 @@ def llm_embed_neardup(spark, sf_dir):
     (same candidate→verify split as text near-dup).
     """
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        "vec_id",
+        _unit(F.col("embedding").cast("array<double>")).alias("u"),
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
-    joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
-        * F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
+    par = spark.sparkContext.defaultParallelism
+    a = e.repartition(par).select(
+        F.col("vec_id").alias("vec_a"), F.col("u").alias("u_a")
     )
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("u_b"))
+    joined = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("u_a"), F.col("u_b"))
     return (
         joined.select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") > 0.4)
