@@ -265,3 +265,67 @@ def llm_embed_neardup(spark, sf_dir):
         .filter(F.col("cos") > 0.4)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+@query("llm_knn_ivf")  # rows-only: k-means cells (iterative, seeded)
+def llm_knn_ivf(spark, sf_dir):
+    """IVF-style approximate k-NN: k-means coarse quantizer, probe the
+    `nprobe` nearest cells per query, exact cosine only within probed
+    cells.
+
+    The scale path beyond LSH: compute drops by ~Ncells/Nprobe (here
+    16/4 = 4×; production uses 4096/64), and the corpus can live
+    physically partitioned by cell so a probe is a partition-pruned
+    scan instead of a full pass. Recall vs exact is bounded in
+    tests/test_approx.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _unit(F.col("embedding").cast("array<double>")).alias("u"),
+    )
+    feats = e.select("vec_id", "u", array_to_vector("u").alias("features"))
+    km = KMeans(k=_IVF_CELLS, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(feats)
+    corpus = model.transform(feats).select("vec_id", "u", "cell")
+
+    # centroid table (tiny) for query-side probing
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = corpus.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")
+    )
+    # rank cells per query by centroid similarity, keep nprobe
+    wc = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "q_u", "cell", _dot(F.col("q_u"), F.col("centroid")).alias("c_sim")
+        )
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .filter(F.col("cell_rank") <= _IVF_NPROBE)
+        .select("q_id", "q_u", "cell")
+    )
+    # exact cosine only within probed cells
+    cand = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("u"), F.col("q_u")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _K)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )

@@ -99,3 +99,17 @@ def test_simhash_separates_neardups_from_random(spark, sf_dir):
     ids = sorted(sig)
     rand = [ham(sig[ids[i]], sig[ids[-(i + 1)]]) for i in range(20)]
     assert sum(near) / len(near) < sum(rand) / len(rand), (near, rand)
+
+
+def test_knn_ivf_recall(spark, sf_dir):
+    from hadoop_tools_spark.operators.llm_knn import llm_knn_exact, llm_knn_ivf
+
+    exact = {}
+    for r in llm_knn_exact(spark, sf_dir).collect():
+        exact.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    ivf = {}
+    for r in llm_knn_ivf(spark, sf_dir).collect():
+        ivf.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
