@@ -241,28 +241,47 @@ def join_asof(spark, sf_dir):
     the same semantics relationally.
     """
     ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id"),
-        F.col("ts"),
-        F.col("event_id"),
-        F.lit(1).alias("side"),
-        F.col("event_id").alias("click_id"),
+    out = asof_join_latest(
+        left=ev.filter(F.col("event_type") == "purchase"),
+        right=ev.filter(F.col("event_type") == "click"),
+        key="user_id",
+        ts="ts",
+        id_col="event_id",
+        out_col="prev_click_id",
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id"),
-        F.col("ts"),
-        F.col("event_id"),
+    return out.select("event_id", "user_id", "prev_click_id")
+
+
+def asof_join_latest(left, right, key, ts, id_col, out_col):
+    """Generic strict as-of: for each left row, the ``id_col`` of the
+    latest right row with ``right.ts < left.ts`` per ``key`` (ties on
+    right ts broken by max ``id_col``).
+
+    Union + window instead of an inequality join: one hash shuffle by
+    key, linear scan per partition — the shape that survives 100 TB.
+    Property-tested against pandas ``merge_asof`` on random frames
+    (tests/test_properties.py).
+    """
+    r = right.select(
+        F.col(key),
+        F.col(ts),
+        F.col(id_col),
+        F.lit(1).alias("side"),
+        F.col(id_col).alias("_val"),
+    )
+    l = left.select(
+        F.col(key),
+        F.col(ts),
+        F.col(id_col),
         F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast(dict(right.dtypes)[id_col]).alias("_val"),
     )
     w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side", "event_id")
+        Window.partitionBy(key)
+        .orderBy(ts, "side", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    merged = purchases.unionByName(clicks).withColumn(
-        "prev_click_id", F.last("click_id", ignorenulls=True).over(w)
+    merged = l.unionByName(r).withColumn(
+        out_col, F.last("_val", ignorenulls=True).over(w)
     )
-    return merged.filter(F.col("side") == 0).select(
-        "event_id", "user_id", "prev_click_id"
-    )
+    return merged.filter(F.col("side") == 0).drop("side", "_val")

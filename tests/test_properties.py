@@ -1,0 +1,120 @@
+"""Property tests over random inputs (SURVEY.md §5.3 layer 2):
+as-of join vs pandas merge_asof, window frames vs brute-force
+recomputation, hash-mod sampling determinism."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=1000),  # ts
+        st.booleans(),  # is_left
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_asof_join_matches_pandas_merge_asof(spark, rows):
+    from hadoop_tools_spark.operators.joins import asof_join_latest
+
+    data = [
+        (key, ts, i, is_left) for i, (key, ts, is_left) in enumerate(rows)
+    ]
+    left = [(k, t, i) for (k, t, i, il) in data if il]
+    right = [(k, t, i) for (k, t, i, il) in data if not il]
+    if not left or not right:
+        return
+    schema = "key long, ts long, id long"
+    ldf = spark.createDataFrame(left, schema)
+    rdf = spark.createDataFrame(right, schema)
+    got = {
+        r["id"]: r["prev"]
+        for r in asof_join_latest(
+            ldf, rdf, key="key", ts="ts", id_col="id", out_col="prev"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left, columns=["key", "ts", "id"]).sort_values(
+        ["ts", "id"], ignore_index=True
+    )
+    # merge_asof tie-break: keep LAST positional match; sort right by
+    # (ts, id) so that equals our (ts, id)-max rule
+    rp = pd.DataFrame(right, columns=["key", "ts", "id"]).sort_values(
+        ["ts", "id"], ignore_index=True
+    )
+    want_df = pd.merge_asof(
+        lp,
+        rp.rename(columns={"id": "prev"}),
+        on="ts",
+        by="key",
+        allow_exact_matches=False,
+        direction="backward",
+    )
+    want = {
+        int(r.id): (None if pd.isna(r.prev) else int(r.prev))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_running_sum_matches_bruteforce(spark, vals):
+    rows = [(k, i, float(v)) for i, (k, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key long, seq long, v double")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        (r["key"], r["seq"]): r["rs"]
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    acc: dict[int, float] = {}
+    for k, seq, v in rows:
+        acc[k] = acc.get(k, 0.0) + v
+        assert got[(k, seq)] == acc[k]
+
+
+def test_hashmod_sample_is_stable_across_partitionings(spark, sf_dir):
+    from hadoop_tools_spark.operators.setops import sample_hashmod
+
+    a = {r["o_orderkey"] for r in sample_hashmod(spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(17)
+    b = {
+        r["o_orderkey"]
+        for r in o.filter(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string")), 1, 1
+            ).isin("0", "1")
+        ).collect()
+    }
+    assert a == b  # seeded sample() would differ; hash-mod never does
