@@ -154,6 +154,8 @@ def llm_neardup_minhash(spark, sf_dir):
         )
     )
     words = d.select("doc_id", F.explode(trigram).alias("word"))
+    # cached: both sides of the band self-join descend from sig;
+    # uncached, the explode+md5 signature pipeline runs twice
     sig = words.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("word")).cast("binary"))).alias(
@@ -161,7 +163,7 @@ def llm_neardup_minhash(spark, sf_dir):
             )
             for i in range(_N_HASHES)
         ]
-    )
+    ).cache()
     bands = sig.select(
         "doc_id", F.lit(0).alias("band"), F.concat("h0", "h1").alias("key")
     ).unionByName(
@@ -238,7 +240,9 @@ def llm_jaccard_ngram(spark, sf_dir):
             ),
         )
     )
-    grams = d.select("doc_id", F.explode(gram_expr).alias("gram"))
+    # cached: sizes + both sides of the intersection join scan grams —
+    # uncached the explode pipeline runs three times
+    grams = d.select("doc_id", F.explode(gram_expr).alias("gram")).cache()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
 
     pfx = d.select("doc_id", F.substring("text", 1, 40).alias("pfx"))
@@ -296,7 +300,9 @@ def llm_neardup_lsh(spark, sf_dir):
     cv = CountVectorizer(
         inputCol="grams", outputCol="features", binary=True, minDF=1.0
     ).fit(grams)
-    feats = cv.transform(grams)
+    # cached: both sides of the self approxSimilarityJoin scan this;
+    # uncached, tokenize+ngram+vectorize runs twice
+    feats = cv.transform(grams).select("doc_id", "features").cache()
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(feats)
