@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, load_spread
 from ..registry import query
 
 
@@ -35,7 +35,7 @@ from ..registry import query
     """,
 )
 def fn_string(spark, sf_dir):
-    p = load(spark, sf_dir, "part")
+    p = load_spread(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
         F.lower("p_name").alias("name_lower"),
@@ -109,7 +109,7 @@ def fn_datetime(spark, sf_dir):
     """,
 )
 def fn_math(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -177,7 +177,7 @@ def fn_cond(spark, sf_dir):
 def fn_array(spark, sf_dir):
     """Array surface incl. higher-order transform/filter/aggregate —
     all JVM-side lambda expressions, no Python round-trip."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
@@ -219,7 +219,7 @@ def fn_array(spark, sf_dir):
 def fn_map(spark, sf_dir):
     """Map construction/inspection. DuckDB map extraction yields a
     single-element list, unwrapped with [1] in the oracle."""
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"),
         F.col("event_type"),
@@ -247,7 +247,7 @@ def fn_map(spark, sf_dir):
 )
 def fn_json(spark, sf_dir):
     """JSON extraction over the semi-structured ``events.props``."""
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),

@@ -41,6 +41,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` + round-robin repartition to the session's parallelism.
+
+    The fixture parquet files are written as a SINGLE row group, so a
+    scan yields one partition no matter what
+    ``spark.sql.files.maxPartitionBytes`` says — any expression-heavy
+    pipeline downstream (regex, md5, json parsing, shingle explode)
+    would run single-threaded. One small shuffle up front buys a
+    32-way pipeline. On a real multi-file table the scan is already
+    parallel and callers at cluster scale would use plain ``load``;
+    the repartition here is the local-fixture analogue of that
+    parallelism, not a pattern to ship extra shuffles at 100 TB.
+    """
+    df = load(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, load_spread
 from ..registry import query
 
 #: documents doubled with shifted ids — the fixture has zero exact
@@ -140,7 +140,7 @@ def llm_neardup_minhash(spark, sf_dir):
     separates the seeded near-dups from noise. Candidate generation
     is an equi-join on band keys (shuffle by band key).
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     w = F.split("text", " ")
     trigram = F.array_distinct(
         F.transform(
@@ -240,49 +240,41 @@ def llm_jaccard_ngram(spark, sf_dir):
             ),
         )
     )
-    # cached: sizes + both sides of the intersection join scan grams —
-    # uncached the explode pipeline runs three times
-    grams = d.select("doc_id", F.explode(gram_expr).alias("gram")).cache()
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-
-    pfx = d.select("doc_id", F.substring("text", 1, 40).alias("pfx"))
-    cand = (
-        pfx.alias("a")
-        .join(
-            pfx.alias("b"),
-            (F.col("a.pfx") == F.col("b.pfx"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    # gram SETS stay as per-doc arrays: the blocked self-join carries
+    # them and array_intersect computes |A∩B| JVM-side per candidate
+    # pair. No gram-level explode/shuffle — the exploded formulation
+    # moved ~1.5 M gram rows through three shuffles for the same
+    # answer. At scale the shuffle is by blocking key and its volume
+    # is docs, not grams.
+    # repartition BEFORE the gram projection: the fixture is one
+    # parquet file = one input partition, and a broadcast self-join
+    # would otherwise evaluate the gram expression for the whole
+    # corpus twice inside a single task. Cached, it computes once,
+    # across all cores.
+    par = spark.sparkContext.defaultParallelism
+    g = d.repartition(par).select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("pfx"),
+        gram_expr.alias("grams"),
+    ).cache()
+    a, b = g.alias("a"), g.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.pfx") == F.col("b.pfx"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    ga = grams.alias("ga")
-    gb = grams.alias("gb")
-    inter = (
-        cand.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
-        .join(
-            gb,
-            (F.col("gb.doc_id") == F.col("doc_b"))
-            & (F.col("gb.gram") == F.col("ga.gram")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_shared").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared")),
-                6,
-            ).alias("jaccard"),
-        )
+    n_a = F.size(F.col("a.grams"))
+    n_b = F.size(F.col("b.grams"))
+    n_shared = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    # the oracle's intersection join is inner: pairs sharing no gram
+    # don't appear
+    pair = pair.filter(n_shared > 0)
+    return pair.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(n_shared.cast("double") / (n_a + n_b - n_shared), 6).alias(
+            "jaccard"
+        ),
     )
 
 
@@ -293,7 +285,7 @@ def llm_neardup_lsh(spark, sf_dir):
     prefix pairs is bounded in tests/test_approx.py."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, Tokenizer
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     tok = Tokenizer(inputCol="text", outputCol="words")
     words = tok.transform(d)
     grams = NGram(n=3, inputCol="words", outputCol="grams").transform(words)

@@ -256,26 +256,72 @@ def llm_knn_lsh(spark, sf_dir):
 def llm_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cos > 0.4).
 
-    Exact all-pairs at fixture scale; the 100 TB variant blocks by
-    LSH bucket or IVF cell first and only scores within-bucket pairs
-    (same candidate→verify split as text near-dup).
+    Exact all-pairs, computed in mapInPandas: the full normalized
+    corpus (tiny relative to pair count) broadcasts once, each
+    partition scores its rows against every higher-id row in one
+    vectorized pass. The float reduction uses ``np.cumsum`` — a
+    strictly sequential left-to-right sum — so every cosine is
+    bitwise identical to a JVM ``aggregate`` fold and to DuckDB's
+    ``list_inner_product`` (the hash-matched oracle). A BLAS matmul
+    would differ in final ulps; the HOF-lambda form it replaces cost
+    7× in bench (2 M interpreted 64-dim folds).
+
+    The 100 TB variant blocks by LSH bucket or IVF cell first and
+    only scores within-bucket pairs (same candidate→verify split as
+    text near-dup).
     """
+    import numpy as np
+
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        _unit(F.col("embedding").cast("array<double>")).alias("u"),
-    ).cache()  # both pair sides scan it: normalize once
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    rows = e.collect()  # corpus matrix is small; pairs are the blowup
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    m = np.array([r.emb for r in rows], dtype=np.float64)
+    # sequential-sum norms: cumsum matches fold order exactly
+    norm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+    u = m / norm[:, None]
+    order = np.argsort(ids, kind="stable")
+    bc = spark.sparkContext.broadcast((ids[order], u[order]))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        all_ids, all_u = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            a_pos = np.searchsorted(all_ids, a_ids)
+            for i, pos in enumerate(a_pos):
+                mask = all_ids > a_ids[i]  # vec_a < vec_b
+                if not mask.any():
+                    continue
+                prod = all_u[mask] * all_u[pos][None, :]
+                cos = np.cumsum(prod, axis=1)[:, -1]  # sequential sum
+                keep = cos > 0.4
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": a_ids[i],
+                            "vec_b": all_ids[mask][keep],
+                            "cos": cos[keep],
+                        }
+                    )
+
     par = spark.sparkContext.defaultParallelism
-    a = e.repartition(par).select(
-        F.col("vec_id").alias("vec_a"), F.col("u").alias("u_a")
+    pairs = e.select("vec_id").repartition(par).mapInPandas(
+        score, schema=out_schema
     )
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("u_b"))
-    joined = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("u_a"), F.col("u_b"))
-    return (
-        joined.select("vec_a", "vec_b", cos.alias("cos"))
-        .filter(F.col("cos") > 0.4)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
-    )
+    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
 
 
 _IVF_CELLS = 16

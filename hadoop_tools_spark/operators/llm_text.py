@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, load_spread
 from ..registry import query
 
 #: tiny function-word list present in the fixture vocabulary —
@@ -36,7 +36,7 @@ STOPWORDS = ("the", "a", "and", "of", "to")
 )
 def llm_wordcount(spark, sf_dir):
     """Token counts per (lang, word) with document frequency."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return (
         d.select("lang", "doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("lang", "word")
@@ -66,7 +66,7 @@ def llm_wordcount(spark, sf_dir):
 def llm_ngram(spark, sf_dir):
     """Word-bigram counts via a JVM-side sequence/transform — the
     n-gram generator used by shingling and language modeling."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     words = F.split("text", " ")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(words) - 1),
@@ -121,7 +121,7 @@ def llm_tfidf(spark, sf_dir):
     the explicit DataFrame arithmetic is reproducible anywhere and the
     formula lives in one place on both engines.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     n_total = d.count()
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
@@ -176,7 +176,7 @@ def llm_quality_filter(spark, sf_dir):
     """Heuristic quality gate: length bounds, lexical diversity,
     function-word ratio — the standard pre-training corpus filters,
     all as pushed-down columnar expressions."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     words = F.split("text", " ")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     feats = d.select(
@@ -226,7 +226,7 @@ def llm_langid(spark, sf_dir):
     this key witnesses; tests/test_llm.py feeds real multilingual
     strings through the same rules and asserts correct predictions.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return d.select("doc_id", langid_expr("text").alias("lang_pred"))
 
 
@@ -258,7 +258,7 @@ def llm_fingerprint(spark, sf_dir):
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token bag — catches shuffled/reordered duplicates that
     exact text hashing misses."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     bag = F.array_sort(F.array_distinct(F.split("text", " ")))
     return d.select(
         "doc_id",
@@ -301,7 +301,7 @@ def llm_simhash(spark, sf_dir):
                 sigs.append(np.int64(np.uint64(sig)))  # two's-complement
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash64": sigs})
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     schema = "doc_id long, simhash64 long"
     return d.mapInPandas(simhash_batch, schema=schema)
 
