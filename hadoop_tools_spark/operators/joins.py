@@ -285,3 +285,90 @@ def asof_join_latest(left, right, key, ts, id_col, out_col):
         out_col, F.last("_val", ignorenulls=True).over(w)
     )
     return merged.filter(F.col("side") == 0).drop("side", "_val")
+
+
+@query(
+    "join_salted",
+    oracle="""
+    SELECT s.s_nationkey, COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_salted(spark, sf_dir):
+    """Skew-proof equi join as a first-class operator: the big side is
+    salted across N replicas of the small side (operators/skew.py), so
+    a pathological hot key spreads over N tasks instead of one.
+
+    Results are identical to the plain join — the oracle IS the plain
+    SQL join — only the physical shuffle key changes to (key, salt).
+    At fixture scale AQE would also have handled this; the declared
+    key pins the manual pattern used when skew is known up front
+    (null-heavy keys, power-law users) and AQE's post-shuffle split
+    is too late.
+    """
+    from .skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, s, "l_suppkey", "s_suppkey", n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT date_trunc('month', o.o_orderdate) AS order_month,
+           COUNT(*) AS n_shipments
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    WHERE o.o_orderkey % 1000 = 0
+    GROUP BY 1
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    """Range join with NO equi key, made shuffle-joinable by
+    bucketizing the range dimension (SURVEY §4.3 pattern 4).
+
+    Each 90-day window [o_orderdate, +90d) spans at most two 90-day
+    epoch buckets, so the window side explodes to those two bucket
+    ids, the point side maps to its single bucket, and the join is a
+    plain equi join on ``bucket`` with the exact range predicate as a
+    post-filter. Candidate pairs per row are bounded by bucket
+    population — not the whole table, which is what a broadcast
+    nested-loop join would scan at 100 TB. Pairs can't duplicate: a
+    shipdate lives in exactly one bucket.
+    """
+    width = 90  # bucket width == window length → ≤ 2 buckets per window
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select("o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_shipdate")
+    epoch = F.lit("1970-01-01")
+    o_bucket = F.floor(F.datediff(F.col("o_orderdate"), epoch) / width)
+    o_b = o.withColumn(
+        "bucket", F.explode(F.array(o_bucket, o_bucket + 1))
+    )
+    li_b = li.withColumn(
+        "bucket", F.floor(F.datediff(F.col("l_shipdate"), epoch) / width)
+    )
+    return (
+        li_b.join(o_b, "bucket")
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                < F.col("o_orderdate") + F.expr(f"INTERVAL {width} DAY")
+            )
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(F.count("*").alias("n_shipments"))
+    )

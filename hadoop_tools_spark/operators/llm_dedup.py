@@ -385,3 +385,93 @@ def connected_components(vertices_df, edges_df, id_col="doc_id", max_rounds=30):
     return labels
 
 
+
+
+@query(
+    "llm_neardup_verified",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]))) AS word
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               MIN(md5('s0:' || word)) AS h0, MIN(md5('s1:' || word)) AS h1,
+               MIN(md5('s2:' || word)) AS h2, MIN(md5('s3:' || word)) AS h3
+        FROM w GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, h2 || h3 AS key FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) AS grams
+        FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+                 (len(ga.grams) + len(gb.grams)
+                  - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
+    FROM cand c
+    JOIN grams ga ON ga.doc_id = c.doc_a
+    JOIN grams gb ON gb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+          (len(ga.grams) + len(gb.grams)
+           - len(list_intersect(ga.grams, gb.grams))) >= 0.5
+    """,
+)
+def llm_neardup_verified(spark, sf_dir):
+    """The full production near-dup pipeline in one operator:
+    deterministic MinHash banding generates candidates, exact trigram
+    Jaccard verifies them, pairs below 0.5 are rejected.
+
+    This is the candidate→verify composition the 100 TB path runs:
+    banding is an equi-join whose cost is Σ|bucket|², verification
+    touches only candidate pairs (array_intersect on carried gram
+    sets — JVM-side, no gram explode), and everything is
+    deterministic, so incremental corpus updates re-bucket only new
+    documents.
+    """
+    cand = llm_neardup_minhash(spark, sf_dir)
+    d = load_spread(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    gram_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        )
+    )
+    g = d.select("doc_id", gram_expr.alias("grams")).cache()
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    n_shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    jac = n_shared.cast("double") / (
+        F.size(F.col("ga")) + F.size(F.col("gb")) - n_shared
+    )
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -389,3 +389,40 @@ def llm_knn_ivf(spark, sf_dir):
         .filter(F.col("rn") <= _K)
         .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
     )
+
+
+@query(
+    "llm_embed_centroid",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           ROUND(AVG(val), 6) AS mean_val, COUNT(*) AS n
+    FROM flat GROUP BY label, pos
+    """,
+)
+def llm_embed_centroid(spark, sf_dir):
+    """Per-label embedding centroid, one row per (label, dimension).
+
+    posexplode → partial-aggregated groupBy: the shuffle carries
+    (label, pos, partial sum/count) — 64·|labels| states — never the
+    vectors. This is the centroid step an IVF index or k-means
+    refresh runs at corpus scale; keeping the output exploded (rather
+    than re-assembling arrays) is deliberate: it stays SQL-comparable
+    and feeds the next matmul directly.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    return (
+        e.select("label", (F.col("pos") + 1).cast("long").alias("pos"), "col")
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("col"), 6).alias("mean_val"),
+            F.count("*").alias("n"),
+        )
+    )

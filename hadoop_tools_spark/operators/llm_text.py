@@ -312,3 +312,49 @@ def hamming64(a, b):
     return F.bit_count(
         F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b)
     )
+
+
+@query(
+    "llm_token_stats",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_ws_tokens, n_bpe_tokens,
+           ROUND(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 6) AS chars_per_token
+    FROM t WHERE n_bpe_tokens > 0
+    """,
+)
+def llm_token_stats(spark, sf_dir):
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    lexer ([A-Za-z]+ | digit runs | single punctuation) — the cheap
+    pre-tokenizer used to budget context windows before real BPE.
+    Both tokenizations are JVM regex expressions; the RE2-compatible
+    pattern means Spark and DuckDB lex identically.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    # idx=0 → whole match (Spark defaults to capture group 1; DuckDB's
+    # regexp_extract_all defaults to group 0 — align on 0)
+    bpe = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0
+    )
+    t = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+    )
+    return t.filter(F.col("n_bpe_tokens") > 0).select(
+        "doc_id",
+        "n_chars",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+        ).alias("chars_per_token"),
+    )
