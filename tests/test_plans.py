@@ -89,3 +89,27 @@ def test_window_group_limit_pushdown(spark, sf_dir):
 
     p = plan_str(topk_group(spark, sf_dir))
     assert "WindowGroupLimit" in p  # rn<=k pushed into the window sort
+
+
+def test_range_bucketed_is_equi_join(spark, sf_dir):
+    """The bucketized range join must plan as an equi join (hash or
+    sort-merge, broadcast at fixture scale) — never a nested loop,
+    which is what the raw inequality predicate would force."""
+    from hadoop_tools_spark.operators.joins import join_range_bucketed
+
+    p = plan_str(join_range_bucketed(spark, sf_dir))
+    assert "NestedLoop" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p), p
+
+
+def test_salted_join_shuffles_on_composite_key(spark, sf_dir):
+    """Salting only helps if the shuffle key really becomes
+    (key, salt): both join sides must carry _salt into the join."""
+    from hadoop_tools_spark.operators.skew import salted_join
+    from hadoop_tools_spark.io import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey")
+    p = optimized_str(salted_join(li, s, "l_suppkey", "s_suppkey", n_salts=4))
+    assert "_salt" in p, p
