@@ -63,3 +63,78 @@ def running_user_stats(stream_events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+class RunningUserStats:
+    """Spark 4.x-native stateful operator (`transformWithStateInPandas`,
+    the successor to `applyInPandasWithState`): same per-user running
+    (count, sum, last-ts) state machine, expressed as a
+    StatefulProcessor with typed ValueState.
+
+    Declared lazily as a subclass factory because importing
+    StatefulProcessor at module import time would couple every batch
+    query to the streaming API surface.
+    """
+
+    @staticmethod
+    def build():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _P(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+            def handleInputRows(self, key, rows, timerValues):
+                (user_id,) = key
+                n, total, last_us = (
+                    self._agg.get() if self._agg.exists() else (0, 0.0, 0)
+                )
+                for pdf in rows:
+                    n += len(pdf)
+                    total += float(pdf["value"].sum())
+                    batch_max = pdf["ts"].max()
+                    if pd.notna(batch_max):
+                        last_us = max(last_us, int(batch_max.value // 1000))
+                self._agg.update((n, total, last_us))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "n_events": [n],
+                        "total_value": [total],
+                        "last_ts": [pd.Timestamp(last_us * 1000)],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return _P()
+
+
+def running_user_stats_tws(stream_events: DataFrame) -> DataFrame:
+    """`running_user_stats` on the 4.x transformWithState engine.
+
+    Functionally identical to the applyInPandasWithState path; kept as
+    a second implementation because transformWithState is where new
+    state features land (typed state, TTL, timers, initial state) and
+    the RocksDB state-store backend it requires is the 100 TB choice.
+
+    Requires ``google.protobuf`` at runtime (the Python state client
+    speaks protobuf to the JVM state server) and the RocksDB state
+    store provider; the convergence test skips when protobuf is
+    absent, and the applyInPandasWithState twin carries the tested
+    guarantee in that case.
+    """
+    return (
+        stream_events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningUserStats.build(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -167,3 +167,31 @@ def test_watermark_drops_late_rows(spark, sf_dir, tmp_path):
     )
     first_window = got[min(got)]
     assert first_window == want_first, (first_window, want_first)
+
+
+def test_transform_with_state_converges_to_batch(spark, sf_dir, staged):
+    """The 4.x StatefulProcessor path must land on exactly the same
+    final per-user state as applyInPandasWithState and the batch
+    groupBy."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    # transformWithState's Python state client speaks protobuf to the
+    # JVM state server; without google.protobuf the driver worker
+    # can't start (verified: ImportError in StateMessage_pb2)
+    pytest.importorskip("google.protobuf.descriptor")
+    from hadoop_tools_spark.streaming.stateful import running_user_stats_tws
+
+    name = run_to_completion(
+        running_user_stats_tws(read_event_stream(spark, staged)), "update"
+    )
+    final = spark.sql(
+        f"""
+        SELECT user_id, n_events, ROUND(total_value, 4) AS total_value, last_ts
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) rn
+              FROM {name}) WHERE rn = 1
+        """
+    ).drop("rn")
+    want = ops.stream_state_running(spark, sf_dir)
+    pd.testing.assert_frame_equal(
+        _canon(final), _canon(want), check_dtype=False
+    )
