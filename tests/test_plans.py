@@ -113,3 +113,21 @@ def test_salted_join_shuffles_on_composite_key(spark, sf_dir):
     s = load(spark, sf_dir, "supplier").select("s_suppkey")
     p = optimized_str(salted_join(li, s, "l_suppkey", "s_suppkey", n_salts=4))
     assert "_salt" in p, p
+
+
+def test_q6_fully_pushed_scan(spark, sf_dir):
+    """Q6 is one pass over a pruned scan: all four predicates sargable
+    (shipdate range, discount between, quantity bound) and only the
+    needed columns read."""
+    from hadoop_tools_spark.operators.relational import q6_revenue_change
+
+    p = plan_str(q6_revenue_change(spark, sf_dir))
+    # no closing-bracket anchor: Spark truncates long filter lists in
+    # the plan string before the ]
+    assert re.search(r"PushedFilters: \[.*l_shipdate", p), p
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert m, p
+    cols = [c.split("#")[0] for c in m.group(1).split(",")]
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }, cols
