@@ -131,3 +131,23 @@ def test_q6_fully_pushed_scan(spark, sf_dir):
     assert set(cols) == {
         "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
     }, cols
+
+
+def test_q5_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    """Q5's six-way join: every dim side is a BroadcastHashJoin; only
+    the orders↔lineitem fact chain may shuffle. No cartesian."""
+    from hadoop_tools_spark.operators.relational import q5_local_supplier
+
+    p = plan_str(q5_local_supplier(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    """Q4's EXISTS is expressed directly as a left-semi join with the
+    non-equi residual — output carries no lineitem columns."""
+    from hadoop_tools_spark.operators.relational import q4_order_priority
+
+    p = plan_str(q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in p, p
