@@ -14,6 +14,7 @@ from .operators import (  # noqa: F401
     llm_text,
     multimodal,
     relational,
+    relational_ext,
     setops,
     windows,
 )

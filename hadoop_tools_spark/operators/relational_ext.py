@@ -1,0 +1,625 @@
+"""Extended TPC-H-shaped relational queries (SURVEY.md §2.B widening).
+
+The fixture schema is a TPC-H subset (no partsupp, no
+l_shipmode/l_commitdate/l_receiptdate, no c_phone — FIXTURES.md), so
+shapes that depend on missing columns are adapted to equivalent plan
+structures over the columns that exist. What matters for engine
+coverage is the *plan shape* each query exercises:
+
+- Q7  : two-sided dimension filter with OR across join branches
+- Q8  : market-share ratio (conditional agg over a multi-join star)
+- Q10 : top-k revenue grouping over a 4-way join
+- Q11 : HAVING against a global scalar subquery of the same aggregate
+- Q12 : date-arithmetic lateness classes with conditional counts
+- Q13 : left outer join + grouped count → distribution of counts
+- Q14 : conditional-aggregate ratio (promo share)
+- Q15 : aggregate view joined against its own global max
+- Q16 : multi-column distinct-count grouping with exclusion filter
+- Q18 : grouped HAVING-IN semi-join on the fact's own aggregation
+- Q19 : disjunction of conjunctive predicates across join sides
+- Q22 : global-average scalar subquery + windowed anti join
+
+Every query broadcasts dimension sides explicitly and keeps the fact
+table on a single shuffle path, which is the shape that survives a
+100 TB fact scan: dims ship to executors once, the fact never
+re-shuffles except on its join/group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations.
+
+    The OR predicate spans both join branches, so it can only be
+    applied after both nation joins — but each nation dim is first
+    pre-filtered to the two named nations, which prunes supplier and
+    customer rows at the broadcast build before the fact join.
+    """
+    nations = ("NATION_1", "NATION_2")
+    n1 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    n2 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    df = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n1.select(F.col("n_nationkey").alias("nk1"),
+                                  F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("nk1"),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n2.select(F.col("n_nationkey").alias("nk2"),
+                                  F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("nk2"),
+        )
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        df.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            _revenue().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional revenue per year.
+
+    Ratio-of-conditional-sums over an 8-table star. All seven
+    non-fact sides broadcast; the part filter (p_type) prunes the
+    fact at the first join, so downstream joins see only matching
+    lineitems.
+    """
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation")
+    n2 = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    df = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n1.select(F.col("n_nationkey").alias("cnk"),
+                                  F.col("n_regionkey").alias("crk"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .join(F.broadcast(r), F.col("crk") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(n2.select(F.col("n_nationkey").alias("snk"),
+                                  F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+    )
+    return (
+        df.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _revenue().alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+
+    orderBy+limit plans as TakeOrderedAndProject — each partition
+    keeps its local top 20, the driver merges k·partitions rows, and
+    the full sorted result never materializes. Ties broken by
+    c_custkey so the top-20 cut is deterministic.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, ROUND(value, 2) AS part_value
+    FROM pv
+    WHERE value > (SELECT AVG(value) * 1.5 FROM pv)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: no partsupp — inventory value from
+    lineitem): parts whose value exceeds 1.5× the average part value.
+    The avg-relative threshold (vs TPC-H's fraction-of-total) keeps
+    the selectivity scale-free, so the query returns rows at every sf.
+
+    HAVING against a scalar of the same aggregation: the per-part agg
+    is computed once and cached, the global total reduces it to one
+    row, and a broadcast cross join applies the threshold without
+    re-aggregating — one fact shuffle total.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        .cache()
+    )
+    total = pv.agg((F.avg("value") * 1.5).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "q12_late_shipments",
+    oracle="""
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS prio_class,
+           COUNT(*) AS n_items,
+           SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS n_late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY prio_class
+    ORDER BY prio_class
+    """,
+)
+def q12_late_shipments(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: no l_shipmode/receiptdate — lateness
+    = shipped >60 days after order date): late-shipment counts by
+    priority class.
+
+    Conditional counts fold into one pass over the join; the
+    two-class projection collapses the group key to near-zero
+    cardinality so the final shuffle is trivial.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    prio = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(prio.alias("prio_class"), late.alias("late"))
+        .groupBy("prio_class")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("late").alias("n_late"),
+        )
+        .orderBy("prio_class")
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts.
+
+    The left join keeps order-less customers (count 0); the join
+    predicate's extra filter must live in the ON clause, not WHERE —
+    a WHERE filter would silently turn the join inner. Second agg
+    groups by the count itself: cardinality collapses from customers
+    to distinct counts, so the second shuffle is tiny.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+        100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount)
+                    ELSE 0 END)
+        / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+        COUNT(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share over a ship-date window.
+
+    The date filter pushes to the parquet scan; part broadcasts; the
+    ratio is a single global agg, so the reduce side is one partial
+    per task.
+    """
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-03-01")
+    )
+    rev = _revenue()
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            6,
+        ).alias("promo_pct"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+
+    The revenue aggregation is computed once (cached), reduced to its
+    global max, and the max re-joins as a broadcast scalar — the
+    pattern that replaces the SQL view + scalar subquery with one
+    shuffle and two broadcast exchanges. Revenue is rounded *before*
+    the max comparison on both sides so float equality is exact.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+        .cache()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#15'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: supplier relationships from lineitem,
+    not partsupp): distinct suppliers per brand/size bucket.
+
+    countDistinct plans as a two-phase expand/agg: partial distinct
+    per partition first, so the shuffle carries unique
+    (brand, size, suppkey) triples, not raw lineitems.
+    """
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers with very large orders (IN over the
+    fact's own HAVING aggregation → semi join).
+
+    The qualifying-orders aggregation shuffles (orderkey, qty
+    partial) once; its output is small (high threshold), so it
+    broadcasts into a left-semi join against orders — the fact scan
+    is never re-shuffled for the IN.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    o_big = o.join(
+        F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    return (
+        o_big.join(F.broadcast(c), o_big.o_custkey == c.c_custkey)
+        .join(li, o_big.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive predicates spanning
+    both join sides.
+
+    The part-only disjunction (brand ∨ brand ∨ brand) is applied to
+    the dimension before broadcast — the derivable prefix of the OR —
+    so the hash table holds only candidate parts; the full mixed
+    predicate filters after the join.
+    """
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#14", "Brand#16")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#16")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    )
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: dormancy = no orders since 1999, since
+    every fixture customer has some order): wealthy customers with no
+    recent orders, by nation.
+
+    Global-average scalar broadcasts into the filter; NOT EXISTS is a
+    left-anti join against the date-pruned orders scan. Both
+    exchanges are broadcasts — the only shuffle is the final tiny
+    group-by-nation agg.
+    """
+    c = load(spark, sf_dir, "customer")
+    o_recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o_recent, c.c_custkey == o_recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

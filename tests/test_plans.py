@@ -151,3 +151,55 @@ def test_q4_exists_plans_as_semi_join(spark, sf_dir):
 
     p = plan_str(q4_order_priority(spark, sf_dir))
     assert "LeftSemi" in p, p
+
+
+def test_q13_left_join_preserved(spark, sf_dir):
+    """Q13's priority filter must stay in the join ON clause — the
+    plan keeps LeftOuter (a WHERE placement would degrade to Inner
+    and drop order-less customers)."""
+    from hadoop_tools_spark.operators.relational_ext import q13_order_distribution
+
+    p = plan_str(q13_order_distribution(spark, sf_dir))
+    assert "LeftOuter" in p, p
+
+
+def test_q18_semi_join_broadcast(spark, sf_dir):
+    """Q18's HAVING-IN qualifier lands as a broadcast left-semi join;
+    orders is never re-shuffled for the IN."""
+    from hadoop_tools_spark.operators.relational_ext import q18_large_orders
+
+    p = plan_str(q18_large_orders(spark, sf_dir))
+    assert "LeftSemi" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22: NOT EXISTS is a broadcast anti join; the avg-balance
+    scalar arrives via broadcast, not a shuffle."""
+    from hadoop_tools_spark.operators.relational_ext import q22_dormant_customers
+
+    p = plan_str(q22_dormant_customers(spark, sf_dir))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_q8_star_all_dims_broadcast(spark, sf_dir):
+    """Q8's 8-table star: every non-fact side broadcasts — at most
+    one shuffle join (orders↔lineitem) in the whole plan."""
+    from hadoop_tools_spark.operators.relational_ext import q8_market_share
+
+    p = plan_str(q8_market_share(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 6, p
+    assert p.count("SortMergeJoin") <= 1, p
+    assert "CartesianProduct" not in p
+
+
+def test_q14_date_filter_pushed(spark, sf_dir):
+    """Q14's ship-date window reaches the parquet scan."""
+    from hadoop_tools_spark.operators.relational_ext import q14_promo_revenue
+
+    p = plan_str(q14_promo_revenue(spark, sf_dir))
+    # the plan string truncates long filter lists ("GreaterThanOrEqual(
+    # l_shipdate,...), LessThan(l_shipda..."), so match within the line
+    # rather than up to the closing bracket
+    assert re.search(r"PushedFilters: \[[^\n]*l_shipdate", p), p
