@@ -78,3 +78,39 @@ def run_to_completion(
     q.awaitTermination(300)
     assert not q.isActive
     return name
+
+
+def run_foreach_batch_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    mode: str = "append",
+):
+    """Execute a streaming DataFrame via ``foreachBatch`` appending each
+    micro-batch to a parquet sink (SURVEY.md §2.D sink row).
+
+    The checkpoint dir carries batch ids across restarts: a re-run
+    after failure replays only uncommitted batches, which combined
+    with the idempotent-per-batch-id write below is Structured
+    Streaming's exactly-once file-sink recipe. Each batch lands as a
+    ``batch_id``-stamped subwrite so replays of a committed batch id
+    overwrite rather than double-append.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    return out_dir

@@ -195,3 +195,40 @@ def test_transform_with_state_converges_to_batch(spark, sf_dir, staged):
     pd.testing.assert_frame_equal(
         _canon(final), _canon(want), check_dtype=False
     )
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, staged, tmp_path):
+    """foreachBatch parquet append: union of per-batch writes equals
+    the full input; batch ids are dense from 0 (one per staged file)."""
+    from hadoop_tools_spark.streaming.runner import run_foreach_batch_parquet
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    run_foreach_batch_parquet(read_event_stream(spark, staged), out, ckpt)
+    sunk = spark.read.parquet(out)
+    batch = spark.read.parquet(staged)
+    assert sunk.count() == batch.count()
+    ids = sorted(
+        r.batch_id for r in sunk.select("batch_id").distinct().collect()
+    )
+    assert ids == list(range(len(ids))) and len(ids) >= 2, ids
+    # value-level equivalence, not just counts
+    got = _canon(sunk.drop("batch_id"))
+    want = _canon(batch)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_foreach_batch_restart_no_duplicates(spark, sf_dir, staged, tmp_path):
+    """Restarting from the same checkpoint after completion replays
+    nothing — committed batch ids are skipped, so the sink row count
+    is unchanged (the exactly-once contract of checkpoint+idempotent
+    writes)."""
+    from hadoop_tools_spark.streaming.runner import run_foreach_batch_parquet
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    run_foreach_batch_parquet(read_event_stream(spark, staged), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    run_foreach_batch_parquet(read_event_stream(spark, staged), out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
