@@ -61,6 +61,10 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - bench must always emit JSON
             print(f"bench error {key}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[key] = -1.0
+        # isolate measurements: operators cache intermediates for reuse
+        # within one query; letting 90+ queries' caches accumulate in a
+        # single JVM starves executor memory and skews late queries
+        spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

@@ -397,7 +397,17 @@ def llm_knn_ivf(spark, sf_dir):
     # candidate join scan it again — uncached it re-reads parquet and
     # re-normalizes every pass
     feats = e.select("vec_id", "u", array_to_vector("u").alias("features")).cache()
-    km = KMeans(k=_IVF_CELLS, seed=42, featuresCol="features", predictionCol="cell")
+    # maxIter capped: the coarse quantizer only has to spread the
+    # corpus across cells — probe recall is insensitive to the last
+    # few Lloyd iterations, and index-build time is the operator's
+    # dominant cost
+    km = KMeans(
+        k=_IVF_CELLS,
+        seed=42,
+        maxIter=5,
+        featuresCol="features",
+        predictionCol="cell",
+    )
     model = km.fit(feats)
     corpus = model.transform(feats).select("vec_id", "u", "cell")
 

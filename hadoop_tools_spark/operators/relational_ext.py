@@ -496,10 +496,13 @@ def q18_large_orders(spark, sf_dir):
     """TPC-H Q18 shape: customers with very large orders (IN over the
     fact's own HAVING aggregation → semi join).
 
-    The qualifying-orders aggregation shuffles (orderkey, qty
-    partial) once; its output is small (high threshold), so it
-    broadcasts into a left-semi join against orders — the fact scan
-    is never re-shuffled for the IN.
+    One pass over the fact: the HAVING aggregate already holds each
+    qualifying order's quantity sum, so it joins back as the value
+    itself rather than semi-filtering and re-aggregating raw lineitem
+    (the naive plan reads and shuffles the fact twice; this one
+    shuffles it once, then everything else is broadcast). The SQL
+    oracle keeps the textbook GROUP BY — one row per order either
+    way, so results are identical.
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
@@ -508,16 +511,18 @@ def q18_large_orders(spark, sf_dir):
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 250)
-        .select("l_orderkey")
-    )
-    o_big = o.join(
-        F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
     )
     return (
-        o_big.join(F.broadcast(c), o_big.o_custkey == c.c_custkey)
-        .join(li, o_big.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("qty", 2).alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
 

@@ -163,14 +163,16 @@ def test_q13_left_join_preserved(spark, sf_dir):
     assert "LeftOuter" in p, p
 
 
-def test_q18_semi_join_broadcast(spark, sf_dir):
-    """Q18's HAVING-IN qualifier lands as a broadcast left-semi join;
-    orders is never re-shuffled for the IN."""
+def test_q18_single_fact_pass(spark, sf_dir):
+    """Q18's HAVING-IN qualifier joins back as the aggregated value
+    itself: lineitem is scanned exactly once, and both the qualifier
+    and customer arrive by broadcast."""
     from hadoop_tools_spark.operators.relational_ext import q18_large_orders
 
     p = plan_str(q18_large_orders(spark, sf_dir))
-    assert "LeftSemi" in p, p
-    assert "BroadcastHashJoin" in p, p
+    assert p.count("lineitem.parquet") == 1, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p
 
 
 def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
