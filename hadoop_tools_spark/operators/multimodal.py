@@ -143,3 +143,121 @@ def llm_multimodal_feats(spark, sf_dir):
     return extract_features(assets, deterministic_fake=True).select(
         "path", "length", "width", "height", F.round("feat_norm", 6).alias("feat_norm")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def resize_stub(blob: bytes, width: int, height: int,
+                deterministic_fake: bool = False) -> bytes:
+    """STUB for image resize — a real deployment calls PIL here.
+
+    The deterministic fake emits a width*height//64-byte thumbnail
+    cycled from the blob's md5, so output size scales with the target
+    dimensions and bytes are stable for tests.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media codecs unavailable; pass deterministic_fake=True for tests"
+        )
+    n = max(1, width * height // 64)
+    seed = hashlib.md5(blob).digest()
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize_images(
+    assets: DataFrame,
+    width: int,
+    height: int,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Resize via mapInPandas: 1 row in → 1 row out, payload replaced
+    by the (much smaller) thumbnail. The full-size blob dies inside
+    the Python worker — only thumbnails return to the JVM, so the
+    post-resize shuffle carries the reduced payload.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "width": width,
+                    "height": height,
+                    "thumb": [
+                        resize_stub(b, width, height, deterministic_fake)
+                        for b in pdf["content"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame,
+    every_n: int = 10,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Frame sampling via mapInPandas: 1 video row in → N frame rows
+    out (the pandas-UDF row-explosion shape ffmpeg decode would use).
+
+    The fake derives frame count from blob length (1 frame per 4 KiB)
+    and keeps every ``every_n``-th frame; frame payload is stubbed to
+    its md5 fingerprint. Real decode would emit frame bytes here and
+    immediately featurize them, never shuffling raw frames.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media codecs unavailable; pass deterministic_fake=True for tests"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, fids, md5s = [], [], []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                n_frames = max(1, len(blob) // 4096)
+                for fid in range(0, n_frames, every_n):
+                    paths.append(path)
+                    fids.append(fid)
+                    md5s.append(
+                        hashlib.md5(blob + fid.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"path": paths, "frame_id": fids, "frame_md5": md5s}
+            )
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@query("llm_multimodal_resize")  # rows-only: stub codec, no SQL analogue
+def llm_multimodal_resize(spark, sf_dir):
+    """Resize plumbing: blob → fixed-dimension thumbnail, payload
+    shrinks inside the Python worker."""
+    assets = read_assets(spark, sf_dir, glob="*.parquet")
+    return resize_images(assets, 32, 32).select(
+        "path", "width", "height", F.md5(F.col("thumb")).alias("thumb_md5")
+    )
+
+
+@query("llm_multimodal_frames")  # rows-only: stub codec, no SQL analogue
+def llm_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing: one row per sampled frame per asset."""
+    assets = read_assets(spark, sf_dir, glob="*.parquet")
+    return sample_frames(assets, every_n=10)

@@ -121,3 +121,39 @@ def test_quality_filter_rejects_bad_docs(spark):
         F.size(words).between(5, 10000) & (uniq > 0.2)
     ).collect()
     assert [r["doc_id"] for r in kept] == [3]
+
+
+def test_multimodal_resize_shrinks_payload(spark, sf_dir):
+    """Resize: 1 row per asset, thumbnail sized by target dims, stable
+    across runs (deterministic fake)."""
+    from hadoop_tools_spark.operators.multimodal import (
+        read_assets,
+        resize_images,
+        resize_stub,
+    )
+
+    assets = read_assets(spark, sf_dir, glob="*.parquet")
+    out = resize_images(assets, 32, 32).collect()
+    assert len(out) == assets.count()
+    assert all(len(r.thumb) == 32 * 32 // 64 for r in out)
+    # deterministic: same blob -> same thumb
+    assert resize_stub(b"abc", 32, 32, True) == resize_stub(b"abc", 32, 32, True)
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"abc", 32, 32)
+
+
+def test_multimodal_frame_sampling_explodes_rows(spark, sf_dir):
+    """Frame sampling: row count per asset = ceil(frames/every_n) with
+    frames = len//4096; frame ids are the sampled arithmetic series."""
+    from hadoop_tools_spark.operators.multimodal import read_assets, sample_frames
+
+    assets = read_assets(spark, sf_dir, glob="*.parquet")
+    frames = sample_frames(assets, every_n=10)
+    sizes = {r.path: r.length for r in assets.select("path", "length").collect()}
+    got = frames.groupBy("path").count().collect()
+    for r in got:
+        n_frames = max(1, sizes[r.path] // 4096)
+        expect = len(range(0, n_frames, 10))
+        assert r["count"] == expect, (r.path, r["count"], expect)
+    ids = [r.frame_id for r in frames.filter(F.col("path") == got[0].path).collect()]
+    assert sorted(ids) == list(range(0, max(ids) + 1, 10))
