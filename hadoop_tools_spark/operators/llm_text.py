@@ -358,3 +358,89 @@ def llm_token_stats(spark, sf_dir):
             F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "llm_pipeline_e2e",
+    oracle="""
+    WITH doubled AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+    ),
+    keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM doubled GROUP BY sha256(text)
+    ),
+    docs AS (
+        SELECT d.doc_id, d.text, d.lang
+        FROM doubled d JOIN keep k ON d.doc_id = k.doc_id
+    ),
+    feats AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','and','of','to'], w)))
+                   AS n_stop
+        FROM docs
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_words) AS total_tokens,
+           ROUND(AVG(CAST(n_distinct AS DOUBLE) / n_words), 6) AS avg_uniq
+    FROM feats
+    WHERE n_words BETWEEN 5 AND 10000
+      AND CAST(n_distinct AS DOUBLE) / n_words > 0.2
+      AND CAST(n_stop AS DOUBLE) / n_words < 0.5
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def llm_pipeline_e2e(spark, sf_dir):
+    """The training-data pipeline end-to-end in ONE declarative plan:
+    ingest (doubled corpus) → exact dedup (sha256 keep-min-id) →
+    quality gate (length / lexical-diversity / stopword-ratio) →
+    per-language corpus stats.
+
+    Because every stage is DataFrame-declarative, Catalyst fuses the
+    whole pipeline: dedup's hash-agg, the quality filters, and the
+    final rollup plan as one job with three shuffles total (dedup
+    keys, semi-join back, final groupBy) — no materialization
+    between stages. At 100 TB each shuffle carries digests, ids, or
+    per-language partials, never full texts; the only full-text pass
+    is the initial scan.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+    )
+    keep = (
+        doubled.withColumn("h", F.sha2(F.col("text").cast("binary"), 256))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = doubled.join(keep, "doc_id", "left_semi")
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = docs.select(
+        "lang",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    uniq = F.col("n_distinct").cast("double") / F.col("n_words")
+    stop = F.col("n_stop").cast("double") / F.col("n_words")
+    return (
+        feats.filter(
+            F.col("n_words").between(5, 10000) & (uniq > 0.2) & (stop < 0.5)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.round(F.avg(uniq), 6).alias("avg_uniq"),
+        )
+        .orderBy("lang")
+    )
