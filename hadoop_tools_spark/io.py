@@ -68,3 +68,19 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cache AND eagerly populate — required before self-joins.
+
+    ``df.cache()`` alone is lazy: when a cached DataFrame feeds BOTH
+    sides of a self-join, the two scan branches race to populate the
+    cache and each re-computes the full lineage (observed: a blocked
+    pair-scoring query swinging 0.7 s ↔ 15 s run-to-run). A cheap
+    ``count()`` materializes every partition once, so both branches
+    read the cache. At cluster scale the same rule applies to any
+    cached intermediate consumed by concurrent stages.
+    """
+    df = df.cache()
+    df.count()
+    return df

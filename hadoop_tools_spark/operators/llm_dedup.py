@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load, load_spread
+from ..io import load, load_spread, materialize
 from ..registry import query
 
 #: documents doubled with shifted ids — the fixture has zero exact
@@ -163,7 +163,9 @@ def llm_neardup_minhash(spark, sf_dir):
             )
             for i in range(_N_HASHES)
         ]
-    ).cache()
+    )
+    # materialize: both sides of the band self-join consume sig
+    sig = materialize(sig)
     bands = sig.select(
         "doc_id", F.lit(0).alias("band"), F.concat("h0", "h1").alias("key")
     ).unionByName(
@@ -256,7 +258,9 @@ def llm_jaccard_ngram(spark, sf_dir):
         "doc_id",
         F.substring("text", 1, 40).alias("pfx"),
         gram_expr.alias("grams"),
-    ).cache()
+    )
+    # materialize: the blocked self-join reads g on both sides
+    g = materialize(g)
     a, b = g.alias("a"), g.alias("b")
     pair = a.join(
         b,
@@ -294,7 +298,7 @@ def llm_neardup_lsh(spark, sf_dir):
     ).fit(grams)
     # cached: both sides of the self approxSimilarityJoin scan this;
     # uncached, tokenize+ngram+vectorize runs twice
-    feats = cv.transform(grams).select("doc_id", "features").cache()
+    feats = materialize(cv.transform(grams).select("doc_id", "features"))
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(feats)
@@ -462,7 +466,7 @@ def llm_neardup_verified(spark, sf_dir):
             ),
         )
     )
-    g = d.select("doc_id", gram_expr.alias("grams")).cache()
+    g = materialize(d.select("doc_id", gram_expr.alias("grams")))
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     n_shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))

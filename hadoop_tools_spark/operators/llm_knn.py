@@ -30,7 +30,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import load
+from ..io import load, materialize
 from ..registry import query
 
 _K = 5
@@ -256,8 +256,10 @@ def llm_knn_lsh(spark, sf_dir):
                 "features"
             ),
         )
-        .cache()
     )
+    # materialize: e feeds fit(), the query filter, AND the self
+    # approxSimilarityJoin
+    e = materialize(e)
     q = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
@@ -396,7 +398,9 @@ def llm_knn_ivf(spark, sf_dir):
     # cached: KMeans iterates over this ~20×, then transform + the
     # candidate join scan it again — uncached it re-reads parquet and
     # re-normalizes every pass
-    feats = e.select("vec_id", "u", array_to_vector("u").alias("features")).cache()
+    feats = materialize(
+        e.select("vec_id", "u", array_to_vector("u").alias("features"))
+    )
     # maxIter capped: the coarse quantizer only has to spread the
     # corpus across cells — probe recall is insensitive to the last
     # few Lloyd iterations, and index-build time is the operator's

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, materialize
 from ..registry import query
 
 
@@ -259,10 +259,9 @@ def q11_important_parts(spark, sf_dir):
     re-aggregating — one fact shuffle total.
     """
     li = load(spark, sf_dir, "lineitem")
-    pv = (
+    pv = materialize(
         li.groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
-        .cache()
     )
     total = pv.agg((F.avg("value") * 1.5).alias("threshold"))
     return (
@@ -427,10 +426,9 @@ def q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < "1997-04-01")
     )
     s = load(spark, sf_dir, "supplier")
-    rev = (
+    rev = materialize(
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
-        .cache()
     )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -627,4 +625,260 @@ def q22_dormant_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    costs AS (
+        SELECT ps.l_partkey, s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+        FROM ps
+        JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT c.l_partkey AS p_partkey, p.p_name, c.s_name, c.n_name,
+           ROUND(c.s_acctbal, 2) AS s_acctbal
+    FROM costs c
+    JOIN part p ON p.p_partkey = c.l_partkey AND p.p_size = 15
+    WHERE c.s_acctbal = (
+        SELECT MIN(c2.s_acctbal) FROM costs c2
+        WHERE c2.l_partkey = c.l_partkey
+    )
+    ORDER BY c.s_acctbal, p_partkey, c.s_name
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp — supplier relationships
+    from lineitem, account balance standing in for supply cost): per
+    part, the cheapest qualifying regional supplier.
+
+    The correlated MIN decorrelates to: aggregate min per part once,
+    then join the candidate rows back on (part, min) equality. The
+    distinct part↔supplier projection collapses the fact to
+    relationship grain BEFORE any dimension join, so the min-agg and
+    join-back run on ~|parts×suppliers-seen| rows, not lineitems.
+    No float arithmetic touches s_acctbal before the equality, so
+    the raw-double comparison is exact in both engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    costs = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = costs.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        costs.join(
+            F.broadcast(min_cost),
+            (costs.l_partkey == F.col("mk"))
+            & (costs.s_acctbal == F.col("min_bal")),
+        )
+        .join(F.broadcast(p), costs.l_partkey == p.p_partkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+        .orderBy("s_acctbal", "p_partkey", "s_name")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity
+                     AS DECIMAL(18, 4))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: supply cost proxied as 60% of retail
+    price — no partsupp): profit by supplier nation and year for a
+    part-name family.
+
+    The LIKE filter prunes part at the broadcast build, which then
+    prunes the fact at the first join — the selective dimension goes
+    first. Profit arithmetic is a single projected expression inside
+    codegen; the only shuffle is orders↔lineitem.
+
+    The profit expression subtracts two same-magnitude products, so a
+    double SUM's last-ulp order sensitivity can straddle a rounding
+    boundary across engines (observed: one cent at sf0.01). Each
+    item's profit is therefore fixed-pointed to DECIMAL(18,4) —
+    identical per-row rounding in both engines — and summed exactly
+    (decimal addition is associative), then emitted as double.
+    """
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.cast("decimal(18,4)").alias("profit_item"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit_item").cast("double").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    oracle="""
+    SELECT s.s_name, s.s_suppkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_type = 'SMALL'
+        )
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING SUM(l.l_quantity) > 100
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN chains — suppliers who shipped a
+    large volume of a part class in a year.
+
+    Both INs become broadcast semi joins: part's filter feeds a semi
+    join that prunes the fact before the per-supplier aggregation,
+    and the HAVING output (tiny) semi-joins supplier. The fact is
+    scanned once, aggregated once, and never joined row-to-row with
+    supplier.
+    """
+    s = load(spark, sf_dir, "supplier")
+    p_small = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "SMALL")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    big_shippers = (
+        li.join(F.broadcast(p_small), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(big_shippers), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: lateness = shipped >90 days after
+    order date): suppliers who were the SOLE late shipper of
+    multi-supplier orders.
+
+    The late-lineitem projection is computed once and reused for both
+    the driving rows and the NOT EXISTS side. EXISTS/NOT EXISTS with
+    correlated inequality become semi/anti joins on orderkey with the
+    supplier-inequality residual — the decorrelation Catalyst applies
+    to the SQL form, written directly.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    late = materialize(late)
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
     )
