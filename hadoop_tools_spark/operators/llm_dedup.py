@@ -248,16 +248,23 @@ def llm_jaccard_ngram(spark, sf_dir):
     # moved ~1.5 M gram rows through three shuffles for the same
     # answer. At scale the shuffle is by blocking key and its volume
     # is docs, not grams.
-    # repartition BEFORE the gram projection: the fixture is one
-    # parquet file = one input partition, and a broadcast self-join
-    # would otherwise evaluate the gram expression for the whole
-    # corpus twice inside a single task. Cached, it computes once,
-    # across all cores.
+    # Grams are computed ONLY for docs in non-singleton blocks: a
+    # prefix shared by one doc can't form a pair, and nearly every
+    # doc is such a singleton, so the semi-join against multi-member
+    # prefixes removes ~99% of the shingling work. (The oracle shingles
+    # everything, but its inner join discards the same rows.)
     par = spark.sparkContext.defaultParallelism
-    g = d.repartition(par).select(
-        "doc_id",
-        F.substring("text", 1, 40).alias("pfx"),
-        gram_expr.alias("grams"),
+    keyed = d.repartition(par).select(
+        "doc_id", "text", F.substring("text", 1, 40).alias("pfx")
+    )
+    multi = (
+        keyed.groupBy("pfx")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("pfx")
+    )
+    g = keyed.join(F.broadcast(multi), "pfx", "left_semi").select(
+        "doc_id", "pfx", gram_expr.alias("grams")
     )
     # materialize: the blocked self-join reads g on both sides
     g = materialize(g)
@@ -466,7 +473,18 @@ def llm_neardup_verified(spark, sf_dir):
             ),
         )
     )
-    g = materialize(d.select("doc_id", gram_expr.alias("grams")))
+    # shingle ONLY docs that appear in a candidate pair — banding
+    # already discarded everything else, and at near-dup densities
+    # that's the overwhelming majority of the corpus
+    cand = materialize(cand)
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    g = materialize(
+        d.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+            "doc_id", gram_expr.alias("grams")
+        )
+    )
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     n_shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))

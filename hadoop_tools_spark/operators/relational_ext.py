@@ -6,8 +6,12 @@ shapes that depend on missing columns are adapted to equivalent plan
 structures over the columns that exist. What matters for engine
 coverage is the *plan shape* each query exercises:
 
+- Q2  : correlated MIN decorrelated onto a relationship-grain
+        projection, joined back on (key, min) equality
 - Q7  : two-sided dimension filter with OR across join branches
 - Q8  : market-share ratio (conditional agg over a multi-join star)
+- Q9  : subtractive profit aggregate, fixed-pointed to DECIMAL so
+        the sum is order-insensitive across engines
 - Q10 : top-k revenue grouping over a 4-way join
 - Q11 : HAVING against a global scalar subquery of the same aggregate
 - Q12 : date-arithmetic lateness classes with conditional counts
@@ -17,7 +21,12 @@ coverage is the *plan shape* each query exercises:
 - Q16 : multi-column distinct-count grouping with exclusion filter
 - Q18 : grouped HAVING-IN semi-join on the fact's own aggregation
 - Q19 : disjunction of conjunctive predicates across join sides
+- Q20 : nested IN chains as broadcast semi joins over an aggregate
+- Q21 : EXISTS + NOT EXISTS on one shared projection (semi + anti)
 - Q22 : global-average scalar subquery + windowed anti join
+
+(With q1/q3/q4/q5/q6/q17 in relational.py this covers all 22 TPC-H
+query shapes, adapted where the fixture schema lacks columns.)
 
 Every query broadcasts dimension sides explicitly and keeps the fact
 table on a single shuffle path, which is the shape that survives a

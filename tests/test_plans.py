@@ -205,3 +205,34 @@ def test_q14_date_filter_pushed(spark, sf_dir):
     # l_shipdate,...), LessThan(l_shipda..."), so match within the line
     # rather than up to the closing bracket
     assert re.search(r"PushedFilters: \[[^\n]*l_shipdate", p), p
+
+
+def test_q21_semi_and_anti_join(spark, sf_dir):
+    """Q21: EXISTS and NOT EXISTS land as one semi and one anti join
+    over the shared late-lineitem projection."""
+    from hadoop_tools_spark.operators.relational_ext import q21_waiting_supplier
+
+    p = plan_str(q21_waiting_supplier(spark, sf_dir))
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_q20_fact_scanned_once(spark, sf_dir):
+    """Q20's nested INs: lineitem scanned once, both qualifiers are
+    broadcast semi joins."""
+    from hadoop_tools_spark.operators.relational_ext import q20_excess_shippers
+
+    p = plan_str(q20_excess_shippers(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 1, p
+    assert p.count("LeftSemi") >= 2, p
+
+
+def test_q2_relationship_grain_before_dims(spark, sf_dir):
+    """Q2: the distinct part↔supplier projection aggregates before
+    any dimension join feeds the min — no cartesian, dims broadcast."""
+    from hadoop_tools_spark.operators.relational_ext import q2_min_cost_supplier
+
+    p = plan_str(q2_min_cost_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 4, p
