@@ -121,18 +121,27 @@ def llm_tfidf(spark, sf_dir):
     the explicit DataFrame arithmetic is reproducible anywhere and the
     formula lives in one place on both engines.
     """
+    from ..io import materialize
+
     d = load_spread(spark, sf_dir, "documents")
     n_total = d.count()
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("doc_id", "word")
+    # doc_len comes from the projection (size of the split array), not
+    # a second aggregation over exploded words — it rides the tf
+    # groupBy as a functionally-dependent key, saving a shuffle and a
+    # fact-sized join. tf is materialized because BOTH dfreq and the
+    # scoring join consume it.
+    tf = materialize(
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("doc_len"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .groupBy("doc_id", "doc_len", "word")
         .agg(F.count("*").alias("n"))
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("n").alias("doc_len"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dl, "doc_id")
-        .join(dfreq, "word")
+        tf.join(F.broadcast(dfreq), "word")
         .select(
             "doc_id",
             "word",

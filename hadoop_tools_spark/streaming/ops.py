@@ -191,3 +191,51 @@ def stream_enrich(spark, sf_dir):
     return ev.join(
         F.broadcast(c), ev.user_id == c.c_custkey
     ).select("event_id", "user_id", "c_mktsegment", "event_type")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS view_id,
+           a.user_id,
+           CAST(a.ts AS TIMESTAMP) AS click_ts,
+           CAST(b.ts AS TIMESTAMP) AS view_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 10 MINUTE
+     AND b.ts <= a.ts
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream join batch form: each click joined to the same
+    user's views in the preceding 10 minutes.
+
+    As a live stream-stream join both sides buffer rows in the state
+    store; the equi key (user_id) partitions state, and the time-range
+    condition + watermarks bound how long each side is retained —
+    without the range bound the state grows forever. The batch form
+    is the same logical join; tests/test_streaming.py runs the
+    streaming execution with watermarks on both sides and asserts it
+    produces exactly these rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return (
+        clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("view_ts") <= F.col("click_ts")),
+        )
+        .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+    )

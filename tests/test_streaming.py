@@ -232,3 +232,43 @@ def test_foreach_batch_restart_no_duplicates(spark, sf_dir, staged, tmp_path):
     run_foreach_batch_parquet(read_event_stream(spark, staged), out, ckpt)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, staged):
+    """Stream-stream inner join with watermarks on both sides produces
+    exactly the batch join's rows once the stream drains."""
+    from hadoop_tools_spark.streaming.ops import stream_stream_join
+
+    def t(s):
+        clicks = (
+            s.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "30 minutes")
+        )
+        views = (
+            s.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "30 minutes")
+        )
+        return clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (
+                F.col("view_ts")
+                >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")
+            )
+            & (F.col("view_ts") <= F.col("click_ts")),
+        ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+
+    # append mode: inner stream-stream joins emit as matches arrive
+    assert_stream_equals_batch(
+        spark, staged, stream_stream_join(spark, sf_dir), t, "append"
+    )
