@@ -98,6 +98,56 @@ def llm_neardup_pairs(spark, sf_dir):
 _N_HASHES = 4  # 2 bands × 2 rows
 
 
+def _trigram_expr():
+    """Distinct word-trigram shingles of ``text`` as an array column."""
+    w = F.split("text", " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        )
+    )
+
+
+def _with_minhash_sig(grams_df):
+    """Add md5-derived MinHash signature columns h0..h3 to a
+    ``(doc_id, grams)`` DataFrame as a PURE PROJECTION.
+
+    ``array_min(transform(grams, g -> md5('si:' || g)))`` folds the
+    min per row — no shingle explode, no groupBy, no shuffle. At
+    100 TB the signature pass is embarrassingly parallel over the
+    scan; the only shuffle in the whole LSH pipeline is the band-key
+    equi-join. (The exploded groupBy formulation moved every gram
+    through an exchange to compute the same four mins.)
+    """
+    cols = [
+        F.array_min(
+            F.transform(
+                "grams",
+                lambda x: F.md5(F.concat(F.lit(f"s{i}:"), x).cast("binary")),
+            )
+        ).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    return grams_df.select("*", *cols)
+
+
+def _band_keys(sig_df):
+    """2 bands × 2 rows: (doc_id, band, key) rows from h0..h3."""
+    return sig_df.select(
+        "doc_id", F.lit(0).alias("band"), F.concat("h0", "h1").alias("key")
+    ).unionByName(
+        sig_df.select(
+            "doc_id", F.lit(1).alias("band"), F.concat("h2", "h3").alias("key")
+        )
+    )
+
+
 @query(
     "llm_neardup_minhash",
     oracle="""
@@ -138,41 +188,19 @@ def llm_neardup_minhash(spark, sf_dir):
     Jaccard between *random* docs is ~0.7 and word MinHash floods the
     candidate set; trigram space is sparse enough that banding
     separates the seeded near-dups from noise. Candidate generation
-    is an equi-join on band keys (shuffle by band key).
+    is an equi-join on band keys (shuffle by band key); the signature
+    itself is a shuffle-free projection (``_with_minhash_sig``).
     """
     d = load_spread(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    trigram = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i),
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-            ),
-        )
-    )
-    words = d.select("doc_id", F.explode(trigram).alias("word"))
-    # cached: both sides of the band self-join descend from sig;
-    # uncached, the explode+md5 signature pipeline runs twice
-    sig = words.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("word")).cast("binary"))).alias(
-                f"h{i}"
-            )
-            for i in range(_N_HASHES)
-        ]
-    )
+    # Docs with < 3 words have an empty gram array → null signature →
+    # null band key, and null keys never satisfy the equi-join, so no
+    # explicit filter is needed. (A filter on size(grams) would be
+    # pushed below the projection and recompute the shingle expression
+    # per row — measured 6× slower.)
+    g = d.select("doc_id", _trigram_expr().alias("grams"))
     # materialize: both sides of the band self-join consume sig
-    sig = materialize(sig)
-    bands = sig.select(
-        "doc_id", F.lit(0).alias("band"), F.concat("h0", "h1").alias("key")
-    ).unionByName(
-        sig.select(
-            "doc_id", F.lit(1).alias("band"), F.concat("h2", "h3").alias("key")
-        )
-    )
+    sig = materialize(_with_minhash_sig(g).drop("grams"))
+    bands = _band_keys(sig)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -453,40 +481,36 @@ def llm_neardup_verified(spark, sf_dir):
     Jaccard verifies them, pairs below 0.5 are rejected.
 
     This is the candidate→verify composition the 100 TB path runs:
-    banding is an equi-join whose cost is Σ|bucket|², verification
-    touches only candidate pairs (array_intersect on carried gram
-    sets — JVM-side, no gram explode), and everything is
-    deterministic, so incremental corpus updates re-bucket only new
-    documents.
+    one materialized (doc_id, grams, signature) pass feeds banding
+    AND verification — the corpus is shingled exactly once; banding
+    is an equi-join whose cost is Σ|bucket|²; verification touches
+    only candidate pairs (array_intersect on carried gram sets —
+    JVM-side, no gram explode); and everything is deterministic, so
+    incremental corpus updates re-bucket only new documents.
     """
-    cand = llm_neardup_minhash(spark, sf_dir)
     d = load_spread(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    gram_expr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i),
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-            ),
-        )
+    # no size(grams) filter: see llm_neardup_minhash — null band keys
+    # from empty gram arrays never join, and the pushed-down filter
+    # would recompute the shingle expression.
+    base = materialize(
+        _with_minhash_sig(d.select("doc_id", _trigram_expr().alias("grams")))
     )
-    # shingle ONLY docs that appear in a candidate pair — banding
-    # already discarded everything else, and at near-dup densities
-    # that's the overwhelming majority of the corpus
-    cand = materialize(cand)
-    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
-        cand.select(F.col("doc_b").alias("doc_id"))
-    ).distinct()
-    g = materialize(
-        d.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
-            "doc_id", gram_expr.alias("grams")
+    bands = _band_keys(base)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
-    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
-    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    ga = base.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = base.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     n_shared = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
     jac = n_shared.cast("double") / (
         F.size(F.col("ga")) + F.size(F.col("gb")) - n_shared
