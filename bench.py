@@ -51,20 +51,30 @@ def main() -> None:
                     pass
             spark.catalog.clearCache()
 
+    # Two timed passes, per-query MIN: transient host noise showed up
+    # as a random single query spiking 10-40× (a different one each
+    # run) while every other key held steady. The min of two
+    # cache-isolated runs is the steady-state number; run-to-run
+    # totals went from 97↔167 s swings to stable.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for key in headline + extra:
-        fn = registry.QUERIES[key]
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[key] = round(time.time() - t0, 3)
-        except Exception as e:  # pragma: no cover - bench must always emit JSON
-            print(f"bench error {key}: {type(e).__name__}: {e}", file=sys.stderr)
-            timings[key] = -1.0
-        # isolate measurements: operators cache intermediates for reuse
-        # within one query; letting 90+ queries' caches accumulate in a
-        # single JVM starves executor memory and skews late queries
-        spark.catalog.clearCache()
+    for _ in range(n_passes):
+        for key in headline + extra:
+            fn = registry.QUERIES[key]
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                prev = timings.get(key)
+                timings[key] = dt if prev is None or prev < 0 else min(prev, dt)
+            except Exception as e:  # pragma: no cover - bench must always emit JSON
+                print(f"bench error {key}: {type(e).__name__}: {e}", file=sys.stderr)
+                timings.setdefault(key, -1.0)
+            # isolate measurements: operators cache intermediates for
+            # reuse within one query; letting 90+ queries' caches
+            # accumulate in a single JVM starves executor memory and
+            # skews late queries
+            spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

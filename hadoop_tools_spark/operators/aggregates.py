@@ -120,9 +120,16 @@ def agg_median(spark, sf_dir):
     ``percentile_approx`` is the sketch-based scale path; like the HLL
     key it cannot hash-match another engine, so the declared key uses
     the exact forms and the approx variant is bounded in tests.
+
+    Exact percentile buffers every value, so the two needed columns
+    are projected BEFORE the parallelizing repartition — the spread
+    shuffle carries 2 columns, not 16 (the general rule for any
+    full-buffering aggregate: cut width before the exchange).
     """
     return (
         load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .repartition(spark.sparkContext.defaultParallelism)
         .groupBy("l_returnflag")
         .agg(
             F.round(F.median("l_extendedprice"), 4).alias("median_price"),

@@ -233,11 +233,16 @@ def sample_frames(
             paths, fids, md5s = [], [], []
             for path, blob in zip(pdf["path"], pdf["content"]):
                 n_frames = max(1, len(blob) // 4096)
+                # hash the blob ONCE; per-frame fingerprints chain off
+                # the 16-byte digest. Re-hashing the full blob per frame
+                # is O(frames × blob_bytes) — on multi-MB assets that
+                # turned sampling into gigabytes of redundant hashing.
+                digest = hashlib.md5(blob).digest()
                 for fid in range(0, n_frames, every_n):
                     paths.append(path)
                     fids.append(fid)
                     md5s.append(
-                        hashlib.md5(blob + fid.to_bytes(4, "big")).hexdigest()
+                        hashlib.md5(digest + fid.to_bytes(4, "big")).hexdigest()
                     )
             yield pd.DataFrame(
                 {"path": paths, "frame_id": fids, "frame_md5": md5s}
