@@ -1,0 +1,289 @@
+"""``hh``-style command-line interface (SURVEY.md §2.A).
+
+The reference ships an ``hh`` executable whose subcommands (ls, find,
+du, cat, get, put, mkdir, mv, rm, chmod, chown, chgrp, test, cd, pwd,
+version) this module mirrors one-for-one over the engine's library
+surface, so a user of the reference can run the same commands here:
+
+    python -m hadoop_tools_spark ls '/data/*/logs'
+    python -m hadoop_tools_spark du /data
+    python -m hadoop_tools_spark test -e /data && echo exists
+
+Glob expansion uses Hadoop's own ``FileSystem.globStatus`` — the
+exact component-wise HDFS glob semantics (``*`` ``?`` ``[a-b]``
+``{a,b}``) the reference reimplemented client-side; relative paths
+resolve against the persisted working directory (``cd`` / ``pwd``),
+matching the reference's dotfile behavior.
+
+Latency note: the reference's pitch is skipping JVM startup for
+metadata commands; a cold SparkSession costs seconds. The CLI is the
+*surface* parity layer — scripted/interactive use should hold one
+session (the functions all accept an injected ``spark``), and data
+processing belongs in the DataFrame API, not subprocess calls.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .sources import fsops, session_state
+from .sources.listing import human_size
+
+VERSION = "hadoop-tools-spark 1.0 (hh-compatible CLI)"
+
+
+def _spark(spark=None):
+    if spark is not None:
+        return spark
+    from .session import get_spark
+
+    return get_spark("hh")
+
+
+def _glob_status(spark, pattern: str):
+    """Expand an HDFS glob via FileSystem.globStatus (native
+    component-wise semantics); returns a list of Java FileStatus."""
+    from .sources.listing import _hadoop_fs
+
+    fs, jpath, _ = _hadoop_fs(spark, pattern)
+    matches = fs.globStatus(jpath)
+    return list(matches) if matches is not None else []
+
+
+def _fmt_status(st) -> str:
+    perm = st.getPermission().toString()
+    kind = "d" if st.isDirectory() else "-"
+    size = human_size(int(st.getLen()))
+    import datetime as _dt
+
+    mtime = _dt.datetime.fromtimestamp(
+        st.getModificationTime() / 1000, _dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M")
+    return (
+        f"{kind}{perm} {st.getOwner():<8} {st.getGroup():<8} "
+        f"{size:>10} {mtime} {st.getPath().toUri().getPath()}"
+    )
+
+
+def cmd_ls(args, spark=None, out=sys.stdout):
+    """``hh ls [GLOB]``: one line per entry, sorted by path.
+
+    A glob argument expands first; each matched directory is listed
+    (its children printed), each matched file printed directly —
+    the reference's semantics.
+    """
+    spark = _spark(spark)
+    target = session_state.resolve(args[0] if args else ".")
+    rows = []
+    for st in _glob_status(spark, target):
+        if st.isDirectory():
+            from .sources.listing import _hadoop_fs
+
+            fs, _, _ = _hadoop_fs(spark, target)
+            rows.extend(fs.listStatus(st.getPath()))
+        else:
+            rows.append(st)
+    for st in sorted(rows, key=lambda s: s.getPath().toUri().getPath()):
+        print(_fmt_status(st), file=out)
+    return 0
+
+
+def cmd_find(args, spark=None, out=sys.stdout):
+    """``hh find PATH [-name GLOB]``: recursive descent, print paths."""
+    import re
+
+    from .sources.listing import glob_to_regex, list_status_df
+
+    spark = _spark(spark)
+    root = session_state.resolve(args[0] if args else ".")
+    name_glob = None
+    if "-name" in args:
+        name_glob = args[args.index("-name") + 1]
+    df = list_status_df(spark, root, recursive=True)
+    rows = df.select("path", "name").collect()
+    rx = re.compile(glob_to_regex(name_glob)) if name_glob else None
+    for r in sorted(rows, key=lambda r: r.path):
+        if rx is None or rx.match(r.name):
+            print(r.path, file=out)
+    return 0
+
+
+def cmd_du(args, spark=None, out=sys.stdout):
+    """``hh du [PATH]``: recursive bytes + file count per child —
+    the aggregate the NameNode computes server-side for the
+    reference's one getContentSummary RPC, expressed as a partial-
+    aggregated groupBy over the listing DataFrame."""
+    from pyspark.sql import functions as F
+
+    from .sources.listing import list_status_df
+
+    spark = _spark(spark)
+    root = session_state.resolve(args[0] if args else ".").rstrip("/")
+    df = list_status_df(spark, root, recursive=True).filter(~F.col("is_dir"))
+    # child = root/<first path component below root>
+    rel = F.expr(f"substring(path, {len(root) + 2})")
+    child = F.concat(F.lit(root + "/"), F.split_part(rel, F.lit("/"), F.lit(1)))
+    agg = (
+        df.groupBy(child.alias("child"))
+        .agg(F.sum("size").alias("bytes"), F.count("*").alias("files"))
+        .orderBy("child")
+        .collect()
+    )
+    for r in agg:
+        print(f"{human_size(r.bytes):>10} {r.files:>6} {r.child}", file=out)
+    return 0
+
+
+def cmd_cat(args, spark=None, out=None):
+    """``hh cat FILE``: emit file bytes to stdout via the Hadoop
+    input stream (any scheme). Reads cross the py4j bridge whole-file
+    (py4j cannot fill a caller-supplied buffer in place); a
+    production bulk-read is ``spark.read`` — this is the CLI parity
+    path for small files."""
+    from .sources.listing import _hadoop_fs
+
+    spark = _spark(spark)
+    raw = out or getattr(sys.stdout, "buffer", sys.stdout)
+    jvm = spark._jvm
+    for arg in args:
+        path = session_state.resolve(arg)
+        for st in _glob_status(spark, path) or []:
+            fs, _, _ = _hadoop_fs(spark, path)
+            stream = fs.open(st.getPath())
+            try:
+                data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                raw.write(bytes(data))
+            finally:
+                stream.close()
+    return 0
+
+
+def cmd_get(args, spark=None, **_):
+    """``hh get SRC [DST]``: copy to local filesystem."""
+    src = session_state.resolve(args[0])
+    dst = args[1] if len(args) > 1 else src.rsplit("/", 1)[-1]
+    fsops.copy_to_local(_spark(spark), src, dst)
+    return 0
+
+
+def cmd_put(args, spark=None, **_):
+    """``hh put SRC DST``: copy from local filesystem."""
+    fsops.copy_from_local(_spark(spark), args[0], session_state.resolve(args[1]))
+    return 0
+
+
+def cmd_mkdir(args, spark=None, **_):
+    """``hh mkdir [-p] PATH`` (always -p, like the reference)."""
+    paths = [a for a in args if a != "-p"]
+    ok = all(fsops.mkdirs(_spark(spark), session_state.resolve(p)) for p in paths)
+    return 0 if ok else 1
+
+
+def cmd_mv(args, spark=None, **_):
+    """``hh mv SRC DST``."""
+    ok = fsops.rename(
+        _spark(spark),
+        session_state.resolve(args[0]),
+        session_state.resolve(args[1]),
+    )
+    return 0 if ok else 1
+
+
+def cmd_rm(args, spark=None, **_):
+    """``hh rm [-r] PATH...``."""
+    recursive = "-r" in args
+    ok = True
+    for p in (a for a in args if a != "-r"):
+        ok = fsops.delete(_spark(spark), session_state.resolve(p), recursive) and ok
+    return 0 if ok else 1
+
+
+def cmd_chmod(args, spark=None, **_):
+    """``hh chmod OCTAL PATH``."""
+    fsops.set_permission(_spark(spark), session_state.resolve(args[1]), args[0])
+    return 0
+
+
+def cmd_chown(args, spark=None, **_):
+    """``hh chown OWNER[:GROUP] PATH``."""
+    owner, _, group = args[0].partition(":")
+    fsops.set_owner(
+        _spark(spark), session_state.resolve(args[1]), owner or None, group or None
+    )
+    return 0
+
+
+def cmd_chgrp(args, spark=None, **_):
+    """``hh chgrp GROUP PATH``."""
+    fsops.set_owner(_spark(spark), session_state.resolve(args[1]), None, args[0])
+    return 0
+
+
+def cmd_test(args, spark=None, **_):
+    """``hh test -e|-d|-f PATH``: predicate via exit code."""
+    flag, path = args[0], session_state.resolve(args[1])
+    spark = _spark(spark)
+    pred = {"-e": fsops.exists, "-d": fsops.is_dir, "-f": fsops.is_file}[flag]
+    return 0 if pred(spark, path) else 1
+
+
+def cmd_cd(args, **_):
+    """``hh cd PATH``: persist the working directory."""
+    session_state.cd(args[0] if args else "/")
+    return 0
+
+
+def cmd_pwd(args, out=sys.stdout, **_):
+    """``hh pwd``."""
+    print(session_state.pwd(), file=out)
+    return 0
+
+
+def cmd_version(args, out=sys.stdout, **_):
+    print(VERSION, file=out)
+    return 0
+
+
+COMMANDS = {
+    "ls": cmd_ls,
+    "find": cmd_find,
+    "du": cmd_du,
+    "cat": cmd_cat,
+    "get": cmd_get,
+    "put": cmd_put,
+    "mkdir": cmd_mkdir,
+    "mv": cmd_mv,
+    "rm": cmd_rm,
+    "chmod": cmd_chmod,
+    "chown": cmd_chown,
+    "chgrp": cmd_chgrp,
+    "test": cmd_test,
+    "cd": cmd_cd,
+    "pwd": cmd_pwd,
+    "version": cmd_version,
+}
+
+
+def main(argv=None, spark=None, out=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in COMMANDS:
+        print(
+            "usage: python -m hadoop_tools_spark "
+            f"{{{'|'.join(COMMANDS)}}} [ARGS]",
+            file=out or sys.stderr,
+        )
+        return 0 if argv and argv[0] in ("-h", "--help") else 2
+    kwargs = {}
+    if spark is not None:
+        kwargs["spark"] = spark
+    if out is not None:
+        kwargs["out"] = out
+    try:
+        return COMMANDS[argv[0]](argv[1:], **kwargs)
+    except IndexError:
+        print(f"hh {argv[0]}: missing operand", file=out or sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

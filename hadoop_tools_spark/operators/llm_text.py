@@ -74,9 +74,14 @@ def llm_ngram(spark, sf_dir):
             " ", F.element_at(words, i), F.element_at(words, i + 1)
         ),
     )
+    # the <2-word guard lives INSIDE the projection (empty array →
+    # explode drops the row): a row-level filter on size(split(..))
+    # would be pushed below the projection and re-split every text
+    guarded = F.when(F.size(words) >= 2, bigrams).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
-        d.filter(F.size(words) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        d.select(F.explode(guarded).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
     )

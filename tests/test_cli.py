@@ -1,0 +1,114 @@
+"""hh-compatible CLI (`python -m hadoop_tools_spark CMD`): every
+subcommand of the reference's executable driven end-to-end against a
+local namespace, with the pytest session's SparkSession injected so
+tests don't pay per-command JVM startup."""
+
+from __future__ import annotations
+
+import io
+import os
+
+import pytest
+
+from hadoop_tools_spark import cli
+
+
+@pytest.fixture()
+def ns(spark, tmp_path, monkeypatch):
+    """A small namespace + isolated cwd state file."""
+    monkeypatch.setenv("HTS_CWD_FILE", str(tmp_path / ".cwd"))
+    base = tmp_path / "ns"
+    (base / "logs").mkdir(parents=True)
+    (base / "data").mkdir()
+    (base / "logs" / "a.log").write_text("alpha\n")
+    (base / "logs" / "b.log").write_text("beta\n")
+    (base / "data" / "x.bin").write_bytes(b"\x00\x01\x02")
+    return str(base)
+
+
+def run(spark, *argv):
+    out = io.StringIO()
+    rc = cli.main(list(argv), spark=spark, out=out)
+    return rc, out.getvalue()
+
+
+def test_ls_glob_and_format(spark, ns):
+    rc, txt = run(spark, "ls", f"{ns}/logs/*.log")
+    assert rc == 0
+    lines = txt.strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0].endswith("a.log") and lines[1].endswith("b.log")
+    assert lines[0].startswith("-rw")  # perm string rendered
+
+
+def test_ls_directory_lists_children(spark, ns):
+    rc, txt = run(spark, "ls", ns)
+    names = [l.rsplit("/", 1)[-1] for l in txt.strip().splitlines()]
+    assert names == ["data", "logs"]
+
+
+def test_find_name_glob(spark, ns):
+    rc, txt = run(spark, "find", ns, "-name", "*.log")
+    assert rc == 0
+    assert [p.rsplit("/", 1)[-1] for p in txt.strip().splitlines()] == [
+        "a.log",
+        "b.log",
+    ]
+
+
+def test_du_per_child_totals(spark, ns):
+    rc, txt = run(spark, "du", ns)
+    assert rc == 0
+    by_child = {
+        l.split()[-1].rsplit("/", 1)[-1]: int(l.split()[1])
+        for l in txt.strip().splitlines()
+    }
+    assert by_child == {"data": 1, "logs": 2}
+
+
+def test_cat_bytes(spark, ns):
+    buf = io.BytesIO()
+    rc = cli.main(["cat", f"{ns}/logs/a.log"], spark=spark, out=buf)
+    assert rc == 0 and buf.getvalue() == b"alpha\n"
+
+
+def test_mkdir_mv_rm_test_roundtrip(spark, ns):
+    assert cli.main(["mkdir", f"{ns}/new/deep"], spark=spark) == 0
+    assert cli.main(["test", "-d", f"{ns}/new/deep"], spark=spark) == 0
+    assert cli.main(["mv", f"{ns}/new/deep", f"{ns}/new/moved"], spark=spark) == 0
+    assert cli.main(["test", "-e", f"{ns}/new/deep"], spark=spark) == 1
+    assert cli.main(["test", "-d", f"{ns}/new/moved"], spark=spark) == 0
+    assert cli.main(["rm", "-r", f"{ns}/new"], spark=spark) == 0
+    assert cli.main(["test", "-e", f"{ns}/new"], spark=spark) == 1
+
+
+def test_get_put_roundtrip(spark, ns, tmp_path):
+    local = tmp_path / "local.txt"
+    local.write_text("roundtrip")
+    assert cli.main(["put", str(local), f"{ns}/data/up.txt"], spark=spark) == 0
+    assert cli.main(["test", "-f", f"{ns}/data/up.txt"], spark=spark) == 0
+    dst = tmp_path / "fetched.txt"
+    assert cli.main(["get", f"{ns}/data/up.txt", str(dst)], spark=spark) == 0
+    assert dst.read_text() == "roundtrip"
+
+
+def test_chmod(spark, ns):
+    path = f"{ns}/logs/a.log"
+    assert cli.main(["chmod", "600", path], spark=spark) == 0
+    assert (os.stat(path).st_mode & 0o777) == 0o600
+    assert cli.main(["chmod", "644", path], spark=spark) == 0
+
+
+def test_cd_pwd_relative_resolution(spark, ns):
+    assert cli.main(["cd", ns], spark=spark) == 0
+    rc, txt = run(spark, "pwd")
+    assert rc == 0 and txt.strip() == ns
+    # relative path resolves against persisted cwd
+    rc, txt = run(spark, "find", "logs", "-name", "*.log")
+    assert len(txt.strip().splitlines()) == 2
+
+
+def test_version_and_usage(spark):
+    rc, txt = run(spark, "version")
+    assert rc == 0 and "hh" in txt
+    assert cli.main(["definitely-not-a-cmd"], out=io.StringIO()) == 2
