@@ -281,6 +281,97 @@ def llm_fingerprint(spark, sf_dir):
     )
 
 
+_WINNOW_W = 4  # window width over the rolling k-gram hash sequence
+
+
+@query(
+    "llm_winnow",
+    oracle="""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> md5(string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS h
+        FROM documents
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(4, len(h)),
+                   i -> list_aggregate(h[i-3:i], 'min'))) AS fps
+        FROM hs WHERE len(h) >= 4
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           md5(array_to_string(list_sort(fps), ' ')) AS fp_digest
+    FROM sel
+    """,
+)
+def llm_winnow(spark, sf_dir):
+    """Winnowing fingerprints (the MOSS scheme): rolling k-gram
+    hashes, keep the minimum of every w-hash window, fingerprint =
+    the distinct selected hashes. Guarantees any shared run of
+    w+k-1 tokens between two documents shares a fingerprint — the
+    positional/rolling-hash complement to the bag fingerprint and
+    MinHash keys.
+
+    Entirely a projection: the hash sequence, the sliding-window
+    minima, and the digest are array expressions per row — zero
+    shuffles at any scale (same discipline as the MinHash signature).
+    Two expression traps both cost O(n²) if ignored:
+
+    - the word-count guard is a plain pushed-down filter on the scan;
+      it must NOT test the gram array itself or pushdown would
+      recompute the whole hash pipeline per row;
+    - the window minima use doubling ``zip_with`` rounds
+      (min(window 2ᵏ) = pairwise min of two shifted min(window 2ᵏ⁻¹)
+      arrays) rather than ``transform(sequence(..), i ->
+      array_min(slice(hs, i, w)))`` — a free reference to ``hs``
+      inside a lambda body is re-evaluated PER ELEMENT (measured 13×
+      slower at w=4; worse as docs grow). ``zip_with`` binds both
+      arrays once per row.
+    """
+    w = _WINNOW_W
+    words = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    hs = F.transform(tri, lambda g: F.md5(g.cast("binary")))
+
+    def sliding_min(arr, width):
+        # width must be a power of two; zip_with pads the shorter side
+        # with nulls and least() skips them, so the tail holds
+        # partial-window minima — trimmed by the final slice.
+        m, span = arr, 1
+        while span < width:
+            m = F.zip_with(
+                m,
+                F.slice(m, span + 1, F.greatest(F.size(m) - span, F.lit(0))),
+                lambda x, y: F.least(x, y),
+            )
+            span *= 2
+        return F.slice(m, 1, F.greatest(F.size(arr) - width + 1, F.lit(0)))
+
+    sel = F.array_distinct(sliding_min(hs, w))
+    d = load_spread(spark, sf_dir, "documents")
+    return (
+        # grams = words - 2; full windows need >= w grams
+        d.filter(F.size(words) >= w + 2)
+        .select(
+            "doc_id",
+            F.size(sel).cast("long").alias("n_fp"),
+            F.md5(F.array_join(F.array_sort(sel), " ").cast("binary")).alias(
+                "fp_digest"
+            ),
+        )
+    )
+
+
 @query("llm_simhash")  # rows-only: no tractable SQL analogue
 def llm_simhash(spark, sf_dir):
     """64-bit SimHash per document via Arrow-batched mapInPandas.

@@ -157,3 +157,52 @@ def test_multimodal_frame_sampling_explodes_rows(spark, sf_dir):
         assert r["count"] == expect, (r.path, r["count"], expect)
     ids = [r.frame_id for r in frames.filter(F.col("path") == got[0].path).collect()]
     assert sorted(ids) == list(range(0, max(ids) + 1, 10))
+
+
+def _winnow_model(text: str, w: int = 4):
+    """Pure-Python reference model of llm_winnow (k=3 word-grams,
+    window w sliding min, distinct)."""
+    import hashlib
+
+    toks = text.split(" ")
+    hs = [
+        hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()
+        for i in range(len(toks) - 2)
+    ]
+    if len(hs) < w:
+        return set()
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_winnow_shared_run_shares_fingerprint(spark, tmp_path):
+    """Winnowing guarantee: documents sharing a run of w+k-1 tokens
+    share a fingerprint. The operator's digest is cross-checked
+    against a pure-Python model of the same algorithm, and the
+    guarantee is asserted on the model's sets."""
+    import hashlib
+
+    import pandas as pd
+
+    from hadoop_tools_spark.operators.llm_text import llm_winnow
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    doc_a = "one two three " + shared + " four five six"
+    doc_b = "seven eight nine ten " + shared + " eleven twelve"
+    doc_c = "red orange yellow green blue indigo violet pink"
+
+    # guarantee (on the model): ≥6 shared tokens ⇒ shared fingerprint
+    fa, fb, fc = map(_winnow_model, (doc_a, doc_b, doc_c))
+    assert fa & fb, "shared 8-token run must yield a common fingerprint"
+    assert not (fa & fc), "disjoint vocabularies share nothing"
+
+    # operator ≡ model: run llm_winnow on the 3-doc corpus and compare
+    # count + digest per doc
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": [doc_a, doc_b, doc_c]})
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r.doc_id: (r.n_fp, r.fp_digest) for r in llm_winnow(spark, d).collect()}
+    for doc_id, fset in ((0, fa), (1, fb), (2, fc)):
+        digest = hashlib.md5(" ".join(sorted(fset)).encode()).hexdigest()
+        assert got[doc_id] == (len(fset), digest)
