@@ -665,36 +665,41 @@ def q2_min_cost_supplier(spark, sf_dir):
     from lineitem, account balance standing in for supply cost): per
     part, the cheapest qualifying regional supplier.
 
-    The correlated MIN decorrelates to: aggregate min per part once,
-    then join the candidate rows back on (part, min) equality. The
-    distinct part↔supplier projection collapses the fact to
-    relationship grain BEFORE any dimension join, so the min-agg and
-    join-back run on ~|parts×suppliers-seen| rows, not lineitems.
-    No float arithmetic touches s_acctbal before the equality, so
-    the raw-double comparison is exact in both engines.
+    The correlated MIN decorrelates to a per-part window minimum —
+    one shuffle by part, one pass, no self-join and nothing cached
+    (the agg + join-back formulation scanned the costs branch twice).
+    The selective part predicate (p_size=15, ~2% of parts) semi-joins
+    the FACT before the distinct, so the relationship-grain collapse
+    and every dimension join run on the 2%, not the full fact — the
+    transitive-predicate-first rule the q5/q19 plans follow. No float
+    arithmetic touches s_acctbal before the equality, so the
+    raw-double comparison is exact in both engines.
     """
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ps = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     costs = (
         ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("l_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    min_cost = costs.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        costs.join(
-            F.broadcast(min_cost),
-            (costs.l_partkey == F.col("mk"))
-            & (costs.s_acctbal == F.col("min_bal")),
-        )
-        .join(F.broadcast(p), costs.l_partkey == p.p_partkey)
+        costs.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select(
             F.col("l_partkey").alias("p_partkey"),
             "p_name",
@@ -847,47 +852,48 @@ def q21_waiting_supplier(spark, sf_dir):
     order date): suppliers who were the SOLE late shipper of
     multi-supplier orders.
 
-    The late-lineitem projection is computed once and reused for both
-    the driving rows and the NOT EXISTS side. EXISTS/NOT EXISTS with
-    correlated inequality become semi/anti joins on orderkey with the
-    supplier-inequality residual — the decorrelation Catalyst applies
-    to the SQL form, written directly.
+    The EXISTS ("another supplier shipped this order") and NOT EXISTS
+    ("no OTHER supplier was late") both collapse to order-grain
+    aggregates: an order qualifies iff distinct-late-suppliers == 1
+    and distinct-suppliers > 1, and the sole late supplier is then
+    min(late suppkey). Two partial-aggregated shuffles at order grain
+    replace the semi-join + anti-join + cached late projection of the
+    literal decorrelation — no materialization, and every exchange
+    carries aggregates, the shape that survives a fact-sized corpus.
+    The date dimension is a 2-column broadcast here; past broadcast
+    size the same plan runs as a co-partitioned SMJ on orderkey (all
+    three inputs already shuffle on it).
     """
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
+    o2 = o.select("o_orderkey", "o_orderdate")
     late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(o2), li.l_orderkey == o2.o_orderkey)
         .filter(
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         )
         .select("l_orderkey", "l_suppkey")
     )
-    late = materialize(late)
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = late.select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
-    )
     sole_late = (
-        late.join(
-            l2,
-            (F.col("l_orderkey") == F.col("k2"))
-            & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_late"),
+            F.min("l_suppkey").alias("suppkey"),
         )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("k3"))
-            & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
+        .filter(F.col("n_late") == 1)
+    )
+    multi = (
+        li.groupBy(F.col("l_orderkey").alias("k2"))
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("k2")
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        sole_late.join(multi, F.col("l_orderkey") == F.col("k2"), "left_semi")
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )

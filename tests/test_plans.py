@@ -207,14 +207,18 @@ def test_q14_date_filter_pushed(spark, sf_dir):
     assert re.search(r"PushedFilters: \[[^\n]*l_shipdate", p), p
 
 
-def test_q21_semi_and_anti_join(spark, sf_dir):
-    """Q21: EXISTS and NOT EXISTS land as one semi and one anti join
-    over the shared late-lineitem projection."""
+def test_q21_order_grain_aggregates(spark, sf_dir):
+    """Q21: EXISTS / NOT EXISTS collapse to order-grain aggregates —
+    a semi join between two partially-aggregated sides, no anti join,
+    no cached projection, and the lateness join broadcasts the
+    2-column order dim (the fact side never shuffles pre-aggregate)."""
     from hadoop_tools_spark.operators.relational_ext import q21_waiting_supplier
 
     p = plan_str(q21_waiting_supplier(spark, sf_dir))
     assert "LeftSemi" in p, p
-    assert "LeftAnti" in p, p
+    assert "LeftAnti" not in p, p
+    assert "InMemoryTableScan" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
     assert "CartesianProduct" not in p
 
 
