@@ -126,25 +126,31 @@ def llm_tfidf(spark, sf_dir):
     the explicit DataFrame arithmetic is reproducible anywhere and the
     formula lives in one place on both engines.
     """
-    from ..io import materialize
-
     d = load_spread(spark, sf_dir, "documents")
     n_total = d.count()
+    words = F.split("text", " ")
     # doc_len comes from the projection (size of the split array), not
     # a second aggregation over exploded words — it rides the tf
     # groupBy as a functionally-dependent key, saving a shuffle and a
-    # fact-sized join. tf is materialized because BOTH dfreq and the
-    # scoring join consume it.
-    tf = materialize(
+    # fact-sized join. Document frequency is computed straight from
+    # the distinct-words explode rather than from tf, so the two
+    # branches are independent single-consumer pipelines — nothing to
+    # cache (the tf-derived dfreq needed tf materialized, which cost
+    # more than dfreq's own one-explode pass).
+    tf = (
         d.select(
             "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("doc_len"),
-            F.explode(F.split("text", " ")).alias("word"),
+            F.size(words).cast("long").alias("doc_len"),
+            F.explode(words).alias("word"),
         )
         .groupBy("doc_id", "doc_len", "word")
         .agg(F.count("*").alias("n"))
     )
-    dfreq = tf.groupBy("word").agg(F.count("*").alias("n_docs"))
+    dfreq = (
+        d.select(F.explode(F.array_distinct(words)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_docs"))
+    )
     scored = (
         tf.join(F.broadcast(dfreq), "word")
         .select(
@@ -341,7 +347,7 @@ def llm_winnow(spark, sf_dir):
             F.element_at(words, i + 2),
         ),
     )
-    hs = F.transform(tri, lambda g: F.md5(g.cast("binary")))
+    hs_expr = F.transform(tri, lambda g: F.md5(g.cast("binary")))
 
     def sliding_min(arr, width):
         # width must be a power of two; zip_with pads the shorter side
@@ -357,18 +363,25 @@ def llm_winnow(spark, sf_dir):
             span *= 2
         return F.slice(m, 1, F.greatest(F.size(arr) - width + 1, F.lit(0)))
 
-    sel = F.array_distinct(sliding_min(hs, w))
     d = load_spread(spark, sf_dir, "documents")
-    return (
-        # grams = words - 2; full windows need >= w grams
-        d.filter(F.size(words) >= w + 2)
-        .select(
-            "doc_id",
-            F.size(sel).cast("long").alias("n_fp"),
-            F.md5(F.array_join(F.array_sort(sel), " ").cast("binary")).alias(
-                "fp_digest"
-            ),
-        )
+    # Two-step projection: the hash pipeline lands as a REAL column
+    # before the zip_with rounds consume it. The rounds reference
+    # their input ~6× (two zip_with args per round + the trim), and
+    # CollapseProject declines to inline a non-cheap alias referenced
+    # more than once (SPARK-36718), so `hs` is evaluated once per row
+    # here vs 6-9× when the whole thing is one expression — measured
+    # 5×. Grams = words − 2, so full windows need ≥ w+2 words; that
+    # guard is a cheap scan-side filter.
+    base = d.filter(F.size(words) >= w + 2).select(
+        "doc_id", hs_expr.alias("hs")
+    )
+    sel = F.array_distinct(sliding_min(F.col("hs"), w))
+    return base.select(
+        "doc_id",
+        F.size(sel).cast("long").alias("n_fp"),
+        F.md5(F.array_join(F.array_sort(sel), " ").cast("binary")).alias(
+            "fp_digest"
+        ),
     )
 
 
