@@ -239,3 +239,44 @@ def stream_stream_join(spark, sf_dir):
         )
         .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
     )
+
+
+@query(
+    "stream_hier_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+           CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP)
+               AS bucket_15m,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (bucket_day, bucket_hour, bucket_15m)
+    """,
+)
+def stream_hier_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical time rollup: day ⊃ hour ⊃ 15-min
+    totals in ONE pass (a single Expand + partial-aggregated shuffle,
+    not three scans).
+
+    This is the batch form of a continuous-aggregate hierarchy: a
+    time-series store maintains the 15-min rollup incrementally (the
+    tumbling-window streaming key) and derives coarser levels from
+    finer ones; here the whole lattice is produced by ROLLUP over the
+    derived bucket columns. NULL rows are the subtotal levels. The
+    shuffle carries one partial state per (bucket lattice point ×
+    partition) — at 100 TB the Expand factor (4 rows per event) is
+    traded against never rescanning the fact.
+    """
+    ev = load(spark, sf_dir, "events")
+    q = (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("timestamp")
+    return (
+        ev.withColumn("bucket_day", F.date_trunc("day", "ts"))
+        .withColumn("bucket_hour", F.date_trunc("hour", "ts"))
+        .withColumn("bucket_15m", q)
+        .rollup("bucket_day", "bucket_hour", "bucket_15m")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
