@@ -521,3 +521,53 @@ def llm_neardup_verified(spark, sf_dir):
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def build_neardup_index(docs_df, index_path: str) -> None:
+    """Persist the deterministic MinHash band-key index for a corpus:
+    one (doc_id, band, key) parquet row per band per document.
+
+    Because the hash family is content-derived (md5), the index is a
+    pure function of each document — the foundation of INCREMENTAL
+    near-dup detection: a later batch buckets only its own documents
+    and joins against this store, never re-hashing the corpus (the
+    randomized pyspark.ml family cannot do this — new fits produce
+    incomparable keys).
+    """
+    g = docs_df.select("doc_id", _trigram_expr().alias("grams"))
+    bands = _band_keys(_with_minhash_sig(g).drop("grams"))
+    bands.write.mode("overwrite").parquet(index_path)
+
+
+def neardup_incremental(spark, new_docs_df, index_path: str):
+    """Near-dup candidate pairs for a NEW document batch against an
+    indexed corpus, appending the batch to the index.
+
+    Work is proportional to the batch: only new docs are shingled and
+    hashed; the join probes the stored band keys (at scale the store
+    is bucketed by key so the probe is co-located). Returns distinct
+    (doc_a < doc_b) pairs where at least one side is new — the full
+    pair set stays consistent with a from-scratch rebuild (asserted
+    in tests/test_llm.py).
+    """
+    g = new_docs_df.select("doc_id", _trigram_expr().alias("grams"))
+    new_bands = materialize(_band_keys(_with_minhash_sig(g).drop("grams")))
+    old_bands = spark.read.parquet(index_path)
+    all_bands = old_bands.unionByName(new_bands)
+    a, b = new_bands.alias("a"), all_bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pairs = materialize(pairs)
+    new_bands.write.mode("append").parquet(index_path)
+    return pairs

@@ -206,3 +206,44 @@ def test_winnow_shared_run_shares_fingerprint(spark, tmp_path):
     for doc_id, fset in ((0, fa), (1, fb), (2, fc)):
         digest = hashlib.md5(" ".join(sorted(fset)).encode()).hexdigest()
         assert got[doc_id] == (len(fset), digest)
+
+
+def test_neardup_incremental_matches_rebuild(spark, sf_dir, tmp_path):
+    """Incremental banding: index 80% of the corpus, then process the
+    remaining 20% as a new batch. The batch's candidate pairs must be
+    exactly the full-corpus pairs touching >=1 new doc, and the
+    appended index must equal a from-scratch index row-for-row —
+    the guarantee the deterministic (content-derived) hash family
+    buys over randomized LSH."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.operators.llm_dedup import (
+        build_neardup_index,
+        llm_neardup_minhash,
+        neardup_incremental,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "band_index")
+    build_neardup_index(old, idx)
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in neardup_incremental(spark, new, idx).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b) for r in llm_neardup_minhash(spark, sf_dir).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    expect = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert got == expect
+
+    # appended index == from-scratch index (as a row multiset)
+    scratch = str(tmp_path / "band_index_full")
+    build_neardup_index(d, scratch)
+    a = spark.read.parquet(idx).groupBy("doc_id", "band", "key").count()
+    b = spark.read.parquet(scratch).groupBy("doc_id", "band", "key").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
