@@ -568,6 +568,51 @@ def neardup_incremental(spark, new_docs_df, index_path: str):
         )
         .distinct()
     )
-    pairs = materialize(pairs)
+    # localCheckpoint, NOT cache: the append below writes the path the
+    # pair plan reads, and Spark's post-write refresh would invalidate
+    # a cached plan over it (see dedup_incremental) — the checkpoint
+    # pins the result before the index mutates.
+    pairs = pairs.localCheckpoint()
     new_bands.write.mode("append").parquet(index_path)
     return pairs
+
+
+def build_dedup_index(docs_df, index_path: str) -> None:
+    """Persist the exact-dedup content index: one (h, doc_id) row per
+    distinct sha256(text), keeping the min doc_id — the canonical-
+    document register a production corpus maintains."""
+    (
+        docs_df.withColumn("h", F.sha2(F.col("text").cast("binary"), 256))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def dedup_incremental(spark, new_docs_df, index_path: str):
+    """Exact-dedup a NEW batch against the content index: returns the
+    batch's novel canonical rows (first occurrence wins within the
+    batch too) and appends them to the index.
+
+    O(batch) work: only new texts are hashed; the anti join probes the
+    store by 32-byte digest. Together with ``neardup_incremental``
+    this is the streaming-corpus ingestion path — neither ever
+    rescans history.
+    """
+    hashed = (
+        new_docs_df.withColumn(
+            "h", F.sha2(F.col("text").cast("binary"), 256)
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    old = spark.read.parquet(index_path)
+    # localCheckpoint, NOT cache: the append below writes to the same
+    # path the plan reads, and Spark's post-write refresh invalidates
+    # any cached plan over that path — a cached `fresh` would silently
+    # recompute against the already-updated index (returning nothing).
+    # The checkpoint cuts lineage so the result is fixed first.
+    fresh = hashed.join(old, "h", "left_anti").localCheckpoint()
+    fresh.write.mode("append").parquet(index_path)
+    return fresh.select("doc_id", "h")

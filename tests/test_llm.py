@@ -247,3 +247,37 @@ def test_neardup_incremental_matches_rebuild(spark, sf_dir, tmp_path):
     a = spark.read.parquet(idx).groupBy("doc_id", "band", "key").count()
     b = spark.read.parquet(scratch).groupBy("doc_id", "band", "key").count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_dedup_incremental_matches_rebuild(spark, sf_dir, tmp_path):
+    """Exact-dedup ingestion: batch 2 contains exact copies of batch 1
+    (shifted ids) plus genuinely new docs. Copies must be rejected,
+    novel docs admitted, and the final index must equal a from-scratch
+    index over the union."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.operators.llm_dedup import (
+        build_dedup_index,
+        dedup_incremental,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch1 = d.filter(F.col("doc_id") % 2 == 0)
+    novel = d.filter(F.col("doc_id") % 2 == 1)
+    copies = batch1.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    batch2 = novel.unionByName(copies)
+
+    idx = str(tmp_path / "dedup_index")
+    build_dedup_index(batch1, idx)
+    fresh = {r.doc_id for r in dedup_incremental(spark, batch2, idx).collect()}
+    novel_ids = {r.doc_id for r in novel.collect()}
+    assert fresh == novel_ids  # fixture has no exact dups (FIXTURES.md)
+
+    scratch = str(tmp_path / "dedup_full")
+    build_dedup_index(batch1.unionByName(batch2), scratch)
+    a = spark.read.parquet(idx)
+    b = spark.read.parquet(scratch)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
