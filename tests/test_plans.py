@@ -240,3 +240,23 @@ def test_q2_relationship_grain_before_dims(spark, sf_dir):
     p = plan_str(q2_min_cost_supplier(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 4, p
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Global plan hygiene: no declared key may plan a CartesianProduct.
+    Theta/range shapes must ride a broadcast nested-loop (bounded build
+    side) or a bucketized equi key — an accidental cartesian at 100 TB
+    is a job that never finishes. Sweeps every registered query."""
+    from hadoop_tools_spark.registry import QUERIES
+
+    offenders = {}
+    for key, fn in QUERIES.items():
+        try:
+            p = plan_str(fn(spark, sf_dir))
+        except Exception as e:  # build failures surface elsewhere
+            offenders[key] = f"plan build failed: {type(e).__name__}"
+            continue
+        if "CartesianProduct" in p:
+            offenders[key] = "CartesianProduct"
+    spark.catalog.clearCache()
+    assert not offenders, offenders
