@@ -292,3 +292,32 @@ def fn_hash_engine(spark, sf_dir):
         F.xxhash64("c_name").alias("name_xxh64"),
         F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           xor(o_orderkey, o_custkey)            AS key_xor,
+           o_orderkey & 255                      AS key_and,
+           o_orderkey | 1                        AS key_or,
+           CAST(bit_count(o_orderkey) AS INT)    AS key_bits,
+           o_custkey << 2                        AS cust_shl,
+           o_custkey >> 1                        AS cust_shr
+    FROM orders
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise family: xor/and/or, popcount, shifts — the substrate of
+    hash partitioners, bloom filters, and SimHash hamming blocks
+    (SCALE.md's ``bit_count(xor(sig_a, sig_b))`` candidate filter)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("key_and"),
+        F.col("o_orderkey").bitwiseOR(F.lit(1)).alias("key_or"),
+        F.bit_count("o_orderkey").alias("key_bits"),
+        F.shiftleft("o_custkey", 2).alias("cust_shl"),
+        F.shiftright("o_custkey", 1).alias("cust_shr"),
+    )
