@@ -41,8 +41,10 @@ def udf_scalar(spark, sf_dir):
     kept off every hot path; this key exists to pin its semantics)."""
     rx = re.compile(_GLOB_RX)
 
-    @F.udf("boolean")
-    def glob_match(name: str) -> bool:
+    # no Python type hints on the UDF body: PySpark tries to infer the
+    # eval type from hints and warns; the returnType arg is the contract
+    @F.udf("boolean", useArrow=True)
+    def glob_match(name):
         return rx.match(name) is not None
 
     p = load(spark, sf_dir, "part")
