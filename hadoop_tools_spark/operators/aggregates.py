@@ -77,6 +77,30 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+@query("agg_approx_median")  # rows-only: sketch values are engine-specific
+def agg_approx_median(spark, sf_dir):
+    """Sketch-based percentile — the 100 TB twin of ``agg_median``.
+
+    Exact percentile buffers every value per group; the
+    ``percentile_approx`` sketch is constant-size and mergeable, so
+    the shuffle carries sketches, not values. Accuracy parameter 1000
+    ⇒ rank error ≤ ~0.1%. The exact twin carries the oracle;
+    tests/test_approx.py bounds this key's deviation against it.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias(
+                "median_approx"
+            ),
+            F.percentile_approx("l_extendedprice", 0.9, 1000).alias(
+                "p90_approx"
+            ),
+        )
+    )
+
+
 @query(
     "agg_stats",
     oracle="""

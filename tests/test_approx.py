@@ -113,3 +113,22 @@ def test_knn_ivf_recall(spark, sf_dir):
     hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
+
+
+def test_approx_median_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=1000) lands within 1% of the exact
+    interpolated quantiles per group."""
+    from hadoop_tools_spark.operators.aggregates import agg_approx_median, agg_median
+
+    exact = {
+        r.l_returnflag: (r.median_price, r.p90_price)
+        for r in agg_median(spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.median_approx, r.p90_approx)
+        for r in agg_approx_median(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) / e < 0.01, (k, e, a)
