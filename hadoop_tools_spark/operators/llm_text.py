@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load, load_spread
+from ..io import load, load_spread, materialize
 from ..registry import query
 
 #: tiny function-word list present in the fixture vocabulary —
@@ -561,4 +561,59 @@ def llm_pipeline_e2e(spark, sf_dir):
             F.round(F.avg(uniq), 6).alias("avg_uniq"),
         )
         .orderBy("lang")
+    )
+
+
+@query("llm_simhash_neardup")  # rows-only: signature is a Pandas-UDF op
+def llm_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs: pigeonhole chunk blocking + exact
+    hamming verify — the hamming-ball candidate filter completing the
+    SimHash pipeline.
+
+    A 64-bit signature splits into 4 chunks of 16 bits; two signatures
+    within hamming distance 3 differ in at most 3 chunks, so they MUST
+    agree exactly on at least one (pigeonhole) — blocking on (chunk_id,
+    chunk_value) has recall 1.0 for distance ≤ 3, no probabilistic
+    banding. Verification is `bit_count(xor)` on the JVM, one codegen
+    expression per candidate pair. At 100 TB: 4 rows per doc shuffle
+    by chunk value; candidates are Σ|bucket|², and the 16-bit chunk
+    space keeps buckets tiny for non-pathological corpora.
+    tests/test_llm.py proves pair-set equality with brute force.
+    """
+    max_dist = 3
+    sig = materialize(llm_simhash(spark, sf_dir))
+    chunks = sig.select(
+        "doc_id",
+        "simhash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright("simhash64", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash64", "c.chunk_id", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_dist)
     )

@@ -281,3 +281,38 @@ def test_dedup_incremental_matches_rebuild(spark, sf_dir, tmp_path):
     a = spark.read.parquet(idx)
     b = spark.read.parquet(scratch)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_simhash_neardup_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole chunk blocking is lossless for hamming <= 3: the
+    operator's pair set must EQUAL the brute-force all-pairs scan of
+    the signatures (recall 1.0 by construction, precision via the
+    exact bit_count verify)."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.llm_text import (
+        llm_simhash,
+        llm_simhash_neardup,
+    )
+
+    sigs = {
+        r.doc_id: np.uint64(np.int64(r.simhash64))
+        for r in llm_simhash(spark, sf_dir).collect()
+    }
+    ids = sorted(sigs)
+    arr = np.array([sigs[i] for i in ids], dtype=np.uint64)
+    x = arr[:, None] ^ arr[None, :]
+    ham = np.array(
+        [[bin(int(v)).count("1") for v in row] for row in x], dtype=np.int64
+    )
+    expect = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if ham[i, j] <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in llm_simhash_neardup(spark, sf_dir).collect()
+    }
+    assert got == expect
