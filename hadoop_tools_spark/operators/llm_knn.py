@@ -486,3 +486,94 @@ def llm_embed_centroid(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+def build_ivf_index(spark, sf_dir: str, index_path: str, n_cells: int = _IVF_CELLS) -> None:
+    """Materialize the IVF index on disk: the corpus parquet
+    PARTITIONED BY cell (one directory per quantizer cell) plus the
+    tiny centroid table.
+
+    This is the physical layout the llm_knn_ivf docstring promises:
+    with cells as partition directories, probing nprobe cells is a
+    partition-PRUNED scan — the other Ncells−nprobe directories are
+    never opened. At 100 TB that turns every query batch from a full
+    corpus pass into reading nprobe/Ncells of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _unit(F.col("embedding").cast("array<double>")).alias("u"),
+    )
+    feats = materialize(
+        e.select("vec_id", "u", array_to_vector("u").alias("features"))
+    )
+    km = KMeans(
+        k=n_cells, seed=42, maxIter=5,
+        featuresCol="features", predictionCol="cell",
+    )
+    model = km.fit(feats)
+    (
+        model.transform(feats)
+        .select("vec_id", "u", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/corpus")
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    feats.unpersist()
+
+
+def ivf_search(spark, index_path: str, queries_df, k: int = _K, nprobe: int = _IVF_NPROBE):
+    """Approximate top-k against a built IVF index.
+
+    ``queries_df``: (q_id, q_u) with unit vectors. Cell probing runs
+    driver-side against the collected centroid table (tiny by
+    construction — the quantizer is the small side); the corpus scan
+    then carries ``cell IN (probed)``, which Spark resolves as
+    directory-level partition pruning (asserted in tests), followed by
+    a broadcast join restricting each query to ITS cells.
+    """
+    import numpy as np
+
+    cents = spark.read.parquet(f"{index_path}/centroids").collect()
+    c_ids = np.array([r.cell for r in cents])
+    c_mat = np.array([r.centroid for r in cents])  # (C, dim)
+
+    q_rows = queries_df.collect()
+    probe_rows = []
+    probed_cells = set()
+    for r in q_rows:
+        sims = c_mat @ np.array(r.q_u)
+        # rank by similarity desc, cell id asc — same tie-break as the
+        # in-memory operator
+        order = np.lexsort((c_ids, -sims))[:nprobe]
+        for c in c_ids[order]:
+            probe_rows.append((r.q_id, int(c)))
+            probed_cells.add(int(c))
+    probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
+
+    corpus = spark.read.parquet(f"{index_path}/corpus").filter(
+        F.col("cell").isin(sorted(probed_cells))
+    )
+    q = queries_df.withColumnRenamed("q_u", "qv")
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("u"), F.col("qv")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )

@@ -132,3 +132,50 @@ def test_approx_median_within_rank_error(spark, sf_dir):
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(a - e) / e < 0.01, (k, e, a)
+
+
+def test_ivf_index_partition_pruned_search(spark, sf_dir, tmp_path):
+    """The persisted IVF index: corpus written partitioned by cell,
+    search scans ONLY probed cell directories (PartitionFilters in the
+    plan), and recall vs exact stays >= 0.5 (same bound as the
+    in-memory IVF key)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.operators.llm_knn import (
+        _QUERY_MOD,
+        _unit,
+        build_ivf_index,
+        ivf_search,
+        llm_knn_exact,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf_dir, idx)
+
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            _unit(F.col("embedding").cast("array<double>")).alias("q_u"),
+        )
+    )
+    res = ivf_search(spark, idx, queries)
+
+    # partition pruning visible in the scan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert m, plan
+
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.q_id, set()).add(r.neighbor_id)
+    exact = {}
+    for r in llm_knn_exact(spark, sf_dir).collect():
+        exact.setdefault(r.q_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"indexed IVF recall {hits}/{total}"
