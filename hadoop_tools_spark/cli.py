@@ -66,21 +66,28 @@ def _fmt_status(st) -> str:
 
 
 def cmd_ls(args, spark=None, out=sys.stdout):
-    """``hh ls [GLOB]``: one line per entry, sorted by path.
+    """``hh ls [-R] [GLOB]``: one line per entry, sorted by path.
 
     A glob argument expands first; each matched directory is listed
-    (its children printed), each matched file printed directly —
-    the reference's semantics.
+    (children printed; with ``-R``, recursively), each matched file
+    printed directly — the reference's semantics.
     """
+    from .sources.listing import _hadoop_fs
+
     spark = _spark(spark)
-    target = session_state.resolve(args[0] if args else ".")
+    recursive = "-R" in args
+    pos = [a for a in args if a != "-R"]
+    target = session_state.resolve(pos[0] if pos else ".")
     rows = []
     for st in _glob_status(spark, target):
         if st.isDirectory():
-            from .sources.listing import _hadoop_fs
-
             fs, _, _ = _hadoop_fs(spark, target)
-            rows.extend(fs.listStatus(st.getPath()))
+            stack = [st.getPath()]
+            while stack:
+                for child in fs.listStatus(stack.pop()):
+                    rows.append(child)
+                    if recursive and child.isDirectory():
+                        stack.append(child.getPath())
         else:
             rows.append(st)
     for st in sorted(rows, key=lambda s: s.getPath().toUri().getPath()):

@@ -112,3 +112,9 @@ def test_version_and_usage(spark):
     rc, txt = run(spark, "version")
     assert rc == 0 and "hh" in txt
     assert cli.main(["definitely-not-a-cmd"], out=io.StringIO()) == 2
+
+
+def test_ls_recursive_flag(spark, ns):
+    rc, txt = run(spark, "ls", "-R", ns)
+    names = [l.rsplit("/", 1)[-1] for l in txt.strip().splitlines()]
+    assert names == ["data", "x.bin", "logs", "a.log", "b.log"]
