@@ -113,3 +113,30 @@ def sink_parquet_roundtrip(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT l_linestatus, COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def sink_orc_roundtrip(spark, sf_dir):
+    """lineitem → ORC → read back → agg: the second columnar format
+    (vectorized reader, predicate pushdown, same partitionBy
+    machinery). The oracle aggregates the ORIGINAL parquet table, so
+    a hash match proves the ORC write/read cycle is lossless —
+    DuckDB never needs to read ORC itself.
+    """
+    path = f"{SCRATCH}/orc_roundtrip"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice"
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
