@@ -1,0 +1,82 @@
+"""SQL entry point (SURVEY.md §3.2 P2): the same engine drives from
+`spark.sql` over registered views — identical results to the
+DataFrame-API operators, same Catalyst pipeline after parsing."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    from hadoop_tools_spark.io import load_tables
+
+    load_tables(spark, SF_DIR)
+    return spark
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sql_q1_equals_dataframe(views, spark, sf_dir):
+    from hadoop_tools_spark.operators.relational import q1_pricing_summary
+
+    sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)      AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(AVG(l_discount), 6)      AS avg_disc,
+               COUNT(*)                       AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    df = q1_pricing_summary(spark, sf_dir).select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "avg_disc",
+        "count_order",
+    )
+    assert rows(sql) == rows(df)
+
+
+def test_sql_join_equals_dataframe(views, spark, sf_dir):
+    from hadoop_tools_spark.operators.joins import join_inner
+
+    sql = spark.sql(
+        """
+        SELECT o.o_orderkey, c.c_name, n.n_name,
+               ROUND(o.o_totalprice, 2) AS total_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        """
+    )
+    assert rows(sql) == rows(join_inner(spark, sf_dir))
+
+
+def test_sql_window_equals_dataframe(views, spark, sf_dir):
+    from hadoop_tools_spark.operators.windows import topk_group
+
+    sql = spark.sql(
+        """
+        SELECT o_orderpriority, o_orderkey, total_price, rn FROM (
+            SELECT o_orderpriority, o_orderkey,
+                   ROUND(o_totalprice, 2) AS total_price,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+        """
+    )
+    assert rows(sql) == rows(topk_group(spark, sf_dir))
