@@ -374,78 +374,171 @@ def llm_embed_neardup(spark, sf_dir):
 
 _IVF_CELLS = 16
 _IVF_NPROBE = 4
+_IVF_SAMPLE = 2048
 
 
-@query("llm_knn_ivf")  # rows-only: k-means cells (iterative, seeded)
+def _fit_quantizer(unit_df, n_cells: int = _IVF_CELLS, n_iter: int = 5):
+    """Sample-trained spherical k-means — the IVF coarse quantizer.
+
+    Trains on a DETERMINISTIC md5-bucket sample collected to the
+    driver (FAISS-style: quantizer quality needs a representative
+    sample, not the corpus — full-corpus `pyspark.ml` KMeans.fit was
+    both the operator's dominant cost at fixture scale and a
+    non-starter at 100 TB). Init = first `n_cells` sample vectors in
+    vec_id order; assignment by max cosine; centroids renormalized
+    each Lloyd round; empty cells keep their previous centroid.
+    Returns the (n_cells, dim) numpy centroid matrix — deterministic
+    for a given corpus, so index builds are reproducible.
+    """
+    import numpy as np
+
+    samp = unit_df.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        )
+    ).collect()
+    samp.sort(key=lambda r: r.vec_id)
+    X = np.array([r.u for r in samp[:_IVF_SAMPLE]])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)  # accepts raw vectors
+    C = X[:n_cells].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / np.linalg.norm(m)
+    return C
+
+
+def _assign_cells(spark, raw_df, centroids):
+    """Normalize + assign the quantizer cell per vector: broadcast
+    centroid matmul in Arrow batches — the corpus never moves, no ML
+    pipeline objects, no per-row JVM folds (numpy does both the
+    normalization and the argmax). Emits UNIT vectors."""
+    bc = spark.sparkContext.broadcast(centroids)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("u", T.ArrayType(T.DoubleType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            U = _np.vstack(pdf["u"].to_numpy())
+            U = U / _np.linalg.norm(U, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "u": list(U),
+                    "cell": _np.argmax(U @ C.T, axis=1).astype("int32"),
+                }
+            )
+
+    return raw_df.mapInPandas(run, schema=schema)
+
+
+@query("llm_knn_ivf")  # rows-only: quantizer cells (iterative, sampled)
 def llm_knn_ivf(spark, sf_dir):
-    """IVF-style approximate k-NN: k-means coarse quantizer, probe the
-    `nprobe` nearest cells per query, exact cosine only within probed
-    cells.
+    """IVF-style approximate k-NN: sample-trained coarse quantizer,
+    probe the `nprobe` nearest cells per query, exact cosine only
+    within probed cells.
 
     The scale path beyond LSH: compute drops by ~Ncells/Nprobe (here
-    16/4 = 4×; production uses 4096/64), and the corpus can live
-    physically partitioned by cell so a probe is a partition-pruned
-    scan instead of a full pass. Recall vs exact is bounded in
-    tests/test_approx.py.
+    16/4 = 4×; production uses 4096/64), the quantizer trains on a
+    driver-side sample (`_fit_quantizer` — the corpus is never
+    iterated), and the corpus can live physically partitioned by cell
+    (`build_ivf_index`) so a probe is a partition-pruned scan instead
+    of a full pass. Recall vs exact is bounded in tests/test_approx.py.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
+    # RAW vectors throughout the JVM side: normalization runs in the
+    # same numpy passes that consume the vectors (a JVM HOF `_unit`
+    # here cost ~3× the bare scan, and the cache populated
+    # single-threaded)
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        _unit(F.col("embedding").cast("array<double>")).alias("u"),
+        "vec_id", F.col("embedding").cast("array<double>").alias("u")
     )
-    # cached: KMeans iterates over this ~20×, then transform + the
-    # candidate join scan it again — uncached it re-reads parquet and
-    # re-normalizes every pass
-    feats = materialize(
-        e.select("vec_id", "u", array_to_vector("u").alias("features"))
-    )
-    # maxIter capped: the coarse quantizer only has to spread the
-    # corpus across cells — probe recall is insensitive to the last
-    # few Lloyd iterations, and index-build time is the operator's
-    # dominant cost
-    km = KMeans(
-        k=_IVF_CELLS,
-        seed=42,
-        maxIter=5,
-        featuresCol="features",
-        predictionCol="cell",
-    )
-    model = km.fit(feats)
-    corpus = model.transform(feats).select("vec_id", "u", "cell")
+    # cached: the quantizer sample, the query collect, and the scoring
+    # pass all scan this
+    e = materialize(e)
+    C = _fit_quantizer(e)
 
-    # centroid table (tiny) for query-side probing
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
+    # probe driver-side: queries are the small side by design
+    q_rows = sorted(
+        e.filter(F.col("vec_id") % _QUERY_MOD == 0).collect(),
+        key=lambda r: r.vec_id,
     )
-    q = corpus.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("u").alias("q_u")
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.u for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    cell2q: dict[int, list[int]] = {}
+    c_order = np.arange(len(C))
+    for qi in range(len(q_ids)):
+        sims = C @ q_mat[qi]
+        probed = np.lexsort((c_order, -sims))[:_IVF_NPROBE]
+        for c in probed:
+            cell2q.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast((C, q_ids, q_mat, cell2q))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
     )
-    # rank cells per query by centroid similarity, keep nprobe
-    wc = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), "cell")
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "q_id", "q_u", "cell", _dot(F.col("q_u"), F.col("centroid")).alias("c_sim")
-        )
-        .withColumn("cell_rank", F.row_number().over(wc))
-        .filter(F.col("cell_rank") <= _IVF_NPROBE)
-        .select("q_id", "q_u", "cell")
-    )
-    # exact cosine only within probed cells
-    cand = corpus.join(F.broadcast(probes), "cell").filter(
-        F.col("vec_id") != F.col("q_id")
-    )
+
+    # ONE Arrow pass: assign each corpus batch to cells AND score it
+    # against exactly the queries probing those cells — no JVM
+    # per-candidate fold (the HOF dot over ~1M candidate rows was the
+    # operator's real cost, same lesson as llm_knn_exact), no
+    # candidate join. Per-batch per-query top-k keeps the shuffle at
+    # k·partitions rows per query.
+    def probe_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        Cm, ids, qm, c2q = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy()
+            U = _np.vstack(pdf["u"].to_numpy())
+            U = U / _np.linalg.norm(U, axis=1, keepdims=True)
+            cells = _np.argmax(U @ Cm.T, axis=1)
+            out = []
+            for cell in _np.unique(cells):
+                qidx = c2q.get(int(cell))
+                if not qidx:
+                    continue
+                rows = _np.flatnonzero(cells == cell)
+                sims = U[rows] @ qm[qidx].T  # (|rows|, |qidx|)
+                for j, qi in enumerate(qidx):
+                    mask = c_ids[rows] != ids[qi]
+                    cos = sims[mask, j]
+                    nb = c_ids[rows][mask]
+                    order = _np.lexsort((nb, -cos))[:_K]
+                    out.append(
+                        pd.DataFrame(
+                            {"q_id": ids[qi], "neighbor_id": nb[order], "cos": cos[order]}
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    par = spark.sparkContext.defaultParallelism
+    partial = e.repartition(par).mapInPandas(probe_score, schema=schema)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
-        cand.select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _dot(F.col("u"), F.col("q_u")).alias("cos"),
-        )
-        .withColumn("rn", F.row_number().over(w).cast("long"))
+        partial.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _K)
         .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
     )
@@ -497,35 +590,28 @@ def build_ivf_index(spark, sf_dir: str, index_path: str, n_cells: int = _IVF_CEL
     with cells as partition directories, probing nprobe cells is a
     partition-PRUNED scan — the other Ncells−nprobe directories are
     never opened. At 100 TB that turns every query batch from a full
-    corpus pass into reading nprobe/Ncells of the data.
+    corpus pass into reading nprobe/Ncells of the data. The quantizer
+    trains on a deterministic driver-side sample (`_fit_quantizer`),
+    so rebuilding the index from the same corpus reproduces the same
+    cell layout bit-for-bit.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        _unit(F.col("embedding").cast("array<double>")).alias("u"),
+    e = materialize(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("u")
+        )
     )
-    feats = materialize(
-        e.select("vec_id", "u", array_to_vector("u").alias("features"))
-    )
-    km = KMeans(
-        k=n_cells, seed=42, maxIter=5,
-        featuresCol="features", predictionCol="cell",
-    )
-    model = km.fit(feats)
+    C = _fit_quantizer(e, n_cells=n_cells)
     (
-        model.transform(feats)
-        .select("vec_id", "u", "cell")
+        _assign_cells(spark, e, C)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{index_path}/corpus")
     )
     spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    feats.unpersist()
+    e.unpersist()
 
 
 def ivf_search(spark, index_path: str, queries_df, k: int = _K, nprobe: int = _IVF_NPROBE):
