@@ -118,3 +118,49 @@ def test_hashmod_sample_is_stable_across_partitionings(spark, sf_dir):
         ).collect()
     }
     assert a == b  # seeded sample() would differ; hash-mod never does
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)),
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation equals a reference union-find on random
+    graphs over a 20-vertex id space."""
+    from hadoop_tools_spark.operators.llm_dedup import (
+        connected_components,
+        edges_from_pairs,
+    )
+
+    vertices = sorted({v for e in edges for v in e} | set(range(5)))
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for v in vertices:
+        root = find(v)
+        comp_min = min(u for u in vertices if find(u) == root)
+        expect[v] = comp_min
+
+    vdf = spark.createDataFrame([(v,) for v in vertices], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)],
+        "doc_a long, doc_b long",
+    ).filter("doc_a <> doc_b")
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(vdf, edges_from_pairs(pairs)).collect()
+    }
+    assert labels == expect
