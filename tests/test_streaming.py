@@ -63,6 +63,21 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, staged):
     )
 
 
+def test_stream_sliding_equals_batch(spark, sf_dir, staged):
+    def t(s):
+        return (
+            s.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+
+    # complete mode: every overlapping window's final count equals batch
+    assert_stream_equals_batch(
+        spark, staged, ops.stream_sliding(spark, sf_dir), t, "complete"
+    )
+
+
 def test_stream_session_equals_batch(spark, sf_dir, staged):
     def t(s):
         return (
