@@ -96,22 +96,30 @@ def cmd_ls(args, spark=None, out=sys.stdout):
 
 
 def cmd_find(args, spark=None, out=sys.stdout):
-    """``hh find PATH [-name GLOB]``: recursive descent, print paths."""
+    """``hh find PATH [-name GLOB] [-type f|d]``: recursive descent,
+    print matching paths."""
     import re
 
     from .sources.listing import glob_to_regex, list_status_df
 
     spark = _spark(spark)
     root = session_state.resolve(args[0] if args else ".")
-    name_glob = None
+    name_glob = type_flag = None
     if "-name" in args:
         name_glob = args[args.index("-name") + 1]
+    if "-type" in args:
+        type_flag = args[args.index("-type") + 1]
     df = list_status_df(spark, root, recursive=True)
-    rows = df.select("path", "name").collect()
+    rows = df.select("path", "name", "is_dir").collect()
     rx = re.compile(glob_to_regex(name_glob)) if name_glob else None
     for r in sorted(rows, key=lambda r: r.path):
-        if rx is None or rx.match(r.name):
-            print(r.path, file=out)
+        if rx is not None and not rx.match(r.name):
+            continue
+        if type_flag == "f" and r.is_dir:
+            continue
+        if type_flag == "d" and not r.is_dir:
+            continue
+        print(r.path, file=out)
     return 0
 
 

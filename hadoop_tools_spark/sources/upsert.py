@@ -1,0 +1,104 @@
+"""MERGE INTO for plain parquet tables (upsert by key).
+
+Spark has no `MERGE` without a table format (Delta/Iceberg); the
+classic lake pattern is key-based upsert with DYNAMIC partition
+overwrite: only partitions that contain a source key are read,
+merged, and rewritten — untouched partition directories are not even
+listed. On a date-partitioned 100 TB table a CDC batch touching two
+days rewrites two directories, not the lake.
+
+Hazard handled here: the merged frame READS the same path it is
+about to OVERWRITE. Spark's lazy execution would have the write
+delete input files mid-scan; `localCheckpoint` pins the merged rows
+before the write starts (same discipline as the incremental dedup
+indexes in operators/llm_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    source_df: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> int:
+    """Upsert ``source_df`` into the parquet table at ``target_path``
+    (partitioned by ``partition_col``): matching keys are replaced,
+    new keys inserted. Returns the number of partitions rewritten.
+
+    Requires every source row to carry its partition value — the
+    standard CDC contract — so the touched-partition set is computed
+    from the source alone, without scanning the target.
+    """
+    parts = [
+        r[0]
+        for r in source_df.select(partition_col).distinct().collect()
+    ]
+    target = spark.read.parquet(target_path).filter(
+        F.col(partition_col).isin(parts)
+    )
+    merged = (
+        target.join(
+            source_df.select(*key_cols), key_cols, "left_anti"
+        )
+        .unionByName(source_df)
+        .localCheckpoint()  # pin rows BEFORE overwriting their source files
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(parts)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    target_path: str,
+    partition_col: str,
+    files_per_partition: int = 1,
+    partitions: list | None = None,
+) -> int:
+    """Small-file compaction for a partitioned parquet table: rewrite
+    each (selected) partition's many small files as
+    ``files_per_partition`` files, content-identical.
+
+    Small files are the chronic failure mode of incremental ingestion
+    (every upsert/stream batch adds files; scan cost grows with file
+    COUNT, not bytes). Compaction is the maintenance half of the
+    upsert pattern above and uses the same machinery: dynamic
+    partition overwrite limits the rewrite to the selected
+    partitions, and `localCheckpoint` pins rows before their source
+    files are replaced. Returns the number of partitions compacted.
+    """
+    df = spark.read.parquet(target_path)
+    if partitions is None:
+        partitions = [
+            r[0] for r in df.select(partition_col).distinct().collect()
+        ]
+    subset = (
+        df.filter(F.col(partition_col).isin(partitions))
+        .repartition(files_per_partition * len(partitions), partition_col)
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            subset.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(partitions)

@@ -179,3 +179,23 @@ def test_ivf_index_partition_pruned_search(spark, sf_dir, tmp_path):
     hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.5, f"indexed IVF recall {hits}/{total}"
+
+
+def test_hll_is_partitioning_invariant(spark, sf_dir):
+    """approx_count_distinct must give the SAME estimate whatever the
+    partitioning: HLL add/merge is commutative, so task layout —
+    retries, speculative execution, AQE re-splits — cannot change the
+    answer. (This is what makes sketches safe to use at scale.)"""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    vals = []
+    for n in (1, 4, 32):
+        got = (
+            li.repartition(n)
+            .groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", 0.02).alias("d"))
+            .collect()
+        )
+        vals.append(sorted((r.l_returnflag, r.d) for r in got))
+    assert vals[0] == vals[1] == vals[2]

@@ -118,3 +118,14 @@ def test_ls_recursive_flag(spark, ns):
     rc, txt = run(spark, "ls", "-R", ns)
     names = [l.rsplit("/", 1)[-1] for l in txt.strip().splitlines()]
     assert names == ["data", "x.bin", "logs", "a.log", "b.log"]
+
+
+def test_find_type_filter(spark, ns):
+    rc, txt = run(spark, "find", ns, "-type", "d")
+    names = [p.rsplit("/", 1)[-1] for p in txt.strip().splitlines()]
+    assert names == ["data", "logs"]
+    rc, txt = run(spark, "find", ns, "-type", "f")
+    assert all(
+        p.rsplit("/", 1)[-1] in {"a.log", "b.log", "x.bin"}
+        for p in txt.strip().splitlines()
+    )

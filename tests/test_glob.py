@@ -81,3 +81,36 @@ def test_human_size_examples():
     assert human_size(1024) == "1.0K"
     assert human_size(1536) == "1.5K"
     assert human_size(1024**2) == "1.0M"
+
+
+def test_glob_regex_agrees_with_hadoop_globstatus(spark, tmp_path):
+    """The pure-Python translator and Hadoop's own globber must agree
+    on which names a pattern matches — the translator is used for
+    DataFrame-side filters, globStatus for path expansion, and they
+    must not drift."""
+    import re
+
+    from hadoop_tools_spark.cli import _glob_status
+    from hadoop_tools_spark.sources.listing import glob_to_regex
+
+    names = [
+        "a.log", "b.log", "a.txt", "ab.log", "a1.log", "z.LOG",
+        "data1", "data2", "x-y.log", "a_b.log",
+    ]
+    base = tmp_path / "g"
+    base.mkdir()
+    for n in names:
+        (base / n).write_text("x")
+
+    patterns = [
+        "*.log", "a*.log", "?.log", "a[0-9].log", "[a-b].log",
+        "{a,b}.log", "data[12]", "*", "a?.log", "*.{log,txt}",
+    ]
+    for pat in patterns:
+        via_hadoop = sorted(
+            st.getPath().getName()
+            for st in _glob_status(spark, f"{base}/{pat}")
+        )
+        rx = re.compile(glob_to_regex(pat))
+        via_regex = sorted(n for n in names if rx.match(n))
+        assert via_hadoop == via_regex, (pat, via_hadoop, via_regex)

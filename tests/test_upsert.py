@@ -1,0 +1,137 @@
+"""Key-based parquet upsert with dynamic partition overwrite: merged
+content is exact, and partitions without source keys are physically
+untouched (same files on disk)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_tools_spark.sources.upsert import merge_upsert
+
+
+def _files(path):
+    return {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "orders_lake")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.partitionBy("o_orderstatus").parquet(target)
+    before = _files(target)
+
+    # source: update two existing 'F' orders, insert one new 'F' order
+    some = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .limit(2)
+        .collect()
+    )
+    src = spark.createDataFrame(
+        [
+            (some[0].o_orderkey, "F", 1111.0),
+            (some[1].o_orderkey, "F", 2222.0),
+            (999999999, "F", 3333.0),
+        ],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    n = merge_upsert(spark, target, src, ["o_orderkey"], "o_orderstatus")
+    assert n == 1  # only the 'F' partition touched
+
+    after = _files(target)
+    untouched_before = {p: t for p, t in before.items() if "o_orderstatus=F" not in p}
+    untouched_after = {p: t for p, t in after.items() if "o_orderstatus=F" not in p}
+    assert untouched_before == untouched_after  # same files, same mtimes
+
+    back = spark.read.parquet(target)
+    # updated rows carry new values
+    got = {
+        r.o_orderkey: r.o_totalprice
+        for r in back.filter(
+            F.col("o_orderkey").isin(
+                some[0].o_orderkey, some[1].o_orderkey, 999999999
+            )
+        ).collect()
+    }
+    assert got == {
+        some[0].o_orderkey: 1111.0,
+        some[1].o_orderkey: 2222.0,
+        999999999: 3333.0,
+    }
+    # row count: original + 1 insert, no duplicates of updated keys
+    assert back.count() == orders.count() + 1
+
+
+def test_merge_upsert_is_idempotent(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "lake2")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.partitionBy("o_orderstatus").parquet(target)
+    src = spark.createDataFrame(
+        [(999999, "O", 42.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    merge_upsert(spark, target, src, ["o_orderkey"], "o_orderstatus")
+    merge_upsert(spark, target, src, ["o_orderkey"], "o_orderstatus")
+    back = spark.read.parquet(target)
+    assert back.filter(F.col("o_orderkey") == 999999).count() == 1
+    assert back.count() == orders.count() + 1
+
+
+def test_compact_partitions_shrinks_file_count(spark, sf_dir, tmp_path):
+    """Many small files per partition -> one file per partition, same
+    rows; partitions outside the selection keep their files."""
+    from hadoop_tools_spark.sources.upsert import compact_partitions
+
+    target = str(tmp_path / "fragmented")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # fragment: 8 files per partition
+    orders.repartition(8).write.partitionBy("o_orderstatus").parquet(target)
+    before_rows = spark.read.parquet(target).count()
+    n_before = len(_files(target))
+    assert n_before >= 8
+
+    n = compact_partitions(spark, target, "o_orderstatus", partitions=["F"])
+    assert n == 1
+    after = _files(target)
+    f_files = [p for p in after if "o_orderstatus=F" in p]
+    assert len(f_files) == 1
+    assert spark.read.parquet(target).count() == before_rows
+
+    # full-table compaction
+    compact_partitions(spark, target, "o_orderstatus")
+    statuses = {"F", "O", "P"}
+    final = _files(target)
+    assert len(final) == len(
+        {s for s in statuses if any(f"o_orderstatus={s}" in p for p in final)}
+    )
+    assert spark.read.parquet(target).count() == before_rows
+
+
+def test_schema_evolution_merge_schema(spark, sf_dir, tmp_path):
+    """Evolving lake schema: files written before a column existed
+    read back as NULL for that column under mergeSchema — additive
+    evolution without rewriting history."""
+    target = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, amount double"
+    )
+    v1.write.parquet(f"{target}/batch=1")
+    v2 = spark.createDataFrame(
+        [(3, 30.0, "eur")], "id long, amount double, currency string"
+    )
+    v2.write.parquet(f"{target}/batch=2")
+
+    back = spark.read.option("mergeSchema", True).parquet(target)
+    assert set(back.columns) == {"id", "amount", "currency", "batch"}
+    rows = {r.id: r.currency for r in back.collect()}
+    assert rows == {1: None, 2: None, 3: "eur"}
