@@ -76,17 +76,48 @@ def main() -> None:
             # skews late queries
             spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-key detail goes to a file; stdout gets ONE compact JSON
+    # line. Round 1's 3.5 KB line overflowed the driver's stdout tail
+    # capture and parsed as null, so the printed line is kept under
+    # MAX_LINE bytes: slowest keys first, truncated to fit, with the
+    # full dict always available in BENCH_FULL.json.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(timings),
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            fh,
+            sort_keys=True,
         )
-    )
+        fh.write("\n")
+
+    MAX_LINE = 1600
+    shown: dict[str, float] = {}
+    envelope = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": shown,
+        "sf": sf_val,
+    }
+    by_cost = sorted(timings, key=lambda k: -timings[k])
+    for key in by_cost:
+        shown[key] = round(timings[key], 2)
+        if len(json.dumps(envelope, separators=(",", ":"))) > MAX_LINE:
+            del shown[key]
+            break
+    print(json.dumps(envelope, separators=(",", ":")))
     spark.stop()
 
 
