@@ -301,36 +301,45 @@ def llm_knn_lsh(spark, sf_dir):
     FROM s WHERE cos > 0.4
     """,
 )
-def llm_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cos > 0.4).
+def llm_embed_neardup(spark, sf_dir, n_blocks: int = 8):
+    """Embedding-cosine near-duplicate pairs (cos > 0.4), exact.
 
-    Exact all-pairs, computed in mapInPandas: the full normalized
-    corpus (tiny relative to pair count) broadcasts once, each
-    partition scores its rows against every higher-id row in one
-    vectorized pass. The float reduction uses ``np.cumsum`` — a
-    strictly sequential left-to-right sum — so every cosine is
-    bitwise identical to a JVM ``aggregate`` fold and to DuckDB's
-    ``list_inner_product`` (the hash-matched oracle). A BLAS matmul
-    would differ in final ulps; the HOF-lambda form it replaces cost
-    7× in bench (2 M interpreted 64-dim folds).
+    Distributed block-pair all-pairs — NO driver-side corpus collect:
+    each vector lands in one of ``n_blocks`` id-hash blocks, fans out
+    to the ``n_blocks`` block-pairs containing its block via a
+    broadcast join with the tiny (bi, bj) pair table, and each of the
+    P·(P+1)/2 ``applyInPandas`` tasks scores one block-pair in a
+    vectorized pass. Shuffle volume is n·P rows (P ≈ √(2·tasks), the
+    canonical exact-all-pairs replication factor); per-task memory is
+    two blocks, never the corpus; the driver holds nothing.
 
-    The 100 TB variant blocks by LSH bucket or IVF cell first and
-    only scores within-bucket pairs (same candidate→verify split as
-    text near-dup).
+    The float reduction uses ``np.cumsum`` — a strictly sequential
+    left-to-right sum — so every cosine is bitwise identical to a JVM
+    ``aggregate`` fold and to DuckDB's ``list_inner_product`` (the
+    hash-matched oracle). O(n²) compute is inherent to the exact
+    semantics — this key is the oracle anchor; the sublinear routes
+    are ``llm_knn_lsh`` / ``llm_knn_ivf``. At 100 TB set ``n_blocks ≈
+    √(2·n / rows_per_task)`` so each task's pair count stays bounded.
     """
-    import numpy as np
-
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    rows = e.collect()  # corpus matrix is small; pairs are the blowup
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    m = np.array([r.emb for r in rows], dtype=np.float64)
-    # sequential-sum norms: cumsum matches fold order exactly
-    norm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
-    u = m / norm[:, None]
-    order = np.argsort(ids, kind="stable")
-    bc = spark.sparkContext.broadcast((ids[order], u[order]))
+    blocked = e.withColumn(
+        "blk",
+        F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(n_blocks)).cast(
+            "int"
+        ),
+    )
+    pair_table = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    # a row in block b participates in every pair touching b; for
+    # bi == bj the two predicates coincide, so no duplicate fan-out
+    rep = blocked.join(
+        F.broadcast(pair_table),
+        (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+    )
 
     out_schema = T.StructType(
         [
@@ -340,34 +349,60 @@ def llm_embed_neardup(spark, sf_dir):
         ]
     )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        all_ids, all_u = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        bi = int(pdf["bi"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
+        same = bi == bj
+        sub = pdf[pdf["blk"] == bi] if same else pdf
+        ids = sub["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(list(sub["emb"]), dtype=np.float64)
+        # sequential-sum norms: cumsum matches fold order exactly
+        norm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+        u = m / norm[:, None]
+        if same:
+            a_ids, a_u = ids, u
+            b_ids, b_u = ids, u
+        else:
+            left = pdf["blk"].to_numpy() == bi
+            a_ids, a_u = ids[left], u[left]
+            b_ids, b_u = ids[~left], u[~left]
+        outs = []
+        # chunk the a-side so the (chunk, nb, dim) product stays ~16 MB
+        dim = m.shape[1] if m.size else 1
+        chunk = max(1, (2 << 20) // max(1, len(b_ids) * dim))
+        for s in range(0, len(a_ids), chunk):
+            ca_ids = a_ids[s : s + chunk]
+            ca_u = a_u[s : s + chunk]
+            if not len(ca_ids) or not len(b_ids):
                 continue
-            a_ids = pdf["vec_id"].to_numpy()
-            a_pos = np.searchsorted(all_ids, a_ids)
-            for i, pos in enumerate(a_pos):
-                mask = all_ids > a_ids[i]  # vec_a < vec_b
-                if not mask.any():
-                    continue
-                prod = all_u[mask] * all_u[pos][None, :]
-                cos = np.cumsum(prod, axis=1)[:, -1]  # sequential sum
-                keep = cos > 0.4
-                if keep.any():
-                    yield pd.DataFrame(
-                        {
-                            "vec_a": a_ids[i],
-                            "vec_b": all_ids[mask][keep],
-                            "cos": cos[keep],
-                        }
+            prod = ca_u[:, None, :] * b_u[None, :, :]
+            # cumsum over the vector axis = per-pair sequential sum,
+            # bitwise identical to the row-at-a-time fold
+            cos = np.cumsum(prod, axis=2)[:, :, -1]
+            pair_ok = cos > 0.4
+            if same:
+                pair_ok &= b_ids[None, :] > ca_ids[:, None]
+            ai, bj_ = np.nonzero(pair_ok)
+            if len(ai):
+                lo = np.minimum(ca_ids[ai], b_ids[bj_])
+                hi = np.maximum(ca_ids[ai], b_ids[bj_])
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_a": lo, "vec_b": hi, "cos": cos[ai, bj_]}
                     )
+                )
+        if outs:
+            return pd.concat(outs, ignore_index=True)
+        return pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
 
-    par = spark.sparkContext.defaultParallelism
-    pairs = e.select("vec_id").repartition(par).mapInPandas(
-        score, schema=out_schema
+    pairs = rep.groupBy("bi", "bj").applyInPandas(
+        score_block_pair, schema=out_schema
     )
     return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
 

@@ -125,9 +125,16 @@ def llm_tfidf(spark, sf_dir):
     `HashingTF`+`IDF` from pyspark.ml uses engine-specific hashing;
     the explicit DataFrame arithmetic is reproducible anywhere and the
     formula lives in one place on both engines.
+
+    Corpus size N is a 1-row aggregate cross-joined in (mirroring the
+    oracle's ``CROSS JOIN n``) — one job, no extra driver-side
+    ``count()`` pass over documents. The dfreq join is unhinted: the
+    vocabulary of a web-scale corpus is unbounded, so a forced
+    broadcast would pin an unbounded build side; AQE still broadcasts
+    when dfreq is actually small.
     """
     d = load_spread(spark, sf_dir, "documents")
-    n_total = d.count()
+    n_total = d.agg(F.count("*").alias("n_total"))
     words = F.split("text", " ")
     # doc_len comes from the projection (size of the split array), not
     # a second aggregation over exploded words — it rides the tf
@@ -152,13 +159,17 @@ def llm_tfidf(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.join(dfreq, "word")
+        .join(F.broadcast(n_total))  # 1-row cross join, like the oracle
         .select(
             "doc_id",
             "word",
             (
                 (F.col("n").cast("double") / F.col("doc_len"))
-                * F.log((n_total + 1.0) / (F.col("n_docs") + 1.0))
+                * F.log(
+                    (F.col("n_total") + F.lit(1.0))
+                    / (F.col("n_docs") + F.lit(1.0))
+                )
             ).alias("tfidf"),
         )
     )

@@ -860,16 +860,18 @@ def q21_waiting_supplier(spark, sf_dir):
     replace the semi-join + anti-join + cached late projection of the
     literal decorrelation — no materialization, and every exchange
     carries aggregates, the shape that survives a fact-sized corpus.
-    The date dimension is a 2-column broadcast here; past broadcast
-    size the same plan runs as a co-partitioned SMJ on orderkey (all
-    three inputs already shuffle on it).
+    The lineitem⋈orders join is deliberately unhinted: orders is a
+    fact table (1.5M rows/sf1 — forcing a broadcast OOMs executors at
+    100×), so the join runs as a co-partitioned SMJ on orderkey, and
+    AQE still converts to broadcast at runtime when the projected side
+    is actually small. Only `supplier` (a true dimension) is hinted.
     """
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     o2 = o.select("o_orderkey", "o_orderdate")
     late = (
-        li.join(F.broadcast(o2), li.l_orderkey == o2.o_orderkey)
+        li.join(o2, li.l_orderkey == o2.o_orderkey)
         .filter(
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
