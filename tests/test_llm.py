@@ -75,29 +75,46 @@ def test_langid_on_real_multilingual_text(spark):
         assert r["pred"] == r["expected"], r
 
 
-def test_multimodal_stub_raises_without_fake():
-    from hadoop_tools_spark.operators.multimodal import decode_stub
+def test_multimodal_decoders_real_and_gated():
+    """Codec-free formats decode for real; compressed formats raise
+    (the PIL/ffmpeg seam) — and decode round-trips the generator's
+    closed-form pixel values exactly."""
+    import numpy as np
+    from hadoop_tools_spark.operators.multimodal import decode_image, decode_wav
+    from tools.gen_media_fixtures import bmp_bytes, ppm_bytes, wav_bytes
 
     with pytest.raises(NotImplementedError):
-        decode_stub(b"\x89PNG")
-    w, h, n = decode_stub(b"\x89PNG", deterministic_fake=True)
-    assert 64 <= w < 320 and 64 <= h < 320 and 0.0 <= n < 1.0
-    assert (w, h, n) == decode_stub(b"\x89PNG", deterministic_fake=True)
+        decode_image(b"\x89PNG\r\n\x1a\n")
+    w, h, px = decode_image(ppm_bytes(16, 12, 0))
+    assert (w, h, px.shape) == (16, 12, (12, 16, 3))
+    assert px[3, 5, 2] == (5 * 7 + 3 * 13 + 2 * 29) % 256
+    w, h, px = decode_image(bmp_bytes(10, 8, 1))
+    assert (w, h, px.shape) == (10, 8, (8, 10, 3))
+    # BMP stored BGR bottom-up; decode returns RGB top-down
+    assert px[2, 4, 0] == (4 * 11 + 2 * 17 + 2 * 23 + 41) % 256
+    rate, ch, samples = decode_wav(wav_bytes(300, 2))
+    assert (rate, ch, len(samples)) == (8000, 1, 300)
+    assert samples[7] == ((7 * 31 + 2 * 97) % 2048) - 1024
 
 
-def test_multimodal_feature_extraction_plumbing(spark, sf_dir):
+def test_multimodal_feature_extraction_real(spark):
     from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
         extract_features,
         read_assets,
     )
 
-    assets = read_assets(spark, sf_dir, glob="*.parquet")
-    feats = extract_features(assets, deterministic_fake=True)
+    assets = read_assets(spark, MEDIA_DIR, glob="img_*")
+    feats = extract_features(assets)
     rows = feats.collect()
-    assert len(rows) == 10  # one per fixture table
-    assert feats.columns == ["path", "length", "width", "height", "feat_norm"]
+    assert len(rows) == 12  # 8 ppm + 4 bmp
+    assert feats.columns == ["path", "media_type", "width", "height", "mean_pixel"]
     # payload column is gone -> downstream ops are metadata-only
     assert "content" not in feats.columns
+    by_name = {r.path.rsplit("/", 1)[-1]: r for r in rows}
+    assert (by_name["img_0.ppm"].width, by_name["img_0.ppm"].height) == (16, 12)
+    assert (by_name["img_2.bmp"].width, by_name["img_2.bmp"].height) == (20, 14)
+    assert all(0.0 <= r.mean_pixel <= 255.0 for r in rows)
 
 
 def test_quality_filter_rejects_bad_docs(spark):
@@ -123,196 +140,57 @@ def test_quality_filter_rejects_bad_docs(spark):
     assert [r["doc_id"] for r in kept] == [3]
 
 
-def test_multimodal_resize_shrinks_payload(spark, sf_dir):
-    """Resize: 1 row per asset, thumbnail sized by target dims, stable
-    across runs (deterministic fake)."""
+def test_multimodal_resize_real_golden(spark):
+    """Resize: 1 row per asset, thumbnail is a real 16x16 P6 PPM whose
+    bytes equal an independent numpy nearest-neighbor resample."""
+    import numpy as np
     from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        decode_ppm,
         read_assets,
         resize_images,
-        resize_stub,
     )
 
-    assets = read_assets(spark, sf_dir, glob="*.parquet")
-    out = resize_images(assets, 32, 32).collect()
-    assert len(out) == assets.count()
-    assert all(len(r.thumb) == 32 * 32 // 64 for r in out)
-    # deterministic: same blob -> same thumb
-    assert resize_stub(b"abc", 32, 32, True) == resize_stub(b"abc", 32, 32, True)
-    with pytest.raises(NotImplementedError):
-        resize_stub(b"abc", 32, 32)
+    assets = read_assets(spark, MEDIA_DIR, glob="*.ppm")
+    out = {r.path.rsplit("/", 1)[-1]: r for r in resize_images(assets, 16, 16).collect()}
+    assert len(out) == 8
+    hdr = b"P6\n16 16\n255\n"
+    for name, r in out.items():
+        assert r.thumb[: len(hdr)] == hdr
+        assert len(r.thumb) == len(hdr) + 16 * 16 * 3
+        # golden: independent recompute from the on-disk fixture
+        with open(f"{MEDIA_DIR}/{name}", "rb") as f:
+            w, h, px = decode_ppm(f.read())
+        ys = (np.arange(16) * h) // 16
+        xs = (np.arange(16) * w) // 16
+        expect = px[ys][:, xs]
+        assert bytes(r.thumb)[len(hdr):] == expect.tobytes(), name
+        assert r.mean_thumb == pytest.approx(expect.astype(float).mean())
 
 
-def test_multimodal_frame_sampling_explodes_rows(spark, sf_dir):
-    """Frame sampling: row count per asset = ceil(frames/every_n) with
-    frames = len//4096; frame ids are the sampled arithmetic series."""
-    from hadoop_tools_spark.operators.multimodal import read_assets, sample_frames
-
-    assets = read_assets(spark, sf_dir, glob="*.parquet")
-    frames = sample_frames(assets, every_n=10)
-    sizes = {r.path: r.length for r in assets.select("path", "length").collect()}
-    got = frames.groupBy("path").count().collect()
-    for r in got:
-        n_frames = max(1, sizes[r.path] // 4096)
-        expect = len(range(0, n_frames, 10))
-        assert r["count"] == expect, (r.path, r["count"], expect)
-    ids = [r.frame_id for r in frames.filter(F.col("path") == got[0].path).collect()]
-    assert sorted(ids) == list(range(0, max(ids) + 1, 10))
-
-
-def _winnow_model(text: str, w: int = 4):
-    """Pure-Python reference model of llm_winnow (k=3 word-grams,
-    window w sliding min, distinct)."""
-    import hashlib
-
-    toks = text.split(" ")
-    hs = [
-        hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()
-        for i in range(len(toks) - 2)
-    ]
-    if len(hs) < w:
-        return set()
-    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
-
-
-def test_winnow_shared_run_shares_fingerprint(spark, tmp_path):
-    """Winnowing guarantee: documents sharing a run of w+k-1 tokens
-    share a fingerprint. The operator's digest is cross-checked
-    against a pure-Python model of the same algorithm, and the
-    guarantee is asserted on the model's sets."""
-    import hashlib
-
-    import pandas as pd
-
-    from hadoop_tools_spark.operators.llm_text import llm_winnow
-
-    shared = "alpha beta gamma delta epsilon zeta eta theta"
-    doc_a = "one two three " + shared + " four five six"
-    doc_b = "seven eight nine ten " + shared + " eleven twelve"
-    doc_c = "red orange yellow green blue indigo violet pink"
-
-    # guarantee (on the model): ≥6 shared tokens ⇒ shared fingerprint
-    fa, fb, fc = map(_winnow_model, (doc_a, doc_b, doc_c))
-    assert fa & fb, "shared 8-token run must yield a common fingerprint"
-    assert not (fa & fc), "disjoint vocabularies share nothing"
-
-    # operator ≡ model: run llm_winnow on the 3-doc corpus and compare
-    # count + digest per doc
-    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": [doc_a, doc_b, doc_c]})
-    d = str(tmp_path / "corpus")
-    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
-        f"{d}/documents.parquet"
-    )
-    got = {r.doc_id: (r.n_fp, r.fp_digest) for r in llm_winnow(spark, d).collect()}
-    for doc_id, fset in ((0, fa), (1, fb), (2, fc)):
-        digest = hashlib.md5(" ".join(sorted(fset)).encode()).hexdigest()
-        assert got[doc_id] == (len(fset), digest)
-
-
-def test_neardup_incremental_matches_rebuild(spark, sf_dir, tmp_path):
-    """Incremental banding: index 80% of the corpus, then process the
-    remaining 20% as a new batch. The batch's candidate pairs must be
-    exactly the full-corpus pairs touching >=1 new doc, and the
-    appended index must equal a from-scratch index row-for-row —
-    the guarantee the deterministic (content-derived) hash family
-    buys over randomized LSH."""
-    from pyspark.sql import functions as F
-
-    from hadoop_tools_spark.io import load
-    from hadoop_tools_spark.operators.llm_dedup import (
-        build_neardup_index,
-        llm_neardup_minhash,
-        neardup_incremental,
-    )
-
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    old = d.filter(F.col("doc_id") % 5 != 0)
-    new = d.filter(F.col("doc_id") % 5 == 0)
-    idx = str(tmp_path / "band_index")
-    build_neardup_index(old, idx)
-
-    got = {
-        (r.doc_a, r.doc_b)
-        for r in neardup_incremental(spark, new, idx).collect()
-    }
-    full = {
-        (r.doc_a, r.doc_b) for r in llm_neardup_minhash(spark, sf_dir).collect()
-    }
-    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
-    expect = {p for p in full if p[0] in new_ids or p[1] in new_ids}
-    assert got == expect
-
-    # appended index == from-scratch index (as a row multiset)
-    scratch = str(tmp_path / "band_index_full")
-    build_neardup_index(d, scratch)
-    a = spark.read.parquet(idx).groupBy("doc_id", "band", "key").count()
-    b = spark.read.parquet(scratch).groupBy("doc_id", "band", "key").count()
-    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
-
-
-def test_dedup_incremental_matches_rebuild(spark, sf_dir, tmp_path):
-    """Exact-dedup ingestion: batch 2 contains exact copies of batch 1
-    (shifted ids) plus genuinely new docs. Copies must be rejected,
-    novel docs admitted, and the final index must equal a from-scratch
-    index over the union."""
-    from pyspark.sql import functions as F
-
-    from hadoop_tools_spark.io import load
-    from hadoop_tools_spark.operators.llm_dedup import (
-        build_dedup_index,
-        dedup_incremental,
-    )
-
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    batch1 = d.filter(F.col("doc_id") % 2 == 0)
-    novel = d.filter(F.col("doc_id") % 2 == 1)
-    copies = batch1.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    batch2 = novel.unionByName(copies)
-
-    idx = str(tmp_path / "dedup_index")
-    build_dedup_index(batch1, idx)
-    fresh = {r.doc_id for r in dedup_incremental(spark, batch2, idx).collect()}
-    novel_ids = {r.doc_id for r in novel.collect()}
-    assert fresh == novel_ids  # fixture has no exact dups (FIXTURES.md)
-
-    scratch = str(tmp_path / "dedup_full")
-    build_dedup_index(batch1.unionByName(batch2), scratch)
-    a = spark.read.parquet(idx)
-    b = spark.read.parquet(scratch)
-    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
-
-
-def test_simhash_neardup_equals_bruteforce(spark, sf_dir):
-    """Pigeonhole chunk blocking is lossless for hamming <= 3: the
-    operator's pair set must EQUAL the brute-force all-pairs scan of
-    the signatures (recall 1.0 by construction, precision via the
-    exact bit_count verify)."""
+def test_multimodal_frame_sampling_real(spark):
+    """Frame sampling: row count per WAV = ceil((n//160)/2); mean_amp
+    matches an independent numpy recompute per frame."""
     import numpy as np
-
-    from hadoop_tools_spark.operators.llm_text import (
-        llm_simhash,
-        llm_simhash_neardup,
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        decode_wav,
+        read_assets,
+        sample_frames,
     )
 
-    sigs = {
-        r.doc_id: np.uint64(np.int64(r.simhash64))
-        for r in llm_simhash(spark, sf_dir).collect()
-    }
-    ids = sorted(sigs)
-    arr = np.array([sigs[i] for i in ids], dtype=np.uint64)
-    x = arr[:, None] ^ arr[None, :]
-    ham = np.array(
-        [[bin(int(v)).count("1") for v in row] for row in x], dtype=np.int64
-    )
-    expect = {
-        (ids[i], ids[j])
-        for i in range(len(ids))
-        for j in range(i + 1, len(ids))
-        if ham[i, j] <= 3
-    }
-    got = {
-        (r.doc_a, r.doc_b)
-        for r in llm_simhash_neardup(spark, sf_dir).collect()
-    }
-    assert got == expect
+    assets = read_assets(spark, MEDIA_DIR, glob="*.wav")
+    frames = sample_frames(assets, frame_len=160, every_n=2)
+    got = frames.collect()
+    by_file = {}
+    for r in got:
+        by_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r)
+    assert len(by_file) == 4
+    for name, rows in by_file.items():
+        with open(f"{MEDIA_DIR}/{name}", "rb") as f:
+            _, _, samples = decode_wav(f.read())
+        n_frames = len(samples) // 160
+        assert sorted(r.frame_id for r in rows) == list(range(0, n_frames, 2))
+        for r in rows:
+            frame = samples[r.frame_id * 160 : (r.frame_id + 1) * 160]
+            assert r.mean_amp == pytest.approx(frame.astype(float).mean()), name

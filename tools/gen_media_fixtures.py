@@ -1,0 +1,85 @@
+"""Generate deterministic codec-free media fixtures (PPM/BMP/WAV).
+
+Written to assets/media/ and committed: the multimodal operators
+decode these for real (pure-Python header+pixel parsing — no codec
+libraries needed), and the DuckDB oracles re-derive dimensions and
+pixel statistics from the same bytes via hex-string arithmetic, so
+the keys are hash-matchable end-to-end.
+
+Formats are the canonical minimal encodings:
+- PPM P6: ``P6\\n{w} {h}\\n255\\n`` + w*h*3 RGB bytes.
+- BMP: 54-byte header (BITMAPFILEHEADER + BITMAPINFOHEADER), 24 bpp,
+  uncompressed, bottom-up rows padded to 4 bytes.
+- WAV: 44-byte RIFF/PCM header, mono, 16-bit signed LE, 8 kHz.
+
+Pixel/sample values are closed-form functions of coordinates so both
+engines (and tests) can recompute them independently.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets", "media")
+
+
+def ppm_bytes(w: int, h: int, seed: int) -> bytes:
+    header = f"P6\n{w} {h}\n255\n".encode()
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                px.append((x * 7 + y * 13 + c * 29 + seed * 31) % 256)
+    return header + bytes(px)
+
+
+def bmp_bytes(w: int, h: int, seed: int) -> bytes:
+    stride = (w * 3 + 3) // 4 * 4
+    imgsize = stride * h
+    filesize = 54 + imgsize
+    fileheader = struct.pack("<2sIHHI", b"BM", filesize, 0, 0, 54)
+    infoheader = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, imgsize, 2835, 2835, 0, 0
+    )
+    px = bytearray()
+    for row in range(h):  # bottom-up: row 0 is the bottom scanline
+        y = h - 1 - row
+        for x in range(w):
+            for c in range(3):  # BGR order on disk
+                px.append((x * 11 + y * 17 + c * 23 + seed * 41) % 256)
+        px.extend(b"\x00" * (stride - w * 3))
+    return fileheader + infoheader + bytes(px)
+
+
+def wav_bytes(n_samples: int, seed: int, rate: int = 8000) -> bytes:
+    data = bytearray()
+    for i in range(n_samples):
+        v = ((i * 31 + seed * 97) % 2048) - 1024  # deterministic int16
+        data += struct.pack("<h", v)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + bytes(data)
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for i in range(8):
+        w, h = 16 + i * 3, 12 + i * 2
+        with open(os.path.join(OUT, f"img_{i}.ppm"), "wb") as f:
+            f.write(ppm_bytes(w, h, i))
+    for i in range(4):
+        w, h = 10 + i * 5, 8 + i * 3  # widths hit all 4 padding cases
+        with open(os.path.join(OUT, f"img_{i}.bmp"), "wb") as f:
+            f.write(bmp_bytes(w, h, i))
+    for i in range(4):  # 12-22 frames each at frame_len=160
+        with open(os.path.join(OUT, f"snd_{i}.wav"), "wb") as f:
+            f.write(wav_bytes(2048 + 512 * i, i))
+    print(f"wrote fixtures to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
