@@ -396,15 +396,52 @@ def llm_winnow(spark, sf_dir):
     )
 
 
-@query("llm_simhash")  # rows-only: no tractable SQL analogue
+# SimHash signature CTE shared by the llm_simhash / llm_simhash_neardup
+# oracles: DuckDB re-derives the md5 word-hash bit votes independently
+# (hex-prefix → UBIGINT, per-bit sign sum, bit 63 re-assembled in two's
+# complement so the BIGINT matches Spark's long exactly).
+_SIMHASH_CTE = """
+    WITH words AS (
+        SELECT doc_id, w, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w
+    ),
+    hashed AS (
+        SELECT doc_id, cnt,
+               ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+        FROM words
+    ),
+    votes AS (
+        SELECT doc_id, b.i,
+               SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+        FROM hashed, (SELECT unnest(generate_series(0, 63)) AS i) b
+        GROUP BY doc_id, b.i
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN
+                     CASE WHEN i = 63 THEN -9223372036854775808
+                          ELSE (1::BIGINT << i) END
+                   ELSE 0 END) AS BIGINT) AS simhash64
+        FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "llm_simhash",
+    oracle=_SIMHASH_CTE + "SELECT doc_id, simhash64 FROM sig ORDER BY doc_id",
+)
 def llm_simhash(spark, sf_dir):
     """64-bit SimHash per document via Arrow-batched mapInPandas.
 
     md5-derived word hashes (deterministic, engine-independent) with
     numpy bit-vote majority — near-dup docs differ in few bits, so
     hamming distance over signatures blocks candidates at scale.
-    Property-tested in tests/test_llm.py (prefix-pair docs have much
-    smaller hamming distance than random pairs).
+    Hash-matched against a DuckDB oracle that re-derives the votes from
+    md5 hex; property-tested in tests/test_llm.py (prefix-pair docs have
+    much smaller hamming distance than random pairs).
     """
     import hashlib
 
