@@ -9,6 +9,8 @@ modules are pulled in via :mod:`hadoop_tools_spark.all_queries`.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -26,6 +28,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: (CORRECTNESS_r01.json). The driver samples the first N entries of
 #: ``queries()``, so keys *not* yet driver-verified are ordered first —
 #: oracle'd ones before rows-only ones — to maximise fresh coverage.
+#: Later rounds are merged in dynamically from CORRECTNESS_r*.json (see
+#: ``_driver_covered``) so this literal only needs to cover round 1.
 R01_DRIVER_COVERED = frozenset(
     {
         "fn_string", "fn_datetime", "fn_math", "fn_cond", "fn_array",
@@ -46,11 +50,29 @@ R01_DRIVER_COVERED = frozenset(
 )
 
 
+def _driver_covered() -> frozenset[str]:
+    """Union of every key any past driver round has already sampled.
+
+    Reads all ``CORRECTNESS_r*.json`` files next to this module so new
+    rounds extend coverage automatically — no per-round literal edits.
+    """
+    covered = set(R01_DRIVER_COVERED)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                covered.update(json.load(fh))
+        except (OSError, ValueError):
+            continue  # unreadable round file: skip, never break the driver
+    return frozenset(covered)
+
+
 def _ordered_keys() -> list[str]:
     """Coverage-maximising order for the driver's capped key sample."""
+    driver_covered = _driver_covered()
 
     def rank(key: str) -> tuple[int, str]:
-        covered = key in R01_DRIVER_COVERED
+        covered = key in driver_covered
         has_oracle = key in registry.ORACLES
         if not covered and has_oracle:
             tier = 0  # fresh hash-matchable coverage first

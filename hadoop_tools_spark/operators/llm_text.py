@@ -551,7 +551,7 @@ def llm_token_stats(spark, sf_dir):
         FROM docs
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(n_words) AS total_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
            ROUND(AVG(CAST(n_distinct AS DOUBLE) / n_words), 6) AS avg_uniq
     FROM feats
     WHERE n_words BETWEEN 5 AND 10000

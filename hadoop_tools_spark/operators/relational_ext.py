@@ -290,8 +290,8 @@ def q11_important_parts(spark, sf_dir):
     SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
                 THEN 'high' ELSE 'low' END AS prio_class,
            COUNT(*) AS n_items,
-           SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-                    THEN 1 ELSE 0 END) AS n_late
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY prio_class
     ORDER BY prio_class

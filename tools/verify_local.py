@@ -61,6 +61,15 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         errs.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
     s, o = canon(sdf), canon(odf)
+    # driver's value hash is type-sensitive: an int column on one side vs
+    # float on the other (e.g. DuckDB HUGEINT SUM surfacing as float64)
+    # hash-mismatches even when values are numerically equal
+    for c in s.columns:
+        if {s[c].dtype.kind, o[c].dtype.kind} == {"i", "f"}:
+            errs.append(
+                f"dtype mismatch col {c}: spark={s[c].dtype} oracle={o[c].dtype}"
+                " (int-vs-float hash-mismatches in the driver)"
+            )
     n = min(len(s), len(o))
     bad = 0
     for i in range(n):
