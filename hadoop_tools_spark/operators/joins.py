@@ -32,15 +32,16 @@ from ..registry import query
 def join_inner(spark, sf_dir):
     """Fact→dim chain: orders ⋈ customer ⋈ nation.
 
-    customer/nation are dims — broadcast them so the orders side never
-    shuffles; at 100 TB the orders scan streams through two broadcast
-    hash joins inside one codegen stage.
+    nation (25 rows, fixed at any SF) is statically broadcast so the
+    chain ends in a codegen-stage hash join. customer scales with SF
+    (150k rows per SF), so it carries no hint — AQE broadcasts it at
+    runtime when small and shuffles on custkey otherwise.
     """
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
             "o_orderkey",

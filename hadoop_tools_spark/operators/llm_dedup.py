@@ -291,7 +291,9 @@ def llm_jaccard_ngram(spark, sf_dir):
         .filter(F.col("n") > 1)
         .select("pfx")
     )
-    g = keyed.join(F.broadcast(multi), "pfx", "left_semi").select(
+    # multi-member prefix count scales with the corpus → no static
+    # broadcast hint; AQE converts the semi join when it fits
+    g = keyed.join(multi, "pfx", "left_semi").select(
         "doc_id", "pfx", gram_expr.alias("grams")
     )
     # materialize: the blocked self-join reads g on both sides
@@ -321,19 +323,32 @@ def llm_jaccard_ngram(spark, sf_dir):
 def llm_neardup_lsh(spark, sf_dir):
     """pyspark.ml MinHashLSH approxSimilarityJoin — the stock scale
     path. Randomized hash family ⇒ rows-only; recall vs the exact
-    prefix pairs is bounded in tests/test_approx.py."""
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, Tokenizer
+    prefix pairs is bounded in tests/test_approx.py.
+
+    Features come from HashingTF (fit-free, fixed 2^18-dim space, one
+    distributed pass), not CountVectorizer — CountVectorizer.fit
+    builds the corpus-wide n-gram vocabulary on the driver, which is
+    an OOM at 100 TB. Hash collisions only *merge* shingles (slightly
+    raising estimated similarity), so LSH recall is preserved.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
     tok = Tokenizer(inputCol="text", outputCol="words")
     words = tok.transform(d)
     grams = NGram(n=3, inputCol="words", outputCol="grams").transform(words)
-    cv = CountVectorizer(
-        inputCol="grams", outputCol="features", binary=True, minDF=1.0
-    ).fit(grams)
+    tf = HashingTF(
+        inputCol="grams", outputCol="features", binary=True, numFeatures=1 << 18
+    )
+    # drop gram-less docs: MinHashLSH requires ≥1 non-zero entry
+    feats = (
+        tf.transform(grams)
+        .filter(F.size("grams") > 0)
+        .select("doc_id", "features")
+    )
     # cached: both sides of the self approxSimilarityJoin scan this;
-    # uncached, tokenize+ngram+vectorize runs twice
-    feats = materialize(cv.transform(grams).select("doc_id", "features"))
+    # uncached, tokenize+ngram+hash runs twice
+    feats = materialize(feats)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(feats)

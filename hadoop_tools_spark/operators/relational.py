@@ -90,8 +90,11 @@ def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: three-way join, filtered fact agg, global
     top-10 by revenue.
 
-    customer is a dim → broadcast; orders↔lineitem is the fact join
-    (shuffle on orderkey); the final top-10 plans as
+    customer scales with SF (150k rows *per* SF → 10^8+ at 100 TB), so
+    it carries no static broadcast hint: AQE converts the join to
+    broadcast at runtime when the filtered side is actually small, and
+    falls back to a shuffle join when it isn't. orders↔lineitem is the
+    fact join (shuffle on orderkey); the final top-10 plans as
     TakeOrderedAndProject (per-task heaps, driver merges k·tasks —
     never a global sort). Tie-break on l_orderkey keeps the limit
     deterministic.
@@ -106,7 +109,7 @@ def q3_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > "1998-03-15"
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -220,10 +223,12 @@ def q5_local_supplier(spark, sf_dir):
     """TPC-H Q5 shape: six-way join, revenue by nation.
 
     Join order: the fact chain (orders→lineitem) shuffles on orderkey
-    once; supplier/nation/region are dims and broadcast, so the extra
-    c_nationkey = s_nationkey residual costs no extra exchange. The
-    region filter prunes nation (and transitively supplier rows) at
-    the broadcast build, shrinking the probe before the fact scan.
+    once. Only nation (25 rows) and region (5 rows) are statically
+    broadcast — they are fixed-size at any SF. customer and supplier
+    scale with SF (150k / 10k rows per SF), so they carry no hint: AQE
+    converts those joins to broadcast at runtime when the side is
+    genuinely small and shuffles otherwise. The region filter still
+    prunes nation at the broadcast build.
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
@@ -235,10 +240,10 @@ def q5_local_supplier(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -273,25 +278,27 @@ def q17_small_qty_revenue(spark, sf_dir):
     quantity threshold).
 
     The DataFrame form is the decorrelated plan: pre-aggregate
-    avg(l_quantity) per partkey once, broadcast it, and filter the
-    fact against its own group's threshold. At 100 TB the
-    pre-aggregate is a map-side-combined shuffle of (partkey, sum,
-    count) — tiny next to re-evaluating the subquery per row — and
-    restricting it to the brand's parts first (semi-join) keeps the
-    broadcast small.
+    avg(l_quantity) per partkey once and filter the fact against its
+    own group's threshold. At 100 TB the pre-aggregate is a
+    map-side-combined shuffle of (partkey, sum, count) — tiny next to
+    re-evaluating the subquery per row. part and the per-part
+    threshold both scale with SF (200k parts per SF), so neither is
+    statically broadcast — AQE decides at runtime; restricting the
+    fact to the brand's parts first (semi-join) keeps both sides
+    small when the brand is selective.
     """
     p = load(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#13"
     ).select("p_partkey")
     li = load(spark, sf_dir, "lineitem")
     # threshold only needed for the brand's parts: semi-join first
-    li_brand = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    li_brand = li.join(p, li.l_partkey == p.p_partkey, "left_semi")
     thresh = li_brand.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("qty_limit")
     )
     return (
         li_brand.join(
-            F.broadcast(thresh).withColumnRenamed("l_partkey", "t_partkey"),
+            thresh.withColumnRenamed("l_partkey", "t_partkey"),
             F.col("l_partkey") == F.col("t_partkey"),
         )
         .filter(F.col("l_quantity") < F.col("qty_limit"))

@@ -73,9 +73,10 @@ def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: bilateral trade volume between two nations.
 
     The OR predicate spans both join branches, so it can only be
-    applied after both nation joins — but each nation dim is first
-    pre-filtered to the two named nations, which prunes supplier and
-    customer rows at the broadcast build before the fact join.
+    applied after both nation joins — each nation dim (25 rows, fixed
+    at any SF) is pre-filtered to the two named nations and broadcast.
+    supplier and customer scale with SF, so they carry no static hint:
+    AQE broadcasts them at runtime only when actually small.
     """
     nations = ("NATION_1", "NATION_2")
     n1 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
@@ -85,14 +86,14 @@ def q7_volume_shipping(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     df = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(
             F.broadcast(n1.select(F.col("n_nationkey").alias("nk1"),
                                   F.col("n_name").alias("supp_nation"))),
             F.col("s_nationkey") == F.col("nk1"),
         )
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(n2.select(F.col("n_nationkey").alias("nk2"),
                                   F.col("n_name").alias("cust_nation"))),
@@ -149,10 +150,12 @@ def q7_volume_shipping(spark, sf_dir):
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: one nation's share of regional revenue per year.
 
-    Ratio-of-conditional-sums over an 8-table star. All seven
-    non-fact sides broadcast; the part filter (p_type) prunes the
-    fact at the first join, so downstream joins see only matching
-    lineitems.
+    Ratio-of-conditional-sums over an 8-table star. Only the
+    fixed-size dims (nation=25, region=5) are statically broadcast;
+    part, supplier, and customer scale with SF and are left unhinted
+    for AQE to broadcast at runtime when small. The part filter
+    (p_type) still prunes the fact at the first join, so downstream
+    joins see only matching lineitems.
     """
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = load(spark, sf_dir, "lineitem")
@@ -163,10 +166,10 @@ def q8_market_share(spark, sf_dir):
     n2 = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     df = (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(n1.select(F.col("n_nationkey").alias("cnk"),
                                   F.col("n_regionkey").alias("crk"))),
@@ -234,7 +237,7 @@ def q10_returned_items(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
@@ -382,9 +385,11 @@ def q13_order_distribution(spark, sf_dir):
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: promo revenue share over a ship-date window.
 
-    The date filter pushes to the parquet scan; part broadcasts; the
-    ratio is a single global agg, so the reduce side is one partial
-    per task.
+    The date filter pushes to the parquet scan; part scales with SF
+    (200k rows per SF) so it is left unhinted — AQE broadcasts the
+    2-column projection at runtime when small, shuffles otherwise.
+    The ratio is a single global agg, so the reduce side is one
+    partial per task.
     """
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = load(spark, sf_dir, "lineitem").filter(
@@ -392,7 +397,7 @@ def q14_promo_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < "1997-03-01")
     )
     rev = _revenue()
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         F.round(
             100.0
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
@@ -425,10 +430,12 @@ def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
 
     The revenue aggregation is computed once (cached), reduced to its
-    global max, and the max re-joins as a broadcast scalar — the
-    pattern that replaces the SQL view + scalar subquery with one
-    shuffle and two broadcast exchanges. Revenue is rounded *before*
-    the max comparison on both sides so float equality is exact.
+    global max, and the max re-joins as a broadcast scalar (1 row,
+    constant at any SF — the only static hint here). supplier scales
+    with SF and is unhinted; the max-filtered revenue side is a
+    handful of rows at runtime, which AQE sees and broadcasts.
+    Revenue is rounded *before* the max comparison on both sides so
+    float equality is exact.
     """
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01")
@@ -443,7 +450,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -475,7 +482,7 @@ def q16_supplier_variety(spark, sf_dir):
     )
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
@@ -507,9 +514,12 @@ def q18_large_orders(spark, sf_dir):
     qualifying order's quantity sum, so it joins back as the value
     itself rather than semi-filtering and re-aggregating raw lineitem
     (the naive plan reads and shuffles the fact twice; this one
-    shuffles it once, then everything else is broadcast). The SQL
-    oracle keeps the textbook GROUP BY — one row per order either
-    way, so results are identical.
+    shuffles it once). The qualifying-order set and customer both
+    grow with SF, so neither is statically broadcast — the HAVING
+    filter is highly selective, and AQE broadcasts the surviving rows
+    at runtime when they fit. The SQL oracle keeps the textbook
+    GROUP BY — one row per order either way, so results are
+    identical.
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
@@ -520,8 +530,8 @@ def q18_large_orders(spark, sf_dir):
         .filter(F.col("qty") > 250)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -554,9 +564,11 @@ def q19_disjunctive_revenue(spark, sf_dir):
     both join sides.
 
     The part-only disjunction (brand ∨ brand ∨ brand) is applied to
-    the dimension before broadcast — the derivable prefix of the OR —
-    so the hash table holds only candidate parts; the full mixed
-    predicate filters after the join.
+    the dimension up front — the derivable prefix of the OR — so the
+    join side holds only candidate parts; the full mixed predicate
+    filters after the join. part scales with SF so it carries no
+    static broadcast hint; the brand filter makes the side small at
+    runtime, which AQE sees and broadcasts.
     """
     p = load(spark, sf_dir, "part").filter(
         F.col("p_brand").isin("Brand#12", "Brand#14", "Brand#16")
@@ -580,7 +592,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(_revenue()), 2).alias("revenue"),
@@ -671,9 +683,12 @@ def q2_min_cost_supplier(spark, sf_dir):
     The selective part predicate (p_size=15, ~2% of parts) semi-joins
     the FACT before the distinct, so the relationship-grain collapse
     and every dimension join run on the 2%, not the full fact — the
-    transitive-predicate-first rule the q5/q19 plans follow. No float
-    arithmetic touches s_acctbal before the equality, so the
-    raw-double comparison is exact in both engines.
+    transitive-predicate-first rule the q5/q19 plans follow. Static
+    broadcast hints only on nation/region (fixed-size); part and
+    supplier scale with SF, so AQE decides those at runtime (the
+    p_size filter keeps part small in practice). No float arithmetic
+    touches s_acctbal before the equality, so the raw-double
+    comparison is exact in both engines.
     """
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
@@ -682,7 +697,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     ps = (
         li.join(
-            F.broadcast(p.select("p_partkey")),
+            p.select("p_partkey"),
             li.l_partkey == F.col("p_partkey"),
             "left_semi",
         )
@@ -690,7 +705,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         .distinct()
     )
     costs = (
-        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("l_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
@@ -699,7 +714,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     return (
         costs.withColumn("min_bal", F.min("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("min_bal"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .select(
             F.col("l_partkey").alias("p_partkey"),
             "p_name",
@@ -734,10 +749,13 @@ def q9_product_profit(spark, sf_dir):
     price — no partsupp): profit by supplier nation and year for a
     part-name family.
 
-    The LIKE filter prunes part at the broadcast build, which then
-    prunes the fact at the first join — the selective dimension goes
-    first. Profit arithmetic is a single projected expression inside
-    codegen; the only shuffle is orders↔lineitem.
+    The LIKE filter prunes part first, which then prunes the fact at
+    the first join — the selective dimension goes first. part and
+    supplier scale with SF so they carry no static broadcast hint
+    (AQE converts at runtime when the filtered side fits); nation is
+    fixed-size and stays hinted. Profit arithmetic is a single
+    projected expression inside codegen; the only shuffle is
+    orders↔lineitem.
 
     The profit expression subtracts two same-magnitude products, so a
     double SUM's last-ulp order sensitivity can straddle a rounding
@@ -755,8 +773,8 @@ def q9_product_profit(spark, sf_dir):
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
@@ -792,11 +810,13 @@ def q20_excess_shippers(spark, sf_dir):
     """TPC-H Q20 shape: nested IN chains — suppliers who shipped a
     large volume of a part class in a year.
 
-    Both INs become broadcast semi joins: part's filter feeds a semi
-    join that prunes the fact before the per-supplier aggregation,
-    and the HAVING output (tiny) semi-joins supplier. The fact is
-    scanned once, aggregated once, and never joined row-to-row with
-    supplier.
+    Both INs become semi joins: part's filter feeds a semi join that
+    prunes the fact before the per-supplier aggregation, and the
+    HAVING output semi-joins supplier. Both semi-join build sides
+    scale with SF (part subset, qualifying suppliers), so neither is
+    statically broadcast — AQE converts at runtime when they fit. The
+    fact is scanned once, aggregated once, and never joined
+    row-to-row with supplier.
     """
     s = load(spark, sf_dir, "supplier")
     p_small = (
@@ -809,14 +829,14 @@ def q20_excess_shippers(spark, sf_dir):
         & (F.col("l_shipdate") < "1998-01-01")
     )
     big_shippers = (
-        li.join(F.broadcast(p_small), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(p_small, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 100)
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(big_shippers), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        s.join(big_shippers, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_suppkey")
         .orderBy("s_suppkey")
     )
@@ -860,11 +880,13 @@ def q21_waiting_supplier(spark, sf_dir):
     replace the semi-join + anti-join + cached late projection of the
     literal decorrelation — no materialization, and every exchange
     carries aggregates, the shape that survives a fact-sized corpus.
-    The lineitem⋈orders join is deliberately unhinted: orders is a
-    fact table (1.5M rows/sf1 — forcing a broadcast OOMs executors at
-    100×), so the join runs as a co-partitioned SMJ on orderkey, and
-    AQE still converts to broadcast at runtime when the projected side
-    is actually small. Only `supplier` (a true dimension) is hinted.
+    Every join is deliberately unhinted: orders is a fact table
+    (1.5M rows/sf1 — forcing a broadcast OOMs executors at 100×), so
+    lineitem⋈orders runs as a co-partitioned SMJ on orderkey; and
+    supplier, while dimension-shaped, still scales with SF (10k
+    rows/sf — 10^7 at the 100 TB target), so AQE decides that join at
+    runtime too. Hints are reserved for nation/region, which are
+    constant-size at any SF.
     """
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -894,7 +916,7 @@ def q21_waiting_supplier(spark, sf_dir):
     )
     return (
         sole_late.join(multi, F.col("l_orderkey") == F.col("k2"), "left_semi")
-        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .join(s, F.col("suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -13,6 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: join types for which replicating the small side is semantics-preserving.
+#: right/full outer are NOT: an unmatched small-side row would surface once
+#: per salt replica (n_salts duplicates).
+_SALTABLE_HOW = frozenset(
+    {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+     "left_anti", "leftanti", "semi", "anti"}
+)
+
 
 def salted_join(
     big: DataFrame,
@@ -29,11 +37,30 @@ def salted_join(
     small[small_key], how)`` (asserted in tests/test_skew.py); the
     physical shuffle keys become (key, salt), so a key holding p% of
     the rows occupies p%/n_salts of the widest task instead of p%.
-    Deterministic salt (xxhash64 of the whole row's key + a stable
-    row fingerprint would be overkill — a key-derived spread is
-    enough for correctness and stability across retries).
+
+    The salt is derived from the big row's full content
+    (``xxhash64`` over every column), so it is deterministic across
+    task retries and speculative re-execution — a retried partition
+    re-salts its rows identically, keeping the join exactly-once.
+    Identical duplicate rows share a salt, which only matters if the
+    skew *is* exact duplicates; distinct rows under a hot key spread
+    uniformly.
+
+    ``how`` is restricted to join types where replicating the small
+    side cannot change semantics (inner / left outer / semi / anti).
+    ``right`` and ``full_outer`` would emit each unmatched small-side
+    row once per replica; express those as a left-form join from the
+    other side instead.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALTABLE_HOW
+    }:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating the "
+            "small side duplicates its unmatched rows under right/full "
+            "outer joins. Rewrite as a left-form join from the other side."
+        )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     big_s = big.withColumn("_salt", salt.cast("int"))
     small_s = small.join(
         F.broadcast(

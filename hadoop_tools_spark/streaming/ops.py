@@ -181,15 +181,17 @@ def stream_state_running(spark, sf_dir):
     """,
 )
 def stream_enrich(spark, sf_dir):
-    """Stream–static join: events enriched with a broadcast dimension.
+    """Stream–static join: events enriched with a static dimension.
 
-    In the streaming run the static side is broadcast once per batch;
-    no state is kept — the cheapest streaming join shape.
+    No state is kept — the cheapest streaming join shape. customer
+    scales with SF, so it carries no static broadcast hint: AQE (or
+    the per-batch planner in the streaming run) broadcasts it when it
+    actually fits and shuffles otherwise.
     """
     ev = load(spark, sf_dir, "events")
     c = load(spark, sf_dir, "customer")
     return ev.join(
-        F.broadcast(c), ev.user_id == c.c_custkey
+        c, ev.user_id == c.c_custkey
     ).select("event_id", "user_id", "c_mktsegment", "event_type")
 
 

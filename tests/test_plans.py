@@ -24,10 +24,17 @@ def optimized_str(df) -> str:
 def test_broadcast_join_chosen(spark, sf_dir):
     from hadoop_tools_spark.operators.joins import join_inner
 
-    p = plan_str(join_inner(spark, sf_dir))
+    df = join_inner(spark, sf_dir)
+    p = plan_str(df)
     assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+    # only the fixed-size nation dim carries a static hint; customer
+    # (scales with SF) is left to AQE / size stats
+    hinted = [
+        ln for ln in optimized_str(df).splitlines()
+        if "strategy=broadcast" in ln
+    ]
+    assert len(hinted) == 1 and "n_nationkey" in hinted[0], hinted
 
 
 def test_q1_filter_pushed_and_pruned(spark, sf_dir):
@@ -133,13 +140,47 @@ def test_q6_fully_pushed_scan(spark, sf_dir):
     }, cols
 
 
+#: columns that may legitimately appear in a statically-hinted join:
+#: fixed-size dims (nation=25 rows, region=5 — incl. their aliases) and
+#: 1-row scalar aggregates. Anything else scaling with SF must reach the
+#: join unhinted so AQE decides from runtime sizes.
+FIXED_DIM_TOKENS = (
+    "n_nationkey", "r_regionkey", "nk1", "nk2", "cnk", "snk", "crk",
+)
+SCALAR_TOKENS = ("avg_bal", "max_revenue", "threshold", "n_total")
+
+
+def test_no_static_broadcast_of_scaling_tables(spark, sf_dir):
+    """Sweep every TPC-H key + the join/stream demos: a static
+    broadcast hint on a table that grows with SF (customer, part,
+    supplier, lineitem/orders-derived sets) OOMs at the 100 TB target.
+    Hints are only allowed on nation/region and 1-row scalars."""
+    from hadoop_tools_spark import all_queries  # noqa: F401 — registers keys
+    from hadoop_tools_spark.registry import QUERIES
+
+    keys = [k for k in QUERIES if k.startswith("q")] + [
+        "join_inner", "stream_enrich", "llm_jaccard_ngram",
+    ]
+    offenders = {}
+    for key in keys:
+        opt = optimized_str(QUERIES[key](spark, sf_dir))
+        for ln in opt.splitlines():
+            if "strategy=broadcast" not in ln:
+                continue
+            if not any(t in ln for t in FIXED_DIM_TOKENS + SCALAR_TOKENS):
+                offenders.setdefault(key, []).append(ln.strip()[:140])
+    assert not offenders, offenders
+
+
 def test_q5_dims_broadcast_single_fact_shuffle(spark, sf_dir):
-    """Q5's six-way join: every dim side is a BroadcastHashJoin; only
-    the orders↔lineitem fact chain may shuffle. No cartesian."""
+    """Q5's six-way join: fixed dims broadcast, no cartesian; the
+    orders↔lineitem fact chain may shuffle. customer/supplier reach
+    the join unhinted (asserted by the sweep above); at fixture scale
+    size stats still pick BHJ for them, which is fine."""
     from hadoop_tools_spark.operators.relational import q5_local_supplier
 
     p = plan_str(q5_local_supplier(spark, sf_dir))
-    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -165,13 +206,14 @@ def test_q13_left_join_preserved(spark, sf_dir):
 
 def test_q18_single_fact_pass(spark, sf_dir):
     """Q18's HAVING-IN qualifier joins back as the aggregated value
-    itself: lineitem is scanned exactly once, and both the qualifier
-    and customer arrive by broadcast."""
+    itself: lineitem is scanned exactly once. The qualifier and
+    customer sides grow with SF, so they are unhinted (sweep test
+    asserts it) — size stats may still broadcast them at fixture
+    scale."""
     from hadoop_tools_spark.operators.relational_ext import q18_large_orders
 
     p = plan_str(q18_large_orders(spark, sf_dir))
     assert p.count("lineitem.parquet") == 1, p
-    assert p.count("BroadcastHashJoin") >= 2, p
     assert "CartesianProduct" not in p
 
 
@@ -185,15 +227,17 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_q8_star_all_dims_broadcast(spark, sf_dir):
-    """Q8's 8-table star: every non-fact side broadcasts — at most
-    one shuffle join (orders↔lineitem) in the whole plan."""
+def test_q8_star_no_cartesian(spark, sf_dir):
+    """Q8's 8-table star: no cartesian, no nested-loop. Static hints
+    only on nation/region (sweep test); at fixture scale size stats
+    broadcast the small filtered sides so at most the orders↔lineitem
+    join shuffles."""
     from hadoop_tools_spark.operators.relational_ext import q8_market_share
 
     p = plan_str(q8_market_share(spark, sf_dir))
-    assert p.count("BroadcastHashJoin") >= 6, p
     assert p.count("SortMergeJoin") <= 1, p
     assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_q14_date_filter_pushed(spark, sf_dir):
@@ -210,10 +254,9 @@ def test_q14_date_filter_pushed(spark, sf_dir):
 def test_q21_order_grain_aggregates(spark, sf_dir):
     """Q21: EXISTS / NOT EXISTS collapse to order-grain aggregates —
     a semi join between two partially-aggregated sides, no anti join,
-    no cached projection. The lineitem⋈orders join must carry NO
-    static broadcast hint (orders is a fact table; a forced broadcast
-    OOMs at 100×) — the optimizer may still pick BHJ from size stats
-    at test SF, which is fine. Only the supplier dim is hinted."""
+    no cached projection. Every join is unhinted (orders is a fact
+    table, supplier scales with SF) — the optimizer may still pick
+    BHJ from size stats at test SF, which is fine."""
     from hadoop_tools_spark.operators.relational_ext import q21_waiting_supplier
 
     df = q21_waiting_supplier(spark, sf_dir)
@@ -222,16 +265,10 @@ def test_q21_order_grain_aggregates(spark, sf_dir):
     assert "LeftAnti" not in p, p
     assert "InMemoryTableScan" not in p, p
     assert "CartesianProduct" not in p
-    # exactly one hinted join survives optimization: the supplier dim
+    # no static hint survives optimization: AQE owns every decision
     opt = optimized_str(df)
     hinted = [ln for ln in opt.splitlines() if "strategy=broadcast" in ln]
-    assert len(hinted) == 1, opt
-    assert "s_suppkey" in hinted[0], hinted[0]
-    # the orders-side join line itself is unhinted
-    orders_join = [
-        ln for ln in opt.splitlines() if "o_orderkey" in ln and "Join" in ln
-    ]
-    assert orders_join and all("Hint" not in ln for ln in orders_join), opt
+    assert not hinted, opt
 
 
 def test_q20_fact_scanned_once(spark, sf_dir):
@@ -246,12 +283,13 @@ def test_q20_fact_scanned_once(spark, sf_dir):
 
 def test_q2_relationship_grain_before_dims(spark, sf_dir):
     """Q2: the distinct part↔supplier projection aggregates before
-    any dimension join feeds the min — no cartesian, dims broadcast."""
+    any dimension join feeds the min — no cartesian, no nested
+    loop."""
     from hadoop_tools_spark.operators.relational_ext import q2_min_cost_supplier
 
     p = plan_str(q2_min_cost_supplier(spark, sf_dir))
     assert "CartesianProduct" not in p
-    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_tfidf_n_total_in_plan_no_vocab_broadcast(spark, sf_dir):
