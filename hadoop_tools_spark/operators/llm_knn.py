@@ -35,6 +35,21 @@ from ..registry import query
 
 _K = 5
 _QUERY_MOD = 50  # vec_id % 50 == 0 → deterministic query subset
+#: hard cap on the query set: the %-filter alone grows linearly with the
+#: corpus (2% of 100 TB is still terabytes), so every kNN op bounds its
+#: driver collect to the first _MAX_QUERIES ids — constant at any scale.
+#: At the sf0.01 oracle scale the filter yields < _MAX_QUERIES rows, so
+#: the cap is invisible to the hash check.
+_MAX_QUERIES = 100
+
+
+def _query_set(e):
+    """Deterministic, scale-bounded query subset (shared by all kNN ops)."""
+    return (
+        e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_QUERIES)
+    )
 
 
 def _dot(a, b):
@@ -64,6 +79,7 @@ _KNN_ORACLE = f"""
     ),
     q AS (
         SELECT vec_id AS q_id, u AS q_u FROM e WHERE vec_id % {_QUERY_MOD} = 0
+        ORDER BY vec_id LIMIT {_MAX_QUERIES}
     ),
     s AS (
         SELECT q.q_id, e.vec_id AS neighbor_id,
@@ -107,7 +123,7 @@ def llm_knn_exact(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    q_rows = e.filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
+    q_rows = _query_set(e).collect()
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.emb for r in q_rows], dtype=np.float64)
     # sequential-sum norms: cumsum matches the oracle's fold order
@@ -189,11 +205,7 @@ def llm_knn_numpy(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    q_rows = (
-        e.filter(F.col("vec_id") % _QUERY_MOD == 0)
-        .select("vec_id", "emb")
-        .collect()
-    )
+    q_rows = _query_set(e).select("vec_id", "emb").collect()
     q_ids = np.array([r.vec_id for r in q_rows])
     q_mat = np.array([r.emb for r in q_rows])  # (Q, dim)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -260,7 +272,7 @@ def llm_knn_lsh(spark, sf_dir):
     # materialize: e feeds fit(), the query filter, AND the self
     # approxSimilarityJoin
     e = materialize(e)
-    q = e.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    q = _query_set(e)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -427,13 +439,21 @@ def _fit_quantizer(unit_df, n_cells: int = _IVF_CELLS, n_iter: int = 5):
     """
     import numpy as np
 
-    samp = unit_df.filter(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
-            *"01234567"
+    # sort+limit BEFORE the collect: the md5-bucket filter alone keeps
+    # ~50% of the corpus, so collecting it unbounded is
+    # corpus-proportional driver memory; the limit caps the transfer at
+    # _IVF_SAMPLE rows while selecting exactly the same vectors
+    samp = (
+        unit_df.filter(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            )
         )
-    ).collect()
-    samp.sort(key=lambda r: r.vec_id)
-    X = np.array([r.u for r in samp[:_IVF_SAMPLE]])
+        .orderBy("vec_id")
+        .limit(_IVF_SAMPLE)
+        .collect()
+    )
+    X = np.array([r.u for r in samp])
     X = X / np.linalg.norm(X, axis=1, keepdims=True)  # accepts raw vectors
     C = X[:n_cells].copy()
     for _ in range(n_iter):
@@ -507,11 +527,8 @@ def llm_knn_ivf(spark, sf_dir):
     e = materialize(e)
     C = _fit_quantizer(e)
 
-    # probe driver-side: queries are the small side by design
-    q_rows = sorted(
-        e.filter(F.col("vec_id") % _QUERY_MOD == 0).collect(),
-        key=lambda r: r.vec_id,
-    )
+    # probe driver-side: queries are the small side by design (bounded)
+    q_rows = _query_set(e).collect()
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.u for r in q_rows])
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)

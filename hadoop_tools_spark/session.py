@@ -47,6 +47,11 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
 
 
 def get_spark(app_name: str = "hadoop-tools-spark") -> SparkSession:
+    # before the JVM starts: make google.protobuf importable for the
+    # transformWithState Python workers (no-op when already installed)
+    from .compat import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

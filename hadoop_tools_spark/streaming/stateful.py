@@ -123,11 +123,18 @@ def running_user_stats_tws(stream_events: DataFrame) -> DataFrame:
     the RocksDB state-store backend it requires is the 100 TB choice.
 
     Requires ``google.protobuf`` at runtime (the Python state client
-    speaks protobuf to the JVM state server) and the RocksDB state
-    store provider; the convergence test skips when protobuf is
-    absent, and the applyInPandasWithState twin carries the tested
-    guarantee in that case.
+    speaks protobuf to the JVM state server — ``compat.ensure_protobuf``
+    wires in a vendored runtime when pip is unavailable) and the
+    RocksDB state store provider (transformWithState keeps each state
+    variable in its own column family, which HDFSBackedStateStoreProvider
+    doesn't support) — set here on the session so the query can start.
     """
+    spark = stream_events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     return (
         stream_events.select("user_id", "ts", "value")
         .groupBy("user_id")

@@ -194,3 +194,45 @@ def test_multimodal_frame_sampling_real(spark):
         for r in rows:
             frame = samples[r.frame_id * 160 : (r.frame_id + 1) * 160]
             assert r.mean_amp == pytest.approx(frame.astype(float).mean()), name
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path graph has diameter 199: plain propagation needs
+    ~200 rounds, pointer-doubling must finish well inside the default
+    30 — and every node must land on the component minimum (0)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.operators.llm_dedup import (
+        connected_components,
+        edges_from_pairs,
+    )
+
+    n = 200
+    verts = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    edges = edges_from_pairs(pairs)
+    labels = connected_components(verts, edges).collect()
+    assert len(labels) == n
+    assert {r.cluster_id for r in labels} == {0}
+
+
+def test_connected_components_raises_on_exhausted_rounds(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.operators.llm_dedup import (
+        connected_components,
+        edges_from_pairs,
+    )
+
+    n = 200
+    verts = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    edges = edges_from_pairs(pairs)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, edges, max_rounds=2)
