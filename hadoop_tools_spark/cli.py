@@ -160,9 +160,20 @@ def cmd_cat(args, spark=None, out=None):
     spark = _spark(spark)
     raw = out or getattr(sys.stdout, "buffer", sys.stdout)
     jvm = spark._jvm
+    rc = 0
     for arg in args:
         path = session_state.resolve(arg)
         for st in _glob_status(spark, path) or []:
+            if st.isDirectory():
+                # match `hadoop fs -cat` semantics: directories are an
+                # error, not a crash (fs.open on a dir raises a raw
+                # py4j exception otherwise)
+                print(
+                    f"cat: {st.getPath().toString()}: Is a directory",
+                    file=sys.stderr,
+                )
+                rc = 1
+                continue
             fs, _, _ = _hadoop_fs(spark, path)
             stream = fs.open(st.getPath())
             try:
@@ -170,7 +181,7 @@ def cmd_cat(args, spark=None, out=None):
                 raw.write(bytes(data))
             finally:
                 stream.close()
-    return 0
+    return rc
 
 
 def cmd_get(args, spark=None, **_):

@@ -34,6 +34,15 @@ def merge_upsert(
     Requires every source row to carry its partition value — the
     standard CDC contract — so the touched-partition set is computed
     from the source alone, without scanning the target.
+
+    **Partition-stable contract**: a key's partition value must never
+    change between versions. If a source row moves a key to a new
+    partition, the stale row in the OLD partition is not removed (that
+    partition isn't in the touched set — removing it would require a
+    full key-scan of the target, the exact cost this design avoids).
+    Callers with partition-mobile keys must route deletes explicitly
+    (emit a tombstone row in the old partition) or use a table format
+    with a transaction log (Delta/Iceberg) instead.
     """
     parts = [
         r[0]
@@ -86,9 +95,21 @@ def compact_partitions(
         partitions = [
             r[0] for r in df.select(partition_col).distinct().collect()
         ]
+    # repartition by (partition value, content-derived salt): hashing by
+    # partition_col alone puts each partition's rows in ONE task — one
+    # output file regardless of files_per_partition. The salt spreads
+    # each partition over exactly files_per_partition writer tasks.
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]),
+        F.lit(files_per_partition),
+    )
     subset = (
         df.filter(F.col(partition_col).isin(partitions))
-        .repartition(files_per_partition * len(partitions), partition_col)
+        .repartition(
+            files_per_partition * len(partitions),
+            F.col(partition_col),
+            salt,
+        )
         .localCheckpoint()
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -135,3 +135,39 @@ def test_schema_evolution_merge_schema(spark, sf_dir, tmp_path):
     assert set(back.columns) == {"id", "amount", "currency", "batch"}
     rows = {r.id: r.currency for r in back.collect()}
     assert rows == {1: None, 2: None, 3: "eur"}
+
+def test_compact_partitions_honors_files_per_partition(spark, sf_dir, tmp_path):
+    """files_per_partition=3 must yield (about) 3 data files per
+    partition directory — the salt must spread rows across writer
+    tasks, not collapse each partition to one file."""
+    import glob as _glob
+
+    from hadoop_tools_spark.sources.upsert import compact_partitions
+
+    target = str(tmp_path / "compact3")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(8).write.partitionBy("o_orderstatus").parquet(target)
+
+    compact_partitions(spark, target, "o_orderstatus", files_per_partition=3)
+    for d in _glob.glob(f"{target}/o_orderstatus=*"):
+        files = _glob.glob(f"{d}/*.parquet")
+        assert 1 <= len(files) <= 3, (d, len(files))
+    # content identical
+    back = spark.read.parquet(target)
+    assert back.count() == orders.count()
+
+
+def test_cmd_cat_directory_is_clean_error(spark, sf_dir, tmp_path, capsys):
+    """`hh cat DIR` reports 'Is a directory' and rc=1 — not a py4j
+    stack trace."""
+    import io
+
+    from hadoop_tools_spark.cli import cmd_cat
+
+    d = str(tmp_path / "somedir")
+    spark.range(1).write.parquet(d)
+    buf = io.BytesIO()
+    rc = cmd_cat([d], spark=spark, out=buf)
+    assert rc == 1
+    assert b"" == buf.getvalue() or b"somedir" not in buf.getvalue()
+    assert "Is a directory" in capsys.readouterr().err
