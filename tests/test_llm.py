@@ -236,3 +236,69 @@ def test_connected_components_raises_on_exhausted_rounds(spark):
     edges = edges_from_pairs(pairs)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(verts, edges, max_rounds=2)
+
+def test_decode_png_matches_ppm_twin():
+    """Every png_{i}.png fixture must decode to the exact pixel array
+    of its img_{i}.ppm twin — covers all five PNG filter types (rows
+    cycle 0-4 at encode time)."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        decode_png,
+        decode_ppm,
+    )
+
+    import numpy as np
+
+    for i in range(8):
+        with open(os.path.join(MEDIA_DIR, f"png_{i}.png"), "rb") as f:
+            png = f.read()
+        with open(os.path.join(MEDIA_DIR, f"img_{i}.ppm"), "rb") as f:
+            ppm = f.read()
+        wp, hp, pxp = decode_png(png)
+        wm, hm, pxm = decode_ppm(ppm)
+        assert (wp, hp) == (wm, hm)
+        assert np.array_equal(pxp, pxm), f"pixel mismatch in png_{i}"
+
+
+def test_decode_png_grey_and_rgba_profiles():
+    """Grey (type 0) replicates to 3 channels; RGBA (type 6) drops
+    alpha — synthetic minimal PNGs, filter 0 rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hadoop_tools_spark.operators.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def build(w, h, ctype, nch, pxfn):
+        stream = bytearray()
+        for y in range(h):
+            stream.append(0)
+            for x in range(w):
+                for c in range(nch):
+                    stream.append(pxfn(x, y, c))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b"")
+        )
+
+    grey = build(5, 4, 0, 1, lambda x, y, c: (x * 3 + y * 7) % 256)
+    w, h, px = decode_png(grey)
+    assert (w, h, px.shape) == (5, 4, (4, 5, 3))
+    assert np.array_equal(px[:, :, 0], px[:, :, 1])
+    assert px[2, 3, 0] == (3 * 3 + 2 * 7) % 256
+
+    rgba = build(4, 3, 6, 4, lambda x, y, c: (x + y * 5 + c * 11) % 256)
+    w, h, px = decode_png(rgba)
+    assert (w, h, px.shape) == (4, 3, (3, 4, 3))
+    assert px[1, 2, 2] == (2 + 1 * 5 + 2 * 11) % 256  # alpha dropped

@@ -52,6 +52,64 @@ def bmp_bytes(w: int, h: int, seed: int) -> bytes:
     return fileheader + infoheader + bytes(px)
 
 
+def png_bytes(w: int, h: int, seed: int) -> bytes:
+    """8-bit RGB non-interlaced PNG with the SAME pixel function as
+    ``ppm_bytes`` — the paired fixtures let the DuckDB oracle verify
+    the PNG decoder against the PPM bytes (cross-format check). The
+    row filter type cycles 0..4 so every unfilter path (None, Sub, Up,
+    Average, Paeth) is exercised.
+    """
+    import zlib
+
+    def px(x, y, c):
+        return (x * 7 + y * 13 + c * 29 + seed * 31) % 256
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    stride = w * 3
+    prev = [0] * stride
+    stream = bytearray()
+    for y in range(h):
+        raw = [px(x, y, c) for x in range(w) for c in range(3)]
+        ftype = y % 5
+        stream.append(ftype)
+        for i in range(stride):
+            left = raw[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                v = raw[i]
+            elif ftype == 1:
+                v = raw[i] - left
+            elif ftype == 2:
+                v = raw[i] - up
+            elif ftype == 3:
+                v = raw[i] - ((left + up) >> 1)
+            else:
+                v = raw[i] - paeth(left, up, ul)
+            stream.append(v & 0xFF)
+        prev = raw
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def wav_bytes(n_samples: int, seed: int, rate: int = 8000) -> bytes:
     data = bytearray()
     for i in range(n_samples):
@@ -75,6 +133,10 @@ def main() -> None:
         w, h = 10 + i * 5, 8 + i * 3  # widths hit all 4 padding cases
         with open(os.path.join(OUT, f"img_{i}.bmp"), "wb") as f:
             f.write(bmp_bytes(w, h, i))
+    for i in range(8):  # pixel-identical twins of img_{i}.ppm
+        w, h = 16 + i * 3, 12 + i * 2
+        with open(os.path.join(OUT, f"png_{i}.png"), "wb") as f:
+            f.write(png_bytes(w, h, i))
     for i in range(4):  # 12-22 frames each at frame_len=160
         with open(os.path.join(OUT, f"snd_{i}.wav"), "wb") as f:
             f.write(wav_bytes(2048 + 512 * i, i))
