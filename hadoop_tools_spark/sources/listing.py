@@ -115,17 +115,24 @@ def list_status_df(
 ) -> DataFrame:
     """Namespace listing via the Hadoop FileSystem API (any scheme).
 
-    BFS from ``path``; one ``listStatus`` RPC per directory — the same
-    paged-iterator protocol the reference drives natively (its
-    ``getListing`` loop). Glob filters on entry *name*, mirroring
-    ``hh ls GLOB`` component matching.
+    BFS from ``path``. Each directory is drained through
+    ``listStatusIterator`` — Hadoop's paged listing protocol: against
+    HDFS the RemoteIterator issues ``getListing`` RPCs of
+    ``dfs.ls.limit`` entries (default 1000) with a startAfter cursor,
+    exactly the paged ``getListing``/``remainingEntries`` loop the
+    reference drives natively — so a 10^6-entry directory streams in
+    pages instead of materializing one giant RPC response. Glob
+    filters on entry *name*, mirroring ``hh ls GLOB`` component
+    matching.
     """
     fs, jpath, _ = _hadoop_fs(spark, path)
     rx = re.compile(glob_to_regex(glob)) if glob else None
     rows, stack = [], [jpath]
     while stack:
         cur = stack.pop()
-        for st in fs.listStatus(cur):
+        it = fs.listStatusIterator(cur)
+        while it.hasNext():
+            st = it.next()
             row = _status_row(st)
             if row[2] and recursive:
                 stack.append(st.getPath())
