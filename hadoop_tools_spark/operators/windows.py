@@ -5,16 +5,76 @@ partitions; every ORDER BY below carries a unique tie-breaker so
 results are deterministic (the oracle hash demands it). At 100 TB the
 partition key must be high-cardinality (user_id, custkey) — a window
 over a single global partition serializes onto one task, which is why
-`sort_multi` (global order) is only sane on small/aggregated inputs.
+`sort_multi` computes its global rank with the two-phase
+range-partitioned :func:`global_row_number` instead.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Window
-from pyspark.sql import functions as F
+from typing import Iterator
 
-from ..io import load
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load, materialize
 from ..registry import query
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list, out_col: str = "pos", n_parts: int | None = None
+) -> DataFrame:
+    """Distributed global ROW_NUMBER — no single-task global window.
+
+    Two-phase total order (the classic external-sort rank):
+    1. ``repartitionByRange`` on the ORDER BY keys gives globally
+       ordered, parallel partitions; ``sortWithinPartitions`` orders
+       rows inside each.
+    2. A per-partition count (one tiny row per partition collected to
+       the driver) yields each partition's global offset; an Arrow
+       ``mapInPandas`` then streams every partition once, emitting
+       offset + local running index.
+
+    Every stage is parallel in the partition count; the only driver
+    data is one (pid, count) pair per partition. The ORDER BY must
+    include a unique tie-breaker for a deterministic total order.
+    """
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = materialize(
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = df.sparkSession.sparkContext.broadcast(offsets)
+    schema = T.StructType(
+        ranged.drop("_pid").schema.fields + [T.StructField(out_col, T.LongType())]
+    )
+
+    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        base = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if base is None:
+                base = bc.value[int(pdf["_pid"].iloc[0])]
+            out = pdf.drop(columns=["_pid"])
+            out[out_col] = range(base + seen + 1, base + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield out
+
+    return ranged.mapInPandas(number, schema=schema)
 
 
 @query(
@@ -118,16 +178,18 @@ def sort_multi(spark, sf_dir):
     """Global multi-column order made hash-observable via position.
 
     The oracle hash is order-insensitive, so the sort itself is
-    witnessed by materializing the rank. Global windows serialize to
-    one task — acceptable only because supplier is a dim; large-table
-    global order goes through topk_global (TakeOrderedAndProject).
+    witnessed by materializing the rank — computed by
+    :func:`global_row_number`: range-partitioned parallel sort +
+    per-partition offsets, never a single-task global window, so the
+    same code ranks a fact-sized table. (Large-table top-k still goes
+    through topk_global's TakeOrderedAndProject — cheaper when only k
+    rows are wanted.)
     """
-    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
-    return load(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        "s_name",
-        F.round("s_acctbal", 2).alias("acctbal"),
-        F.row_number().over(w).cast("long").alias("pos"),
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    return global_row_number(
+        s, [F.col("acctbal").desc(), F.col("s_suppkey")], out_col="pos"
     )
 
 

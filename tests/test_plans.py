@@ -331,3 +331,40 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
             offenders[key] = "CartesianProduct"
     spark.catalog.clearCache()
     assert not offenders, offenders
+
+
+def test_sort_multi_no_global_window(spark, sf_dir):
+    """Global rank must come from the range-partitioned two-phase
+    numbering — a Window with no PARTITION BY serializes the table
+    onto one task at scale."""
+    from hadoop_tools_spark.operators.windows import sort_multi
+
+    df = sort_multi(spark, sf_dir)
+    p = plan_str(df)
+    assert "Window" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+    spark.catalog.clearCache()
+
+
+def test_global_row_number_is_dense_permutation(spark, sf_dir):
+    """pos must be exactly 1..N in the total order of the sort keys,
+    across many partitions."""
+    from pyspark.sql import functions as F2
+
+    from hadoop_tools_spark.operators.windows import global_row_number
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = global_row_number(
+        orders, [F2.col("o_totalprice").desc(), F2.col("o_orderkey")],
+        n_parts=16,
+    ).collect()
+    n = len(ranked)
+    assert sorted(r["pos"] for r in ranked) == list(range(1, n + 1))
+    by_pos = sorted(ranked, key=lambda r: r["pos"])
+    for a, b in zip(by_pos, by_pos[1:]):
+        assert (a["o_totalprice"], -a["o_orderkey"]) >= (
+            b["o_totalprice"], -b["o_orderkey"]
+        )
+    spark.catalog.clearCache()
