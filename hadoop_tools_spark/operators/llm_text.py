@@ -665,3 +665,90 @@ def llm_simhash_neardup(spark, sf_dir):
         .distinct()
         .filter(F.col("hamming") <= max_dist)
     )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    cnt AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    tot AS (SELECT COUNT(*) AS n_total FROM w),
+    v AS (SELECT COUNT(*) AS n_vocab FROM cnt),
+    scored AS (
+        SELECT w.doc_id,
+               LN((cnt.n + 1.0) / (tot.n_total + v.n_vocab)) AS lp
+        FROM w JOIN cnt USING (word) CROSS JOIN tot CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob(spark, sf_dir):
+    """Per-document mean unigram log-probability (add-one smoothed) —
+    the classic cheap perplexity proxy for training-data quality
+    filtering: gibberish and boilerplate both sit far from the
+    corpus-typical band.
+
+    The unigram model is the corpus itself: token counts shuffle once
+    by word (vocabulary-bounded, map-side combined), the two scalar
+    normalizers (total tokens, vocab size) ride the plan as 1-row
+    broadcast aggregates (the llm_tfidf pattern — no eager driver
+    count), and the per-doc mean is one shuffle by doc_id. Nothing
+    driver-side scales with the corpus.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    w = materialize(w)  # feeds counts, totals, and the scoring join
+    cnt = w.groupBy("word").agg(F.count("*").alias("n"))
+    tot = w.agg(F.count("*").alias("n_total"))
+    voc = cnt.agg(F.count("*").alias("n_vocab"))
+    lp = F.log((F.col("n") + 1.0) / (F.col("n_total") + F.col("n_vocab")))
+    return (
+        w.join(cnt, "word")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "llm_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 100
+          < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 ELSE 60 END
+    ORDER BY doc_id
+    """,
+)
+def llm_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates via
+    hash-mod on the document id — the language-rebalancing step of a
+    training-data mix (downsample the dominant language, keep the
+    tail).
+
+    Same scale shape as `sample_hashmod`: a pure scan-side filter, no
+    shuffle, no RNG state, reproducible across runs/engines/retries.
+    Rates are per-stratum percentages of the md5 space; any stratum
+    column (domain, source, quality band) works the same way.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "de", 30)
+        .otherwise(60)
+    )
+    return (
+        d.filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
+    )
