@@ -149,6 +149,34 @@ def cmd_du(args, spark=None, out=sys.stdout):
     return 0
 
 
+def cmd_count(args, spark=None, out=sys.stdout):
+    """``hh count PATH``: the ContentSummary triple — DIR_COUNT
+    FILE_COUNT CONTENT_SIZE PATH, like ``hadoop fs -count`` (one
+    getContentSummary RPC in the reference; one aggregated listing
+    pass here)."""
+    from pyspark.sql import functions as F
+
+    from .sources.listing import list_status_df
+
+    spark = _spark(spark)
+    for arg in args or ["."]:
+        root = session_state.resolve(arg).rstrip("/")
+        df = list_status_df(spark, root, recursive=True)
+        row = df.agg(
+            F.sum(F.when(F.col("is_dir"), 1).otherwise(0)).alias("dirs"),
+            F.sum(F.when(~F.col("is_dir"), 1).otherwise(0)).alias("files"),
+            F.sum(F.when(~F.col("is_dir"), F.col("size")).otherwise(0)).alias(
+                "bytes"
+            ),
+        ).collect()[0]
+        print(
+            f"{int(row.dirs or 0) + 1:>12} {int(row.files or 0):>12} "
+            f"{int(row.bytes or 0):>15} {root}",
+            file=out,
+        )
+    return 0
+
+
 def cmd_cat(args, spark=None, out=None):
     """``hh cat FILE``: emit file bytes to stdout via the Hadoop
     input stream (any scheme). Reads cross the py4j bridge whole-file
@@ -274,6 +302,7 @@ COMMANDS = {
     "ls": cmd_ls,
     "find": cmd_find,
     "du": cmd_du,
+    "count": cmd_count,
     "cat": cmd_cat,
     "get": cmd_get,
     "put": cmd_put,

@@ -156,3 +156,51 @@ def fs_du_rollup(spark, sf_dir):
             F.sum("size").alias("total_bytes"),
         )
     )
+
+
+@query(
+    "fs_count",
+    oracle="""
+    SELECT regexp_extract(filename, '/root/testdata/([^/]+)/', 1) AS dir,
+           CAST(COUNT(DISTINCT NULLIF(regexp_extract(filename,
+                '/root/testdata/[^/]+/(.+)/[^/]+$', 1), '')) AS BIGINT)
+               AS n_dirs,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(size) AS BIGINT) AS total_bytes
+    FROM read_blob('/root/testdata/**/*.parquet')
+    GROUP BY 1
+    """,
+)
+def fs_count(spark, sf_dir):
+    """`hh count` / `hadoop fs -count`: the ContentSummary triple
+    (directoryCount, fileCount, length) per path — the reference's
+    GetContentSummary RPC (SURVEY §1.1) re-expressed as one aggregate
+    over the recursive listing.
+
+    The NameNode computes this server-side in one RPC; here the same
+    totals come from partial-aggregated per-directory counts, so a
+    10^8-entry namespace reduces in one shuffle round. n_dirs counts
+    subdirectories BELOW each top-level child (0 in the flat fixture
+    tree), mirroring ContentSummary's own-directory-exclusive count.
+    """
+    df = list_status_df(spark, TESTDATA_ROOT, recursive=True)
+    top = F.regexp_extract("path", "/root/testdata/([^/]+)(/|$)", 1)
+    # a dir counts toward its top-level child only when strictly BELOW
+    # it (the child itself is excluded, like ContentSummary)
+    below_top = F.col("path").rlike("^/root/testdata/[^/]+/.+")
+    return (
+        df.withColumn("dir", top)
+        .filter(F.col("dir") != "")
+        .groupBy("dir")
+        .agg(
+            F.sum(F.when(F.col("is_dir") & below_top, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dirs"),
+            F.sum(F.when(~F.col("is_dir"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_files"),
+            F.sum(F.when(~F.col("is_dir"), F.col("size")).otherwise(0))
+            .cast("long")
+            .alias("total_bytes"),
+        )
+    )

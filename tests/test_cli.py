@@ -129,3 +129,28 @@ def test_find_type_filter(spark, ns):
         p.rsplit("/", 1)[-1] in {"a.log", "b.log", "x.bin"}
         for p in txt.strip().splitlines()
     )
+
+def test_cmd_count_content_summary(spark):
+    """`hh count` prints DIR_COUNT FILE_COUNT CONTENT_SIZE PATH with
+    totals matching an independent os.walk."""
+    import os
+
+    from hadoop_tools_spark.cli import cmd_count
+
+    import io
+
+    root = "/root/testdata/sf0.001"
+    buf = io.StringIO()
+    rc = cmd_count([root], spark=spark, out=buf)
+    assert rc == 0
+    out = buf.getvalue().strip().split()
+    n_files = sum(len(fs) for _, _, fs in os.walk(root))
+    n_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(root)
+        for f in fs
+    )
+    assert int(out[0]) >= 1          # at least the root dir itself
+    assert int(out[1]) == n_files
+    assert int(out[2]) == n_bytes
+    assert out[3] == root
