@@ -22,7 +22,10 @@ PLAN_MARKS = {
     "cartesian": r"CartesianProduct",
     "hash_aggs": r"HashAggregate",
     "windows": r"\bWindow\b",
-    "codegen_stages": r"WholeStageCodegen \(\d+\)",
+    # distinct codegen span ids — the simple plan string marks each
+    # operator inside a span with "*(<span id>)"; "WholeStageCodegen"
+    # itself never appears in toString()
+    "codegen_stages": r"\*\((\d+)\)",
     "python_eval": r"(?:ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)",
     "cached": r"InMemoryTableScan",
 }
@@ -44,21 +47,40 @@ def formatted(df) -> str:
     )
 
 
-def summarize(df) -> dict[str, int]:
-    """Operator counts that determine scale behavior."""
-    p = plan_str(df)
-    return {k: len(re.findall(rx, p)) for k, rx in PLAN_MARKS.items()}
+def summarize(df, execute: bool = False) -> dict[str, int]:
+    """Operator counts that determine scale behavior.
+
+    With ``execute=True`` the DataFrame is collected first so the
+    summary reflects AQE's FINAL plan — runtime SMJ→BHJ conversions,
+    coalesced exchanges, and whole-stage-codegen spans (which only
+    appear in the plan string after execution).
+    """
+    if execute:
+        df.collect()
+    # after execution AdaptiveSparkPlan prints "== Final Plan ==" AND
+    # "== Initial Plan ==" — count only the final section, else every
+    # operator is counted twice
+    p = plan_str(df).split("== Initial Plan ==")[0]
+    out = {}
+    for k, rx in PLAN_MARKS.items():
+        if k == "codegen_stages":
+            out[k] = len(set(re.findall(rx, p)))
+        else:
+            out[k] = len(re.findall(rx, p))
+    return out
 
 
-def report_all(spark, sf_dir: str) -> dict[str, dict[str, int]]:
+def report_all(
+    spark, sf_dir: str, execute: bool = True
+) -> dict[str, dict[str, int]]:
     """Plan summary for every registered query key (sorted)."""
     from ..registry import QUERIES
 
     out = {}
     for key in sorted(QUERIES):
         try:
-            out[key] = summarize(QUERIES[key](spark, sf_dir))
+            out[key] = summarize(QUERIES[key](spark, sf_dir), execute=execute)
         except Exception as e:  # surfaced, not swallowed
             out[key] = {"error": f"{type(e).__name__}: {e}"}
-    spark.catalog.clearCache()
+        spark.catalog.clearCache()
     return out
