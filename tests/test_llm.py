@@ -302,3 +302,77 @@ def test_decode_png_grey_and_rgba_profiles():
     w, h, px = decode_png(rgba)
     assert (w, h, px.shape) == (4, 3, (3, 4, 3))
     assert px[1, 2, 2] == (2 + 1 * 5 + 2 * 11) % 256  # alpha dropped
+
+def test_jpeg_roundtrip_fidelity():
+    """encode→decode round trip on smooth gradients stays within
+    tight error bounds at q90 (lossy, so not bit-exact), exact dims,
+    and odd (non-multiple-of-8) sizes exercise edge-block
+    replication."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for (w, h) in [(16, 12), (33, 21), (5, 7)]:
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [
+                (xx * 3 + yy * 2) % 256,
+                (xx * 5 + 30) % 256,
+                (yy * 4 + 60) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        w2, h2, out = decode_jpeg(encode_jpeg(px, quality=90))
+        assert (w2, h2) == (w, h)
+        diff = np.abs(out.astype(int) - px.astype(int))
+        assert diff.max() <= 8, diff.max()
+        assert diff.mean() <= 2.0, diff.mean()
+
+
+def test_jpeg_fixture_decode_matches_source_function():
+    """Committed jpg_{i}.jpg fixtures decode close to the generator's
+    closed-form pixel arrays (same bounds as the round-trip)."""
+    import os
+
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import decode_jpeg
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+
+    for i in range(6):
+        w, h = 16 + i * 4, 12 + i * 3
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [
+                (xx * (3 + i) + yy * 2) % 256,
+                (xx * 5 + yy * (2 + i) + 30) % 256,
+                (yy * 4 + i * 17 + 60) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        with open(os.path.join(MEDIA_DIR, f"jpg_{i}.jpg"), "rb") as f:
+            w2, h2, out = decode_jpeg(f.read())
+        assert (w2, h2) == (w, h)
+        diff = np.abs(out.astype(int) - px.astype(int))
+        # the mod-256 wraps create a few sharp edges -> local ringing;
+        # mean error stays tight
+        assert diff.mean() <= 3.0, (i, diff.mean())
+
+
+def test_jpeg_rejects_unsupported_profiles():
+    import struct as _s
+
+    import pytest
+
+    from hadoop_tools_spark.operators.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # progressive SOF2 header
+    prog = (
+        b"\xff\xd8"
+        + _s.pack(">HH", 0xFFC2, 11)
+        + bytes([8]) + _s.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog + b"\xff\xd9")

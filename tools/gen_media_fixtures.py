@@ -137,6 +137,27 @@ def main() -> None:
         w, h = 16 + i * 3, 12 + i * 2
         with open(os.path.join(OUT, f"png_{i}.png"), "wb") as f:
             f.write(png_bytes(w, h, i))
+    # baseline JPEGs: smooth gradients (JPEG-friendly), deterministic
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import encode_jpeg
+
+    for i in range(6):
+        w, h = 16 + i * 4, 12 + i * 3
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [
+                (xx * (3 + i) + yy * 2) % 256,
+                (xx * 5 + yy * (2 + i) + 30) % 256,
+                (yy * 4 + i * 17 + 60) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        with open(os.path.join(OUT, f"jpg_{i}.jpg"), "wb") as f:
+            f.write(encode_jpeg(px, quality=90))
     for i in range(4):  # 12-22 frames each at frame_len=160
         with open(os.path.join(OUT, f"snd_{i}.wav"), "wb") as f:
             f.write(wav_bytes(2048 + 512 * i, i))
