@@ -873,13 +873,16 @@ def q21_waiting_supplier(spark, sf_dir):
     multi-supplier orders.
 
     The EXISTS ("another supplier shipped this order") and NOT EXISTS
-    ("no OTHER supplier was late") both collapse to order-grain
-    aggregates: an order qualifies iff distinct-late-suppliers == 1
+    ("no OTHER supplier was late") both collapse to ONE order-grain
+    aggregate: an order qualifies iff distinct-late-suppliers == 1
     and distinct-suppliers > 1, and the sole late supplier is then
-    min(late suppkey). Two partial-aggregated shuffles at order grain
-    replace the semi-join + anti-join + cached late projection of the
-    literal decorrelation — no materialization, and every exchange
-    carries aggregates, the shape that survives a fact-sized corpus.
+    min(late suppkey) — all three from conditional aggregates over a
+    single lineitem⋈orders pass (the earlier two-aggregation form
+    scanned and shuffled the fact twice; this one scans once, and the
+    aggregation rides the join's orderkey partitioning with no extra
+    exchange). No semi/anti joins, no cached projection — every
+    exchange carries aggregates, the shape that survives a fact-sized
+    corpus.
     Every join is deliberately unhinted: orders is a fact table
     (1.5M rows/sf1 — forcing a broadcast OOMs executors at 100×), so
     lineitem⋈orders runs as a co-partitioned SMJ on orderkey; and
@@ -892,31 +895,30 @@ def q21_waiting_supplier(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     o2 = o.select("o_orderkey", "o_orderdate")
-    late = (
+    is_late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    # ONE fact pass: join once, then both distinct counts (all
+    # suppliers, late suppliers) and the sole-late supplier id come
+    # from a single order-grain aggregation — the SMJ leaves rows
+    # partitioned by orderkey, so the aggregation adds no exchange
+    qualifying = (
         li.join(o2, li.l_orderkey == o2.o_orderkey)
-        .filter(
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-        )
-        .select("l_orderkey", "l_suppkey")
-    )
-    sole_late = (
-        late.groupBy("l_orderkey")
+        .select("l_orderkey", "l_suppkey", is_late.alias("is_late"))
+        .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_late"),
-            F.min("l_suppkey").alias("suppkey"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("n_late"),
+            F.min(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("suppkey"),
         )
-        .filter(F.col("n_late") == 1)
-    )
-    multi = (
-        li.groupBy(F.col("l_orderkey").alias("k2"))
-        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
-        .filter(F.col("n_supp") > 1)
-        .select("k2")
+        .filter((F.col("n_late") == 1) & (F.col("n_supp") > 1))
     )
     return (
-        sole_late.join(multi, F.col("l_orderkey") == F.col("k2"), "left_semi")
-        .join(s, F.col("suppkey") == s.s_suppkey)
+        qualifying.join(s, F.col("suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

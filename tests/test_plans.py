@@ -253,15 +253,17 @@ def test_q14_date_filter_pushed(spark, sf_dir):
 
 def test_q21_order_grain_aggregates(spark, sf_dir):
     """Q21: EXISTS / NOT EXISTS collapse to order-grain aggregates —
-    a semi join between two partially-aggregated sides, no anti join,
-    no cached projection. Every join is unhinted (orders is a fact
-    table, supplier scales with SF) — the optimizer may still pick
-    BHJ from size stats at test SF, which is fine."""
+    ONE conditional aggregation over a single lineitem⋈orders pass —
+    no semi/anti joins, no cached projection, the fact scanned exactly
+    once. Every join is unhinted (orders is a fact table, supplier
+    scales with SF) — the optimizer may still pick BHJ from size stats
+    at test SF, which is fine."""
     from hadoop_tools_spark.operators.relational_ext import q21_waiting_supplier
 
     df = q21_waiting_supplier(spark, sf_dir)
     p = plan_str(df)
-    assert "LeftSemi" in p, p
+    assert p.count("lineitem.parquet") == 1, p
+    assert "LeftSemi" not in p, p
     assert "LeftAnti" not in p, p
     assert "InMemoryTableScan" not in p, p
     assert "CartesianProduct" not in p
