@@ -715,3 +715,47 @@ def ivf_search(spark, index_path: str, queries_df, k: int = _K, nprobe: int = _I
         .filter(F.col("rn") <= k)
         .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
     )
+
+
+@query("llm_embed_neardup_lsh")  # rows-only: randomized projections
+def llm_embed_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via BucketedRandomProjectionLSH — the
+    sublinear scale path for ``llm_embed_neardup`` (which is exact
+    all-pairs O(n²/P) by design, as the oracle anchor).
+
+    ``approxSimilarityJoin`` buckets vectors by random hyperplane
+    projections and joins only within buckets, so candidate volume
+    scales with corpus density rather than n². Cosine > 0.4 on
+    unit vectors ⇔ euclidean distance < sqrt(2·(1−0.4)) ≈ 1.095 —
+    normalizing first makes the distance threshold express the cosine
+    one. Recall vs the exact key is bounded in tests/test_approx.py.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("raw"),
+    )
+    e = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(e)
+    e = materialize(e.select("vec_id", "features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=8,
+        seed=42,
+    ).fit(e)
+    thresh = float((2.0 * (1.0 - 0.4)) ** 0.5)
+    pairs = lsh.approxSimilarityJoin(e, e, thresh, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            # cos = 1 - d²/2 on unit vectors
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias(
+                "cosine"
+            ),
+        )
+    )

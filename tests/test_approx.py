@@ -199,3 +199,29 @@ def test_hll_is_partitioning_invariant(spark, sf_dir):
         )
         vals.append(sorted((r.l_returnflag, r.d) for r in got))
     assert vals[0] == vals[1] == vals[2]
+
+
+def test_embed_neardup_lsh_recall_vs_exact(spark, sf_dir):
+    """The LSH-bucketed embedding near-dup must recover most exact
+    cos>0.4 pairs (8 hash tables; randomized, so bounded not exact)
+    and report accurate cosines for the pairs it finds."""
+    from hadoop_tools_spark.operators.llm_knn import (
+        llm_embed_neardup,
+        llm_embed_neardup_lsh,
+    )
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in llm_embed_neardup(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in llm_embed_neardup_lsh(spark, sf_dir).collect()
+    }
+    assert exact, "exact key found no pairs — fixture drifted"
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.8, f"LSH embed near-dup recall {recall:.2f}"
+    for k in hits:
+        assert abs(exact[k] - approx[k]) < 1e-4, (k, exact[k], approx[k])
+    spark.catalog.clearCache()
