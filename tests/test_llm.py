@@ -376,3 +376,49 @@ def test_jpeg_rejects_unsupported_profiles():
     )
     with pytest.raises(NotImplementedError):
         decode_jpeg(prog + b"\xff\xd9")
+
+def test_avi_roundtrip_and_sampled_decode():
+    """MJPEG-AVI round trip: container metadata exact, sampled frames
+    decode close to their source arrays, skipped frames untouched."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.avi import (
+        decode_video_frames,
+        encode_avi,
+        parse_avi,
+    )
+
+    w, h, n = 24, 16, 9
+    frames = []
+    for t in range(n):
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        frames.append(
+            np.stack(
+                [
+                    (xx * 3 + t * 10) % 256,
+                    (yy * 5 + t * 7) % 256,
+                    (xx + yy + t * 13) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+        )
+    blob = encode_avi(frames, fps=5, quality=90)
+    pw, ph, total, raw = parse_avi(blob)
+    assert (pw, ph, total, len(raw)) == (w, h, n, n)
+    dec = decode_video_frames(blob, every_n=2)
+    assert [d[0] for d in dec] == [0, 2, 4, 6, 8]
+    for fid, fw, fh, px in dec:
+        assert (fw, fh) == (w, h)
+        diff = np.abs(px.astype(int) - frames[fid].astype(int))
+        assert diff.mean() <= 3.0, (fid, diff.mean())
+
+
+def test_avi_rejects_non_avi():
+    import pytest
+
+    from hadoop_tools_spark.operators.avi import parse_avi
+
+    with pytest.raises(ValueError):
+        parse_avi(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        parse_avi(b"garbage")

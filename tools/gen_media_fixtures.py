@@ -158,6 +158,26 @@ def main() -> None:
         ).astype(np.uint8)
         with open(os.path.join(OUT, f"jpg_{i}.jpg"), "wb") as f:
             f.write(encode_jpeg(px, quality=90))
+    # MJPEG AVI clips: deterministic per-frame gradients
+    from hadoop_tools_spark.operators.avi import encode_avi
+
+    for i in range(3):
+        w, h, n = 24 + i * 8, 16 + i * 4, 7 + i * 4
+        clips = []
+        for t in range(n):
+            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+            clips.append(
+                np.stack(
+                    [
+                        (xx * 3 + t * 10 + i * 5) % 256,
+                        (yy * 5 + t * 7) % 256,
+                        (xx + yy + t * 13) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+            )
+        with open(os.path.join(OUT, f"vid_{i}.avi"), "wb") as f:
+            f.write(encode_avi(clips, fps=5, quality=90))
     for i in range(4):  # 12-22 frames each at frame_len=160
         with open(os.path.join(OUT, f"snd_{i}.wav"), "wb") as f:
             f.write(wav_bytes(2048 + 512 * i, i))
