@@ -24,64 +24,72 @@ from hadoop_tools_spark.session import ensure_session_confs  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-#: keys already hash-verified (or attempted) by the driver in round 1
-#: (CORRECTNESS_r01.json). The driver samples the first N entries of
-#: ``queries()``, so keys *not* yet driver-verified are ordered first —
-#: oracle'd ones before rows-only ones — to maximise fresh coverage.
-#: Later rounds are merged in dynamically from CORRECTNESS_r*.json (see
-#: ``_driver_covered``) so this literal only needs to cover round 1.
-R01_DRIVER_COVERED = frozenset(
-    {
-        "fn_string", "fn_datetime", "fn_math", "fn_cond", "fn_array",
-        "fn_map", "fn_json", "fn_hash", "fn_hash_engine", "fn_bitwise",
-        "udf_scalar", "udf_pandas", "udaf_grouped", "udtf_shingles",
-        "agg_basic", "agg_distinct", "agg_approx_distinct",
-        "agg_approx_median", "agg_stats", "agg_median", "agg_collect",
-        "agg_rollup", "agg_cube", "agg_pivot",
-        "fs_ls", "fs_find", "fs_du", "fs_cat_text", "fs_du_rollup",
-        "join_inner", "join_outer", "join_semi", "join_anti",
-        "join_broadcast", "join_theta", "join_range", "join_asof",
-        "join_salted", "join_range_bucketed",
-        "llm_dedup_exact", "llm_neardup_pairs", "llm_neardup_minhash",
-        "llm_jaccard_ngram", "llm_neardup_lsh", "llm_dup_cluster",
-        "llm_neardup_verified", "llm_knn_exact", "llm_knn_numpy",
-        "llm_knn_lsh", "llm_embed_neardup",
-    }
-)
 
+def _driver_verdicts() -> dict[str, bool]:
+    """Latest driver verdict per key across every ``CORRECTNESS_r*.json``.
 
-def _driver_covered() -> frozenset[str]:
-    """Union of every key any past driver round has already sampled.
-
-    Reads all ``CORRECTNESS_r*.json`` files next to this module so new
-    rounds extend coverage automatically — no per-round literal edits.
+    Maps key -> True (last driver sample succeeded) or False (last sample
+    FAILED: hash mismatch, row/schema mismatch, or a hard error). Keys the
+    driver has never sampled are absent. Rounds are merged in filename
+    order so the most recent round's verdict wins — a key that failed in
+    r2 and passed in r3 counts as green, and vice versa. Rows-only keys
+    (``err == "no_oracle"``) count as green when the driver got rows back.
     """
-    covered = set(R01_DRIVER_COVERED)
+    verdicts: dict[str, bool] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path, encoding="utf-8") as fh:
-                covered.update(json.load(fh))
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue  # unreadable round file: skip, never break the driver
-    return frozenset(covered)
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                verdicts[key] = True  # legacy shape: treat as sampled-green
+                continue
+            err = row.get("err")
+            if err == "no_oracle":
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = (
+                    err is None
+                    and row.get("hash_match") is True
+                    and row.get("rows_match") is True
+                    and row.get("schema_match") is True
+                )
+            verdicts[key] = bool(ok)
+    return verdicts
 
 
 def _ordered_keys() -> list[str]:
-    """Coverage-maximising order for the driver's capped key sample."""
-    driver_covered = _driver_covered()
+    """Coverage-maximising order for the driver's capped key sample.
+
+    Tiering (driver samples a prefix of this list): never-sampled keys
+    first (oracle'd before rows-only), then keys whose *latest* driver
+    sample FAILED (their repairs need driver re-confirmation), then
+    already-green keys. Parsing verdicts — not just key sets — is what
+    keeps a repaired key inside the sample until the driver re-confirms
+    it (round-3 lesson: coverage-only ranking shipped two fixes with no
+    driver evidence).
+
+    Stale-green policy: a green key whose implementing module later
+    changed is NOT re-ranked here; instead every round re-verifies ALL
+    oracle'd keys locally via ``tools/verify_local.py`` (same comparator
+    as the driver), so regressions surface locally even when the driver
+    sample misses them.
+    """
+    verdicts = _driver_verdicts()
 
     def rank(key: str) -> tuple[int, str]:
-        covered = key in driver_covered
         has_oracle = key in registry.ORACLES
-        if not covered and has_oracle:
-            tier = 0  # fresh hash-matchable coverage first
-        elif not covered:
-            tier = 1  # fresh rows-only coverage
+        if key not in verdicts:
+            tier = 0 if has_oracle else 1  # fresh coverage first
+        elif not verdicts[key]:
+            tier = 2  # last driver sample FAILED: re-confirm the repair
         elif has_oracle:
-            tier = 2  # already green with oracle
+            tier = 3  # already green with oracle
         else:
-            tier = 3  # already attempted, no oracle possible
+            tier = 4  # already green, rows-only
         return (tier, key)
 
     return sorted(registry.QUERIES, key=rank)

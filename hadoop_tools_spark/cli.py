@@ -97,8 +97,14 @@ def cmd_ls(args, spark=None, out=sys.stdout):
 
 def cmd_find(args, spark=None, out=sys.stdout):
     """``hh find PATH [-name GLOB] [-type f|d]``: recursive descent,
-    print matching paths."""
-    import re
+    print matching paths.
+
+    Filters run in the engine (same predicates as the ``fs_find``
+    query key), and the sorted result streams to the terminal via
+    ``toLocalIterator`` — the driver holds one partition of matches at
+    a time, never the whole namespace, so a 10^8-file tree renders in
+    bounded memory."""
+    from pyspark.sql import functions as F
 
     from .sources.listing import glob_to_regex, list_status_df
 
@@ -110,29 +116,32 @@ def cmd_find(args, spark=None, out=sys.stdout):
     if "-type" in args:
         type_flag = args[args.index("-type") + 1]
     df = list_status_df(spark, root, recursive=True)
-    rows = df.select("path", "name", "is_dir").collect()
-    rx = re.compile(glob_to_regex(name_glob)) if name_glob else None
-    for r in sorted(rows, key=lambda r: r.path):
-        if rx is not None and not rx.match(r.name):
-            continue
-        if type_flag == "f" and r.is_dir:
-            continue
-        if type_flag == "d" and not r.is_dir:
-            continue
+    if name_glob is not None:
+        df = df.filter(F.col("name").rlike(glob_to_regex(name_glob)))
+    if type_flag == "f":
+        df = df.filter(~F.col("is_dir"))
+    elif type_flag == "d":
+        df = df.filter(F.col("is_dir"))
+    for r in df.select("path").orderBy("path").toLocalIterator():
         print(r.path, file=out)
     return 0
 
 
 def cmd_du(args, spark=None, out=sys.stdout):
-    """``hh du [PATH]``: recursive bytes + file count per child —
+    """``hh du [-h] [PATH]``: recursive bytes + file count per child —
     the aggregate the NameNode computes server-side for the
     reference's one getContentSummary RPC, expressed as a partial-
-    aggregated groupBy over the listing DataFrame."""
+    aggregated groupBy over the listing DataFrame. Raw byte counts by
+    default; ``-h`` renders human-readable sizes (upstream ``hh du``
+    flag parity). Output stays driver-rendered: rows are bounded by
+    the root's direct-child fan-out, not namespace size."""
     from pyspark.sql import functions as F
 
     from .sources.listing import list_status_df
 
     spark = _spark(spark)
+    human = "-h" in args
+    args = [a for a in args if a != "-h"]
     root = session_state.resolve(args[0] if args else ".").rstrip("/")
     df = list_status_df(spark, root, recursive=True).filter(~F.col("is_dir"))
     # child = root/<first path component below root>
@@ -145,7 +154,8 @@ def cmd_du(args, spark=None, out=sys.stdout):
         .collect()
     )
     for r in agg:
-        print(f"{human_size(r.bytes):>10} {r.files:>6} {r.child}", file=out)
+        size = human_size(r.bytes) if human else str(r.bytes)
+        print(f"{size:>10} {r.files:>6} {r.child}", file=out)
     return 0
 
 

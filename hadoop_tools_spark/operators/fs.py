@@ -161,14 +161,33 @@ def fs_du_rollup(spark, sf_dir):
 @query(
     "fs_count",
     oracle="""
-    SELECT regexp_extract(filename, '/root/testdata/([^/]+)/', 1) AS dir,
-           CAST(COUNT(DISTINCT NULLIF(regexp_extract(filename,
-                '/root/testdata/[^/]+/(.+)/[^/]+$', 1), '')) AS BIGINT)
-               AS n_dirs,
+    WITH files AS (
+      SELECT size,
+             regexp_extract(filename, '/root/testdata/([^/]+)/', 1) AS dir,
+             regexp_extract(filename,
+                 '^/root/testdata/[^/]+/(.*/)?[^/]*$', 1) AS relsub
+      FROM read_blob('/root/testdata/**/*.parquet')
+    ),
+    /* every path PREFIX of each file's parent dir is a directory
+       strictly below the top-level child (a/b/c/f counts a/b AND
+       a/b/c), matching ContentSummary recursion on nested trees */
+    subdirs AS (
+      SELECT DISTINCT dir,
+             array_to_string(list_slice(
+                 string_split(rtrim(relsub, '/'), '/'), 1, n), '/') AS sub
+      FROM files,
+           UNNEST(generate_series(
+               1, len(string_split(rtrim(relsub, '/'), '/')))) AS t(n)
+      WHERE relsub <> ''
+    )
+    SELECT f.dir AS dir,
+           CAST(COALESCE(ANY_VALUE(sd.cnt), 0) AS BIGINT) AS n_dirs,
            CAST(COUNT(*) AS BIGINT) AS n_files,
-           CAST(SUM(size) AS BIGINT) AS total_bytes
-    FROM read_blob('/root/testdata/**/*.parquet')
-    GROUP BY 1
+           CAST(SUM(f.size) AS BIGINT) AS total_bytes
+    FROM files f
+    LEFT JOIN (SELECT dir, COUNT(*) AS cnt FROM subdirs GROUP BY dir) sd
+           ON f.dir = sd.dir
+    GROUP BY f.dir
     """,
 )
 def fs_count(spark, sf_dir):
@@ -180,8 +199,12 @@ def fs_count(spark, sf_dir):
     The NameNode computes this server-side in one RPC; here the same
     totals come from partial-aggregated per-directory counts, so a
     10^8-entry namespace reduces in one shuffle round. n_dirs counts
-    subdirectories BELOW each top-level child (0 in the flat fixture
-    tree), mirroring ContentSummary's own-directory-exclusive count.
+    subdirectories strictly BELOW each top-level child, mirroring
+    ContentSummary's own-directory-exclusive count; the oracle
+    enumerates every path prefix of each file's parent so nested
+    trees hash-match too. Known oracle blind spot: FILE-FREE dirs are
+    invisible to DuckDB's read_blob but counted by the listing — a
+    pytest asserts the fixture tree has none (test_fsops.py).
     """
     df = list_status_df(spark, TESTDATA_ROOT, recursive=True)
     top = F.regexp_extract("path", "/root/testdata/([^/]+)(/|$)", 1)

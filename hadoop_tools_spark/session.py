@@ -29,6 +29,17 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # One state-store backend for the WHOLE session, set before any
+    # streaming query starts: transformWithState requires RocksDB
+    # (per-variable column families), and RocksDB is the 100 TB choice
+    # regardless (incremental checkpoints, state larger than heap).
+    # Flipping this mid-session would corrupt provider affinity for
+    # checkpoints created under the old provider (ADVICE r3), so no
+    # query-builder is allowed to mutate it — see stateful.py.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
 }
 
 

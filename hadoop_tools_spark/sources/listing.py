@@ -156,31 +156,118 @@ def _scan_local_dirs(paths):
             continue
 
 
+class _SpillFrontier:
+    """Driver-side BFS frontier with a hard in-memory cap.
+
+    Up to ``cap`` directory paths live in a deque; overflow appends to
+    a newline-delimited temp file on local disk. Pops drain memory
+    first, then refill from the spill file in ``cap``-sized batches —
+    so a 10^6-dir level costs the driver ``cap`` strings plus one open
+    file handle, never ~100 MB of path strings. ``peak_mem`` records
+    the high-water mark for the bounded-memory pytest.
+    """
+
+    def __init__(self, cap: int = 100_000):
+        import collections
+
+        self.cap = cap
+        self.mem: "collections.deque[str]" = collections.deque()
+        self.peak_mem = 0
+        self.spilled = 0
+        self._spill = None  # lazily-created tempfile (append handle)
+
+    def push(self, path: str) -> None:
+        if len(self.mem) < self.cap:
+            self.mem.append(path)
+            self.peak_mem = max(self.peak_mem, len(self.mem))
+        else:
+            if self._spill is None:
+                import tempfile
+
+                self._spill = tempfile.TemporaryFile(
+                    mode="w+", prefix="hts-frontier-"
+                )
+            self._spill.write(path + "\n")
+            self.spilled += 1
+
+    def _refill(self) -> None:
+        if self.mem or not self.spilled:
+            return
+        # stream the spill back in one cap-sized batch; rewrite the
+        # remainder to a fresh spill file (sequential IO, no seeks)
+        self._spill.seek(0)
+        old, self._spill = self._spill, None
+        self.spilled = 0
+        for i, line in enumerate(old):
+            if i < self.cap:
+                self.mem.append(line.rstrip("\n"))
+            else:
+                self.push(line.rstrip("\n"))
+        old.close()
+
+    def pop_chunk(self, n: int) -> list[str]:
+        self._refill()
+        chunk = [self.mem.popleft() for _ in range(min(n, len(self.mem)))]
+        return chunk
+
+    def __bool__(self) -> bool:
+        return bool(self.mem) or self.spilled > 0
+
+    def close(self) -> None:
+        if self._spill is not None:
+            self._spill.close()
+            self._spill = None
+
+
 def list_files_distributed(
-    spark: SparkSession, root: str, max_rounds: int = 64
+    spark: SparkSession,
+    root: str,
+    max_rounds: int = 100_000,
+    frontier_cap: int = 100_000,
 ) -> DataFrame:
     """Distributed BFS namespace walk (the 10^8-file path).
 
-    Each round parallelizes the current directory frontier across
-    executors; executors scan their directories and emit files + child
-    dirs. Only child-dir *paths* are collected to the driver (frontier
-    for the next round); file rows remain distributed and are unioned
-    lazily. Local-scheme implementation uses ``os.scandir`` on
-    executors; an ``hdfs://`` deployment swaps the scan function for a
-    WebHDFS/libhdfs call — the orchestration is scheme-agnostic.
+    Each round parallelizes (a chunk of) the current directory
+    frontier across executors; executors scan their directories and
+    emit files + child dirs. Only child-dir *paths* return to the
+    driver — streamed via ``toLocalIterator`` into a
+    :class:`_SpillFrontier` that holds at most ``frontier_cap`` paths
+    in memory and spills the rest to local disk, so driver RSS is
+    bounded regardless of how wide a namespace level is. File rows
+    remain distributed and are unioned lazily. Local-scheme
+    implementation uses ``os.scandir`` on executors; an ``hdfs://``
+    deployment swaps the scan function for a WebHDFS/libhdfs call —
+    the orchestration is scheme-agnostic.
     """
     sc = spark.sparkContext
-    frontier = [root]
+    frontier = _SpillFrontier(cap=frontier_cap)
+    frontier.push(root)
     file_rdds = []
-    for _ in range(max_rounds):
-        if not frontier:
-            break
-        rdd = sc.parallelize(frontier, max(1, min(len(frontier), 256))).mapPartitions(
-            _scan_local_dirs
-        )
-        rdd = rdd.cache()
-        frontier = [p for (_, p, _, _) in rdd.filter(lambda r: r[0] == "d").collect()]
-        file_rdds.append(rdd.filter(lambda r: r[0] == "f"))
+    rounds = 0
+    try:
+        while frontier and rounds < max_rounds:
+            rounds += 1
+            chunk = frontier.pop_chunk(frontier_cap)
+            rdd = sc.parallelize(chunk, max(1, min(len(chunk), 64))).mapPartitions(
+                _scan_local_dirs
+            )
+            rdd = rdd.cache()
+            # coalesce the (paths-only) dirs pull so toLocalIterator
+            # costs a handful of jobs per round, not one per scan
+            # partition. The Python driver never holds more than the
+            # SpillFrontier cap; the JVM driver transiently holds one
+            # coalesced partition (~1/4 of the round's child dirs)
+            # while serving it to Python.
+            dirs = (
+                rdd.filter(lambda r: r[0] == "d")
+                .map(lambda r: r[1])
+                .coalesce(4)
+            )
+            for p in dirs.toLocalIterator():
+                frontier.push(p)
+            file_rdds.append(rdd.filter(lambda r: r[0] == "f"))
+    finally:
+        frontier.close()
     if not file_rdds:
         return spark.createDataFrame([], FILE_STATUS_SCHEMA)
     union = sc.union(file_rdds).map(

@@ -127,14 +127,25 @@ def running_user_stats_tws(stream_events: DataFrame) -> DataFrame:
     wires in a vendored runtime when pip is unavailable) and the
     RocksDB state store provider (transformWithState keeps each state
     variable in its own column family, which HDFSBackedStateStoreProvider
-    doesn't support) — set here on the session so the query can start.
+    doesn't support). The provider is a session-wide default
+    (session.py `_RUNTIME_CONFS`) set before any streaming query
+    starts; it is deliberately NOT mutated here — flipping the provider
+    mid-session would break restore of checkpoints created under the
+    previous provider — so a session built without it fails fast below
+    instead of silently reconfiguring its sibling queries.
     """
     spark = stream_events.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
     )
+    if "RocksDBStateStoreProvider" not in provider:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the RocksDB state store; "
+            "set spark.sql.streaming.stateStore.providerClass to "
+            "RocksDBStateStoreProvider in the session builder (before "
+            "any streaming query starts), e.g. via "
+            "hadoop_tools_spark.session.get_spark/ensure_session_confs."
+        )
     return (
         stream_events.select("user_id", "ts", "value")
         .groupBy("user_id")

@@ -203,8 +203,10 @@ def test_hll_is_partitioning_invariant(spark, sf_dir):
 
 def test_embed_neardup_lsh_recall_vs_exact(spark, sf_dir):
     """The LSH-bucketed embedding near-dup must recover most exact
-    cos>0.4 pairs (8 hash tables; randomized, so bounded not exact)
-    and report accurate cosines for the pairs it finds."""
+    cos>0.4 pairs (4 hash tables; randomized, so bounded not exact)
+    and report accurate cosines for the pairs it finds. This recall
+    floor is the gate for trimming numHashTables — don't lower the
+    table count without re-running this test."""
     from hadoop_tools_spark.operators.llm_knn import (
         llm_embed_neardup,
         llm_embed_neardup_lsh,

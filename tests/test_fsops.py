@@ -67,3 +67,56 @@ def test_distributed_walker_matches_driver_bfs(spark):
         if not r.is_dir
     }
     assert got == drv
+
+def test_distributed_walker_frontier_spills_bounded(spark, tmp_path):
+    """A wide BFS level (10^4 dirs) walks correctly with a tiny
+    in-memory frontier cap: overflow spills to disk, the in-memory
+    high-water mark never exceeds the cap, and no file is lost."""
+    from hadoop_tools_spark.sources import listing
+
+    base = tmp_path / "wide"
+    base.mkdir()
+    n = 10_000
+    for i in range(n):
+        d = base / f"d{i:05d}"
+        d.mkdir()
+        if i % 100 == 0:  # 100 files, spread across the level
+            (d / "leaf.txt").write_text(str(i))
+
+    peak = {}
+    orig = listing._SpillFrontier
+
+    class Probe(orig):
+        def close(self):
+            peak["mem"] = self.peak_mem
+            peak["spilled_any"] = peak.get("spilled_any", False) or (
+                self.spilled > 0 or self._spill is not None
+            )
+            super().close()
+
+    listing._SpillFrontier = Probe
+    try:
+        df = listing.list_files_distributed(
+            spark, str(base), frontier_cap=2048
+        )
+        paths = sorted(r.path for r in df.collect())
+    finally:
+        listing._SpillFrontier = orig
+    assert len(paths) == 100
+    assert paths[0].endswith("d00000/leaf.txt")
+    assert peak["mem"] <= 2048
+
+def test_testdata_tree_has_no_filefree_dirs():
+    """fs_count's DuckDB oracle cannot see directories containing no
+    files anywhere below them (read_blob enumerates files only). The
+    Spark listing DOES count them, so the hash-match silently depends
+    on the fixture tree having none — assert that here so growth of
+    an empty dir under /root/testdata fails loudly, not as a driver
+    hash mismatch."""
+    import os
+
+    for root, dirs, files in os.walk("/root/testdata"):
+        has_any = any(
+            fs for _, _, fs in os.walk(root)
+        )
+        assert has_any, f"file-free subtree at {root} breaks fs_count oracle"

@@ -171,3 +171,151 @@ def test_cmd_cat_directory_is_clean_error(spark, sf_dir, tmp_path, capsys):
     assert rc == 1
     assert b"" == buf.getvalue() or b"somedir" not in buf.getvalue()
     assert "Is a directory" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# incremental-index freshness: append → re-probe must match a fresh build
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_incremental_matches_fresh_build(spark, sf_dir, tmp_path):
+    """Exact-dedup index: build on the first half of the corpus, feed
+    the second half through dedup_incremental, and the resulting index
+    must equal a from-scratch build over the full corpus (same
+    canonical doc per digest — batches split in doc_id order so
+    first-occurrence-wins agrees)."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.operators.llm_dedup import (
+        build_dedup_index,
+        dedup_incremental,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    part1 = docs.filter(F.col("doc_id") <= cut)
+    part2 = docs.filter(F.col("doc_id") > cut)
+
+    inc_path = str(tmp_path / "dedup_inc")
+    build_dedup_index(part1, inc_path)
+    dedup_incremental(spark, part2, inc_path)
+    incremental = {
+        (r.h, r.doc_id) for r in spark.read.parquet(inc_path).collect()
+    }
+
+    fresh_path = str(tmp_path / "dedup_fresh")
+    build_dedup_index(docs, fresh_path)
+    fresh = {(r.h, r.doc_id) for r in spark.read.parquet(fresh_path).collect()}
+
+    assert incremental == fresh
+
+
+def test_neardup_incremental_matches_fresh_pairs(spark, sf_dir, tmp_path):
+    """Band-key index: pairs from (part1-internal ∪ incremental batch)
+    must equal the band-blocked candidate pairs of a full fresh corpus,
+    and the stored index must match a fresh build row-for-row."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.operators.llm_dedup import (
+        build_neardup_index,
+        neardup_incremental,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    part1 = docs.filter(F.col("doc_id") <= cut)
+    part2 = docs.filter(F.col("doc_id") > cut)
+
+    inc_path = str(tmp_path / "nd_inc")
+    build_neardup_index(part1, inc_path)
+    batch_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in neardup_incremental(spark, part2, inc_path).collect()
+    }
+    stored = {
+        (r.doc_id, r.band, r.key)
+        for r in spark.read.parquet(inc_path).collect()
+    }
+
+    fresh_path = str(tmp_path / "nd_fresh")
+    build_neardup_index(docs, fresh_path)
+    fresh_bands = spark.read.parquet(fresh_path)
+    fresh_stored = {
+        (r.doc_id, r.band, r.key) for r in fresh_bands.collect()
+    }
+    assert stored == fresh_stored
+
+    # full-corpus band-blocked pairs, derived from the fresh index
+    a, b = fresh_bands.alias("a"), fresh_bands.alias("b")
+    full_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .collect()
+    }
+    part1_ids = {r.doc_id for r in part1.select("doc_id").collect()}
+    part1_internal = {
+        p for p in full_pairs if p[0] in part1_ids and p[1] in part1_ids
+    }
+    assert part1_internal | batch_pairs == full_pairs
+    # incremental pairs all touch the new batch
+    assert all(
+        p[0] not in part1_ids or p[1] not in part1_ids for p in batch_pairs
+    )
+
+
+def test_ivf_append_matches_fresh_build(spark, sf_dir, tmp_path):
+    """IVF index: train once, build on 80% of vectors, ivf_append the
+    rest, and every probe must return exactly what a from-scratch
+    build with the SAME quantizer over the full corpus returns."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.operators.llm_knn import (
+        _fit_quantizer,
+        build_ivf_index,
+        ivf_append,
+        ivf_search,
+        materialize,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("u")
+    )
+    cut = e.approxQuantile("vec_id", [0.8], 0.0)[0]
+    part1 = e.filter(F.col("vec_id") <= cut)
+    part2 = e.filter(F.col("vec_id") > cut)
+    C = _fit_quantizer(materialize(e))
+
+    inc_path = str(tmp_path / "ivf_inc")
+    build_ivf_index(spark, sf_dir, inc_path, centroids=C, source_df=part1)
+    ivf_append(spark, part2, inc_path)
+
+    fresh_path = str(tmp_path / "ivf_fresh")
+    build_ivf_index(spark, sf_dir, fresh_path, centroids=C, source_df=e)
+
+    import numpy as np
+
+    qs = e.orderBy("vec_id").limit(8).collect()
+    queries = spark.createDataFrame(
+        [
+            (r.vec_id, [float(x) for x in np.array(r.u) / np.linalg.norm(r.u)])
+            for r in qs
+        ],
+        "q_id long, q_u array<double>",
+    )
+    got_inc = sorted(
+        (r.q_id, r.neighbor_id, r.cosine, r.rn)
+        for r in ivf_search(spark, inc_path, queries).collect()
+    )
+    got_fresh = sorted(
+        (r.q_id, r.neighbor_id, r.cosine, r.rn)
+        for r in ivf_search(spark, fresh_path, queries).collect()
+    )
+    assert got_inc == got_fresh and got_inc
+    spark.catalog.clearCache()

@@ -181,6 +181,20 @@ def main() -> None:
     for i in range(4):  # 12-22 frames each at frame_len=160
         with open(os.path.join(OUT, f"snd_{i}.wav"), "wb") as f:
             f.write(wav_bytes(2048 + 512 * i, i))
+    # unsupported-subformat fixtures for the tolerant-decode key:
+    # structurally-progressive JPEGs made by rewriting jpg_{i}'s SOF0
+    # marker (FF C0) to SOF2 (FF C2) — the decoder must flag, not die.
+    # .jpeg extension keeps them out of the '*.jpg' oracles' globs.
+    for i in range(2):
+        with open(os.path.join(OUT, f"jpg_{i}.jpg"), "rb") as f:
+            blob = bytearray(f.read())
+        # first byte-aligned FF C0 is the SOF0 marker in these fixtures
+        for p in range(0, len(blob) - 1):
+            if blob[p] == 0xFF and blob[p + 1] == 0xC0:
+                blob[p + 1] = 0xC2
+                break
+        with open(os.path.join(OUT, f"prog_{i}.jpeg"), "wb") as f:
+            f.write(bytes(blob))
     print(f"wrote fixtures to {OUT}")
 
 

@@ -34,7 +34,7 @@ KEYED = {
     "customer": ("c_custkey",),
     "supplier": ("s_suppkey",),
     "part": ("p_partkey",),
-    "events": ("event_id",),
+    "events": ("event_id", "user_id"),
 }
 PASSTHROUGH = ("region", "nation")
 
@@ -49,12 +49,16 @@ def _offsets(con) -> dict[str, int]:
                 "l_partkey": "part", "p_partkey": "part",
                 "l_suppkey": "supplier", "s_suppkey": "supplier",
                 "event_id": "events",
+                # events.user_id is an FK to customer: offset it with the
+                # customer stride so stream-enrich joins hit every copy's
+                # customers, not just copy 0 (ADVICE r3)
+                "user_id": "customer",
             }[c]
             key = {"o_orderkey": "o_orderkey", "l_orderkey": "o_orderkey",
                    "o_custkey": "c_custkey", "c_custkey": "c_custkey",
                    "l_partkey": "p_partkey", "p_partkey": "p_partkey",
                    "l_suppkey": "s_suppkey", "s_suppkey": "s_suppkey",
-                   "event_id": "event_id"}[c]
+                   "event_id": "event_id", "user_id": "c_custkey"}[c]
             if c not in out:
                 out[c] = con.execute(
                     f"SELECT MAX({key}) + 1 FROM "
