@@ -1,19 +1,28 @@
-"""Minimal baseline JPEG codec (pure Python + numpy).
+"""Minimal JPEG codec family (pure Python + numpy).
 
-Decoder for baseline sequential DCT JPEG (SOF0), 8-bit, Huffman-coded,
-1-component greyscale or 3-component YCbCr without chroma subsampling
-(4:4:4) — plus the matching encoder used to generate deterministic
-fixtures (tools/gen_media_fixtures.py). Production corpora use a C
-codec (PIL/libjpeg-turbo) behind the same :func:`decode_image` seam in
+Decoder for 8-bit Huffman-coded DCT JPEG — baseline sequential (SOF0)
+AND progressive (SOF2, spectral selection + successive approximation)
+— 1-component greyscale or 3-component YCbCr with 4:4:4, 4:2:2, or
+4:2:0 chroma sampling, and restart-interval support (DRI / RSTn).
+Matching encoders (baseline with optional subsampling + restart
+markers, and a progressive encoder with per-scan optimal Huffman
+tables) generate the deterministic fixtures in
+tools/gen_media_fixtures.py. Production corpora use a C codec
+(PIL/libjpeg-turbo) behind the same :func:`decode_image` seam in
 operators/multimodal.py; this implementation exists so the engine's
 JPEG path is REAL and testable in a no-network sandbox.
 
-Scope intentionally excluded: progressive scans, restart markers,
-chroma subsampling, arithmetic coding, 12-bit precision — all raise.
+Scope intentionally excluded: arithmetic coding (SOF9/SOF10),
+lossless (SOF3/SOF11), hierarchical (SOF5-7/SOF13-15), 12-bit
+precision — all raise NotImplementedError so the fault-tolerant
+decode path (multimodal.extract_features_tolerant) flags the row
+instead of dying.
 
 Standard tables from ITU-T T.81 Annex K: quantization (scaled by the
 usual libjpeg quality formula) and the example Huffman tables every
-baseline encoder ships.
+baseline encoder ships. Progressive scan logic follows T.81 G.1.2 /
+G.2 (the successive-approximation control flow is the same one every
+public decoder implements).
 """
 
 from __future__ import annotations
@@ -118,6 +127,10 @@ for _k in range(8):
 _C *= np.sqrt(2.0 / 8)
 _C[0] *= 1 / np.sqrt(2)
 
+_SAMPLING = {"444": [(1, 1), (1, 1), (1, 1)],
+             "422": [(2, 1), (1, 1), (1, 1)],
+             "420": [(2, 2), (1, 1), (1, 1)]}
+
 
 def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
     q = max(1, min(100, quality))
@@ -140,7 +153,7 @@ def _canonical_codes(bits, values):
 
 
 # --------------------------------------------------------------------------
-# encoder
+# shared encoder plumbing
 # --------------------------------------------------------------------------
 
 
@@ -176,6 +189,91 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
+def _rgb_to_ycc(px: np.ndarray):
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    return (
+        0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+        -0.168736 * r - 0.331264 * g + 0.5 * b,
+        0.5 * r - 0.418688 * g - 0.081312 * b,
+    )
+
+
+def _quant_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """8-aligned plane → (bh, bw, 8, 8) int32 quantized DCT blocks."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
+    return np.round(coef / q.reshape(8, 8)).astype(np.int32)
+
+
+def _component_coefs(px: np.ndarray, quality: int, subsample: str):
+    """RGB array → per-component quantized coefficient grids sized to
+    cover the full interleaved-MCU grid (partial blocks edge-padded),
+    plus the sampling/table metadata the headers need."""
+    h, w = px.shape[:2]
+    hv = _SAMPLING[subsample]
+    qy = _quality_scale(_Q_LUMA, quality)
+    qc = _quality_scale(_Q_CHROMA, quality)
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for plane, (hi, vi) in zip(_rgb_to_ycc(px), hv):
+        if (hi, vi) != (hmax, vmax):
+            fx, fy = hmax // hi, vmax // vi
+            ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+            p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        planes.append(plane)
+    coefs = []
+    for plane, (hi, vi), q in zip(planes, hv, [qy, qc, qc]):
+        ph, pw = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        coefs.append(_quant_blocks(p, q))
+    return coefs, hv, (qy, qc), (mcux, mcuy)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _dqt(tid: int, table: np.ndarray) -> bytes:
+    return _seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in table[ZIGZAG]))
+
+
+def _dht(cls: int, tid: int, spec) -> bytes:
+    bits, vals = spec
+    return _seg(0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals))
+
+
+def _headers(marker: int, h: int, w: int, hv, qy, qc) -> bytes:
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt(0, qy) + _dqt(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes(
+        [3]
+        + [
+            b
+            for ci, (hi, vi) in enumerate(hv)
+            for b in (ci + 1, hi << 4 | vi, 0 if ci == 0 else 1)
+        ]
+    )
+    out += _seg(marker, sof)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# baseline encoder
+# --------------------------------------------------------------------------
+
+
 def _encode_block(bw, block, dc_codes, ac_codes, pred):
     zz = block.reshape(64)[ZIGZAG]
     diff = int(zz[0]) - pred
@@ -207,77 +305,342 @@ def _encode_block(bw, block, dc_codes, ac_codes, pred):
     return int(zz[0])
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4, two quant +
-    four Huffman tables, no subsampling)."""
-    h, w = px.shape[:2]
-    qy = _quality_scale(_Q_LUMA, quality)
-    qc = _quality_scale(_Q_CHROMA, quality)
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 85,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes.
 
-    r = px[:, :, 0].astype(np.float64)
-    g = px[:, :, 1].astype(np.float64)
-    b = px[:, :, 2].astype(np.float64)
-    comps = [
-        0.299 * r + 0.587 * g + 0.114 * b - 128.0,
-        -0.168736 * r - 0.331264 * g + 0.5 * b,
-        0.5 * r - 0.418688 * g - 0.081312 * b,
-    ]
+    ``subsample``: "444" (no subsampling), "422", or "420" (chroma
+    box-averaged 2×1 / 2×2 — the dominant production layout).
+    ``restart_interval``: if > 0, emit DRI + an RSTn marker every N
+    MCUs with DC-predictor resets (what camera firmware emits so a
+    corrupted byte only loses one restart segment, not the image).
+    """
+    h, w = px.shape[:2]
+    coefs, hv, (qy, qc), (mcux, mcuy) = _component_coefs(px, quality, subsample)
 
     dc_y = _canonical_codes(*_DC_LUMA)
     ac_y = _canonical_codes(*_AC_LUMA)
     dc_c = _canonical_codes(*_DC_CHROMA)
     ac_c = _canonical_codes(*_AC_CHROMA)
 
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
     bw_ = _BitWriter()
     preds = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci, comp in enumerate(comps):
-                blk = np.zeros((8, 8))
-                ys, xs = by * 8, bx * 8
-                sub = comp[ys : min(ys + 8, h), xs : min(xs + 8, w)]
-                blk[: sub.shape[0], : sub.shape[1]] = sub
-                # edge replication for partial blocks
-                if sub.shape[0] < 8:
-                    blk[sub.shape[0] :, :] = blk[sub.shape[0] - 1, :]
-                if sub.shape[1] < 8:
-                    blk[:, sub.shape[1] :] = blk[:, sub.shape[1] - 1][:, None]
-                coef = _C @ blk @ _C.T
-                q = qy if ci == 0 else qc
-                quant = np.round(coef / q.reshape(8, 8)).astype(np.int32)
-                preds[ci] = _encode_block(
-                    bw_,
-                    quant,
-                    dc_y if ci == 0 else dc_c,
-                    ac_y if ci == 0 else ac_c,
-                    preds[ci],
-                )
+    rst = 0
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and nmcu and nmcu % restart_interval == 0:
+                bw_.flush()
+                bw_.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            for ci in range(3):
+                hi, vi = hv[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        preds[ci] = _encode_block(
+                            bw_,
+                            coefs[ci][my * vi + by, mx * hi + bx],
+                            dc_y if ci == 0 else dc_c,
+                            ac_y if ci == 0 else ac_c,
+                            preds[ci],
+                        )
+            nmcu += 1
     bw_.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    def dqt(tid: int, table: np.ndarray) -> bytes:
-        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in table[ZIGZAG]))
-
-    def dht(cls: int, tid: int, spec) -> bytes:
-        bits, vals = spec
-        return seg(0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals))
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += dqt(0, qy) + dqt(1, qc)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes(
-        [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
-    )
-    out += seg(0xFFC0, sof)
-    out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
-    out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+    out = bytearray(_headers(0xFFC0, h, w, hv, qy, qc))
+    out += _dht(0, 0, _DC_LUMA) + _dht(1, 0, _AC_LUMA)
+    out += _dht(0, 1, _DC_CHROMA) + _dht(1, 1, _AC_CHROMA)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
-    out += seg(0xFFDA, sos)
+    out += _seg(0xFFDA, sos)
     out += bw_.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder
+# --------------------------------------------------------------------------
+
+
+def _optimal_table(freq: list[int]) -> tuple[list[int], list[int]]:
+    """Symbol frequencies → (BITS, HUFFVAL) per T.81 Annex K.2 (the
+    same merge-least-frequent procedure libjpeg's optimizer uses).
+    A pseudo-symbol 256 with frequency 1 reserves the all-ones code."""
+    freq = freq + [1]
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = min(
+            (i for i in range(257) if freq[i] > 0),
+            key=lambda i: (freq[i], i),
+            default=-1,
+        )
+        c2 = min(
+            (i for i in range(257) if freq[i] > 0 and i != c1),
+            key=lambda i: (freq[i], i),
+            default=-1,
+        )
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    # limit code lengths to 16 (Annex K.3 adjust procedure)
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # remove the reserved pseudo-symbol's code
+    huffval = sorted(
+        (i for i in range(256) if codesize[i]),
+        key=lambda s: (codesize[s], s),
+    )
+    return bits[1:17], huffval
+
+
+class _ScanOps:
+    """Symbol/bit op recorder: pass 1 collects symbol frequencies so an
+    optimal Huffman table can be built, pass 2 serializes the exact
+    same op stream through it."""
+
+    def __init__(self):
+        self.ops: list[tuple[int, int, int]] = []  # (kind, a, b)
+
+    def sym(self, s: int) -> None:
+        self.ops.append((0, s, 0))
+
+    def raw(self, bits: int, n: int) -> None:
+        if n:
+            self.ops.append((1, bits, n))
+
+    def table(self) -> tuple[list[int], list[int]]:
+        freq = [0] * 256
+        for kind, a, _ in self.ops:
+            if kind == 0:
+                freq[a] += 1
+        return _optimal_table(freq)
+
+    def emit(self, bw: _BitWriter, codes) -> None:
+        for kind, a, b in self.ops:
+            if kind == 0:
+                code, ln = codes[a]
+                bw.write(code, ln)
+            else:
+                bw.write(a, b)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift (truncate toward zero)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _enc_dc_first(ops: _ScanOps, zz, order, al: int) -> None:
+    preds = [0, 0, 0]
+    for ci, by, bx in order:
+        v = int(zz[ci][by, bx, 0]) >> al  # DC uses arithmetic shift
+        cat, bits = _magnitude(v - preds[ci])
+        preds[ci] = v
+        ops.sym(cat)
+        ops.raw(bits, cat)
+
+
+def _enc_dc_refine(ops: _ScanOps, zz, order, al: int) -> None:
+    for ci, by, bx in order:
+        ops.raw((int(zz[ci][by, bx, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(ops: _ScanOps, band_rows, ss, se, al) -> None:
+    """band_rows: iterable of zigzag int arrays (one per block)."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.sym(n << 4)
+            ops.raw(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for row in band_rows:
+        vals = [_pt(int(row[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 32767:
+                flush()
+            continue
+        flush()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ops.sym(0xF0)
+                run -= 16
+            cat, bits = _magnitude(v)
+            ops.sym((run << 4) | cat)
+            ops.raw(bits, cat)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 32767:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(ops: _ScanOps, band_rows, ss, se, al) -> None:
+    """Successive-approximation AC refinement (T.81 G.1.2.3): newly
+    significant coefficients are run-length coded at ±1<<al; already
+    significant ones ride along as buffered correction bits emitted
+    after the next EOB-run flush."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits awaiting the next flush
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.sym(n << 4)
+            ops.raw(eobrun - (1 << n), n)
+            eobrun = 0
+        for b in pending:
+            ops.raw(b, 1)
+        pending.clear()
+
+    for row in band_rows:
+        vals = [int(row[k]) for k in range(ss, se + 1)]
+        absv = [_pt(abs(v), 0) >> al for v in vals]
+        eob = 0
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i + 1  # 1 past the last newly-significant coef
+        run = 0
+        br: list[int] = []  # correction bits buffered in this block
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i < eob:
+                flush()
+                ops.sym(0xF0)
+                run -= 16
+                for b in br:
+                    ops.raw(b, 1)
+                br = []
+            if a > 1:
+                br.append(a & 1)
+                continue
+            flush()
+            ops.sym((run << 4) | 1)
+            ops.raw(1 if vals[i] >= 0 else 0, 1)
+            run = 0
+            for b in br:
+                ops.raw(b, 1)
+            br = []
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 32767:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(px: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive JFIF (SOF2), 4:4:4.
+
+    Scan script (libjpeg-style, exercising every progressive decode
+    path): interleaved DC at Al=1, per-component AC in two spectral
+    bands (1-5, 6-63) at Al=1, then the DC refinement scan and the
+    matching AC refinement scans at Al=0. Every scan carries its own
+    optimal Huffman table (Annex K tables lack the EOBn symbols
+    progressive streams need)."""
+    h, w = px.shape[:2]
+    coefs, hv, (qy, qc), (mcux, mcuy) = _component_coefs(px, quality, "444")
+    # zigzag-ordered coefficient vectors per block: (bh, bw, 64)
+    zz = [c.reshape(c.shape[0], c.shape[1], 64)[:, :, ZIGZAG] for c in coefs]
+    mcu_order = [
+        (ci, my, mx)
+        for my in range(mcuy)
+        for mx in range(mcux)
+        for ci in range(3)
+    ]
+
+    def blocks(ci):
+        bh, bw = zz[ci].shape[:2]
+        return (zz[ci][by, bx] for by in range(bh) for bx in range(bw))
+
+    scans = []  # (comp list, ss, se, ah, al, ops)
+    ops = _ScanOps()
+    _enc_dc_first(ops, zz, mcu_order, 1)
+    scans.append(([0, 1, 2], 0, 0, 0, 1, ops))
+    for ci in range(3):
+        for ss, se in ((1, 5), (6, 63)):
+            ops = _ScanOps()
+            _enc_ac_first(ops, blocks(ci), ss, se, 1)
+            scans.append(([ci], ss, se, 0, 1, ops))
+    ops = _ScanOps()
+    _enc_dc_refine(ops, zz, mcu_order, 0)
+    scans.append(([0, 1, 2], 0, 0, 1, 0, ops))
+    for ci in range(3):
+        for ss, se in ((1, 5), (6, 63)):
+            ops = _ScanOps()
+            _enc_ac_refine(ops, blocks(ci), ss, se, 0)
+            scans.append(([ci], ss, se, 1, 0, ops))
+
+    out = bytearray(_headers(0xFFC2, h, w, hv, qy, qc))
+    for comp_ids, ss, se, ah, al, ops in scans:
+        is_dc = ss == 0
+        refinement = ah > 0
+        if not refinement or not is_dc:
+            # DC refinement scans are raw bits — no Huffman table
+            if any(kind == 0 for kind, _, _ in ops.ops):
+                spec = ops.table()
+                out += _dht(0 if is_dc else 1, 0, spec)
+                codes = _canonical_codes(*spec)
+            else:
+                codes = {}
+        else:
+            codes = {}
+        head = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            head += bytes([ci + 1, 0x00 if is_dc else 0x10])
+        head += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, head)
+        bw = _BitWriter()
+        ops.emit(bw, codes)
+        bw.flush()
+        out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -317,6 +680,18 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected RST marker at restart interval")
+        self.pos += 2
+
 
 def _decode_tree(bits, values):
     """(BITS, HUFFVAL) → {(length, code): symbol}."""
@@ -349,18 +724,28 @@ def _extend(bits: int, cat: int) -> int:
     return bits
 
 
-def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Baseline JFIF bytes → (width, height, (h, w, 3) uint8 RGB)."""
+class _Scan:
+    def __init__(self, comps, ss, se, ah, al, data, dri, trees):
+        self.comps = comps  # [(comp idx, dc tid, ac tid)]
+        self.ss, self.se, self.ah, self.al = ss, se, ah, al
+        self.data = data
+        self.dri = dri
+        self.trees = trees  # snapshot of (cls, tid) → decode tree
+
+
+def _parse(blob: bytes):
+    """Marker walk → (progressive, h, w, comps, qtables, scans)."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htrees: dict[tuple[int, int], dict] = {}
     h = w = None
-    comps: list[tuple[int, int, int]] = []  # (comp_id, sampling, qtable id)
-    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc tid, ac tid)
-    scan_data = None
-    while pos < len(blob):
+    progressive = False
+    dri = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, qid)
+    scans: list[_Scan] = []
+    while pos < len(blob) - 1:
         if blob[pos] != 0xFF:
             pos += 1
             continue
@@ -393,69 +778,277 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
                 vals = list(payload[p + 17 : p + 17 + nvals])
                 htrees[(cls_id >> 4, cls_id & 0xF)] = _decode_tree(bits, vals)
                 p += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / ext. sequential / SOF2
             if payload[0] != 8:
                 raise NotImplementedError("non-8-bit precision")
+            progressive = marker == 0xC2
             h, w = struct.unpack_from(">HH", payload, 1)
             n_comp = payload[5]
             for ci in range(n_comp):
                 cid, samp, qid = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("chroma subsampling")
-                comps.append((cid, samp, qid))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
-            raise NotImplementedError("non-baseline JPEG (SOF%d)" % (marker & 0xF))
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(f"sampling factor {hi}x{vi}")
+                comps.append((cid, hi, vi, qid))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "unsupported JPEG process (SOF%d)" % (marker & 0xF)
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS
             n_sc = payload[0]
+            scomps = []
             for ci in range(n_sc):
                 cid, tids = payload[1 + 2 * ci], payload[2 + 2 * ci]
                 idx = next(i for i, c in enumerate(comps) if c[0] == cid)
-                scan_comps.append((idx, tids >> 4, tids & 0xF))
-            scan_data = blob[pos + seglen :]
-            break
+                scomps.append((idx, tids >> 4, tids & 0xF))
+            ss, se, ahl = payload[1 + 2 * n_sc : 4 + 2 * n_sc]
+            # entropy span: up to the next marker that is not a stuffed
+            # 0x00 or an RSTn
+            p = pos + seglen
+            while p < len(blob) - 1:
+                if blob[p] == 0xFF and blob[p + 1] not in (0x00,) and not (
+                    0xD0 <= blob[p + 1] <= 0xD7
+                ):
+                    break
+                p += 1
+            scans.append(
+                _Scan(
+                    scomps, ss, se, ahl >> 4, ahl & 0xF,
+                    blob[pos + seglen : p], dri, dict(htrees),
+                )
+            )
+            pos = p
+            continue
         pos += seglen
-    if h is None or scan_data is None:
-        raise ValueError("missing SOF0/SOS")
+    if h is None or not scans:
+        raise ValueError("missing SOF/SOS")
+    return progressive, h, w, comps, qtables, scans
 
-    br = _BitReader(scan_data)
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bwid * 8)) for _ in comps]
-    preds = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bwid):
-            for (idx, dc_t, ac_t) in scan_comps:
-                zz = np.zeros(64, dtype=np.int32)
-                cat = _read_symbol(br, htrees[(0, dc_t)])
-                diff = _extend(br.read_bits(cat), cat) if cat else 0
-                preds[idx] += diff
-                zz[0] = preds[idx]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(br, htrees[(1, ac_t)])
-                    if sym == 0x00:  # EOB
+
+def _decode_block_baseline(br, zz, dc_tree, ac_tree, preds, idx):
+    cat = _read_symbol(br, dc_tree)
+    diff = _extend(br.read_bits(cat), cat) if cat else 0
+    preds[idx] += diff
+    zz[0] = preds[idx]
+    k = 1
+    while k < 64:
+        sym = _read_symbol(br, ac_tree)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        cat = sym & 0xF
+        if k > 63:
+            raise ValueError("AC index out of range")
+        zz[k] = _extend(br.read_bits(cat), cat)
+        k += 1
+
+
+def _decode_ac_first(br, zz, tree, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(br, tree)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index out of range in progressive scan")
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(br, zz, tree, ss, se, al, eobrun):
+    """T.81 G.2 successive-approximation refinement (the jdphuff
+    control flow: history coefficients absorb correction bits while
+    runs count only zero-history positions)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, tree)
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad refinement symbol")
+                val = p1 if br.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
                         break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    cat = sym & 0xF
-                    if k > 63:
-                        raise ValueError("AC index out of range")
-                    zz[k] = _extend(br.read_bits(cat), cat)
-                    k += 1
-                blk = np.zeros(64, dtype=np.float64)
-                blk[ZIGZAG] = zz * qtables[comps[idx][2]][ZIGZAG]
-                sp = _C.T @ blk.reshape(8, 8) @ _C
-                planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = sp
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """JFIF bytes → (width, height, (h, w, 3) uint8 RGB).
+
+    Handles baseline (SOF0/SOF1) and progressive (SOF2) processes,
+    4:4:4 / 4:2:2 / 4:2:0 sampling, and restart intervals. Chroma is
+    upsampled by sample replication (the standard fast path)."""
+    progressive, h, w, comps, qtables, scans = _parse(blob)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # zigzag-order coefficient store covering the full MCU grid
+    coefs = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+        for (_, hi, vi, _) in comps
+    ]
+    # per-component true block dims (non-interleaved scans use these):
+    # ceil(ceil(dim * sampling / max_sampling) / 8)
+    def _ceil8(dim, s, smax):
+        return -(-(-(-dim * s // smax)) // 8)
+
+    nb = [
+        (_ceil8(h, vi, vmax), _ceil8(w, hi, hmax))
+        for (_, hi, vi, _) in comps
+    ]
+
+    for scan in scans:
+        br = _BitReader(scan.data)
+        interleaved = len(scan.comps) > 1
+        preds = [0] * len(comps)
+        eobrun = 0
+        if interleaved:
+            units = [
+                (my, mx) for my in range(mcuy) for mx in range(mcux)
+            ]
+        else:
+            idx0 = scan.comps[0][0]
+            bh, bw = nb[idx0]
+            units = [(by, bx) for by in range(bh) for bx in range(bw)]
+        nunit = 0
+        for uy, ux in units:
+            if scan.dri and nunit and nunit % scan.dri == 0:
+                br.restart()
+                preds = [0] * len(comps)
+                eobrun = 0
+            if interleaved:
+                for (idx, dc_t, ac_t) in scan.comps:
+                    _, hi, vi, _ = comps[idx]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = coefs[idx][uy * vi + by, ux * hi + bx]
+                            if not progressive:
+                                _decode_block_baseline(
+                                    br, zz,
+                                    scan.trees[(0, dc_t)],
+                                    scan.trees[(1, ac_t)],
+                                    preds, idx,
+                                )
+                            elif scan.ss == 0 and scan.ah == 0:
+                                cat = _read_symbol(br, scan.trees[(0, dc_t)])
+                                diff = (
+                                    _extend(br.read_bits(cat), cat)
+                                    if cat
+                                    else 0
+                                )
+                                preds[idx] += diff
+                                zz[0] = preds[idx] << scan.al
+                            elif scan.ss == 0:
+                                if br.read_bit():
+                                    zz[0] |= 1 << scan.al
+                            else:
+                                raise ValueError(
+                                    "interleaved AC scan in progressive"
+                                )
+            else:
+                idx, dc_t, ac_t = scan.comps[0]
+                zz = coefs[idx][uy, ux]
+                if not progressive:
+                    _decode_block_baseline(
+                        br, zz,
+                        scan.trees[(0, dc_t)], scan.trees[(1, ac_t)],
+                        preds, idx,
+                    )
+                elif scan.ss == 0 and scan.ah == 0:
+                    cat = _read_symbol(br, scan.trees[(0, dc_t)])
+                    diff = _extend(br.read_bits(cat), cat) if cat else 0
+                    preds[idx] += diff
+                    zz[0] = preds[idx] << scan.al
+                elif scan.ss == 0:
+                    if br.read_bit():
+                        zz[0] |= 1 << scan.al
+                elif scan.ah == 0:
+                    eobrun = _decode_ac_first(
+                        br, zz, scan.trees[(1, ac_t)],
+                        scan.ss, scan.se, scan.al, eobrun,
+                    )
+                else:
+                    eobrun = _decode_ac_refine(
+                        br, zz, scan.trees[(1, ac_t)],
+                        scan.ss, scan.se, scan.al, eobrun,
+                    )
+            nunit += 1
+        if progressive and scan.ss == 0 and scan.se != 0:
+            raise ValueError("invalid progressive scan script (Ss=0, Se>0)")
+
+    # reconstruct: dequantize + IDCT per component (vectorized), then
+    # upsample subsampled chroma by replication and color-convert
+    planes = []
+    for ci, (_, hi, vi, qid) in enumerate(comps):
+        zz = coefs[ci]
+        bh, bw = zz.shape[:2]
+        qt = qtables[qid]
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[:, :, ZIGZAG] = zz * qt[ZIGZAG]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        sp = np.einsum("ij,abik,kl->abjl", _C, blocks, _C)
+        plane = sp.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        plane = plane[:ch, :cw]
+        if (hi, vi) != (hmax, vmax):
+            ys = (np.arange(h) * vi) // vmax
+            xs = (np.arange(w) * hi) // hmax
+            plane = plane[ys][:, xs]
+        else:
+            plane = plane[:h, :w]
+        planes.append(plane)
 
     if len(comps) == 1:
-        y = np.clip(planes[0][:h, :w] + 128.0, 0, 255).astype(np.uint8)
+        y = np.clip(planes[0] + 128.0, 0, 255).astype(np.uint8)
         return w, h, np.repeat(y[:, :, None], 3, axis=2)
-    y = planes[0][:h, :w] + 128.0
-    cb = planes[1][:h, :w]
-    cr = planes[2][:h, :w]
+    y = planes[0] + 128.0
+    cb = planes[1]
+    cr = planes[2]
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb

@@ -368,14 +368,143 @@ def test_jpeg_rejects_unsupported_profiles():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    # progressive SOF2 header
-    prog = (
+    # arithmetic-coded SOF9 stays out of scope and must raise so the
+    # tolerant path can flag it
+    arith = (
         b"\xff\xd8"
-        + _s.pack(">HH", 0xFFC2, 11)
+        + _s.pack(">HH", 0xFFC9, 11)
         + bytes([8]) + _s.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     )
     with pytest.raises(NotImplementedError):
-        decode_jpeg(prog + b"\xff\xd9")
+        decode_jpeg(arith + b"\xff\xd9")
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive (SOF2) and baseline (SOF0) encodings of the same
+    source quantize to identical coefficients, so the two decodes must
+    be PIXEL-IDENTICAL — a strong cross-check because the bitstream
+    layouts (spectral bands, successive approximation, EOB runs,
+    per-scan optimal Huffman tables) share no code with the baseline
+    entropy coder."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    cases = []
+    for (w, h) in [(16, 12), (29, 23), (8, 8), (33, 17)]:
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        cases.append(
+            np.stack(
+                [
+                    (xx * 3 + yy * 2) % 256,
+                    (xx * 5 + yy * 4 + 30) % 256,
+                    (yy * 4 + 60) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+        )
+    # dense noise stresses ZRL/EOB-run/refinement paths; q25 makes
+    # long EOB runs
+    cases.append(rng.integers(0, 256, (40, 56, 3), dtype=np.uint8))
+    for i, px in enumerate(cases):
+        q = 25 if i == len(cases) - 1 else 90
+        base = decode_jpeg(encode_jpeg(px, quality=q))[2]
+        w2, h2, prog = decode_jpeg(encode_jpeg_progressive(px, quality=q))
+        assert (w2, h2) == (px.shape[1], px.shape[0])
+        assert np.array_equal(prog, base), f"case {i}"
+
+
+def test_jpeg_subsampled_and_restart_roundtrip():
+    """4:2:0 / 4:2:2 with restart intervals: exact dims, bounded error
+    (chroma is box-averaged down and replicated back up), and the
+    decode must equal the reference pipeline computed directly in
+    numpy (subsample → quantize → dequantize → upsample)."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for (w, h), sub, dri in [
+        ((16, 12), "420", 0),
+        ((29, 23), "420", 2),
+        ((33, 17), "422", 3),
+        ((24, 16), "422", 0),
+    ]:
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [
+                (xx * 3 + yy * 2) % 256,
+                (xx * 5 + yy * 4 + 30) % 256,
+                (yy * 4 + 60) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        blob = encode_jpeg(px, quality=90, subsample=sub, restart_interval=dri)
+        w2, h2, out = decode_jpeg(blob)
+        assert (w2, h2) == (w, h)
+        diff = np.abs(out.astype(int) - px.astype(int))
+        assert diff.mean() <= 6.0, (sub, dri, diff.mean())
+        # restart markers present iff requested
+        n_rst = sum(
+            1
+            for p in range(len(blob) - 1)
+            if blob[p] == 0xFF and 0xD0 <= blob[p + 1] <= 0xD7
+        )
+        assert (n_rst > 0) == (dri > 0), (sub, dri, n_rst)
+
+
+def test_jpeg_subsampled_decode_matches_reference_pipeline():
+    """Coefficient-level oracle for 4:2:0: re-run the exact encoder
+    math in straight numpy (box-average chroma, DCT, quantize,
+    dequantize, IDCT, replicate) and require the decoder's output to
+    match it bit-for-bit — isolates entropy/MCU-interleave bugs from
+    acceptable lossy error."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators import jpeg as J
+
+    w, h = 29, 23
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    px = np.stack(
+        [
+            (xx * 7 + yy * 3) % 256,
+            (xx * 2 + yy * 9 + 40) % 256,
+            (xx + yy * 4 + 80) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    blob = J.encode_jpeg(px, quality=85, subsample="420", restart_interval=2)
+    _, _, out = J.decode_jpeg(blob)
+
+    coefs, hv, (qy, qc), (mcux, mcuy) = J._component_coefs(px, 85, "420")
+    planes = []
+    for ci, ((hi, vi), q) in enumerate(zip(hv, [qy, qc, qc])):
+        deq = coefs[ci] * q.reshape(8, 8)
+        sp = np.einsum("ij,abik,kl->abjl", J._C, deq.astype(float), J._C)
+        bh, bw = sp.shape[:2]
+        plane = sp.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        ys = (np.arange(h) * vi) // 2 if vi == 1 else np.arange(h)
+        xs = (np.arange(w) * hi) // 2 if hi == 1 else np.arange(w)
+        planes.append(plane[ys][:, xs])
+    y = planes[0] + 128.0
+    cb, cr = planes[1], planes[2]
+    exp = np.clip(
+        np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    )
+    assert np.array_equal(out, (exp + 0.5).astype(np.uint8))
 
 def test_avi_roundtrip_and_sampled_decode():
     """MJPEG-AVI round trip: container metadata exact, sampled frames

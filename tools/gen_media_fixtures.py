@@ -181,19 +181,60 @@ def main() -> None:
     for i in range(4):  # 12-22 frames each at frame_len=160
         with open(os.path.join(OUT, f"snd_{i}.wav"), "wb") as f:
             f.write(wav_bytes(2048 + 512 * i, i))
+    # REAL progressive JPEGs (SOF2: spectral selection + successive
+    # approximation, per-scan optimal Huffman tables). Same pixel
+    # recipe family as jpg_* but distinct constants; .jpeg extension
+    # keeps them out of the 'jpg_*.jpg' oracles' globs.
+    from hadoop_tools_spark.operators.jpeg import encode_jpeg_progressive
+
+    for i in range(4):
+        w, h = 17 + i * 5, 13 + i * 4
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [
+                (xx * (2 + i) + yy * 3 + 10) % 256,
+                (xx * 4 + yy * (3 + i) + 50) % 256,
+                (xx + yy * 5 + i * 23 + 90) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        with open(os.path.join(OUT, f"prog_{i}.jpeg"), "wb") as f:
+            f.write(encode_jpeg_progressive(px, quality=85))
+    # chroma-subsampled baseline JPEGs with restart intervals: even i
+    # = 4:2:0, odd i = 4:2:2, all with DRI=2 (RSTn markers + DC resets
+    # every 2 MCUs) — odd dims exercise partial-MCU edge padding
+    for i in range(4):
+        w, h = 20 + i * 7, 14 + i * 5
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [
+                (xx * 3 + yy * (2 + i)) % 256,
+                (xx * (4 + i) + yy * 2 + 40) % 256,
+                (xx * 2 + yy * 6 + i * 19 + 70) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        with open(os.path.join(OUT, f"sub_{i}.jpg"), "wb") as f:
+            f.write(
+                encode_jpeg(
+                    px,
+                    quality=88,
+                    subsample="420" if i % 2 == 0 else "422",
+                    restart_interval=2,
+                )
+            )
     # unsupported-subformat fixtures for the tolerant-decode key:
-    # structurally-progressive JPEGs made by rewriting jpg_{i}'s SOF0
-    # marker (FF C0) to SOF2 (FF C2) — the decoder must flag, not die.
-    # .jpeg extension keeps them out of the '*.jpg' oracles' globs.
+    # arithmetic-coded JPEGs faked by rewriting jpg_{i}'s SOF0 marker
+    # (FF C0) to SOF9 (FF C9) — the decoder must flag, not die.
     for i in range(2):
         with open(os.path.join(OUT, f"jpg_{i}.jpg"), "rb") as f:
             blob = bytearray(f.read())
         # first byte-aligned FF C0 is the SOF0 marker in these fixtures
         for p in range(0, len(blob) - 1):
             if blob[p] == 0xFF and blob[p + 1] == 0xC0:
-                blob[p + 1] = 0xC2
+                blob[p + 1] = 0xC9
                 break
-        with open(os.path.join(OUT, f"prog_{i}.jpeg"), "wb") as f:
+        with open(os.path.join(OUT, f"arith_{i}.jpeg"), "wb") as f:
             f.write(bytes(blob))
     print(f"wrote fixtures to {OUT}")
 
