@@ -752,3 +752,200 @@ def llm_sample_stratified(spark, sf_dir):
     return (
         d.filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
     )
+
+
+@query(
+    "llm_repetition_quality",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word),
+    ws AS (
+        SELECT doc_id, SUM(n) AS n_words, COUNT(*) AS n_distinct,
+               MAX(n) AS top_n
+        FROM wc GROUP BY doc_id
+    ),
+    d2 AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM d2
+    ),
+    gc AS (SELECT doc_id, bg, COUNT(*) AS n FROM g GROUP BY doc_id, bg),
+    gs AS (
+        SELECT doc_id, SUM(n) AS n_bigrams,
+               SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS dup_bigrams
+        FROM gc GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           CAST(ws.n_words AS BIGINT) AS n_words,
+           ROUND(1.0 - ws.n_distinct / CAST(ws.n_words AS DOUBLE), 6)
+               AS frac_dup_words,
+           ROUND(ws.top_n / CAST(ws.n_words AS DOUBLE), 6) AS frac_top_word,
+           ROUND(COALESCE(gs.dup_bigrams / CAST(gs.n_bigrams AS DOUBLE), 0.0),
+                 6) AS frac_dup_2grams,
+           (ws.top_n / CAST(ws.n_words AS DOUBLE)) <= 0.2
+               AND COALESCE(gs.dup_bigrams / CAST(gs.n_bigrams AS DOUBLE),
+                            0.0) <= 0.6 AS keep
+    FROM ws LEFT JOIN gs USING (doc_id)
+    """,
+)
+def llm_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, most-frequent-word share, and the fraction of bigram
+    occurrences whose bigram repeats — the standard boilerplate /
+    degenerate-text detectors a training-data pipeline runs alongside
+    the length/charset filters (llm_quality_filter).
+
+    Scale shape: words explode once, partially aggregate by
+    (doc_id, word) — map-side combine collapses the ~100x blowup
+    before the shuffle — then one reduce by doc_id; the bigram branch
+    mirrors it. Both branches derive from the same scan and join on
+    doc_id. Thresholds (`keep`) are exact integer-ratio comparisons,
+    deterministic across engines.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    wc = (
+        d.select("doc_id", F.explode(words).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("n").alias("top_n"),
+    )
+
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    guarded = F.when(F.size(words) >= 2, bigrams).otherwise(
+        F.array().cast("array<string>")
+    )
+    gc = (
+        d.select("doc_id", F.explode(guarded).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+    )
+    gs = gc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias(
+            "dup_bigrams"
+        ),
+    )
+
+    nw = F.col("n_words").cast("double")
+    frac_top = F.col("top_n") / nw
+    frac_dup2 = F.coalesce(
+        F.col("dup_bigrams") / F.col("n_bigrams").cast("double"), F.lit(0.0)
+    )
+    return (
+        ws.join(gs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(1.0 - F.col("n_distinct") / nw, 6).alias("frac_dup_words"),
+            F.round(frac_top, 6).alias("frac_top_word"),
+            F.round(frac_dup2, 6).alias("frac_dup_2grams"),
+            ((frac_top <= 0.2) & (frac_dup2 <= 0.6)).alias("keep"),
+        )
+    )
+
+
+@query(
+    "llm_pii_scrub",
+    oracle="""
+    SELECT event_id,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT)
+               AS n_redactions,
+           md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS scrubbed_md5
+    FROM events
+    """,
+)
+def llm_pii_scrub(spark, sf_dir):
+    """PII-style scrubbing with an audit trail: rewrite every digit
+    run in the semi-structured payload to a placeholder and emit the
+    per-record redaction count plus a checksum of the scrubbed text —
+    the pattern a pipeline uses for emails/phones/SSNs (swap the regex
+    alternation; the plan is identical). The checksum hash-matches the
+    oracle, proving the rewrite itself, not just the counts.
+
+    Scale shape: pure scan-side projection — regexp_count and
+    regexp_replace run inside whole-stage codegen, zero shuffles, so
+    scrubbing rides the ingest scan for free at 100 TB.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_count("props", F.lit("[0-9]+")).cast("int").alias(
+            "n_redactions"
+        ),
+        F.md5(F.regexp_replace("props", "[0-9]+", "<NUM>")).alias(
+            "scrubbed_md5"
+        ),
+    )
+
+
+@query(
+    "llm_decontaminate",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 5),
+                      i -> array_to_string(w[i:i+5], ' '))) AS ngram
+        FROM d WHERE len(w) >= 6
+    ),
+    eval_g AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 11 = 0),
+    train_g AS (
+        SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 11 <> 0
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM train_g t JOIN eval_g e USING (ngram)
+    GROUP BY t.doc_id
+    """,
+)
+def llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents that share
+    any word-6-gram with the held-out evaluation set (here: every
+    11th doc stands in for the benchmark). Output is the per-doc
+    count of distinct shared 6-grams — the evidence a pipeline logs
+    before dropping contaminated rows.
+
+    Scale shape: the eval set is tiny and bounded (benchmarks are KBs
+    against a 100 TB corpus), so its distinct n-gram set is BROADCAST
+    — the train side never shuffles its exploded n-grams across the
+    cluster, it hash-joins them against the broadcast map in place,
+    then reduces by doc_id. At larger eval sets, md5 the n-gram on
+    both sides to cut the broadcast width (same plan).
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 6),
+        lambda i: F.array_join(F.slice(words, i + 1, 6), " "),
+    )
+    guarded = F.when(F.size(words) >= 6, ngrams).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = d.select("doc_id", F.explode(guarded).alias("ngram"))
+    g = materialize(g)  # both branches derive from the same explode
+    eval_g = g.filter(F.col("doc_id") % 11 == 0).select("ngram").distinct()
+    train_g = g.filter(F.col("doc_id") % 11 != 0).dropDuplicates(
+        ["doc_id", "ngram"]
+    )
+    return (
+        train_g.join(F.broadcast(eval_g), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
