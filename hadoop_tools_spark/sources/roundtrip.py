@@ -140,3 +140,57 @@ def sink_orc_roundtrip(spark, sf_dir):
         F.count("*").alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "sink_dpp_join",
+    oracle="""
+    WITH dim AS (
+        SELECT o_orderpriority
+        FROM orders GROUP BY o_orderpriority
+        HAVING AVG(o_totalprice) > 250000
+    )
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS sum_price
+    FROM orders o JOIN dim USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sink_dpp_join(spark, sf_dir):
+    """DYNAMIC partition pruning: the fact table is written
+    partitioned by o_orderpriority and the dimension is its own
+    parquet table filtered on a NON-join column (avg_price), so no
+    static filter on the partition column exists anywhere and
+    constraint propagation cannot derive one. Spark inserts a
+    dynamicpruning# subquery on the fact scan: the broadcast dim
+    evaluates first and only the matching partition directories are
+    listed and read. On a 100 TB date-partitioned lake this is the
+    difference between scanning 5 years and scanning the handful of
+    partitions a dimension filter selects. Plan-asserted in
+    tests/test_plans.py (the fact scan must carry a dynamicpruning
+    expression).
+    """
+    fact_path = f"{SCRATCH}/dpp_fact"
+    dim_path = f"{SCRATCH}/dpp_dim"
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(fact_path)
+    (
+        o.groupBy("o_orderpriority")
+        .agg(F.avg("o_totalprice").alias("avg_price"))
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        spark.read.parquet(dim_path)
+        .filter(F.col("avg_price") > 250000)
+        .select("o_orderpriority")
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

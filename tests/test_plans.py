@@ -370,3 +370,15 @@ def test_global_row_number_is_dense_permutation(spark, sf_dir):
             b["o_totalprice"], -b["o_orderkey"]
         )
     spark.catalog.clearCache()
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """sink_dpp_join's fact scan must carry a dynamicpruning#
+    subquery on the partition column — the runtime filter that lists
+    only the dim-selected partition directories."""
+    from hadoop_tools_spark.sources.roundtrip import sink_dpp_join
+
+    df = sink_dpp_join(spark, sf_dir)
+    p = plan_str(df)
+    assert "dynamicpruning" in p, p
+    assert "CartesianProduct" not in p
