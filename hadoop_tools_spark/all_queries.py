@@ -19,7 +19,7 @@ from .operators import (  # noqa: F401
     setops,
     windows,
 )
-from .sources import roundtrip  # noqa: F401
+from .sources import pyds, roundtrip  # noqa: F401
 from .streaming import ops as streaming_ops  # noqa: F401
 
 #: key of the flagship query used by ``entry(spark)``.

@@ -321,3 +321,32 @@ def fn_bitwise(spark, sf_dir):
         F.shiftleft("o_custkey", 2).alias("cust_shl"),
         F.shiftright("o_custkey", 1).alias("cust_shr"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$.k')::INT       AS k_int,
+           json_extract_string(props, '$.k')     AS k_str,
+           CAST(NULL AS INT)                     AS missing
+    FROM events
+    """,
+)
+def fn_variant(spark, sf_dir):
+    """Spark 4 VariantType surface: ``parse_json`` → binary variant →
+    typed ``variant_get`` path extraction, with ``try_variant_get``
+    for absent paths (NULL, not error). Variant is the modern
+    semi-structured hot path — a parsed binary encoding that skips
+    re-tokenizing JSON per access, shreds into columnar storage, and
+    prunes paths at scan time; the fn_json key keeps the classic
+    string-JSON functions for comparison.
+    """
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.nope", "int").alias("missing"),
+    )
