@@ -7,6 +7,7 @@ module; anything not imported here is invisible to the driver.
 from .functions import scalar, udfs  # noqa: F401
 from .operators import (  # noqa: F401
     aggregates,
+    analytics,
     cdc,
     fs,
     joins,

@@ -1,0 +1,542 @@
+"""Event analytics + introspection operators (SURVEY.md §2.B extension).
+
+Batch analytics patterns every warehouse user of the reference's query
+layer eventually asks for — sessionization, funnels, retention cohorts,
+histograms, column profiling, graph ranking — each expressed as a
+declarative DataFrame plan so Catalyst keeps pushdown/pruning, plus a
+distributed parquet-footer inspector (the `hh`-style "look inside the
+file" tool re-expressed as a query).
+
+Scale notes are per-operator; the shared principles:
+
+- every window partitions on a high-cardinality key (user_id), never a
+  single global partition;
+- group-bys whose keys are a superset of the preceding window's
+  partition key reuse that exchange (HashPartitioning(user_id)
+  satisfies ClusteredDistribution(user_id, session_id) — no second
+  shuffle);
+- iterative graph steps are bounded and each round is one shuffle
+  join + one aggregation, the standard Pregel-on-DataFrames shape.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load
+from ..registry import query
+
+_GAP_S = 1800  # session gap threshold (seconds)
+
+
+@query(
+    "sessionize_batch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      FROM events
+    ), m AS (
+      SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
+           MAX(ts_sec) - MIN(ts_sec) AS duration_sec,
+           ROUND(SUM(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark, sf_dir):
+    """Gap-based batch sessionization (30-min inactivity splits).
+
+    One shuffle total: the lag/cumsum window hash-partitions on
+    user_id, and the per-(user, session) aggregation's required
+    clustering is satisfied by that same partitioning, so Catalyst
+    plans no second exchange. user_id is the high-cardinality key at
+    100 TB; there is no global window anywhere.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "ts",
+        F.unix_timestamp("ts").alias("ts_sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_sec").over(w).isNull()
+            | (F.col("ts_sec") - F.lag("ts_sec").over(w) > _GAP_S),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return marked.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_sec").alias("start_sec"),
+        F.max("ts_sec").alias("end_sec"),
+        (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    )
+    """,
+)
+def funnel_stages(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: users reaching each stage.
+
+    Each stage is a per-user MIN-timestamp aggregate (map-side
+    combinable, output shrinks to |users|) followed by an equi-join on
+    user_id with a range predicate on the timestamps. Data volume
+    collapses after the first aggregation, so later joins move only
+    user-level rows — at 100 TB the event scan dominates and happens
+    once per stage filter (a single-scan multi-stage variant would
+    pivot event_type first; kept explicit here for plan clarity).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage_min(df, etype, prev, prev_t, out_t):
+        s = df.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    v = stage_min(ev, "view", None, None, "t1")
+    c = stage_min(ev, "click", v, "t1", "t2")
+    p = stage_min(ev, "purchase", c, "t2", "t3")
+    counts = [
+        (1, "view", v),
+        (2, "click", c),
+        (3, "purchase", p),
+    ]
+    parts = [
+        df.agg(F.count("*").alias("users")).select(
+            F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), "users"
+        )
+        for i, name, df in counts
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH first_ev AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
+    FROM events e JOIN first_ev f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort(spark, sf_dir):
+    """Weekly retention cohorts: users active N weeks after first event.
+
+    The first-event aggregate shrinks events to one row per user
+    before the join; the join is an equi-join on user_id (broadcast
+    when the user dimension fits, shuffle-hash otherwise — left to
+    AQE). COUNT(DISTINCT user) partial-aggregates per (cohort, offset)
+    group after an expand — the grouping key space is tiny (weeks x
+    offsets), so the final exchange moves almost nothing.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_ev = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    joined = ev.join(first_ev, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            F.col("cohort_week").cast("string").alias("cohort_week_s"),
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                           F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy(F.col("cohort_week_s").alias("cohort_week"), F.col("week_offset"))
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 30000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 30000) AS BIGINT) * 30000.0 AS lo,
+           (CAST(floor(o_totalprice / 30000) AS BIGINT) + 1) * 30000.0 AS hi,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram of order totals (explicit bucket math).
+
+    Pure scan + tiny group-by: the bucket expression is JVM-side
+    whole-stage-codegen, partial aggregation collapses each scan
+    partition to <= n_buckets rows, and the final exchange moves only
+    bucket-count pairs. This is the canonical O(1)-output scan shape
+    that holds at any scale.
+    """
+    bucket = F.floor(F.col("o_totalprice") / 30000).cast("long")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            bucket.alias("bucket"),
+            (bucket * 30000.0).alias("lo"),
+            ((bucket + 1) * 30000.0).alias("hi"),
+            "o_totalprice",
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'l_orderkey' AS col_name,
+           CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag),
+           MIN(l_returnflag), MAX(l_returnflag) FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', COUNT(*) - COUNT(l_linestatus),
+           COUNT(DISTINCT l_linestatus),
+           MIN(l_linestatus), MAX(l_linestatus) FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', COUNT(*) - COUNT(l_suppkey),
+           COUNT(DISTINCT l_suppkey),
+           CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def profile_columns(spark, sf_dir):
+    """Column profiler: nulls / exact distinct / min / max per column.
+
+    One aggregate computes every measure in a single pass; the
+    multi-COUNT(DISTINCT) plans as one Expand (xN rows map-side) —
+    the documented cost of exact profiling. The approximate profiler
+    for 100 TB is `agg_approx_distinct`'s HLL path; this key is the
+    exact anchor. min/max are rendered as strings only for integer
+    and varchar columns (float formatting is engine-specific).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    total = F.count("*")
+    agg = li.agg(
+        total.alias("_n"),
+        *[
+            x
+            for c in ("l_orderkey", "l_returnflag", "l_linestatus", "l_suppkey")
+            for x in (
+                F.count(c).alias(f"{c}_nn"),
+                F.countDistinct(c).alias(f"{c}_nd"),
+                F.min(c).cast("string").alias(f"{c}_min"),
+                F.max(c).cast("string").alias(f"{c}_max"),
+            )
+        ],
+    )
+    rows = []
+    for c in ("l_orderkey", "l_returnflag", "l_linestatus", "l_suppkey"):
+        rows.append(
+            agg.select(
+                F.lit(c).alias("col_name"),
+                (F.col("_n") - F.col(f"{c}_nn")).alias("n_nulls"),
+                F.col(f"{c}_nd").alias("n_distinct"),
+                F.col(f"{c}_min").alias("min_val"),
+                F.col(f"{c}_max").alias("max_val"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@query(
+    "join_bloom_runtime",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_runtime(spark, sf_dir):
+    """Selective-dim fact join under Spark's runtime bloom filter.
+
+    spark.sql.optimizer.runtime.bloomFilter.enabled is on (session
+    default): with a creation side under creationSideThreshold and a
+    fact scan above applicationSideScanSizeThreshold, Catalyst injects
+    a might_contain(bloom_agg(c_custkey)) predicate into the orders
+    scan — rows that cannot join are dropped at the scan, before the
+    shuffle. At sf0.01 the fact side is below the 10 GiB application
+    threshold so the filter does not fire (the join is broadcast
+    anyway); test_plans.py forces the thresholds down and asserts the
+    bloom filter appears, proving the 100 TB path is wired.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def _edges(spark, sf_dir) -> DataFrame:
+    """Undirected customer--supplier edges from co-occurrence in orders.
+
+    Distinct (o_custkey, l_suppkey) pairs; supplier node ids are
+    offset by 1e6 to keep the two id spaces disjoint, then the edge
+    set is symmetrized so no node dangles.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    return e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+_PR_ORACLE_EDGES = """
+    edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    sym AS (SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM sym GROUP BY src)
+"""
+
+
+@query(
+    "graph_degree",
+    oracle=f"""
+    WITH {_PR_ORACLE_EDGES}
+    SELECT outdeg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY outdeg
+    """,
+)
+def graph_degree(spark, sf_dir):
+    """Degree distribution of the customer-supplier co-occurrence graph.
+
+    Edge build is one equi-join + distinct; degree and histogram are
+    two cascaded group-bys whose outputs shrink monotonically — the
+    second group-by's input is |nodes| rows regardless of edge count.
+    """
+    deg = _edges(spark, sf_dir).groupBy("src").agg(F.count("*").alias("outdeg"))
+    return deg.groupBy(F.col("outdeg").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
+def _pr_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT d.node,
+             0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(SUM(p.r / p.outdeg), 0) AS r,
+             d.outdeg
+      FROM deg d
+      LEFT JOIN sym ON sym.dst = d.node
+      LEFT JOIN {prev} p ON p.node = sym.src
+      GROUP BY d.node, d.outdeg
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_PR_ORACLE_EDGES},
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r, outdeg FROM deg),
+    {_pr_round_sql("r0", "r1")},
+    {_pr_round_sql("r1", "r2")},
+    {_pr_round_sql("r2", "r3")}
+    SELECT node, ROUND(r, 8) AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """3-iteration PageRank (d=0.85) over the symmetric co-occurrence graph.
+
+    Pregel-on-DataFrames: each round is one shuffle join
+    (ranks ⋈ edges on src) plus one aggregation on dst — the minimal
+    per-superstep cost. The edge set is computed once and cached so
+    iterations reuse it; rank state is |nodes| rows. At 100 TB you
+    would pre-partition edges by src and checkpoint ranks every few
+    rounds to truncate lineage; 3 bounded rounds keep the plan finite
+    and the oracle unrollable. Symmetrized edges mean no dangling-mass
+    correction is needed.
+    """
+    edges = _edges(spark, sf_dir).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    n = deg.count()
+    ranks = deg.select("src", (F.lit(1.0) / n).alias("r"), "outdeg")
+    for _ in range(3):
+        contribs = (
+            edges.join(ranks, "src")
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            deg.join(contribs, deg.src == F.col("node"), "left")
+            .select(
+                "src",
+                (0.15 / n + 0.85 * F.coalesce(F.col("csum"), F.lit(0.0))).alias("r"),
+                "outdeg",
+            )
+        )
+    return ranks.select(F.col("src").alias("node"), F.round("r", 8).alias("rank"))
+
+
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("row_group_id", T.LongType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("num_values", T.LongType()),
+        T.StructField("compressed_bytes", T.LongType()),
+        T.StructField("uncompressed_bytes", T.LongType()),
+    ]
+)
+
+
+@query(
+    "parquet_meta",
+    oracle="""
+    SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file,
+           CAST(row_group_id AS BIGINT) AS row_group_id,
+           replace(path_in_schema, ', ', '.') AS column,
+           CAST(num_values AS BIGINT) AS num_values,
+           CAST(total_compressed_size AS BIGINT) AS compressed_bytes,
+           CAST(total_uncompressed_size AS BIGINT) AS uncompressed_bytes
+    FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+    """,
+)
+def parquet_meta(spark, sf_dir):
+    """Distributed parquet footer inspection (column-chunk statistics).
+
+    The `hh`-style "what is inside this file" tool as a query: file
+    paths are discovered driver-side (names only), parallelized, and
+    each task reads ONLY the parquet footer of its files via pyarrow —
+    a ranged read of a few KB per file, never the data pages. On a
+    100 TB lake with 10^6 files this is the manifest-scan pattern:
+    one task per path batch, footer-only I/O, output proportional to
+    row-group x column count. Oracle: DuckDB's parquet_metadata() over
+    the same files (both read the identical footer bytes).
+    """
+    sc = spark.sparkContext
+    listed = sorted(
+        p for p in __import__("glob").glob(f"{sf_dir}/*.parquet")
+    )
+    paths_df = spark.createDataFrame([(p,) for p in listed], ["path"]).repartition(
+        min(len(listed), sc.defaultParallelism)
+    )
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                meta = pq.ParquetFile(p).metadata
+                base = os.path.basename(p)
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        out.append(
+                            (
+                                base,
+                                rg,
+                                col.path_in_schema,
+                                col.num_values,
+                                col.total_compressed_size,
+                                col.total_uncompressed_size,
+                            )
+                        )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "file",
+                        "row_group_id",
+                        "column",
+                        "num_values",
+                        "compressed_bytes",
+                        "uncompressed_bytes",
+                    ],
+                )
+
+    return paths_df.mapInPandas(read_footers, schema=_META_SCHEMA)
