@@ -11,6 +11,7 @@ from .operators import (  # noqa: F401
     cdc,
     fs,
     joins,
+    layout,
     llm_dedup,
     llm_knn,
     llm_text,
@@ -20,7 +21,7 @@ from .operators import (  # noqa: F401
     setops,
     windows,
 )
-from .sources import pyds, roundtrip  # noqa: F401
+from .sources import pyds, roundtrip, snapshots  # noqa: F401
 from .streaming import ops as streaming_ops  # noqa: F401
 
 #: key of the flagship query used by ``entry(spark)``.

