@@ -350,3 +350,49 @@ def fn_variant(spark, sf_dir):
         F.try_variant_get(v, "$.k", "string").alias("k_str"),
         F.try_variant_get(v, "$.nope", "int").alias("missing"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey,
+             'https://' || lower(replace(c_mktsegment, ' ', '')) ||
+             '.example.com/cust/' || c_custkey ||
+             '?seg=' || c_nationkey || '&page=2' AS url
+      FROM customer
+    )
+    SELECT c_custkey, url,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]seg=([^&]*)', 1) AS seg,
+           regexp_extract(url, '^(https?)://', 1) AS protocol
+    FROM u
+    """,
+)
+def fn_url(spark, sf_dir):
+    """URL function family: parse_url HOST/PATH/QUERY/PROTOCOL.
+
+    URLs are synthesized from customer columns (the fixture carries no
+    real URLs), then parsed back with Spark's parse_url — the oracle
+    re-derives each part with regexes, so the extraction semantics are
+    hash-verified. At scale this is pure codegen string work, zero
+    shuffle."""
+    c = load(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.replace(F.col("c_mktsegment"), F.lit(" "), F.lit(""))),
+        F.lit(".example.com/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?seg="),
+        F.col("c_nationkey").cast("string"),
+        F.lit("&page=2"),
+    )
+    return c.select(
+        "c_custkey",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("seg")).alias("seg"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )

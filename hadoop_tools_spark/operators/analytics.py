@@ -543,3 +543,124 @@ def parquet_meta(spark, sf_dir):
                 )
 
     return paths_df.mapInPandas(read_footers, schema=_META_SCHEMA)
+
+
+_SKY_AGG_SQL = """
+      SELECT o_custkey,
+             ROUND(MAX(o_totalprice), 2) AS max_price,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+"""
+
+
+@query(
+    "skyline_pareto",
+    oracle=f"""
+    WITH a AS ({_SKY_AGG_SQL})
+    SELECT o_custkey, max_price, n_orders FROM a t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM a u
+      WHERE u.max_price >= t.max_price AND u.n_orders >= t.n_orders
+        AND (u.max_price > t.max_price OR u.n_orders > t.n_orders)
+    )
+    """,
+)
+def skyline_pareto(spark, sf_dir):
+    """Skyline (Pareto frontier) of customers maximizing
+    (max order price, order count) — the classic multi-criteria OLAP
+    operator, distributed in two phases.
+
+    Phase 1 prunes locally: each partition sorts by max_price desc and
+    keeps only rows whose n_orders exceeds the running maximum — any
+    row dominated within its partition is dominated globally, so
+    survivors shrink to ~O(frontier) per partition with zero shuffle.
+    Phase 2 resolves the global frontier with a dominance anti-join
+    over the (small) survivor set — broadcast theta-join, fully
+    distributed, no driver collect. Both dimensions are
+    order-insensitive aggregates (MAX, COUNT), so the frontier
+    comparison is FP-exact across engines.
+    """
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+    def local_skyline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(
+                ["max_price", "n_orders"], ascending=[False, False]
+            )
+            best = -1
+            keep = []
+            for n in pdf["n_orders"]:
+                keep.append(n > best)
+                if n > best:
+                    best = n
+            # rows tying a kept row on both dims survive too: they are
+            # not STRICTLY dominated (phase 2 settles cross-partition)
+            import numpy as np
+
+            mask = np.array(keep) | pdf.duplicated(
+                subset=["max_price", "n_orders"], keep=False
+            ).to_numpy()
+            yield pdf[mask]
+
+    survivors = agg.mapInPandas(local_skyline, schema=agg.schema)
+    s = survivors.alias("s")
+    d = F.broadcast(survivors).alias("d")
+    dominated = (
+        (F.col("d.max_price") >= F.col("s.max_price"))
+        & (F.col("d.n_orders") >= F.col("s.n_orders"))
+        & (
+            (F.col("d.max_price") > F.col("s.max_price"))
+            | (F.col("d.n_orders") > F.col("s.n_orders"))
+        )
+    )
+    return s.join(d, dominated, "left_anti").select(
+        "o_custkey", "max_price", "n_orders"
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """Exact distinct counting via Spark 4 bitmap aggregates.
+
+    Two-level plan: keys are first folded into fixed-size bitmap
+    buckets per group (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg — each bucket covers 2^15 key positions, so
+    executor memory per partial state is bounded at 4 KB regardless of
+    key cardinality), then bucket popcounts sum per group. This is the
+    warehouse bitmap-index pattern for distinct acceleration: partials
+    merge by OR, so map-side combine works and re-aggregation over
+    pre-built bitmaps is O(buckets), not O(rows). Oracle is the plain
+    COUNT(DISTINCT) — the bitmap algebra must reproduce it exactly.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_bm_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n_customers
+        FROM (
+          SELECT o_orderpriority,
+                 bitmap_bucket_number(o_custkey) AS bucket,
+                 bitmap_count(
+                   bitmap_construct_agg(bitmap_bit_position(o_custkey))
+                 ) AS cnt
+          FROM _bm_orders
+          GROUP BY 1, 2
+        )
+        GROUP BY o_orderpriority
+        """
+    )

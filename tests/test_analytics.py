@@ -123,3 +123,59 @@ def test_profile_matches_direct_aggregates(spark, sf_dir):
     assert prof["l_orderkey"].n_distinct == li.select("l_orderkey").distinct().count()
     assert prof["l_returnflag"].n_nulls == 0
     assert prof["l_returnflag"].min_val == "A"
+
+
+def test_skyline_no_dominated_row_survives(spark, sf_dir):
+    from hadoop_tools_spark.operators.analytics import skyline_pareto
+
+    rows = skyline_pareto(spark, sf_dir).collect()
+    pts = [(r.max_price, r.n_orders) for r in rows]
+    for a in pts:
+        for b in pts:
+            strictly_dominates = (
+                b[0] >= a[0] and b[1] >= a[1] and (b[0] > a[0] or b[1] > a[1])
+            )
+            assert not strictly_dominates, (a, b)
+
+
+def test_skyline_local_prune_sound(spark, sf_dir):
+    """Every globally non-dominated customer survives phase 1 no matter
+    how rows are partitioned: compare against a brute-force frontier."""
+    from hadoop_tools_spark.operators.analytics import skyline_pareto
+    from pyspark.sql import functions as F
+
+    agg = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.max("o_totalprice"), 2).alias("p"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    pts = [(r.p, r.n, r.o_custkey) for r in agg]
+    brute = {
+        c
+        for p, n, c in pts
+        if not any(
+            q >= p and m >= n and (q > p or m > n) for q, m, _ in pts
+        )
+    }
+    got = {r.o_custkey for r in skyline_pareto(spark, sf_dir).collect()}
+    assert got == brute
+
+
+def test_bitmap_distinct_matches_exact(spark, sf_dir):
+    from hadoop_tools_spark.operators.analytics import agg_bitmap_distinct
+    from pyspark.sql import functions as F
+
+    got = {r.o_orderpriority: r.n_customers
+           for r in agg_bitmap_distinct(spark, sf_dir).collect()}
+    exact = {
+        r.o_orderpriority: r.n
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got == exact
