@@ -19,6 +19,7 @@ from .operators import (  # noqa: F401
     relational,
     relational_ext,
     setops,
+    sqlsurface,
     windows,
 )
 from .sources import pyds, roundtrip, snapshots  # noqa: F401

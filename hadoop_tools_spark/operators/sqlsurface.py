@@ -1,0 +1,99 @@
+"""Modern SQL-surface operators (SURVEY.md §2.G): recursive CTEs and
+correlated LATERAL joins — the two SQL:2016 features users most often
+find missing from engines, both supported natively by Spark 4.1.
+
+Both keys run through ``spark.sql`` over temp views of the fixture
+tables, so they exercise the engine's SQL front-end (parser →
+analyzer → same Catalyst pipeline as the DataFrame keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < DATE '2001-08-01'
+    )
+    SELECT CAST(m AS VARCHAR) AS month_start,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS revenue
+    FROM months LEFT JOIN orders
+      ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    """,
+)
+def sql_recursive_cte(spark, sf_dir):
+    """Calendar-spine generation via WITH RECURSIVE + spine-preserving
+    left join: every month 1995-01..2001-08 (the fixture's full span) appears exactly once, with
+    zero-revenue months kept — the canonical gap-filling rollup that
+    plain GROUP BY cannot express.
+
+    The recursion is linear (one row per step, 80 steps) so the
+    iterative union runs driver-light and the real work stays in the
+    left join, where the 80-row spine broadcasts against the fact
+    scan. Oracle runs DuckDB's recursive CTE with its own interval
+    dialect — same semantics, independently derived.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM months
+          WHERE m < DATE '2001-08-01'
+        )
+        SELECT CAST(m AS STRING) AS month_start,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS revenue
+        FROM months LEFT JOIN _rc_orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+        """
+    )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2) t
+    """,
+)
+def join_lateral(spark, sf_dir):
+    """Correlated LATERAL top-N: each customer's two most expensive
+    orders via a per-row subquery — the SQL spelling of `topk_group`.
+
+    Catalyst decorrelates the lateral subquery into a ranked window
+    over a single orders shuffle (no nested-loop re-execution per
+    customer), which is exactly the plan the DataFrame twin
+    (`topk_group`) declares by hand — the two keys pin both spellings
+    to the same scalable shape. Unique tie-breaker (o_orderkey) keeps
+    the LIMIT deterministic for the oracle hash.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) t
+        """
+    )

@@ -194,3 +194,51 @@ def sink_dpp_join(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def scan_xml_roundtrip(spark, sf_dir):
+    """customer → XML (Spark 4 built-in source) → read with explicit
+    schema → agg; the oracle aggregates the original table, proving a
+    lossless write→parse cycle.
+
+    XML is the slowest of the text sources (tag-per-field), so the
+    roundtrip keeps only the three needed columns; at scale the
+    explicit read schema skips the whole-corpus inference pass, and
+    the rowTag split lets Spark parallelize one file across tasks.
+    """
+    path = f"{SCRATCH}/xml_roundtrip"
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    (
+        c.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "customer")
+        .load(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )

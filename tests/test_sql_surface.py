@@ -80,3 +80,52 @@ def test_sql_window_equals_dataframe(views, spark, sf_dir):
         """
     )
     assert rows(sql) == rows(topk_group(spark, sf_dir))
+
+
+def test_lateral_decorrelated_no_cartesian(spark, sf_dir):
+    """Catalyst must decorrelate the LATERAL top-N into a windowed
+    plan — per-customer subquery re-execution (cartesian/nested-loop)
+    would be quadratic at scale."""
+    from hadoop_tools_spark.operators.sqlsurface import join_lateral
+
+    df = join_lateral(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert "Window" in p or "WindowGroupLimit" in p, p
+
+
+def test_lateral_equals_topk_group_shape(spark, sf_dir):
+    """LATERAL spelling and the DataFrame top-k agree row-for-row."""
+    from hadoop_tools_spark.operators.sqlsurface import join_lateral
+
+    got = {
+        (r.c_custkey, r.o_orderkey)
+        for r in join_lateral(spark, sf_dir).collect()
+    }
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    want = {
+        (r.o_custkey, r.o_orderkey)
+        for r in orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 2")
+        .collect()
+    }
+    assert got == want
+
+
+def test_recursive_cte_spine_complete(spark, sf_dir):
+    from hadoop_tools_spark.operators.sqlsurface import sql_recursive_cte
+
+    rows = sql_recursive_cte(spark, sf_dir).collect()
+    assert len(rows) == 80  # 1995-01 .. 2001-08 inclusive
+    months = sorted(r.month_start for r in rows)
+    assert months[0] == "1995-01-01" and months[-1] == "2001-08-01"
+    # gap-filling: empty months carry zero revenue, not absence
+    assert all(r.revenue >= 0 for r in rows)
+    total = sum(r.n_orders for r in rows)
+    assert total == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
