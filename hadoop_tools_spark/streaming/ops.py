@@ -282,3 +282,50 @@ def stream_hier_rollup(spark, sf_dir):
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "stream_topk",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP)
+               AS window_start,
+             user_id,
+             ROUND(SUM(value), 4) AS sum_value
+      FROM events GROUP BY window_start, user_id
+    )
+    SELECT window_start, user_id, sum_value,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY sum_value DESC, user_id) AS rnk
+      FROM agg
+    )
+    WHERE rnk <= 3
+    """,
+)
+def stream_topk(spark, sf_dir):
+    """Windowed top-k: the 3 highest-value users per 6-hour window.
+
+    Batch form of the streaming leaderboard: windowed per-user
+    aggregation, then a per-window rank keeping k rows. In the live
+    stream the rank runs where the window is complete — inside
+    foreachBatch on watermark-closed windows (the aggregation state is
+    the only distributed state; ranking k-of-closed-window is a
+    per-window sort of already-reduced rows). Window count bounds the
+    rank partitions; user cardinality only affects the upstream agg,
+    which partial-aggregates map-side.
+    """
+    ev = load(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "sum_value")
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("sum_value").desc(), F.col("user_id")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -287,3 +287,67 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, staged):
     assert_stream_equals_batch(
         spark, staged, stream_stream_join(spark, sf_dir), t, "append"
     )
+
+
+def test_stream_topk_equals_batch(spark, sf_dir, staged):
+    """Windowed top-k as a stream: aggregate in the engine, rank the
+    watermark-closed windows in foreachBatch — final result equals the
+    batch key (complete-mode snapshot of the finite stream)."""
+    def t(s):
+        return (
+            s.groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+            .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(
+                F.col("w.start").alias("window_start"), "user_id", "sum_value"
+            )
+        )
+
+    name = run_to_completion(
+        t(read_event_stream(spark, staged)), "complete"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col("sum_value").desc(), F.col("user_id")
+    )
+    got = _canon(
+        spark.sql(f"SELECT * FROM {name}")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter("rnk <= 3")
+    )
+    want = _canon(ops.stream_topk(spark, sf_dir))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_idempotent_sink_exactly_once(spark, sf_dir, staged, tmp_path):
+    """IdempotentBatchSink: replaying a delivered micro-batch is a
+    no-op; the table holds each batch exactly once and versions are
+    manifest-consistent."""
+    from hadoop_tools_spark.streaming.sinks import IdempotentBatchSink
+    from hadoop_tools_spark.streaming.runner import read_event_stream
+
+    sink = IdempotentBatchSink(str(tmp_path / "eo_table"))
+    ckpt = str(tmp_path / "eo_ckpt")
+    q = (
+        read_event_stream(spark, staged)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n1 = sink.table.read(spark).count()
+    assert n1 == spark.read.parquet(staged).count()
+    batches = sink.committed_batches()
+    assert len(batches) >= 2
+
+    # simulate at-least-once redelivery: replay an already-committed
+    # micro-batch directly
+    replay_id = min(batches)
+    sink(spark.read.parquet(staged).limit(50), replay_id)
+    assert sink.table.read(spark).count() == n1
+    assert sink.committed_batches() == batches
+
+    # a genuinely new batch still commits
+    sink(spark.read.parquet(staged).limit(7), max(batches) + 1)
+    assert sink.table.read(spark).count() == n1 + 7
