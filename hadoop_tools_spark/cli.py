@@ -222,6 +222,87 @@ def cmd_cat(args, spark=None, out=None):
     return rc
 
 
+def cmd_tail(args, spark=None, out=None):
+    """``hh tail [-c BYTES] FILE``: emit the last BYTES (default 1 KiB)
+    of a file — `hadoop fs -tail` parity. Seeks straight to
+    ``len - n`` on the Hadoop input stream, so only the tail block is
+    read no matter how large the file is (the whole point on HDFS)."""
+    from .sources.listing import _hadoop_fs
+
+    spark = _spark(spark)
+    raw = out or getattr(sys.stdout, "buffer", sys.stdout)
+    n = 1024
+    if "-c" in args:
+        i = args.index("-c")
+        n = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    jvm = spark._jvm
+    rc = 0
+    for arg in args:
+        path = session_state.resolve(arg)
+        matches = _glob_status(spark, path) or []
+        if not matches:
+            print(f"tail: {arg}: No such file or directory", file=sys.stderr)
+            rc = 1
+        for st in matches:
+            if st.isDirectory():
+                print(
+                    f"tail: {st.getPath().toString()}: Is a directory",
+                    file=sys.stderr,
+                )
+                rc = 1
+                continue
+            fs, _, _ = _hadoop_fs(spark, path)
+            stream = fs.open(st.getPath())
+            try:
+                start = max(0, int(st.getLen()) - n)
+                stream.seek(start)
+                data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                raw.write(bytes(data))
+            finally:
+                stream.close()
+    return rc
+
+
+def cmd_stat(args, spark=None, out=sys.stdout):
+    """``hh stat [FORMAT] PATH``: print file metadata per a
+    `hadoop fs -stat` format string (default ``%y``). Specifiers:
+    %b size, %n name, %o block size, %r replication, %u owner,
+    %g group, %y mtime (UTC), %F type."""
+    import datetime as _dt
+
+    spark = _spark(spark)
+    fmt = "%y"
+    if len(args) >= 2 and args[0].startswith("%"):
+        fmt, args = args[0], args[1:]
+    rc = 0
+    for arg in args:
+        path = session_state.resolve(arg)
+        matches = _glob_status(spark, path) or []
+        if not matches:
+            print(f"stat: {arg}: No such file or directory", file=sys.stderr)
+            rc = 1
+        for st in matches:
+            mtime = _dt.datetime.fromtimestamp(
+                st.getModificationTime() / 1000, _dt.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S")
+            subs = {
+                "%b": str(int(st.getLen())),
+                "%n": st.getPath().getName(),
+                "%o": str(int(st.getBlockSize())),
+                "%r": str(int(st.getReplication())),
+                "%u": st.getOwner(),
+                "%g": st.getGroup(),
+                "%y": mtime,
+                "%F": "directory" if st.isDirectory() else "regular file",
+            }
+            line = fmt
+            for k, v in subs.items():
+                line = line.replace(k, v)
+            print(line, file=out)
+    return rc
+
+
 def cmd_get(args, spark=None, **_):
     """``hh get SRC [DST]``: copy to local filesystem."""
     src = session_state.resolve(args[0])
@@ -314,6 +395,8 @@ COMMANDS = {
     "du": cmd_du,
     "count": cmd_count,
     "cat": cmd_cat,
+    "tail": cmd_tail,
+    "stat": cmd_stat,
     "get": cmd_get,
     "put": cmd_put,
     "mkdir": cmd_mkdir,

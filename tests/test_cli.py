@@ -154,3 +154,36 @@ def test_cmd_count_content_summary(spark):
     assert int(out[1]) == n_files
     assert int(out[2]) == n_bytes
     assert out[3] == root
+
+
+def test_tail_last_bytes(spark, ns):
+    import io as _io
+
+    buf = _io.BytesIO()
+    rc = cli.main(["tail", "-c", "3", f"{ns}/logs/a.log"], spark=spark, out=buf)
+    assert rc == 0 and buf.getvalue() == b"ha\n"
+    # n larger than the file: whole file, no error
+    buf = _io.BytesIO()
+    rc = cli.main(["tail", "-c", "999", f"{ns}/logs/b.log"], spark=spark, out=buf)
+    assert rc == 0 and buf.getvalue() == b"beta\n"
+    # directory is an error like hadoop fs -tail
+    buf = _io.BytesIO()
+    rc = cli.main(["tail", f"{ns}/logs"], spark=spark, out=buf)
+    assert rc == 1
+
+
+def test_stat_format_specifiers(spark, ns):
+    import io as _io
+
+    out = _io.StringIO()
+    rc = cli.main(
+        ["stat", "%n %b %F", f"{ns}/logs/a.log"], spark=spark, out=out
+    )
+    assert rc == 0
+    assert out.getvalue().strip() == "a.log 6 regular file"
+    out = _io.StringIO()
+    rc = cli.main(["stat", "%F", f"{ns}/logs"], spark=spark, out=out)
+    assert rc == 0 and out.getvalue().strip() == "directory"
+    out = _io.StringIO()
+    rc = cli.main(["stat", "%n", f"{ns}/nope"], spark=spark, out=out)
+    assert rc == 1
