@@ -396,3 +396,34 @@ def fn_url(spark, sf_dir):
         F.parse_url(url, F.lit("QUERY"), F.lit("seg")).alias("seg"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+           CAST((length(text)
+                 - length(regexp_replace(text, 'ta', '', 'g'))) / 2
+                AS BIGINT) AS n_ta,
+           regexp_matches(text, 'spark') AS has_spark,
+           md5(regexp_replace(text, '(a|the) ', '', 'g')) AS destopped_md5
+    FROM documents
+    """,
+)
+def fn_regexp(spark, sf_dir):
+    """Regexp function family: extract / count / detect / global
+    replace. `regexp_count` is cross-checked through a
+    length-difference identity so the oracle never depends on another
+    engine's count semantics; the global-replace output is md5'd so
+    long strings hash-compare cheaply. Pure codegen, zero shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{6,})", 1).alias("first_long_word"),
+        F.regexp_count("text", F.lit("ta")).cast("long").alias("n_ta"),
+        F.col("text").rlike("spark").alias("has_spark"),
+        F.md5(
+            F.regexp_replace("text", r"(a|the) ", "").cast("binary")
+        ).alias("destopped_md5"),
+    )

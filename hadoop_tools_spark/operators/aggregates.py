@@ -253,3 +253,43 @@ def agg_pivot(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["F", "O", "P"])
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT o_orderpriority, measure, ROUND(val, 2) AS val
+    FROM (
+      SELECT o_orderpriority,
+             ROUND(SUM(o_totalprice), 2) AS total_price,
+             ROUND(AVG(o_totalprice), 2) AS avg_price,
+             ROUND(MAX(o_totalprice), 2) AS max_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    UNPIVOT (val FOR measure IN (total_price, avg_price, max_price))
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): wide per-group measures into long
+    (group, measure, value) rows — the inverse of `agg_pivot`.
+
+    The unpivot runs AFTER aggregation, so the 3x row expansion
+    applies to group-level rows only (tiny); melting raw fact rows
+    would triple the shuffle volume instead. Expand-based, stays in
+    codegen, no extra exchange.
+    """
+    wide = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["total_price", "avg_price", "max_price"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).select("o_orderpriority", "measure", F.round("val", 2).alias("val"))
