@@ -351,3 +351,58 @@ def test_idempotent_sink_exactly_once(spark, sf_dir, staged, tmp_path):
     # a genuinely new batch still commits
     sink(spark.read.parquet(staged).limit(7), max(batches) + 1)
     assert sink.table.read(spark).count() == n1 + 7
+
+
+def test_stateful_checkpoint_restart_recovers_state(
+    spark, sf_dir, staged, tmp_path
+):
+    """Stop/resume with the SAME checkpoint: dedup state must be
+    restored, so (user, type) pairs seen before the restart are still
+    dropped after it. Without state recovery the resumed run would
+    re-emit phase-1 keys and the sink would overcount."""
+    import os
+    import shutil
+    import glob as _glob
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = sorted(_glob.glob(f"{staged}/part-*.parquet"))
+    assert len(parts) >= 5
+    for p in parts[:3]:
+        shutil.copy(p, src)
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def t(s):
+        return s.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+
+    from hadoop_tools_spark.streaming.runner import (
+        read_event_stream,
+        run_foreach_batch_parquet,
+    )
+
+    run_foreach_batch_parquet(t(read_event_stream(spark, src)), out, ckpt)
+    n_offsets1 = len(os.listdir(f"{ckpt}/offsets"))
+
+    # "restart": new files arrive, same checkpoint — only new batches run
+    for p in parts[3:]:
+        shutil.copy(p, src)
+    run_foreach_batch_parquet(t(read_event_stream(spark, src)), out, ckpt)
+
+    sunk = spark.read.parquet(out).drop("batch_id")
+    want = (
+        spark.read.parquet(staged)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    # exactly-once across the restart: each pair emitted exactly once
+    assert sunk.count() == want, (sunk.count(), want)
+    assert sunk.distinct().count() == want
+    # the resumed run really processed the new files as NEW batches
+    # (they dedup to zero emitted rows, so check the offset log)
+    n_offsets2 = len(os.listdir(f"{ckpt}/offsets"))
+    assert n_offsets2 > n_offsets1, (n_offsets1, n_offsets2)
