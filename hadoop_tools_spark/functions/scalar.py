@@ -427,3 +427,89 @@ def fn_regexp(spark, sf_dir):
             F.regexp_replace("text", r"(a|the) ", "").cast("binary")
         ).alias("destopped_md5"),
     )
+
+
+@query(
+    "fn_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           (o_clerk IS NOT DISTINCT FROM o_comment_null) AS nullsafe_eq,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+           (o_clerk IS DISTINCT FROM o_comment_null) AS distinct_from
+    FROM (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE o_orderstatus END AS o_clerk,
+             CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                  ELSE o_orderstatus END AS o_comment_null
+      FROM orders
+    )
+    """,
+)
+def fn_nulls(spark, sf_dir):
+    """Null-semantics family: null-safe equality (<=>), NULLIF,
+    COALESCE, IS DISTINCT FROM — the operators that decide whether a
+    100 TB join on a nullable key silently drops rows. Synthetic NULL
+    patterns are derived from the key so the oracle reproduces them
+    exactly. Pure codegen."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("a"),
+        F.when(F.col("o_orderkey") % 2 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("b"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("a").eqNullSafe(F.col("b")).alias("nullsafe_eq"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_filled"),
+        (~F.col("a").eqNullSafe(F.col("b"))).alias("distinct_from"),
+    )
+
+
+@query(
+    "fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 3 = 0 THEN NULL
+                ELSE ROUND(l_extendedprice / (l_linenumber - 3), 4)
+           END AS safe_div,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+           TRY_CAST(CASE WHEN l_linenumber % 3 = 0
+                         THEN CAST(l_orderkey AS VARCHAR) || 'x'
+                         ELSE CAST(l_orderkey AS VARCHAR) END
+                    AS BIGINT) AS key_int
+    FROM lineitem
+    """,
+)
+def fn_try(spark, sf_dir):
+    """ANSI-safe arithmetic: try_divide / try_cast return NULL instead
+    of failing the job — at 100 TB one malformed row must not kill a
+    12-hour pipeline. The oracle emulates try_divide with an explicit
+    zero guard (DuckDB has no TRY division), so NULL placement is
+    hash-verified."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 3), 4
+        ).alias("safe_div"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("999")).cast("long").alias(
+            "flag_as_int"
+        ),
+        F.when(
+            F.col("l_linenumber") % 3 == 0,
+            F.concat(F.col("l_orderkey").cast("string"), F.lit("x")),
+        )
+        .otherwise(F.col("l_orderkey").cast("string"))
+        .try_cast("long")
+        .alias("key_int"),
+    )
