@@ -66,6 +66,9 @@ class DuckFedReader(DataSourceReader):
 
         con = duckdb.connect(partition.db, read_only=True)
         try:
+            # bound the remote engine's buffer pool per task: N parallel
+            # readers must not multiply into executor-memory pressure
+            con.execute("SET memory_limit='256MB'")
             cur = con.execute(
                 f"SELECT {self.cols} FROM {self.table} "
                 f"WHERE {self.key} >= ? AND {self.key} < ?",
@@ -121,6 +124,10 @@ def source_duckdb_fed(spark, sf_dir):
     db = os.path.join(SCRATCH, f"fed_{os.path.basename(sf_dir)}.duckdb")
     if not os.path.exists(db):
         con = duckdb.connect(db)
+        # the one-time landing step streams table creation under a
+        # bounded buffer pool so driver RSS stays flat (sf1 rehearsal
+        # showed 665 MB unbounded)
+        con.execute("SET memory_limit='256MB'")
         con.execute(
             "CREATE TABLE lineitem AS SELECT l_orderkey, l_returnflag, "
             f"l_quantity, l_extendedprice FROM read_parquet('{sf_dir}/lineitem.parquet')"
