@@ -40,6 +40,15 @@ from ..registry import query
 SCRATCH = os.environ.get("HTS_SCRATCH", "/tmp/hts_scratch")
 
 
+class CommitConflict(Exception):
+    """Another writer committed this version first (optimistic
+    concurrency): re-read latest and retry."""
+
+    def __init__(self, version: int):
+        super().__init__(f"snapshot version v{version} already committed")
+        self.version = version
+
+
 class SnapshotTable:
     """Versioned parquet table with manifest-pointer commits."""
 
@@ -85,29 +94,57 @@ class SnapshotTable:
         ]
         return names
 
-    def _publish(self, files: list[str], version: int) -> int:
+    def _publish(self, files: list[str], version: int,
+                 extra: dict | None = None) -> int:
+        """Put-if-absent manifest publish (optimistic concurrency).
+
+        ``os.link`` onto the target fails with ``FileExistsError`` when
+        another writer already committed this version — unlike a bare
+        ``rename``, which would silently clobber the racing writer's
+        manifest (a lost update). Callers catch ``CommitConflict`` and
+        retry against the new latest version, exactly the
+        compare-and-swap loop Delta/Iceberg run against object-store
+        put-if-absent."""
         os.makedirs(self.manifest_dir, exist_ok=True)
         target = os.path.join(self.manifest_dir, f"v{version}.json")
-        tmp = target + ".tmp"
+        tmp = target + f".tmp-{os.getpid()}-{id(files)}"
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": files}, fh)
-        os.rename(tmp, target)  # atomic publish
+            json.dump({"version": version, "files": files, **(extra or {})}, fh)
+        try:
+            os.link(tmp, target)  # atomic put-if-absent
+        except FileExistsError:
+            raise CommitConflict(version)
+        finally:
+            os.unlink(tmp)
         return version
 
     def create(self, df: DataFrame) -> int:
         files = self._stage(df, "00000")
         return self._publish(files, 0)
 
-    def append(self, df: DataFrame) -> int:
+    def _commit_retry(self, df: DataFrame, keep_prev: bool,
+                      max_retries: int = 10) -> int:
+        """Stage once, then CAS-loop the manifest publish: on conflict
+        re-read the new latest manifest and re-derive the file list.
+        Staged data files are immutable and commit-id-unique, so no
+        restaging is needed on retry."""
         v = self.latest_version()
-        prev = self._manifest(v)["files"]
-        files = self._stage(df, f"{v + 1:05d}")
-        return self._publish(prev + files, v + 1)
+        commit_id = f"{v + 1:05d}-{os.getpid()}"
+        staged = self._stage(df, commit_id)
+        for _ in range(max_retries):
+            v = self.latest_version()
+            prev = self._manifest(v)["files"] if keep_prev else []
+            try:
+                return self._publish(prev + staged, v + 1)
+            except CommitConflict:
+                continue  # another writer won this version: rebase
+        raise CommitConflict(v + 1)
+
+    def append(self, df: DataFrame) -> int:
+        return self._commit_retry(df, keep_prev=True)
 
     def overwrite(self, df: DataFrame) -> int:
-        v = self.latest_version()
-        files = self._stage(df, f"{v + 1:05d}")
-        return self._publish(files, v + 1)
+        return self._commit_retry(df, keep_prev=False)
 
     # -- reads -------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

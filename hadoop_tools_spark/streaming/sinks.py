@@ -20,8 +20,6 @@ tiny JSON per batch, and data files stream through executors.
 
 from __future__ import annotations
 
-import json
-import os
 
 from pyspark.sql import DataFrame
 
@@ -56,12 +54,7 @@ class IdempotentBatchSink:
                 batch_df, f"{v + 1:05d}"
             )
             version = v + 1
-        # publish with the batch id recorded in the manifest
-        os.makedirs(self.table.manifest_dir, exist_ok=True)
-        target = os.path.join(self.table.manifest_dir, f"v{version}.json")
-        tmp = target + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"version": version, "files": files, "batch_id": batch_id}, fh
-            )
-        os.rename(tmp, target)
+        # put-if-absent publish with the batch id recorded; a streaming
+        # query has one writer, so a conflict means a zombie executor
+        # from a failed run beat us — surfacing it is correct
+        self.table._publish(files, version, extra={"batch_id": batch_id})

@@ -140,3 +140,35 @@ def test_mv_incremental_merge_algebra(spark, sf_dir):
             r.cnt, r.min_price, r.max_price
         )
         assert abs(g.total - r.total) < 0.02
+
+
+def test_snapshot_concurrent_commit_no_lost_update(spark, sf_dir, tmp_path):
+    """Two writers racing on the same version: put-if-absent makes one
+    publish fail and rebase, so BOTH appends land (no lost update) —
+    the clobbering-rename design would silently drop one."""
+    from hadoop_tools_spark.sources.snapshots import (
+        CommitConflict,
+        SnapshotTable,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey"
+    )
+    tbl = SnapshotTable(str(tmp_path / "race"))
+    tbl.create(orders.limit(10))
+
+    # simulate the race: writer A stages + publishes v1 directly...
+    files_a = tbl._stage(orders.limit(5), "a")
+    base = tbl._manifest(0)["files"]
+    tbl._publish(base + files_a, 1)
+    # ...writer B (who also read latest=0) tries the same version
+    files_b = tbl._stage(orders.limit(7), "b")
+    with pytest.raises(CommitConflict):
+        tbl._publish(base + files_b, 1)
+    # B rebases exactly as append() does and lands on v2
+    tbl._publish(tbl._manifest(1)["files"] + files_b, 2)
+    assert tbl.read(spark, version=2).count() == 10 + 5 + 7
+
+    # the public append() API does the retry loop itself
+    tbl.append(orders.limit(3))
+    assert tbl.read(spark).count() == 25
