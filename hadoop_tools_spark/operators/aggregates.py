@@ -293,3 +293,37 @@ def agg_unpivot(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="val",
     ).select("o_orderpriority", "measure", F.round("val", 2).alias("val"))
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ), n AS (SELECT COUNT(*) AS total FROM lineitem)
+    SELECT l_partkey, cnt,
+           ROUND(cnt * 1000.0 / (SELECT total FROM n), 4) AS per_mille
+    FROM c WHERE cnt * 1000 >= (SELECT total FROM n)
+    """,
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Exact frequent-item detection: part keys covering >= 0.1% of
+    lineitem, with their per-mille share.
+
+    Scan + map-side-combined count + a 1-row total broadcast: the
+    exact anchor for frequency estimation. The bounded-memory twin for
+    cardinalities where even the counting groupBy is too wide is
+    Misra-Gries (test_analytics.py proves a k-summary mapInPandas
+    merge finds every true heavy hitter on this fixture) — sketch
+    summaries merge associatively, so re-aggregation stays O(k) per
+    partition at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    total = li.count()
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    return counts.filter(F.col("cnt") * 1000 >= total).select(
+        "l_partkey",
+        "cnt",
+        F.round(F.col("cnt") * 1000.0 / total, 4).alias("per_mille"),
+    )

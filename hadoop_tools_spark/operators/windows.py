@@ -249,3 +249,62 @@ def topk_group(spark, sf_dir):
             "rn",
         )
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def win_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over an event-time window — an op
+    Spark's window functions cannot express directly (no DISTINCT in
+    window aggregates). Decomposed into two windows over the SAME
+    user_id hash exchange (plan-asserted: one Exchange, two Sorts):
+    a lag over (type, ts) order flags each type's earliest row, then a
+    running sum in ts order counts the flags. No collect_set state —
+    a collect_set window would carry the full distinct set per row;
+    the flag trick carries one bit."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # both windows partition on user_id only -> one hash exchange;
+    # within a type, ts ascending means the run's first row is the
+    # type's earliest occurrence
+    w_first = Window.partitionBy("user_id").orderBy(
+        "event_type", "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(
+                F.lag("event_type").over(w_first).isNull()
+                | (F.lag("event_type").over(w_first) != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "distinct_types_so_far",
+            F.sum("first_seen").over(w_run).cast("long"),
+        )
+        .select("user_id", "event_id", "distinct_types_so_far")
+    )
