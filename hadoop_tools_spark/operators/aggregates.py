@@ -303,13 +303,14 @@ def agg_unpivot(spark, sf_dir):
       FROM lineitem GROUP BY l_partkey
     ), n AS (SELECT COUNT(*) AS total FROM lineitem)
     SELECT l_partkey, cnt,
-           ROUND(cnt * 1000.0 / (SELECT total FROM n), 4) AS per_mille
-    FROM c WHERE cnt * 1000 >= (SELECT total FROM n)
+           ROUND(cnt * 10000.0 / (SELECT total FROM n), 4) AS per_10k
+    FROM c WHERE cnt * 1250 >= (SELECT total FROM n)
     """,
 )
 def agg_heavy_hitters(spark, sf_dir):
-    """Exact frequent-item detection: part keys covering >= 0.1% of
-    lineitem, with their per-mille share.
+    """Exact frequent-item detection: part keys covering >= 0.08% of
+    lineitem (tuned to the fixture's near-uniform key distribution so
+    every SF yields a non-trivial answer set), with per-10k share.
 
     Scan + map-side-combined count + a 1-row total broadcast: the
     exact anchor for frequency estimation. The bounded-memory twin for
@@ -322,8 +323,8 @@ def agg_heavy_hitters(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_partkey")
     total = li.count()
     counts = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
-    return counts.filter(F.col("cnt") * 1000 >= total).select(
+    return counts.filter(F.col("cnt") * 1250 >= total).select(
         "l_partkey",
         "cnt",
-        F.round(F.col("cnt") * 1000.0 / total, 4).alias("per_mille"),
+        F.round(F.col("cnt") * 10000.0 / total, 4).alias("per_10k"),
     )
