@@ -382,3 +382,55 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     p = plan_str(df)
     assert "dynamicpruning" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_cbo_stats_drive_broadcast_choice(spark, sf_dir, tmp_path):
+    """Cost-based optimization: with ANALYZE'd table stats and CBO on,
+    Catalyst broadcasts the genuinely-small side of a join even when
+    file-size estimation alone would not prove it small (the catalog
+    row-count/size stats replace the raw-file heuristic). This is the
+    mechanism that picks join strategies on a 100 TB warehouse where
+    table sizes come from the metastore, not from listing files."""
+    import uuid
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    db = f"cbodb_{uuid.uuid4().hex[:6]}"
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        spark.sql(f"CREATE DATABASE {db}")
+        spark.sql(f"USE {db}")
+        spark.read.parquet(f"{sf_dir}/nation.parquet").write.saveAsTable(
+            "nation_t"
+        )
+        spark.read.parquet(f"{sf_dir}/customer.parquet").write.saveAsTable(
+            "customer_t"
+        )
+        spark.sql("ANALYZE TABLE nation_t COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql(
+            "ANALYZE TABLE customer_t COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        # catalog stats present and populated
+        stats = spark.sql("DESC EXTENDED nation_t").collect()
+        assert any("Statistics" in r.col_name for r in stats)
+        df = spark.sql(
+            """
+            SELECT n_name, COUNT(*) AS n
+            FROM customer_t JOIN nation_t ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            """
+        )
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p, p
+        # the optimized logical plan carries row-count estimates
+        opt = df._jdf.queryExecution().optimizedPlan()
+        st = opt.stats()
+        assert st.rowCount().isDefined(), "CBO row-count estimate missing"
+    finally:
+        spark.sql("USE default")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        for k, v in saved.items():
+            spark.conf.set(k, v)
