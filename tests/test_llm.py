@@ -551,3 +551,47 @@ def test_avi_rejects_non_avi():
         parse_avi(b"RIFFxxxxWAVE")
     with pytest.raises(ValueError):
         parse_avi(b"garbage")
+
+
+def test_gif_roundtrip_bitexact():
+    """encode_gif -> decode_gif is bit-exact for random palettes and
+    index maps, interlaced and not, including the small-palette code
+    width and the 4096-entry dictionary-reset path."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    for w, h, ncol, interlaced in [
+        (16, 12, 256, False),
+        (16, 12, 256, True),
+        (1, 1, 2, False),
+        (255, 3, 16, True),
+        (100, 37, 256, True),
+        (300, 200, 256, False),  # > 4096 LZW entries: reset path
+    ]:
+        pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        idx = rng.randint(0, ncol, (h, w)).astype(np.uint8)
+        gw, gh, px = decode_gif(encode_gif(w, h, pal, idx, interlaced))
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(px, pal[idx]), (w, h, ncol, interlaced)
+
+
+def test_decode_gif_matches_ppm_twin():
+    """The committed gif_{i}.gif fixtures decode pixel-identical to
+    their img_{i}.ppm twins (the cross-format guarantee the oracle
+    hash relies on)."""
+    import os
+
+    import numpy as np
+
+    from hadoop_tools_spark.operators.gif import decode_gif
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR, decode_ppm
+
+    for i in range(8):
+        with open(os.path.join(MEDIA_DIR, f"gif_{i}.gif"), "rb") as f:
+            gw, gh, gpx = decode_gif(f.read())
+        with open(os.path.join(MEDIA_DIR, f"img_{i}.ppm"), "rb") as f:
+            pw, ph, ppx = decode_ppm(f.read())
+        assert (gw, gh) == (pw, ph)
+        assert np.array_equal(gpx, ppx), i

@@ -137,6 +137,38 @@ def main() -> None:
         w, h = 16 + i * 3, 12 + i * 2
         with open(os.path.join(OUT, f"png_{i}.png"), "wb") as f:
             f.write(png_bytes(w, h, i))
+    # GIF twins of img_{i}.ppm: the PPM pixel function has at most 256
+    # distinct colors (all three channels are offsets of one base
+    # byte), so a global color table represents it exactly — pixel-
+    # identical cross-format fixtures. Odd seeds write interlaced
+    # images so the 4-pass deinterlace path is exercised.
+    import sys as _sys
+
+    _sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import numpy as _np
+
+    from hadoop_tools_spark.operators.gif import encode_gif
+
+    for i in range(8):
+        w, h = 16 + i * 3, 12 + i * 2
+        xx, yy = _np.meshgrid(_np.arange(w), _np.arange(h))
+        base = (xx * 7 + yy * 13 + i * 31) % 256  # == ppm c=0 channel
+        pal = _np.stack(
+            [
+                _np.arange(256),
+                (_np.arange(256) + 29) % 256,
+                (_np.arange(256) + 58) % 256,
+            ],
+            axis=1,
+        ).astype(_np.uint8)
+        with open(os.path.join(OUT, f"gif_{i}.gif"), "wb") as f:
+            f.write(
+                encode_gif(
+                    w, h, pal, base.astype(_np.uint8), interlaced=bool(i % 2)
+                )
+            )
     # baseline JPEGs: smooth gradients (JPEG-friendly), deterministic
     import sys
 
