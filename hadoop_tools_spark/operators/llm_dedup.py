@@ -19,6 +19,7 @@ The 100 TB playbook:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import load, load_spread, materialize
@@ -655,3 +656,94 @@ def dedup_incremental(spark, new_docs_df, index_path: str):
     fresh = hashed.join(old, "h", "left_anti").localCheckpoint()
     fresh.write.mode("append").parquet(index_path)
     return fresh.select("doc_id", "h")
+
+
+_SUB_K = 40  # exact-substring window (chars), Lee et al.-style
+
+
+@query(
+    "llm_dedup_substring",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, n_chars - {_SUB_K} + 1)) AS p
+      FROM documents
+      WHERE n_chars >= {_SUB_K}
+    ),
+    grams AS (
+      SELECT doc_id, p, substr(text, p, {_SUB_K}) AS g FROM pos
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    flagged AS (
+      SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             SUM(CASE WHEN p - prev_p = 1 THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, p,
+               LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p
+        FROM flagged
+      )
+    )
+    SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) + {_SUB_K} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(p) - MIN(p) + {_SUB_K} AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def llm_dedup_substring(spark, sf_dir):
+    """Exact cross-document substring dedup (the Lee et al. 2022
+    "Deduplicating Training Data" semantics, public paper): every
+    maximal span whose {k}-char windows all occur in at least one
+    OTHER document, reported as (doc, start, end, len) — the spans a
+    training pipeline would cut.
+
+    Plan: explode each doc into its k-char windows (the one
+    data-expanding step, ~k× corpus bytes through the first shuffle),
+    keep windows seen in >1 distinct doc (map-side partial count,
+    semi-join back), then merge flagged positions into maximal spans
+    with the gap-and-island window — doc-partitioned, one exchange.
+    At 100 TB the window explode is the cost center: the published
+    scale path is a suffix-array per shard + merge, with
+    `llm_winnow`/`llm_neardup_minhash` as the approximate screens;
+    this key is the exact anchor the screens are recall-tested
+    against. 1-based positions, inclusive span_end, both engines.
+    """
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= _SUB_K
+    )
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_chars") - _SUB_K + 1)
+        ).alias("p"),
+    )
+    grams = pos.select(
+        "doc_id", "p", F.expr(f"substr(text, p, {_SUB_K})").alias("g")
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    flagged = grams.join(dup, "g", "left_semi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = flagged.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("p") - F.lag("p").over(w) == 1, 0).otherwise(1)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("p").cast("long").alias("span_start"),
+        (F.max("p") + _SUB_K - 1).cast("long").alias("span_end"),
+        (F.max("p") - F.min("p") + _SUB_K).cast("long").alias("span_len"),
+    ).drop("island")

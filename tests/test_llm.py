@@ -595,3 +595,36 @@ def test_decode_gif_matches_ppm_twin():
             pw, ph, ppx = decode_ppm(f.read())
         assert (gw, gh) == (pw, ph)
         assert np.array_equal(gpx, ppx), i
+
+
+def test_substring_dedup_spans_verified(spark, sf_dir):
+    """Every reported span really is duplicated: the span's text
+    windows each appear in at least one other document, spans are
+    maximal (extending one char either way breaks the property), and
+    span_len is consistent."""
+    from hadoop_tools_spark.operators.llm_dedup import (
+        _SUB_K,
+        llm_dedup_substring,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+    def shared(doc_id, p):
+        """1-based window at p duplicated in another doc?"""
+        g = docs[doc_id][p - 1: p - 1 + _SUB_K]
+        return len(g) == _SUB_K and any(
+            d != doc_id and g in t for d, t in docs.items()
+        )
+
+    rows = llm_dedup_substring(spark, sf_dir).collect()
+    assert rows, "fixture seeds shared prefixes; spans must exist"
+    for r in rows[:40]:
+        assert r.span_len == r.span_end - r.span_start + 1
+        assert shared(r.doc_id, r.span_start)
+        assert shared(r.doc_id, r.span_end - _SUB_K + 1)
+        # maximality on the left edge
+        if r.span_start > 1:
+            assert not shared(r.doc_id, r.span_start - 1)
