@@ -191,3 +191,62 @@ def snapshot_timetravel(spark, sf_dir):
     return agg(tbl.read(spark, version=0), 0).unionAll(
         agg(tbl.read(spark, version=1), 1)
     )
+
+
+def compact(tbl: SnapshotTable, spark: SparkSession,
+            target_files: int = 4) -> int:
+    """OPTIMIZE-style bin-packing compaction as a snapshot commit.
+
+    Reads the latest snapshot, rewrites it as ``target_files``
+    evenly-sized files, and publishes the new file set as the next
+    version — a metadata swap for readers: historic versions still
+    reference the old small files (time travel intact), new readers
+    get the packed layout. Rows are untouched, so the commit is
+    payload-idempotent; the CAS publish keeps it safe against
+    concurrent appends (a racing append wins the version and the
+    compaction rebases onto... nothing — compaction REPLACES the file
+    set, so on conflict the caller should re-run against the new
+    latest; we surface CommitConflict rather than silently dropping
+    the racer's rows).
+    """
+    v = tbl.latest_version()
+    df = tbl.read(spark, version=v)
+    commit_id = f"{v + 1:05d}-compact"
+    files = tbl._stage(df.repartition(target_files), commit_id)
+    return tbl._publish(files, v + 1, extra={"compaction_of": v})
+
+
+def vacuum(tbl: SnapshotTable, keep_last: int = 2) -> list[str]:
+    """Retention sweep: expire all but the last ``keep_last`` versions
+    and delete every data file no retained manifest references —
+    including crash-orphaned staged files that never made it into a
+    manifest. Returns the deleted table-relative paths.
+
+    Order matters for crash safety: expired MANIFESTS are removed
+    first, so a sweep that dies mid-delete leaves only unreferenced
+    data files (harmless, re-collectable) — never a manifest pointing
+    at deleted data.
+    """
+    versions = tbl.versions()
+    retained = versions[-keep_last:] if keep_last > 0 else []
+    expired = [v for v in versions if v not in retained]
+    live: set[str] = set()
+    for v in retained:
+        live.update(tbl._manifest(v)["files"])
+    for v in expired:
+        os.unlink(os.path.join(tbl.manifest_dir, f"v{v}.json"))
+    deleted = []
+    for sub in sorted(os.listdir(tbl.path)):
+        subdir = os.path.join(tbl.path, sub)
+        if not (sub.startswith("data-") and os.path.isdir(subdir)):
+            continue
+        for f in sorted(os.listdir(subdir)):
+            rel = os.path.join(sub, f)
+            if f.endswith(".parquet") and rel not in live:
+                os.unlink(os.path.join(subdir, f))
+                deleted.append(rel)
+        if not any(x.endswith(".parquet") for x in os.listdir(subdir)):
+            import shutil
+
+            shutil.rmtree(subdir, ignore_errors=True)
+    return deleted

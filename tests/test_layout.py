@@ -172,3 +172,75 @@ def test_snapshot_concurrent_commit_no_lost_update(spark, sf_dir, tmp_path):
     # the public append() API does the retry loop itself
     tbl.append(orders.limit(3))
     assert tbl.read(spark).count() == 25
+
+
+def test_snapshot_compaction_packs_files_keeps_history(
+    spark, sf_dir, tmp_path
+):
+    """OPTIMIZE: many small files -> few packed files as a new
+    version; row multiset identical; historic versions untouched."""
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable, compact
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = SnapshotTable(str(tmp_path / "opt"))
+    # 6 tiny commits -> many small files
+    tbl.create(orders.filter("o_orderkey % 6 = 0").repartition(3))
+    for m in range(1, 6):
+        tbl.append(orders.filter(f"o_orderkey % 6 = {m}").repartition(3))
+    v_before = tbl.latest_version()
+    n_files_before = len(tbl.files())
+    assert n_files_before >= 12
+
+    v_new = compact(tbl, spark, target_files=4)
+    assert v_new == v_before + 1
+    assert len(tbl.files()) == 4
+    # same rows, bit-for-bit multiset
+    a = sorted(r.o_orderkey for r in tbl.read(spark, version=v_before).collect())
+    b = sorted(r.o_orderkey for r in tbl.read(spark).collect())
+    assert a == b and len(a) == orders.count()
+    # history intact: the pre-compaction version still reads its files
+    assert len(tbl.files(v_before)) == n_files_before
+    assert tbl.read(spark, version=v_before).count() == len(a)
+
+
+def test_snapshot_vacuum_retention(spark, sf_dir, tmp_path):
+    """vacuum keeps the last N versions readable, removes expired
+    manifests, unreferenced data files, and crash orphans — and a
+    packed post-compaction table loses its small-file history."""
+    from hadoop_tools_spark.sources.snapshots import (
+        SnapshotTable,
+        compact,
+        vacuum,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey"
+    )
+    tbl = SnapshotTable(str(tmp_path / "vac"))
+    tbl.create(orders.filter("o_orderkey % 3 = 0").repartition(2))
+    tbl.append(orders.filter("o_orderkey % 3 = 1").repartition(2))
+    tbl.append(orders.filter("o_orderkey % 3 = 2").repartition(2))
+    compact(tbl, spark, target_files=2)
+    tbl._stage(orders.limit(5), "orphan")  # crashed writer leftovers
+    n_total = orders.count()
+
+    deleted = vacuum(tbl, keep_last=2)
+    assert deleted, "expired small files + orphans should be removed"
+    # retained versions still read in full
+    assert tbl.versions() == [2, 3]
+    assert tbl.read(spark, version=3).count() == n_total
+    assert tbl.read(spark, version=2).count() == n_total
+    # every surviving parquet is referenced by a retained manifest
+    import os as _os
+
+    live = set(tbl._manifest(2)["files"]) | set(tbl._manifest(3)["files"])
+    on_disk = {
+        _os.path.join(sub, f)
+        for sub in _os.listdir(tbl.path)
+        if sub.startswith("data-")
+        for f in _os.listdir(_os.path.join(tbl.path, sub))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
