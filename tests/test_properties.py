@@ -164,3 +164,63 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(vdf, edges_from_pairs(pairs)).collect()
     }
     assert labels == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=4000),
+    min_code=st.integers(min_value=2, max_value=8),
+)
+def test_lzw_roundtrip_arbitrary_bytes(data, min_code):
+    """GIF LZW encode→decode is the identity for arbitrary byte
+    streams whose symbols fit the code size — including streams long
+    enough to force width growth and dictionary resets."""
+    from hadoop_tools_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    cap = 1 << min_code
+    symbols = bytes(b % cap for b in data)
+    enc = _lzw_encode(symbols, min_code)
+    dec = bytes(_lzw_decode(enc, min_code, len(symbols)))
+    assert dec == symbols
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    positions=st.lists(
+        st.integers(min_value=1, max_value=60), min_size=0, max_size=40
+    )
+)
+def test_gap_island_merge_matches_bruteforce(positions):
+    """The gap-and-island span merge used by llm_dedup_substring
+    (lag != 1 starts a new island) reproduces a brute-force interval
+    merge of the flagged windows."""
+    k = 5
+    flagged = sorted(set(positions))
+    # brute force: merge runs of consecutive positions
+    want = []
+    for p in flagged:
+        if want and p == want[-1][1] + 1:
+            want[-1][1] = p
+        else:
+            want.append([p, p])
+    want_spans = {(a, b + k - 1, b - a + k) for a, b in want}
+
+    # replicate the operator's SQL logic step-for-step
+    got_spans = set()
+    island_start = island_max = None
+    prev = None
+    for p in flagged:
+        if prev is None or p - prev != 1:
+            if island_start is not None:
+                got_spans.add(
+                    (island_start, island_max + k - 1,
+                     island_max - island_start + k)
+                )
+            island_start = p
+        island_max = p
+        prev = p
+    if island_start is not None:
+        got_spans.add(
+            (island_start, island_max + k - 1, island_max - island_start + k)
+        )
+    assert got_spans == want_spans
