@@ -156,3 +156,97 @@ def running_user_stats_tws(stream_events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+ALERT_SCHEMA = "user_id long, last_ts timestamp"
+
+_LAST_SCHEMA = "last_us long"
+
+
+class InactivityAlert:
+    """Event-time TIMER stateful operator: emit (user, last_ts) once a
+    user has been silent for ``gap_s`` seconds of event time.
+
+    The timer API is the piece `transformWithState` adds over plain
+    windowed aggregation: per-key expirations fire when the WATERMARK
+    crosses the registered event-time instant — no busy polling and no
+    per-row scan of idle keys, which is what makes 10^9-key inactivity
+    detection feasible (state store holds one (key → last_ts, timer)
+    pair per user; eviction happens on fire).
+
+    Per batch: update last-seen, cancel the previous timer, register
+    ``last_ts + gap_s``. On expiry: emit the alert and clear state —
+    a user heard from again later starts a fresh session.
+    """
+
+    def __init__(self, gap_s: int):
+        self.gap_s = gap_s
+
+    def build(self):
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        gap_us = self.gap_s * 1_000_000
+
+        class _P(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._handle = handle
+                self._last = handle.getValueState("last", _LAST_SCHEMA)
+
+            def handleInputRows(self, key, rows, timerValues):
+                last_us = (
+                    self._last.get()[0] if self._last.exists() else 0
+                )
+                for pdf in rows:
+                    mx = pdf["ts"].max()
+                    if pd.notna(mx):
+                        last_us = max(last_us, int(mx.value // 1000))
+                if self._last.exists():
+                    for t in self._handle.listTimers():
+                        self._handle.deleteTimer(t)
+                self._last.update((last_us,))
+                self._handle.registerTimer((last_us + gap_us) // 1000)
+                return iter(())
+
+            def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+                (user_id,) = key
+                if self._last.exists():
+                    last_us = self._last.get()[0]
+                    self._last.clear()
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [user_id],
+                            "last_ts": [pd.Timestamp(last_us * 1000)],
+                        }
+                    )
+
+            def close(self) -> None:
+                pass
+
+        return _P()
+
+
+def inactivity_alerts(stream_events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Users silent for ``gap_s`` seconds of event time (timer-fired)."""
+    spark = stream_events.sparkSession
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDBStateStoreProvider" not in provider:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the RocksDB state store "
+            "(see running_user_stats_tws)."
+        )
+    return (
+        stream_events.select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=InactivityAlert(gap_s).build(),
+            outputStructType=ALERT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

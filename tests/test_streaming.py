@@ -406,3 +406,40 @@ def test_stateful_checkpoint_restart_recovers_state(
     # (they dedup to zero emitted rows, so check the offset log)
     n_offsets2 = len(os.listdir(f"{ckpt}/offsets"))
     assert n_offsets2 > n_offsets1, (n_offsets1, n_offsets2)
+
+
+def test_inactivity_alerts_timer_fired(spark, sf_dir, staged):
+    """Event-time timers: a user whose last event is >= gap seconds
+    before the final watermark fires exactly one alert carrying their
+    last-seen timestamp; recently-active users fire nothing."""
+    from hadoop_tools_spark.streaming.stateful import inactivity_alerts
+
+    gap_s = 6 * 3600
+    name = run_to_completion(
+        inactivity_alerts(read_event_stream(spark, staged), gap_s=gap_s),
+        "append",
+    )
+    got = {
+        r.user_id: r.last_ts
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    from hadoop_tools_spark.io import load
+
+    last = {
+        r.user_id: r.last_ts
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .collect()
+    }
+    wm = max(last.values())
+    expect = {
+        u for u, t in last.items()
+        if (wm - t).total_seconds() >= gap_s
+    }
+    assert set(got) == expect, (len(got), len(expect))
+    for u in got:
+        assert got[u] == last[u]
+    # sanity: the fixture has both silent and active users
+    assert expect and len(expect) < len(last)
