@@ -149,3 +149,51 @@ def udtf_shingles(spark, sf_dir):
              LATERAL shingle_udtf(d.text) s
         """
     )
+
+
+@query(
+    "udtf_analyze",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS word_1,
+           string_split(text, ' ')[2] AS word_2,
+           string_split(text, ' ')[3] AS word_3
+    FROM documents
+    """,
+)
+def udtf_analyze(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()` path): the output
+    schema is computed at plan time from a literal argument — here
+    `first_words(text, 3)` resolves to columns word_1..word_3 before
+    any data moves. This is the engine feature behind dynamic-schema
+    table functions (CSV exploders, pivot-like fan-outs) without
+    hardcoding a returnType; execution is the same Arrow UDTF path as
+    `udtf_shingles`."""
+    from pyspark.sql.functions import lit
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstWordsUDTF:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            assert n.isConstantExpression, "n must be a literal"
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"word_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            words = (text or "").split(" ")
+            yield tuple(
+                words[i] if i < len(words) else None for i in range(n)
+            )
+
+    spark.udtf.register("first_words", FirstWordsUDTF)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_pw_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.word_1, w.word_2, w.word_3
+        FROM docs_pw_src d, LATERAL first_words(d.text, 3) w
+        """
+    )

@@ -328,3 +328,34 @@ def agg_heavy_hitters(spark, sf_dir):
         "cnt",
         F.round(F.col("cnt") * 10000.0 / total, 4).alias("per_10k"),
     )
+
+
+@query(
+    "agg_linreg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_linreg(spark, sf_dir):
+    """SQL:2003 linear-regression aggregates (regr_*): price-vs-
+    quantity fit per return flag. Single-pass mergeable moment
+    statistics (the same partial-aggregate algebra as var/covar), so
+    map-side combine works and the exchange moves 6 doubles per
+    group — regression over 100 TB is one scan."""
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )
