@@ -83,3 +83,64 @@ def test_salted_join_salt_is_content_derived(spark, sf_dir):
     b = big.withColumn("_salt", salt).select("o_orderkey", "_salt").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len({s for _, s in a}) > 1  # actually spreads
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """AQE skew-join: with one hot key dominating the left side,
+    adaptive execution splits the oversized shuffle partition into
+    multiple tasks (the runtime complement to salted_join's static
+    salting). Asserted from the final adaptive plan's skew flag."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        # force a sort-merge join and make the hot partition "huge"
+        # relative to tiny thresholds so the detector fires at test scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB"
+        )
+        # the aggregate above the join means the skew split would add a
+        # shuffle; force it so the optimization applies anyway (the
+        # trade AQE makes automatically when the join is the last stage)
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        # incompressible payload that survives column pruning: the skew
+        # detector sees POST-compression map-output sizes, so a constant
+        # key with no payload RLE-compresses below any threshold
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string").cast("binary")).alias("pay"),
+        )
+        right = spark.range(0, 5_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        df = left.join(right, "k").agg(
+            F.count("*").alias("n"), F.sum(F.length("pay")).alias("s")
+        )
+        (row,) = df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p.lower(), p[:2000]
+        # correctness unaffected by the split:
+        # k=7: 200k left rows x 1 right match; odd k<5000: 2500 matches
+        assert row["n"] == 200_000 + 2_500
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
