@@ -250,3 +250,81 @@ def inactivity_alerts(stream_events: DataFrame, gap_s: int = 1800) -> DataFrame:
             timeMode="EventTime",
         )
     )
+
+
+TYPECOUNT_SCHEMA = "user_id long, event_type string, n long"
+
+
+class PerTypeCounts:
+    """Typed MapState operator: per-user map event_type -> count.
+
+    Complements the ValueState (RunningUserStats) and timer
+    (InactivityAlert) operators with the third state primitive:
+    MapState gives per-subkey point updates without rewriting the
+    whole value — at 100 TB a user's map updates touch only the
+    changed type's entry in RocksDB, not a serialized blob of all
+    types (which a ValueState of a dict would).
+    """
+
+    @staticmethod
+    def build():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _P(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._counts = handle.getMapState(
+                    "counts", "key string", "n long"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                (user_id,) = key
+                for pdf in rows:
+                    for et, cnt in pdf["event_type"].value_counts().items():
+                        prev = (
+                            self._counts.getValue((et,))[0]
+                            if self._counts.containsKey((et,))
+                            else 0
+                        )
+                        self._counts.updateValue((et,), (prev + int(cnt),))
+                out = sorted(
+                    (k[0], self._counts.getValue(k)[0])
+                    for k in self._counts.keys()
+                )
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(out),
+                        "event_type": [k for k, _ in out],
+                        "n": [n for _, n in out],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return _P()
+
+
+def per_type_counts(stream_events: DataFrame) -> DataFrame:
+    """Running per-(user, type) counts via MapState."""
+    spark = stream_events.sparkSession
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDBStateStoreProvider" not in provider:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the RocksDB state store "
+            "(see running_user_stats_tws)."
+        )
+    return (
+        stream_events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=PerTypeCounts.build(),
+            outputStructType=TYPECOUNT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -443,3 +443,36 @@ def test_inactivity_alerts_timer_fired(spark, sf_dir, staged):
         assert got[u] == last[u]
     # sanity: the fixture has both silent and active users
     assert expect and len(expect) < len(last)
+
+
+def test_map_state_per_type_counts(spark, sf_dir, staged):
+    """MapState: the final update-mode snapshot of per-(user, type)
+    counts equals the batch groupBy — point updates per subkey across
+    micro-batches accumulate correctly."""
+    from hadoop_tools_spark.streaming.stateful import per_type_counts
+
+    name = run_to_completion(
+        per_type_counts(read_event_stream(spark, staged)), "update"
+    )
+    latest = spark.sql(
+        f"""
+        SELECT user_id, event_type, n FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type ORDER BY n DESC) AS rn
+          FROM {name}
+        ) WHERE rn = 1
+        """
+    )
+    got = {
+        (r.user_id, r.event_type): r.n for r in latest.collect()
+    }
+    from hadoop_tools_spark.io import load
+
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
