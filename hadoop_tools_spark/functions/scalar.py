@@ -513,3 +513,38 @@ def fn_try(spark, sf_dir):
         .try_cast("long")
         .alias("key_int"),
     )
+
+
+@query(
+    "fn_collate",
+    oracle="""
+    WITH mixed AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                  ELSE lower(p_type) END AS t
+      FROM part
+    )
+    SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_binary_distinct,
+           CAST(COUNT(DISTINCT lower(t)) AS BIGINT) AS n_ci_distinct
+    FROM mixed
+    """,
+)
+def fn_collate(spark, sf_dir):
+    """Spark 4 collation support: COUNT(DISTINCT) under UTF8_LCASE
+    merges case variants that binary collation keeps apart. The fixture
+    is single-case, so case variants are derived from the key parity;
+    the oracle expresses the collation as an explicit lower() — the
+    semantics UTF8_LCASE implements engine-side (and pushes into
+    hash/sort operators, unlike a lower() wrapper which blocks stats
+    and prefix pruning on the original column)."""
+    mixed = load(spark, sf_dir, "part").select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.lower("p_type"))
+        .alias("t")
+    )
+    return mixed.agg(
+        F.countDistinct("t").alias("n_binary_distinct"),
+        F.countDistinct(F.collate(F.col("t"), "UTF8_LCASE")).alias(
+            "n_ci_distinct"
+        ),
+    )

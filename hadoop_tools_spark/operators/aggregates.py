@@ -359,3 +359,34 @@ def agg_linreg(spark, sf_dir):
         F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """Ordered string aggregation (SQL:2016 LISTAGG, new in Spark 4):
+    comma-joined nation list per region, deterministic via WITHIN
+    GROUP ordering. Ordered aggregates buffer per group — bounded
+    here by design (group members are a dimension); for unbounded
+    groups the scale answer is collect -> sort -> slice with an
+    explicit cap, never an unordered concat (retry-unstable)."""
+    load(spark, sf_dir, "region").createOrReplaceTempView("_la_region")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("_la_nation")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations,
+               COUNT(*) AS n_nations
+        FROM _la_region r JOIN _la_nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
