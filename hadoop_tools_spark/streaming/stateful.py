@@ -204,7 +204,9 @@ class InactivityAlert:
                     if pd.notna(mx):
                         last_us = max(last_us, int(mx.value // 1000))
                 if self._last.exists():
-                    for t in self._handle.listTimers():
+                    # materialize before deleting: mutating the timer set
+                    # while the protobuf-backed iterator is open is UB
+                    for t in list(self._handle.listTimers()):
                         self._handle.deleteTimer(t)
                 self._last.update((last_us,))
                 self._handle.registerTimer((last_us + gap_us) // 1000)
