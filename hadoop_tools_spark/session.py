@@ -43,17 +43,62 @@ _RUNTIME_CONFS = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``hadoop_tools_spark`` importable in PYTHON WORKERS.
+
+    mapInPandas / applyInPandas closures are pickled BY REFERENCE to
+    this package, so every executor's Python worker must be able to
+    ``import hadoop_tools_spark``. That happens for free only when the
+    workers' cwd is the repo root (local mode inherits the driver
+    JVM's cwd) — a driver started from any other directory, or a real
+    cluster, gets ``ModuleNotFoundError`` mid-stage instead. The
+    standard deployment answer: zip the package once and
+    ``addPyFile`` it, which distributes the archive and prepends it to
+    every worker's sys.path. Idempotent per session.
+    """
+    try:
+        sc = spark.sparkContext
+        if getattr(sc, "_hts_pkg_shipped", False):
+            return
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(
+            "/tmp", f"hts_pkg_{os.path.basename(pkg_dir)}.zip"
+        )
+        if not os.path.exists(zpath):
+            tmp = f"{zpath}.{os.getpid()}.tmp"
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for f in sorted(files):
+                        if not f.endswith(".py"):
+                            continue
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "hadoop_tools_spark",
+                            os.path.relpath(full, pkg_dir),
+                        )
+                        zf.write(full, rel)
+            os.replace(tmp, zpath)
+        sc.addPyFile(zpath)
+        sc._hts_pkg_shipped = True
+    except Exception:
+        pass  # best-effort: cwd-based resolution still works locally
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Apply required runtime confs to an externally created session.
 
     The driver owns its SparkSession; these confs are all dynamic
     SQLConf entries, so setting them post-hoc is safe and verified.
+    Also ships the package zip to Python workers (see _ship_package).
     """
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable in this deployment; session defaults apply
+    _ship_package(spark)
     return spark
 
 
