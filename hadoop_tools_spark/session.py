@@ -66,7 +66,16 @@ def _ship_package(spark: SparkSession) -> None:
         zpath = os.path.join(
             "/tmp", f"hts_pkg_{os.path.basename(pkg_dir)}.zip"
         )
-        if not os.path.exists(zpath):
+        # a stale zip would shadow fresh source in the workers (the
+        # SparkFiles dir precedes cwd on their sys.path), so rebuild
+        # whenever any module is newer than the archive
+        src_mtime = max(
+            os.path.getmtime(os.path.join(root, f))
+            for root, _d, files in os.walk(pkg_dir)
+            for f in files
+            if f.endswith(".py")
+        )
+        if not os.path.exists(zpath) or os.path.getmtime(zpath) < src_mtime:
             tmp = f"{zpath}.{os.getpid()}.tmp"
             with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
                 for root, _dirs, files in os.walk(pkg_dir):
