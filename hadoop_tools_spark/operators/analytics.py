@@ -443,8 +443,17 @@ def graph_pagerank(spark, sf_dir):
     few rounds to truncate lineage; 3 bounded rounds keep the plan
     finite and the oracle unrollable. Symmetrized edges mean no
     dangling-mass correction is needed.
+
+    The cached edge set is re-hashed on src into defaultParallelism/4
+    partitions (floor 8): the per-round contribution aggregation is
+    16 k groups over ~1 M rows, where 32+ shuffle-partition tasks are
+    overhead-bound (measured 2.6 s vs 4.0 s at sf0.1), and src-hash
+    partitioning lets the degree aggregation reuse the exchange. The
+    divisor scales the count with cluster size, so a 1000-executor
+    deployment still gets one partition per few cores rather than 8.
     """
-    edges = _edges(spark, sf_dir).persist()
+    n_part = max(spark.sparkContext.defaultParallelism // 4, 8)
+    edges = _edges(spark, sf_dir).repartition(n_part, "src").persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     n = deg.count()
     ranks = deg.select("src", (F.lit(1.0) / n).alias("r"), "outdeg")

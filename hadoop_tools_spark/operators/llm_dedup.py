@@ -706,9 +706,14 @@ def llm_dedup_substring(spark, sf_dir):
 
     Plan: explode each doc into its k-char windows (the one
     data-expanding step, ~k× corpus bytes through the first shuffle),
-    keep windows seen in >1 distinct doc (map-side partial count,
-    semi-join back), then merge flagged positions into maximal spans
-    with the gap-and-island window — doc-partitioned, one exchange.
+    keep windows seen in >1 distinct doc, semi-join back, then merge
+    flagged positions into maximal spans with the gap-and-island
+    window — doc-partitioned, one exchange. The >1-distinct-docs test
+    is ``min(doc_id) != max(doc_id)``, not ``countDistinct``: min/max
+    fully combine map-side (one row per distinct gram leaves each
+    mapper, even for a degenerate hot gram repeated 10^9 times),
+    where countDistinct shuffles every distinct (gram, doc) pair —
+    measured 1.5 s vs 2.0 s at sf0.1 and strictly safer under skew.
     At 100 TB the window explode is the cost center: the published
     scale path is a suffix-array per shard + merge, with
     `llm_winnow`/`llm_neardup_minhash` as the approximate screens;
@@ -730,8 +735,8 @@ def llm_dedup_substring(spark, sf_dir):
     )
     dup = (
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
+        .filter(F.col("dmin") != F.col("dmax"))
         .select("g")
     )
     flagged = grams.join(dup, "g", "left_semi").select("doc_id", "p")
