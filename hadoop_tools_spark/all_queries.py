@@ -20,6 +20,7 @@ from .operators import (  # noqa: F401
     relational_ext,
     setops,
     sqlsurface,
+    timeseries,
     windows,
 )
 from .sources import fed, pyds, roundtrip, snapshots  # noqa: F401

@@ -9,6 +9,7 @@ the oracle hash (sum-of-doubles is order-sensitive in the last ulps).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -161,6 +162,80 @@ def agg_median(spark, sf_dir):
                 "p90_price"
             ),
         )
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ),
+    c2 AS (
+      SELECT l_returnflag, q, n,
+             SUM(n) OVER (PARTITION BY l_returnflag) AS tot,
+             SUM(n) OVER (PARTITION BY l_returnflag ORDER BY q
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, q) AS rn
+      FROM c
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN rn = 1 THEN q END) AS mode_qty,
+           CAST(MIN(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS mode_n,
+           MIN(CASE WHEN 2 * cum >= tot THEN q END) AS p50_disc_qty,
+           MIN(CASE WHEN 4 * cum >= 3 * tot THEN q END) AS p75_disc_qty
+    FROM c2 GROUP BY l_returnflag
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Exact mode and discrete percentiles per group, with fully
+    pinned tie semantics: the mode is the SMALLEST value among those
+    with maximal frequency (engine-native ``mode()`` functions pick an
+    arbitrary tie winner, which can never hash-match across engines),
+    and percentile_disc(q) is the smallest value whose cumulative
+    frequency reaches q — expressed identically in both engines
+    instead of trusting two implementations' boundary conventions.
+
+    Scale shape: one map-side-combinable groupBy on (group, value) —
+    the only pass over the fact table — then windows and the final
+    rollup all run on the value-histogram, whose size is
+    |groups| x |distinct values|, independent of row count. This is
+    the histogram-first pattern for any exact order statistic over a
+    low-cardinality value domain.
+    """
+    c = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+        )
+        .groupBy("l_returnflag", "q")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("l_returnflag")
+    c2 = c.select(
+        "l_returnflag",
+        "q",
+        "n",
+        F.sum("n").over(wp).alias("tot"),
+        F.sum("n")
+        .over(wp.orderBy("q").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.row_number()
+        .over(wp.orderBy(F.col("n").desc(), F.col("q")))
+        .alias("rn"),
+    )
+    return c2.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("q"))).alias("mode_qty"),
+        F.min(F.when(F.col("rn") == 1, F.col("n"))).alias("mode_n"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("q"))).alias(
+            "p50_disc_qty"
+        ),
+        F.min(
+            F.when(4 * F.col("cum") >= 3 * F.col("tot"), F.col("q"))
+        ).alias("p75_disc_qty"),
     )
 
 

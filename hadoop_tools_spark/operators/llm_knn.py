@@ -892,3 +892,170 @@ def llm_semdedup(spark, sf_dir):
         )
 
     return e.groupBy("label").applyInPandas(cluster_pairs, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# distributed Lloyd's k-means (hash-matched)
+
+_KM_K = 4
+_KM_ITERS = 2
+#: 2^24 — float inputs have 24-bit mantissas, so x * 2^24 is an EXACT
+#: product and floor() of it an exact integer: the per-dimension update
+#: sums become order-independent BIGINT sums with zero precision loss,
+#: which is what lets two engines agree bitwise on the new centroids.
+_KM_SCALE = 16777216.0
+
+
+def _km_assign_sql(cent: str, out: str) -> str:
+    """One Lloyd assignment round in DuckDB (argmin with ties to the
+    lowest cluster id, mirroring array_position-of-min on the Spark
+    side)."""
+    return f"""
+    {out}_d AS (
+      SELECT e.vec_id, e.u, c.cl,
+             list_transform(range(1, 65), i -> e.u[i] - c.c[i]) AS d
+      FROM e CROSS JOIN {cent} c
+    ),
+    {out}_s AS (
+      SELECT vec_id, u, cl, list_inner_product(d, d) AS dist FROM {out}_d
+    ),
+    {out} AS (
+      SELECT vec_id, u, cl, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cl) AS rn
+        FROM {out}_s) WHERE rn = 1
+    )"""
+
+
+def _km_update_sql(assign: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT cl, list(m ORDER BY i) AS c FROM (
+        SELECT cl, i,
+               FLOOR(CAST(SUM(CAST(FLOOR(u[i] * {_KM_SCALE}) AS BIGINT))
+                          AS BIGINT)
+                     * 1.0 / COUNT(*) / {_KM_SCALE} * 1000000 + 0.5)
+               / 1000000 AS m
+        FROM {assign} CROSS JOIN range(1, 65) r(i)
+        GROUP BY cl, i) GROUP BY cl
+    )"""
+
+
+@query(
+    "llm_kmeans",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS u FROM embeddings
+    ),
+    init AS (
+      SELECT cl, c FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl,
+               list_transform(u, x -> FLOOR(x * 1000000 + 0.5) / 1000000)
+                 AS c
+        FROM e) WHERE cl < {_KM_K}
+    ),
+    {_km_assign_sql("init", "a1")},
+    {_km_update_sql("a1", "cent1")},
+    {_km_assign_sql("cent1", "a2")},
+    {_km_update_sql("a2", "cent2")},
+    {_km_assign_sql("cent2", "a3")}
+    SELECT CAST(cl AS BIGINT) AS cluster, COUNT(*) AS n_points,
+           CAST(SUM(CAST(FLOOR(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS inertia_e6
+    FROM a3 GROUP BY cl
+    """,
+)
+def llm_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus
+    ({_KM_K} clusters, {_KM_ITERS} rounds, deterministic init = the
+    vectors of the k smallest vec_ids) — the clustering step behind
+    corpus curation (topic balance, SemDeDup's cluster stage, IVF
+    coarse quantizers), here as a hash-matched exact key rather than
+    the sample-trained approximation `_fit_quantizer` uses.
+
+    Scale shape per round: assignment is a pure scan-side expression
+    (k distance expressions against broadcast-literal centroids — no
+    join, no shuffle); the update shuffles only (cluster, dim,
+    partial-sum) states — k x dim rows after map-side combine,
+    independent of corpus size; the new centroids are a k x dim
+    driver collect (constant-bounded, the IVF-quantizer precedent).
+
+    Cross-engine determinism: centroids are quantized to 1e-6 each
+    round with floor(x*1e6 + 0.5) (IEEE-exact ops, identical in both
+    engines), per-dimension sums use floor(x * 2^24) scaled BIGINTs —
+    exact for float inputs and order-independent, unlike a double sum
+    whose ulps depend on partial-aggregation order — and argmin ties
+    break to the lowest cluster id on both sides. The scaled sum
+    overflows BIGINT only past ~1e9 vectors per cluster; shard or
+    rescale beyond that.
+    """
+    import math
+
+    e = materialize(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("u")
+        )
+    )
+    init = e.orderBy("vec_id").limit(_KM_K).collect()
+    cents = [
+        [math.floor(v * 1000000 + 0.5) / 1000000 for v in r.u] for r in init
+    ]
+
+    def dists(cs):
+        out = []
+        for c in cs:
+            cj = F.array(*[F.lit(v) for v in c])
+            d = F.zip_with(F.col("u"), cj, lambda x, y: x - y)
+            out.append(_dot(d, d))
+        return F.array(*out)
+
+    for _ in range(_KM_ITERS):
+        arr = dists(cents)
+        assigned = e.select(
+            "u",
+            (F.array_position(arr, F.array_min(arr)) - 1).alias("cl"),
+        )
+        upd = (
+            assigned.select("cl", F.posexplode("u"))
+            .groupBy("cl", "pos")
+            .agg(
+                F.sum(F.floor(F.col("col") * _KM_SCALE)).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_cl: dict = {}
+        for r in upd:
+            by_cl.setdefault(r.cl, {})[r.pos] = (r.s, r.n)
+        new_cents = []
+        for cl, old in enumerate(cents):
+            dims = by_cl.get(cl)
+            if not dims:
+                new_cents.append(old)  # empty cluster keeps its centroid
+                continue
+            new_cents.append(
+                [
+                    math.floor(
+                        float(dims[i][0])
+                        / float(dims[i][1])
+                        / _KM_SCALE
+                        * 1000000
+                        + 0.5
+                    )
+                    / 1000000
+                    for i in range(len(old))
+                ]
+            )
+        cents = new_cents
+
+    arr = dists(cents)
+    final = e.select(
+        (F.array_position(arr, F.array_min(arr)) - 1)
+        .cast("long")
+        .alias("cluster"),
+        F.array_min(arr).alias("dist"),
+    )
+    return final.groupBy("cluster").agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.floor(F.col("dist") * 1000000 + 0.5)).alias("inertia_e6"),
+    )

@@ -719,6 +719,84 @@ def llm_unigram_logprob(spark, sf_dir):
 
 
 @query(
+    "llm_bigram_lm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    b AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(tk)),
+                    i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS bg
+      FROM t
+    ),
+    bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bb GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bb GROUP BY w1),
+    c2 AS (SELECT w2, COUNT(*) AS n2 FROM bb GROUP BY w2),
+    nb AS (SELECT COUNT(*) AS nbg FROM bb)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN(0.7 * n12 / n1 + 0.3 * n2 / nbg)), 6) AS avg_logprob
+    FROM bb JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN c2 USING (w2)
+            CROSS JOIN nb
+    GROUP BY doc_id
+    """,
+)
+def llm_bigram_lm(spark, sf_dir):
+    """Per-document interpolated bigram log-probability — the KenLM-
+    style perplexity filter one rung above ``llm_unigram_logprob``:
+    P(w2|w1) = 0.7·c(w1,w2)/c(w1) + 0.3·c(w2)/N, scored against the
+    corpus's own bigram model (CCNet-style quality filtering, public
+    method).
+
+    Bigrams are built JVM-side with ``transform(sequence(...))`` over
+    the token array — an expression, not a window, so no per-token
+    shuffle for adjacency. The three count tables shuffle once each by
+    their token key (vocabulary-bounded, map-side combined), the
+    scalar bigram total rides as a 1-row broadcast aggregate, and the
+    scoring join is hash-partitioned by token — the same shape as a
+    distributed language-model scorer at corpus scale. The per-doc
+    mean is the only doc-keyed shuffle.
+    """
+    d = load_spread(spark, sf_dir, "documents").withColumn(
+        "tk", F.split("text", " ")
+    ).filter(F.size("tk") >= 2)
+    bb = materialize(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(element_at(tk, i) AS w1,"
+                    "             element_at(tk, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+    )
+    c12 = bb.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = bb.groupBy("w1").agg(F.count("*").alias("n1"))
+    c2 = bb.groupBy("w2").agg(F.count("*").alias("n2"))
+    nb = bb.agg(F.count("*").alias("nbg"))
+    lp = F.log(
+        F.lit(0.7) * F.col("n12") / F.col("n1")
+        + F.lit(0.3) * F.col("n2") / F.col("nbg")
+    )
+    return (
+        bb.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
     "llm_sample_stratified",
     oracle="""
     SELECT doc_id, lang

@@ -1,0 +1,285 @@
+"""Time-series operators over the ``events`` stream-shaped table.
+
+The hypertable-style surface a telemetry user of the engine asks for:
+regularizing an irregular event stream onto a fixed-step time spine
+(gap-fill + forward-fill + linear interpolation) and interval-overlap
+joins between derived activity windows. Both are declarative DataFrame
+plans; the overlap join uses the bucketized equi-join pattern (the
+same trick as ``join_range_bucketed``) so it never degenerates into a
+theta-join cartesian at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+
+#: session split threshold (seconds), matching ``sessionize_batch``.
+_GAP_S = 1800
+
+#: overlap-join time bucket (seconds) — one day.
+_BUCKET_S = 86400
+
+
+@query(
+    "ts_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             FLOOR(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) * 100.0 / COUNT(*) + 0.5) / 10000 AS obs
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    u AS (SELECT DISTINCT user_id FROM events),
+    spine AS (
+      SELECT user_id,
+             CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM u CROSS JOIN b
+    ),
+    g AS (
+      SELECT s.user_id, s.day, daily.obs
+      FROM spine s LEFT JOIN daily USING (user_id, day)
+    ),
+    f AS (
+      SELECT user_id, day, obs,
+             LAST_VALUE(obs IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS ffill,
+             LAST_VALUE(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS pd,
+             FIRST_VALUE(obs IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM g
+    )
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day, obs, ffill,
+           CASE WHEN obs IS NOT NULL THEN obs
+                WHEN ffill IS NOT NULL AND nv IS NOT NULL THEN
+                  FLOOR((ffill + (nv - ffill)
+                         * date_diff('day', pd, day)
+                         / date_diff('day', pd, nd)) * 10000 + 0.5)
+                  / 10000
+           END AS interp
+    FROM f
+    """,
+)
+def ts_gapfill(spark, sf_dir):
+    """Gap-fill an irregular per-user daily series onto a dense day
+    spine, with forward-fill and linear interpolation — the
+    `time_bucket_gapfill` / `locf` / `interpolate` surface of a
+    hypertable rollup, expressed as plain DataFrame ops.
+
+    Plan shape: one aggregation to daily grain; the spine is
+    (distinct users) x ``sequence(min_day, max_day)`` — the global
+    bounds ride the plan as a 1-row broadcast aggregate, never an
+    eager driver collect; one left join back onto the spine; then
+    last/first-ignoreNulls windows partitioned by user_id. Spine
+    cardinality is users x days = exactly the output size, so no step
+    is super-linear in the result; every window partitions on the
+    high-cardinality user key. Interpolation is null outside the
+    first/last observation by definition (no extrapolation), and
+    observed days interpolate to themselves.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    # exact cross-engine daily mean: `value` carries 2 decimals, so
+    # sum it as integer cents (an order-independent BIGINT sum, unlike
+    # a double sum whose last ulp depends on partial-agg order), then
+    # divide once — every op IEEE-exact and bit-identical in DuckDB
+    daily = ev.groupBy("user_id", "day").agg(
+        (
+            F.floor(
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                * 100.0
+                / F.count("*")
+                + 0.5
+            )
+            / 10000
+        ).alias("obs")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    g = spine.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("obs").isNotNull(), F.col("day"))
+    f = g.select(
+        "user_id",
+        "day",
+        "obs",
+        F.last("obs", ignorenulls=True).over(back).alias("ffill"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("obs", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    # single-day gaps put the interpolated value exactly on a .00005
+    # rounding boundary (midpoint of two 4-decimal inputs), where
+    # Spark's BigDecimal HALF_UP and DuckDB's C round() disagree; the
+    # floor(x*1e4 + 0.5)/1e4 form uses only IEEE-exact ops (mul, add,
+    # floor, div), which both engines evaluate bit-identically
+    interp = F.when(F.col("obs").isNotNull(), F.col("obs")).when(
+        F.col("ffill").isNotNull() & F.col("nv").isNotNull(),
+        F.floor(
+            (
+                F.col("ffill")
+                + (F.col("nv") - F.col("ffill"))
+                * F.datediff("day", "pd")
+                / F.datediff("nd", "pd")
+            )
+            * 10000
+            + 0.5
+        )
+        / 10000,
+    )
+    return f.select(
+        "user_id",
+        # the fixture's time columns are all TIMESTAMP; emit the spine
+        # at the same type so cross-engine compares are type-stable
+        F.col("day").cast("timestamp").alias("day"),
+        "obs",
+        "ffill",
+        interp.alias("interp"),
+    )
+
+
+_SESS_SQL = f"""
+    e AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      FROM events
+    ), m AS (
+      SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > {_GAP_S}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m
+    ), sess AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec
+      FROM s GROUP BY user_id, session_id
+      HAVING MAX(ts_sec) > MIN(ts_sec)
+    )
+"""
+
+
+def _sessions(spark, sf_dir) -> DataFrame:
+    """(user_id, session_id, start_sec, end_sec) activity intervals —
+    the gap-based sessionization of ``sessionize_batch``, keeping only
+    sessions with positive duration (an instantaneous point interval
+    carries no overlap information)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.unix_timestamp("ts").alias("ts_sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_sec").over(w).isNull()
+            | (F.col("ts_sec") - F.lag("ts_sec").over(w) > _GAP_S),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_sec").alias("start_sec"),
+            F.max("ts_sec").alias("end_sec"),
+        )
+        .filter(F.col("end_sec") > F.col("start_sec"))
+    )
+
+
+@query(
+    "ts_overlap_join",
+    oracle=f"""
+    WITH {_SESS_SQL}
+    SELECT a.user_id AS user_a, a.session_id AS session_a,
+           b.user_id AS user_b, b.session_id AS session_b,
+           LEAST(a.end_sec, b.end_sec)
+             - GREATEST(a.start_sec, b.start_sec) AS overlap_sec
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id
+     AND a.start_sec <= b.end_sec AND b.start_sec <= a.end_sec
+    """,
+)
+def ts_overlap_join(spark, sf_dir):
+    """Interval-overlap self-join: which activity sessions of distinct
+    users overlap in time, and by how many seconds (closed-interval
+    intersection).
+
+    The scale plan is bucketize-then-equi-join, not a theta join: each
+    session is exploded onto the day buckets it spans, the join runs
+    as a plain hash join on the bucket key, and each qualifying pair
+    is emitted exactly once — at the bucket containing the later of
+    the two start times (the standard dedup predicate for replicated
+    interval joins). Candidate volume scales with per-bucket session
+    density, not |sessions|²; Catalyst plans SortMergeJoin on the
+    bucket key with the overlap predicates as cheap post-join filters.
+    Session intervals are bounded by the _GAP_S splitter, so a session
+    spans O(1) day buckets and the explode factor is a small constant.
+    """
+    sess = _sessions(spark, sf_dir)
+    bucketed = sess.select(
+        "user_id",
+        "session_id",
+        "start_sec",
+        "end_sec",
+        F.explode(
+            F.sequence(
+                (F.col("start_sec") / _BUCKET_S).cast("long"),
+                (F.col("end_sec") / _BUCKET_S).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    later_start = F.greatest(F.col("a.start_sec"), F.col("b.start_sec"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.start_sec") <= F.col("b.end_sec"))
+            & (F.col("b.start_sec") <= F.col("a.end_sec"))
+            & (
+                F.col("a.bucket")
+                == (later_start / _BUCKET_S).cast("long")
+            ),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_id").alias("session_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_id").alias("session_b"),
+            (
+                F.least(F.col("a.end_sec"), F.col("b.end_sec")) - later_start
+            ).alias("overlap_sec"),
+        )
+    )
