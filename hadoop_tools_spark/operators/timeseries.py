@@ -283,3 +283,81 @@ def ts_overlap_join(spark, sf_dir):
             ).alias("overlap_sec"),
         )
     )
+
+
+#: resample grain (seconds) — six hours.
+_RESAMPLE_S = 21600
+
+
+@query(
+    "ts_resample",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events
+    ),
+    b AS (
+      SELECT user_id, value,
+             ts_sec // {_RESAMPLE_S} * {_RESAMPLE_S} AS bucket_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id,
+                                ts_sec // {_RESAMPLE_S}
+                                ORDER BY ts_sec, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id,
+                                ts_sec // {_RESAMPLE_S}
+                                ORDER BY ts_sec DESC, event_id DESC) AS rrn
+      FROM e
+    )
+    SELECT user_id, bucket_start,
+           COUNT(*) AS n_events,
+           MIN(CASE WHEN rn = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rrn = 1 THEN value END) AS close,
+           ROUND(SUM(value), 2) AS total
+    FROM b GROUP BY user_id, bucket_start
+    """,
+)
+def ts_resample(spark, sf_dir):
+    """Downsample the irregular event stream to a fixed grain with
+    OHLC semantics (open/high/low/close per 6-hour bucket per user) —
+    the `time_bucket` + `first`/`last` rollup of a hypertable
+    continuous aggregate.
+
+    Open/close are pinned by explicit row_number over (ts, event_id)
+    — engine-native first/arg_min functions break ties arbitrarily
+    and can never hash-match across engines. One exchange total: both
+    window orders share the (user_id, bucket) hash partitioning, and
+    the final aggregation's required clustering is satisfied by it
+    (the sessionize_batch pattern). At 100 TB the partition key is
+    (user, bucket) — finer and better-distributed than user alone.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("ts_sec"),
+    )
+    bucket = (F.col("ts_sec") / _RESAMPLE_S).cast("long") * _RESAMPLE_S
+    b = e.withColumn("bucket_start", bucket)
+    wa = Window.partitionBy("user_id", "bucket_start").orderBy(
+        "ts_sec", "event_id"
+    )
+    wd = Window.partitionBy("user_id", "bucket_start").orderBy(
+        F.col("ts_sec").desc(), F.col("event_id").desc()
+    )
+    b = b.select(
+        "user_id",
+        "bucket_start",
+        "value",
+        F.row_number().over(wa).alias("rn"),
+        F.row_number().over(wd).alias("rrn"),
+    )
+    return b.groupBy("user_id", "bucket_start").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rrn") == 1, F.col("value"))).alias("close"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
