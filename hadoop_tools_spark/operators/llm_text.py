@@ -833,6 +833,56 @@ def llm_sample_stratified(spark, sf_dir):
 
 
 @query(
+    "llm_sample_weighted",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, lang, n_chars,
+             ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               * 1.0 / n_chars AS priority
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, priority FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY priority, doc_id) AS rn
+      FROM p) WHERE rn <= 25
+    """,
+)
+def llm_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling: 25 docs per language, keep
+    probability proportional to document length — priority sampling
+    (Duffield et al., public method): priority = hash-uniform / weight,
+    take the k smallest per stratum. The length-weighted draw a
+    training-data mix uses when longer documents should be
+    proportionally more likely to survive.
+
+    Fully deterministic across engines and retries with NO
+    transcendentals: the priority is an exact 32-bit md5 integer
+    divided by an exact integer weight — one IEEE-correctly-rounded
+    division that both engines compute bit-identically (the A-ES
+    u^(1/w) formulation would hinge on two libms' pow/ln ulps). The
+    per-stratum top-k is the `topk_group` shape: rank window
+    partitioned by the stratum; at 100 TB the standard partial-top-k
+    prune (per-partition k smallest before the exchange) applies
+    unchanged since priorities need no global state.
+    """
+    d = load(spark, sf_dir, "documents")
+    pri = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        * 1.0
+        / F.col("n_chars")
+    )
+    p = d.select("doc_id", "lang", "n_chars", pri.alias("priority"))
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .drop("rn")
+    )
+
+
+@query(
     "llm_repetition_quality",
     oracle="""
     WITH w AS (
