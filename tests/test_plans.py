@@ -434,3 +434,34 @@ def test_cbo_stats_drive_broadcast_choice(spark, sf_dir, tmp_path):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_resample_single_exchange(spark, sf_dir):
+    """Both OHLC window orders and the final rollup must share ONE
+    (user, bucket) hash exchange — a second sort is fine, a second
+    shuffle is not."""
+    from hadoop_tools_spark.operators.timeseries import ts_resample
+
+    p = plan_str(ts_resample(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_overlap_join_is_bucketed_equi_join(spark, sf_dir):
+    """The interval-overlap join must plan as an equi join on the day
+    bucket (SMJ or BHJ) with the range predicates as post-join
+    conditions — never a cartesian/theta nested loop."""
+    from hadoop_tools_spark.operators.timeseries import ts_overlap_join
+
+    p = plan_str(ts_overlap_join(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p), p
+
+
+def test_agg_mode_histogram_first(spark, sf_dir):
+    """agg_mode's windows and final rollup run over the value
+    histogram: exactly one exchange keyed on the full (group, value)
+    histogram grain plus one on the group key — never a third."""
+    from hadoop_tools_spark.operators.aggregates import agg_mode
+
+    p = plan_str(agg_mode(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") <= 2, p
