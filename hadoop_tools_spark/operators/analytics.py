@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import load
+from ..io import load, materialize
 from ..registry import query
 
 _GAP_S = 1800  # session gap threshold (seconds)
@@ -677,4 +677,86 @@ def agg_bitmap_distinct(spark, sf_dir):
         )
         GROUP BY o_orderpriority
         """
+    )
+
+
+#: hot-blocking-key guard for the common-neighbor join: parts bought by
+#: more than this many distinct customers are dropped from candidate
+#: generation (a part in everyone's basket carries no similarity signal
+#: and its candidate block grows as deg² — the stop-word rule of
+#: blocking-based similarity).
+_CN_CAP = 50
+_CN_MIN = 3
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    pd AS (SELECT p, COUNT(*) AS n FROM e GROUP BY p),
+    ek AS (SELECT e.c, e.p FROM e JOIN pd USING (p) WHERE pd.n <= {_CN_CAP}),
+    cd AS (SELECT c, COUNT(*) AS deg FROM ek GROUP BY c),
+    cn AS (
+      SELECT a.c AS cust_a, b.c AS cust_b, COUNT(*) AS common
+      FROM ek a JOIN ek b ON a.p = b.p AND a.c < b.c
+      GROUP BY a.c, b.c HAVING COUNT(*) >= {_CN_MIN}
+    )
+    SELECT cust_a, cust_b, common,
+           ROUND(common * 1.0 / (da.deg + db.deg - common), 6) AS jaccard
+    FROM cn
+    JOIN cd da ON da.c = cust_a
+    JOIN cd db ON db.c = cust_b
+    """,
+)
+def graph_common_neighbors(spark, sf_dir):
+    """Common-neighbor similarity (link prediction): customer pairs
+    sharing >= {_CN_MIN} distinct purchased parts, scored with the
+    neighborhood Jaccard — the co-purchase "customers also bought"
+    primitive.
+
+    The pair join blocks on the shared part (an equi key, never an
+    all-pairs scan) and candidate volume is sum(deg_p²) — so parts
+    above the `_CN_CAP` degree cap are pruned first, the stop-word
+    rule that keeps a viral blocking key from turning one reducer
+    quadratic at 100 TB. Degrees are computed on the SAME capped edge
+    set so the Jaccard denominator is consistent; the count aggregate
+    rides the pair join's partitioning.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = materialize(e)
+    pd_deg = e.groupBy("p").agg(F.count("*").alias("n"))
+    ek = materialize(
+        e.join(pd_deg.filter(F.col("n") <= _CN_CAP), "p", "left_semi")
+    )
+    cd = ek.groupBy("c").agg(F.count("*").alias("deg"))
+    a, b = ek.alias("a"), ek.alias("b")
+    cn = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= _CN_MIN)
+    )
+    da = cd.select(F.col("c").alias("cust_a"), F.col("deg").alias("da"))
+    db = cd.select(F.col("c").alias("cust_b"), F.col("deg").alias("db"))
+    return (
+        cn.join(da, "cust_a")
+        .join(db, "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            "common",
+            F.round(
+                F.col("common") * 1.0 / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
     )

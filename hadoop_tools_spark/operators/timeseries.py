@@ -361,3 +361,160 @@ def ts_resample(spark, sf_dir):
         F.min(F.when(F.col("rrn") == 1, F.col("value"))).alias("close"),
         F.round(F.sum("value"), 2).alias("total"),
     )
+
+
+@query(
+    "ts_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             FLOOR(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) * 100.0 / COUNT(*) + 0.5) / 10000 AS obs
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    z AS (
+      SELECT user_id, day, obs,
+             AVG(obs) OVER (PARTITION BY user_id) AS mu,
+             STDDEV_SAMP(obs) OVER (PARTITION BY user_id) AS sd
+      FROM daily
+    )
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day, obs,
+           ROUND((obs - mu) / sd, 4) AS zscore
+    FROM z
+    WHERE sd > 0 AND ABS(ROUND((obs - mu) / sd, 4)) > 2
+    """,
+)
+def ts_anomaly(spark, sf_dir):
+    """Per-user z-score outlier days over the daily series — the
+    cheap first-line anomaly screen on regularized telemetry (flag
+    days more than 2 sigma from the user's own mean).
+
+    One exchange: the per-user mean/stddev ride an unordered window
+    over the same user_id partitioning the daily rollup shuffled to.
+    The filter compares the ROUNDED z on both engines so the 2-sigma
+    cut can't flicker on last-ulp stddev differences, and the daily
+    mean reuses the integer-cents exact form from ``ts_gapfill``.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        (
+            F.floor(
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+                * 100.0
+                / F.count("*")
+                + 0.5
+            )
+            / 10000
+        ).alias("obs")
+    )
+    wu = Window.partitionBy("user_id")
+    z = daily.select(
+        "user_id",
+        "day",
+        "obs",
+        F.avg("obs").over(wu).alias("mu"),
+        F.stddev_samp("obs").over(wu).alias("sd"),
+    )
+    zscore = F.round((F.col("obs") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        z.filter(F.col("sd") > 0)
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            "obs",
+            zscore.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2)
+    )
+
+
+@query(
+    "ts_pattern_match",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN value > LAG(value)
+                       OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+                     THEN 0 ELSE 1 END AS head
+      FROM e
+    ),
+    r AS (
+      SELECT *, SUM(head) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+               AS rn
+      FROM m
+    ),
+    runs AS (
+      SELECT user_id, run_id,
+             COUNT(*) AS run_len,
+             MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
+             MIN(CASE WHEN rn = rn_min THEN value END) AS start_value,
+             MIN(CASE WHEN rn = rn_max THEN value END) AS end_value
+      FROM (SELECT *, MIN(rn) OVER (PARTITION BY user_id, run_id) AS rn_min,
+                      MAX(rn) OVER (PARTITION BY user_id, run_id) AS rn_max
+            FROM r)
+      GROUP BY user_id, run_id
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, run_len,
+           start_sec, end_sec,
+           ROUND(end_value - start_value, 2) AS total_gain
+    FROM runs WHERE run_len >= 4
+    """,
+)
+def ts_pattern_match(spark, sf_dir):
+    """Sequential pattern detection (MATCH_RECOGNIZE-lite): maximal
+    runs of strictly-increasing values per user, reported when the
+    run has at least 3 increases — the rising-streak pattern of a
+    monitoring rule, expressed with the lag/gap-and-island algebra
+    instead of an NFA.
+
+    Everything partitions on user_id: one exchange feeds the lag
+    flag, the run-id cumsum, the run-extent windows, and the final
+    per-run aggregation (all requiring the same clustering). Run
+    endpoints are pinned by explicit row numbers (the ts_resample
+    rule); gains compare 2-decimal inputs so ROUND(...,2) is stable.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.unix_timestamp("ts").alias("ts_sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    m = e.withColumn(
+        "head",
+        F.when(F.col("value") > F.lag("value").over(w), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("run_id", F.sum("head").over(cum)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    wr = Window.partitionBy("user_id", "run_id")
+    r = m.withColumn("rn_min", F.min("rn").over(wr)).withColumn(
+        "rn_max", F.max("rn").over(wr)
+    )
+    runs = r.groupBy("user_id", "run_id").agg(
+        F.count("*").alias("run_len"),
+        F.min("ts_sec").alias("start_sec"),
+        F.max("ts_sec").alias("end_sec"),
+        F.min(F.when(F.col("rn") == F.col("rn_min"), F.col("value"))).alias(
+            "sv"
+        ),
+        F.min(F.when(F.col("rn") == F.col("rn_max"), F.col("value"))).alias(
+            "ev"
+        ),
+    )
+    return runs.filter(F.col("run_len") >= 4).select(
+        "user_id",
+        F.col("run_id").cast("long").alias("run_id"),
+        "run_len",
+        "start_sec",
+        "end_sec",
+        F.round(F.col("ev") - F.col("sv"), 2).alias("total_gain"),
+    )
