@@ -548,3 +548,47 @@ def fn_collate(spark, sf_dir):
             "n_ci_distinct"
         ),
     )
+
+
+@query(
+    "fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)  AS plus_30d,
+           CAST(CAST(o_orderdate AS DATE) - 7  AS TIMESTAMP)  AS minus_7d,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                AS TIMESTAMP)                                 AS plus_3mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+                                                              AS month_end,
+           CAST(CAST(o_orderdate AS DATE)
+                + CAST(8 - isodow(o_orderdate) AS INTEGER)
+                AS TIMESTAMP)                                 AS next_monday,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT)         AS dow,
+           o_orderdate + INTERVAL 90 MINUTE                   AS plus_90min
+    FROM orders
+    """,
+)
+def fn_interval(spark, sf_dir):
+    """Date/interval arithmetic family: day and month offsets (with
+    end-of-month clamping), last_day, next_day, day-of-week, and
+    timestamp + sub-day interval. Pure codegen expressions, zero
+    shuffle. Cross-engine notes: Spark's next_day has no DuckDB
+    twin, so the oracle re-derives it from isodow (offset 8-isodow is
+    1..7 days, strictly-after semantics preserved); DuckDB's
+    dayofweek is 0-based Sunday where Spark's is 1-based, hence the
+    +1; month addition clamps Jan 31 + 1mo to Feb end in BOTH engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp").alias("plus_30d"),
+        F.date_sub(d, 7).cast("timestamp").alias("minus_7d"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_3mo"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.next_day(d, "Mon").cast("timestamp").alias("next_monday"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTE")).alias(
+            "plus_90min"
+        ),
+    )

@@ -685,7 +685,7 @@ def agg_bitmap_distinct(spark, sf_dir):
 #: generation (a part in everyone's basket carries no similarity signal
 #: and its candidate block grows as deg² — the stop-word rule of
 #: blocking-based similarity).
-_CN_CAP = 50
+_CN_CAP = 30
 _CN_MIN = 3
 
 
