@@ -1059,3 +1059,103 @@ def llm_kmeans(spark, sf_dir):
         F.count("*").alias("n_points"),
         F.sum(F.floor(F.col("dist") * 1000000 + 0.5)).alias("inertia_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed Gram matrix (PCA / covariance building block)
+
+#: 2^30 fixed-point scale for Gram partial sums: |x_i·x_j| ≤ ~0.25 for
+#: the fixture embeddings, so each scaled term is ≤ ~2.7e8 and the
+#: BIGINT accumulator holds ~3e10 vectors before overflow — shard or
+#: rescale beyond that.
+_GRAM_SCALE = 1073741824.0
+
+
+@query(
+    "llm_embed_gram",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS u FROM embeddings
+    ),
+    t AS (
+      SELECT i.i, j.j,
+             CAST(FLOOR(u[i.i] * u[j.j] * {_GRAM_SCALE}) AS BIGINT) AS s
+      FROM e
+      CROSS JOIN range(1, 65) i(i)
+      CROSS JOIN range(1, 65) j(j)
+      WHERE j.j >= i.i
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           COUNT(*) AS n,
+           CAST(SUM(s) AS BIGINT) AS gram_scaled,
+           CAST(SUM(s) AS BIGINT) * 1.0
+             / (COUNT(*) * {_GRAM_SCALE}) AS gram
+    FROM t GROUP BY i, j
+    """,
+)
+def llm_embed_gram(spark, sf_dir):
+    """Distributed Gram matrix E[x_i·x_j] over the embedding corpus
+    (upper triangle, 1-based dims) — the one aggregation PCA, whitening
+    and covariance estimation need; eigendecomposition of the returned
+    64×64 matrix is a constant-size driver/numpy step.
+
+    Scale shape: `mapInPandas` computes each Arrow batch's partial
+    Gram as one numpy outer-product accumulation — dim² rows leave
+    each batch regardless of batch size — and the final groupBy sums
+    dim² keys. Nothing row-proportional crosses the shuffle, which is
+    the map-side-combine pattern applied to dense linear algebra.
+
+    Cross-engine exactness: terms are fixed-point floor(x_i·x_j·2^30)
+    BIGINTs, so partial sums are order-independent integers (a float
+    Gram differs in last-ulp between accumulation orders and engines);
+    the double `gram` is derived by one identical IEEE division.
+    """
+    import numpy as np
+
+    dim = 64
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("u")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+    iu, ju = np.triu_indices(dim)
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["u"].to_numpy())
+            # per-row outer products, floored to fixed point BEFORE the
+            # sum so the accumulator is an exact integer; chunked so the
+            # transient (chunk, dim, dim) tensor stays ~32 MB no matter
+            # how large the Arrow batch is
+            S = np.zeros((dim, dim), dtype=np.int64)
+            for lo in range(0, len(X), 1024):
+                C = X[lo : lo + 1024]
+                S += np.floor(
+                    C[:, :, None] * C[:, None, :] * _GRAM_SCALE
+                ).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu + 1,
+                    "j": ju + 1,
+                    "n": len(pdf),
+                    "s": S[iu, ju],
+                }
+            )
+
+    partials = e.mapInPandas(partial_gram, schema=out_schema)
+    return partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("gram_scaled"),
+        (
+            F.sum("s") * 1.0 / (F.sum("n") * _GRAM_SCALE)
+        ).alias("gram"),
+    )
