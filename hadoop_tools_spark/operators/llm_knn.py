@@ -1159,3 +1159,64 @@ def llm_embed_gram(spark, sf_dir):
             F.sum("s") * 1.0 / (F.sum("n") * _GRAM_SCALE)
         ).alias("gram"),
     )
+
+
+@query("llm_embed_pca")  # rows-only: eigenvector ulps are engine-specific
+def llm_embed_pca(spark, sf_dir, k: int = 2):
+    """PCA projection of the embedding corpus onto its top-k principal
+    components — dimensionality reduction for visualization, indexing
+    and whitening, composed from the engine's own distributed pieces:
+
+    1. second moments come from ``llm_embed_gram`` (dim² bounded rows,
+       exact fixed-point sums) and first moments from a posexplode
+       aggregate (dim rows) — two bounded collects, nothing
+       row-proportional reaches the driver;
+    2. the 64×64 covariance eigendecomposition is a constant-size
+       numpy step (the FAISS/quantizer-training precedent);
+    3. the projection is a pure scan-side codegen expression — one
+       `_dot` against each literal component, zero shuffle.
+
+    Declared rows-only: eigensolver ulps and sign conventions are
+    library-specific, so no SQL oracle can hash-match; the pytest
+    instead proves the projection equals full-data numpy PCA up to
+    component sign and that explained variance is non-increasing.
+    Component signs are pinned (largest-|loading| coordinate positive)
+    so output is stable across runs and appends.
+    """
+    import numpy as np
+
+    dim = 64
+    g = llm_embed_gram(spark, sf_dir).collect()  # dim(dim+1)/2 rows
+    n = g[0].n
+    M2 = np.zeros((dim, dim))
+    for r in g:
+        M2[r.i - 1, r.j - 1] = M2[r.j - 1, r.i - 1] = r.gram
+    mu_rows = (
+        load(spark, sf_dir, "embeddings")
+        .select(F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("pos")
+        .agg(F.avg("col").alias("m"))
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in mu_rows:
+        mu[r.pos] = r.m
+    C = M2 - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    comps = []
+    for idx in range(1, k + 1):
+        v = vecs[:, -idx]
+        v = v * np.sign(v[int(np.argmax(np.abs(v)))])  # pin sign
+        comps.append(v)
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("u")
+    )
+    cols = [F.col("vec_id")]
+    for idx, v in enumerate(comps, start=1):
+        lit_v = F.array(*[F.lit(float(x)) for x in v])
+        off = float(np.dot(mu, v))
+        cols.append(
+            F.round(_dot(F.col("u"), lit_v) - off, 4).alias(f"pc{idx}")
+        )
+    return e.select(*cols)

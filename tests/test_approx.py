@@ -227,3 +227,42 @@ def test_embed_neardup_lsh_recall_vs_exact(spark, sf_dir):
     for k in hits:
         assert abs(exact[k] - approx[k]) < 1e-4, (k, exact[k], approx[k])
     spark.catalog.clearCache()
+
+
+def test_embed_pca_matches_numpy(spark, sf_dir):
+    """The distributed-Gram PCA must reproduce full-data numpy PCA:
+    per-vector projections equal up to component sign, and PC1 must
+    carry at least as much variance as PC2. This is the correctness
+    backing for the rows-only `llm_embed_pca` key."""
+    import numpy as np
+
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.operators.llm_knn import llm_embed_pca
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    C = (X.T @ X) / len(X) - np.outer(X.mean(axis=0), X.mean(axis=0))
+    vals, vecs = np.linalg.eigh(C)
+    ref = {1: Xc @ vecs[:, -1], 2: Xc @ vecs[:, -2]}
+
+    got = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in llm_embed_pca(spark, sf_dir).collect()
+    }
+    order = np.argsort(ids)
+    for comp in (1, 2):
+        mine = np.array([got[int(i)][comp - 1] for i in ids[order]])
+        theirs = ref[comp][order]
+        # sign is a convention; fixed-point Gram rounding costs ~1e-3
+        err = min(
+            np.abs(mine - theirs).max(), np.abs(mine + theirs).max()
+        )
+        assert err < 5e-3, (comp, err)
+    assert ref[1].var() >= ref[2].var()
+    spark.catalog.clearCache()
