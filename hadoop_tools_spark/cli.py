@@ -264,6 +264,49 @@ def cmd_tail(args, spark=None, out=None):
     return rc
 
 
+def cmd_checksum(args, spark=None, out=sys.stdout):
+    """``hh checksum PATH...``: per-file content md5 —
+    `hdfs dfs -checksum` parity. The digest job runs in the engine
+    (binaryFile source: one task per matched file, computed where the
+    file lives); the driver only streams (path, md5, size) result
+    rows, so a huge tree checksums in parallel with nothing but the
+    report crossing to the client."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(spark)
+    rc = 0
+    for arg in args:
+        path = session_state.resolve(arg)
+        matches = _glob_status(spark, path) or []
+        if not matches:
+            print(
+                f"checksum: {arg}: No such file or directory",
+                file=sys.stderr,
+            )
+            rc = 1
+            continue
+        targets = [
+            st.getPath().toString()
+            for st in matches
+            if not st.isDirectory()
+        ]
+        if not targets:
+            continue
+        df = (
+            spark.read.format("binaryFile")
+            .load(targets)
+            .select(
+                "path",
+                F.md5(F.col("content")).alias("md5"),
+                F.length(F.col("content")).cast("long").alias("size"),
+            )
+            .orderBy("path")
+        )
+        for r in df.toLocalIterator():
+            print(f"{r.path}\tMD5\t{r.md5}\t{r.size}", file=out)
+    return rc
+
+
 def cmd_stat(args, spark=None, out=sys.stdout):
     """``hh stat [FORMAT] PATH``: print file metadata per a
     `hadoop fs -stat` format string (default ``%y``). Specifiers:
@@ -397,6 +440,7 @@ COMMANDS = {
     "cat": cmd_cat,
     "tail": cmd_tail,
     "stat": cmd_stat,
+    "checksum": cmd_checksum,
     "get": cmd_get,
     "put": cmd_put,
     "mkdir": cmd_mkdir,

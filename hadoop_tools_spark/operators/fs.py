@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import ensure_session_confs, load
 from ..registry import query
 from ..sources.listing import glob_to_regex, list_status_df
 
@@ -226,4 +226,31 @@ def fs_count(spark, sf_dir):
             .cast("long")
             .alias("total_bytes"),
         )
+    )
+
+
+@query("fs_checksum")  # rows-only: DuckDB cannot md5 raw blobs
+def fs_checksum(spark, sf_dir):
+    """`hh checksum` / `hdfs dfs -checksum` analogue: per-file content
+    digest computed WHERE THE FILE LIVES — the binaryFile source gives
+    one task per file, so a million-file checksum sweep is a map-only
+    job with a (path, md5, size) row per file and no data movement
+    beyond the result. The reference streams block CRCs on read
+    (`Network.Hadoop.Read` `[U]`); this is the whole-file digest form
+    of the same integrity check.
+
+    Declared rows-only: DuckDB's md5() takes VARCHAR and its
+    BLOB→VARCHAR cast re-escapes bytes, so no SQL oracle can reproduce
+    a binary digest — test_fsops pins every digest against hashlib
+    instead (an oracle stronger than SQL for this op).
+    """
+    ensure_session_confs(spark)
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return (
+        files.select(
+            F.regexp_extract(F.col("path"), "([^/]+)$", 1).alias("file"),
+            F.md5(F.col("content")).alias("md5"),
+            F.length(F.col("content")).cast("long").alias("size"),
+        )
+        .orderBy("file")
     )

@@ -187,3 +187,22 @@ def test_stat_format_specifiers(spark, ns):
     out = _io.StringIO()
     rc = cli.main(["stat", "%n", f"{ns}/nope"], spark=spark, out=out)
     assert rc == 1
+
+
+def test_checksum_matches_hashlib(spark, ns):
+    import hashlib
+    import io as _io
+
+    out = _io.StringIO()
+    rc = cli.main(["checksum", f"{ns}/logs/a.log"], spark=spark, out=out)
+    assert rc == 0
+    path, algo, digest, size = out.getvalue().strip().split("\t")
+    raw = open(path.replace("file:", ""), "rb").read()
+    assert algo == "MD5"
+    assert digest == hashlib.md5(raw).hexdigest()
+    assert int(size) == len(raw)
+    # glob expands engine-side; missing path is rc 1
+    out = _io.StringIO()
+    rc = cli.main(["checksum", f"{ns}/logs/*.log"], spark=spark, out=out)
+    assert rc == 0 and len(out.getvalue().strip().splitlines()) >= 2
+    assert cli.main(["checksum", f"{ns}/nope"], spark=spark) == 1

@@ -120,3 +120,22 @@ def test_testdata_tree_has_no_filefree_dirs():
             fs for _, _, fs in os.walk(root)
         )
         assert has_any, f"file-free subtree at {root} breaks fs_count oracle"
+
+
+def test_fs_checksum_key_matches_hashlib(spark):
+    """Every digest the distributed checksum key reports must equal a
+    local hashlib digest of the same file — the binary-content oracle
+    SQL cannot provide (DuckDB md5 is VARCHAR-only)."""
+    import glob
+    import hashlib
+
+    from hadoop_tools_spark.operators.fs import fs_checksum
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r.file: (r.md5, r.size) for r in fs_checksum(spark, sf_dir).collect()}
+    files = glob.glob(f"{sf_dir}/*.parquet")
+    assert len(got) == len(files) > 0
+    for p in files:
+        raw = open(p, "rb").read()
+        name = p.rsplit("/", 1)[-1]
+        assert got[name] == (hashlib.md5(raw).hexdigest(), len(raw)), name
