@@ -1077,3 +1077,62 @@ def llm_decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_ngrams"))
     )
+
+
+@query(
+    "llm_mix_balance",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS v
+      FROM documents
+    ),
+    c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+    t AS (SELECT COUNT(*) AS total, COUNT(DISTINCT lang) AS nlang FROM d),
+    thr AS (
+      SELECT lang, (total * 4294967296) // (nlang * n) AS thr
+      FROM c CROSS JOIN t
+    )
+    SELECT doc_id, lang FROM d JOIN thr USING (lang) WHERE v < thr
+    """,
+)
+def llm_mix_balance(spark, sf_dir):
+    """Data-driven mixture rebalancing: downsample each language to an
+    EQUAL share of the corpus, with keep rates derived from the
+    observed distribution rather than hand-tuned constants (the step
+    after `llm_sample_stratified` once the real mix is known). An
+    underrepresented stratum gets keep-rate > 1 — i.e. keeps
+    everything — without any special-casing, because its threshold
+    simply exceeds the 32-bit hash range.
+
+    Fully deterministic across engines, runs and retries: the keep
+    test is one INTEGER comparison — hash(doc) < (total << 32) div
+    (nlang * n_lang) — no float rates, no RNG. The per-language counts
+    and the 1-row total ride the plan as broadcast aggregates; the
+    keep filter itself is scan-side. Integer headroom: total·2^32 must
+    fit BIGINT, i.e. corpora beyond ~2e9 docs shift to a 16-bit hash
+    bucket (same math, wider strata granularity).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    t = d.agg(
+        F.count("*").alias("total"),
+        F.countDistinct("lang").alias("nlang"),
+    )
+    thr = c.crossJoin(F.broadcast(t)).select(
+        "lang", F.expr("(total * 4294967296L) div (nlang * n)").alias("thr")
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter(F.col("v") < F.col("thr"))
+        .select("doc_id", "lang")
+    )
