@@ -373,3 +373,59 @@ def join_range_bucketed(spark, sf_dir):
         .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
         .agg(F.count("*").alias("n_shipments"))
     )
+
+
+@query(
+    "join_null_aware_anti",
+    oracle="""
+    WITH probe AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE c_nationkey END AS nk
+      FROM customer
+    ),
+    build AS (
+      SELECT n_nationkey AS nk
+      FROM nation WHERE n_regionkey <> 1
+    )
+    SELECT c_custkey, c_name FROM probe
+    WHERE nk NOT IN (SELECT nk FROM build)
+    """,
+)
+def join_null_aware_anti(spark, sf_dir):
+    """NOT IN with NULLs on BOTH sides — the null-aware anti join.
+    SQL's three-valued logic means a NULL probe value never
+    qualifies for NOT IN: an EXISTS-style left_anti rewrite (which
+    treats NULL keys as simply non-matching and RETURNS those rows)
+    is silently wrong, which is why engines plan a dedicated
+    null-aware join. The probe side synthesizes NULL keys so that
+    branch of the truth table is exercised and hash-checked; a build-
+    side NULL (the other branch — result degenerates to empty) is
+    pinned in test_plans instead, where an empty result is assertable
+    on purpose rather than a silently-trivial oracle.
+
+    Spark plans this as a broadcast null-aware anti join when the
+    build side fits (nation here) — single-column NOT IN is the form
+    the optimization supports; at scale the build side must stay
+    broadcastable or the query rewrites to the explicit three-branch
+    form. Expressed via SQL NOT IN so Catalyst's null-aware planning
+    (not a hand-rewrite) is what's being verified.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_naaj_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("_naaj_nation")
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT c_custkey, c_name,
+                 CASE WHEN c_custkey % 7 = 0 THEN NULL
+                      ELSE c_nationkey END AS nk
+          FROM _naaj_customer
+        ),
+        build AS (
+          SELECT n_nationkey AS nk
+          FROM _naaj_nation WHERE n_regionkey <> 1
+        )
+        SELECT c_custkey, c_name FROM probe
+        WHERE nk NOT IN (SELECT nk FROM build)
+        """
+    )

@@ -308,3 +308,51 @@ def win_running_distinct(spark, sf_dir):
         )
         .select("user_id", "event_id", "distinct_types_so_far")
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events
+    )
+    SELECT user_id, event_id, ts_sec,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           ROUND(SUM(value) OVER w, 2) AS sum_7d
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range(spark, sf_dir):
+    """Time-interval RANGE frame: per event, the trailing-7-day count
+    and value sum for that user — the moving-window rollup `rows
+    BETWEEN` cannot express when events are irregularly spaced (a row
+    frame counts rows, not time).
+
+    The frame bound is on epoch seconds (Spark's RANGE frames take
+    numeric offsets), partitioned by user_id — one exchange, no
+    self-join; the naive equivalent is a range self-join per event,
+    which the window operator replaces with one sorted scan per
+    partition. RANGE frames group PEER rows (equal ts_sec), so two
+    events in the same second see each other symmetrically in both
+    engines — tie semantics are identical by construction.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.unix_timestamp("ts").alias("ts_sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-604800, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_sec",
+        F.count("*").over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 2).alias("sum_7d"),
+    )

@@ -465,3 +465,25 @@ def test_agg_mode_histogram_first(spark, sf_dir):
 
     p = plan_str(agg_mode(spark, sf_dir))
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_null_aware_anti_join_planned_and_correct(spark, sf_dir):
+    """NOT IN must plan Spark's null-aware anti join (the trailing
+    `true` flag on the BroadcastHashJoin), NULL probe keys must be
+    excluded from the result, and one build-side NULL must collapse
+    the result to empty (three-valued logic)."""
+    from hadoop_tools_spark.operators.joins import join_null_aware_anti
+
+    df = join_null_aware_anti(spark, sf_dir)
+    p = plan_str(df)
+    assert re.search(r"LeftAnti, BuildRight, true", p), p
+    rows = df.collect()
+    assert rows, "non-degenerate fixture should yield survivors"
+    assert all(r.c_custkey % 7 != 0 for r in rows)  # NULL probes excluded
+    # build-side NULL: NOT IN over a set containing NULL is never true
+    empty = spark.sql(
+        "SELECT c_custkey FROM _naaj_customer WHERE c_nationkey NOT IN "
+        "(SELECT CASE WHEN n_nationkey = 0 THEN NULL ELSE n_nationkey END "
+        " FROM _naaj_nation)"
+    )
+    assert empty.count() == 0
