@@ -147,8 +147,20 @@ class SnapshotTable:
         return self._commit_retry(df, keep_prev=False)
 
     # -- reads -------------------------------------------------------
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        return spark.read.parquet(*self.files(version))
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """``merge_schema`` unions column sets across the snapshot's
+        files (parquet mergeSchema): after an additive schema change,
+        files written before the new column surface it as NULL. Off by
+        default — merging pays a footer-read per file at planning."""
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*self.files(version))
 
 
 @query(
@@ -250,3 +262,61 @@ def vacuum(tbl: SnapshotTable, keep_last: int = 2) -> list[str]:
 
             shutil.rmtree(subdir, ignore_errors=True)
     return deleted
+
+
+@query(
+    "snapshot_schema_evolution",
+    oracle="""
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           2 AS n_cols, CAST(0 AS BIGINT) AS n_with_priority
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), 3,
+           CAST(COUNT(*) FILTER (o_orderkey % 3 = 0) AS BIGINT)
+    FROM orders
+    """,
+)
+def snapshot_schema_evolution(spark, sf_dir):
+    """Additive schema evolution on the snapshot table: v0 commits
+    (key, price), v1 appends rows carrying a NEW column — no rewrite
+    of v0's files, no table-wide migration. Reading v1 with schema
+    merge surfaces the column (NULL for pre-evolution rows); reading
+    v0 still returns exactly the original two columns, proving
+    historic snapshots are immune to later widening.
+
+    At warehouse scale this is the only affordable evolution: the
+    manifest is the unit of schema agreement and parquet's per-file
+    self-description does the rest — the mergeSchema planning cost is
+    one footer per file, data pages untouched.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    table_path = os.path.join(SCRATCH, "snapshot_evolve")
+    import shutil
+
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    tbl.create(
+        orders.filter(F.col("o_orderkey") % 3 != 0).drop("o_orderpriority")
+    )
+    tbl.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+
+    v0 = tbl.read(spark, version=0)
+    v1 = tbl.read(spark, version=1, merge_schema=True)
+    s0 = v0.agg(F.count("*").alias("n_rows")).select(
+        F.lit(0).alias("version"),
+        "n_rows",
+        F.lit(len(v0.columns)).alias("n_cols"),
+        F.lit(0).cast("long").alias("n_with_priority"),
+    )
+    s1 = v1.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+    ).select(
+        F.lit(1).alias("version"),
+        "n_rows",
+        F.lit(len(v1.columns)).alias("n_cols"),
+        "n_with_priority",
+    )
+    return s0.unionAll(s1)
