@@ -107,3 +107,121 @@ def source_python_ds(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.avg("latency_ms"), 6).alias("avg_latency"),
     )
+
+
+def _log_row(i: int):
+    """Closed-form synthetic log row — shared by the batch reader, the
+    stream reader, and (re-derived via generate_series) the oracles."""
+    return (i, f"host{i % 7}", LEVELS[i % 4], (i * 37) % 1000)
+
+
+try:  # Spark 4 streaming Python DataSource API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover - older Spark
+    SimpleDataSourceStreamReader = object
+
+
+class SynthLogStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based micro-batch replay of the synthetic log.
+
+    The simple stream-reader contract: ``initialOffset`` pins the
+    start, each ``read(start)`` returns (rows, nextOffset) — here a
+    bounded slice of the closed form — and ``readBetweenOffsets``
+    makes any batch REPLAYABLE for exactly-once recovery: because
+    rows are a pure function of the offset range, a failed batch
+    re-reads identically, which is the invariant a real queue source
+    provides via stored offsets.
+    """
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 400))
+        self.batch_rows = int(options.get("batchRows", 100))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        s = int(start["offset"])
+        e = min(s + self.batch_rows, self.n_rows)
+        return iter([_log_row(i) for i in range(s, e)]), {"offset": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [_log_row(i) for i in range(int(start["offset"]), int(end["offset"]))]
+        )
+
+
+class SynthLogStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthlog_stream"
+
+    def schema(self):
+        return "log_id BIGINT, host STRING, level STRING, latency_ms BIGINT"
+
+    def simpleStreamReader(self, schema):
+        return SynthLogStreamReader(self.options)
+
+
+@query(
+    "source_python_stream",
+    oracle="""
+    WITH logs AS (
+        SELECT i AS log_id,
+               'host' || (i % 7) AS host,
+               (['DEBUG', 'INFO', 'WARN', 'ERROR'])[(i % 4) + 1] AS level,
+               (i * 37) % 1000 AS latency_ms
+        FROM generate_series(0, 399) t(i)
+    )
+    SELECT level, COUNT(*) AS n, CAST(SUM(latency_ms) AS BIGINT)
+             AS total_latency
+    FROM logs GROUP BY level
+    """,
+)
+def source_python_stream(spark, sf_dir):
+    """Genuinely EXECUTE a streaming Python DataSource: 400 rows
+    arrive through the offset-based stream reader in 100-row
+    micro-batches into a memory sink; the key aggregates what landed.
+    The hash match proves offset planning, per-batch row iteration,
+    Arrow transfer and append-mode delivery end-to-end — with
+    deterministic replay (`readBetweenOffsets`) making the pipeline
+    exactly-once under retry, the property a production queue source
+    must give the checkpoint.
+    """
+    import time
+    import uuid
+
+    try:
+        spark.dataSource.register(SynthLogStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    name = f"pystream_{uuid.uuid4().hex[:8]}"
+    sdf = (
+        spark.readStream.format("synthlog_stream")
+        .option("rows", 400)
+        .option("batchRows", 100)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= 400:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return (
+        spark.table(name)
+        .groupBy("level")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("latency_ms").alias("total_latency"),
+        )
+    )
