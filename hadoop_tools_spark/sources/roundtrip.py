@@ -242,3 +242,64 @@ def scan_xml_roundtrip(spark, sf_dir):
         F.count("*").alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
     )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (o_orderkey % 10 <> 0) AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (o_orderkey % 10 = 0) AS BIGINT) AS n_bad,
+           CAST(COUNT(*) FILTER (o_orderkey % 10 = 0) AS BIGINT)
+             AS n_salvaged,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 <> 0
+                          THEN o_totalprice END), 2) AS good_revenue
+    FROM orders
+    """,
+)
+def scan_csv_malformed(spark, sf_dir):
+    """PERMISSIVE scan of a CSV feed with corrupt rows: every 10th
+    record carries an unparseable price, the reader lands it in
+    `_corrupt_record` instead of failing the job (the ONE malformed
+    row in a 100 TB feed must never kill the pipeline — the
+    try_-function rule applied to ingestion), and a salvage pass
+    re-extracts the key from the raw corrupt text. Counts and the
+    good-row revenue hash-match the clean table the feed was written
+    from.
+
+    The corrupt-record column is populated at PARSE time, so the
+    DataFrame is cached before filtering on it (Spark disallows
+    queries whose only referenced column is the internal corrupt
+    column on an uncached scan).
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = f"{SCRATCH}/csv_malformed"
+    lines = o.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.when(
+                F.col("o_orderkey") % 10 == 0,
+                F.concat(F.lit("corrupt:"), F.col("o_totalprice").cast("string")),
+            ).otherwise(F.col("o_totalprice").cast("string")),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = "o_orderkey LONG, price DOUBLE, _corrupt_record STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    salvaged_key = F.regexp_extract(F.col("_corrupt_record"), r"^(\d+),", 1)
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.count("price").alias("n_good"),
+        F.count("_corrupt_record").alias("n_bad"),
+        F.sum(
+            F.when(salvaged_key != "", 1).otherwise(0)
+        ).cast("long").alias("n_salvaged"),
+        F.round(F.sum("price"), 2).alias("good_revenue"),
+    )
