@@ -143,3 +143,85 @@ def scd2_intervals(spark, sf_dir):
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "merge_full",
+    oracle="""
+    WITH delta AS (
+        SELECT o_orderkey, ROUND(o_totalprice + 100, 2) AS new_price,
+               'U' AS op
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey, NULL, 'D' FROM orders WHERE o_orderkey % 10 = 7
+        UNION ALL
+        SELECT -o_orderkey - 1, ROUND(o_totalprice, 2), 'I'
+        FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    merged AS (
+        SELECT b.o_orderkey,
+               CASE WHEN d.op = 'U' THEN d.new_price
+                    ELSE ROUND(b.o_totalprice, 2) END AS o_totalprice,
+               CASE WHEN d.op = 'U' THEN 'upd' ELSE 'base' END AS src,
+               d.op
+        FROM orders b LEFT JOIN delta d ON d.o_orderkey = b.o_orderkey
+    )
+    SELECT o_orderkey, o_totalprice, src FROM merged
+    WHERE op IS NULL OR op <> 'D'
+    UNION ALL
+    SELECT o_orderkey, new_price, 'ins' FROM delta WHERE op = 'I'
+    """,
+)
+def merge_full(spark, sf_dir):
+    """Full tri-branch MERGE: WHEN MATCHED AND op='U' THEN UPDATE,
+    WHEN MATCHED AND op='D' THEN DELETE, WHEN NOT MATCHED THEN INSERT
+    — the complete CDC-apply a changefeed consumer runs, extending
+    `merge_upsert` with the delete branch.
+
+    Plan: ONE left equi-join of base to the keyed delta decides
+    update/delete/keep per row (deletes are a post-join filter, not a
+    separate anti join — the 100 TB rule: never scan the fact table
+    twice for branches one join can decide), and inserts union in
+    from the delta scan. Base co-located on a bucketed merge key runs
+    this with a single exchange on the delta side only.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    price2 = F.round("o_totalprice", 2)
+    upd = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") + 100, 2).alias("new_price"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("new_price"),
+        F.lit("D").alias("op"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        price2.alias("new_price"),
+        F.lit("I").alias("op"),
+    )
+    delta = upd.unionByName(dele).unionByName(ins)
+    keyed = delta.filter(F.col("op") != "I").select(
+        F.col("o_orderkey").alias("d_key"), "new_price", "op"
+    )
+    merged = (
+        o.join(keyed, o.o_orderkey == F.col("d_key"), "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.when(F.col("op") == "U", F.col("new_price"))
+            .otherwise(price2)
+            .alias("o_totalprice"),
+            F.when(F.col("op") == "U", F.lit("upd"))
+            .otherwise(F.lit("base"))
+            .alias("src"),
+        )
+    )
+    inserts = delta.filter(F.col("op") == "I").select(
+        "o_orderkey",
+        F.col("new_price").alias("o_totalprice"),
+        F.lit("ins").alias("src"),
+    )
+    return merged.unionByName(inserts)
