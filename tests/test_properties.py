@@ -224,3 +224,58 @@ def test_gap_island_merge_matches_bruteforce(positions):
             (island_start, island_max + k - 1, island_max - island_start + k)
         )
     assert got_spans == want_spans
+
+
+def test_gapfill_edge_semantics(spark, tmp_path):
+    """Pin ts_gapfill's contract on shapes the fixture doesn't hit:
+    a single-observation user (ffill carries forward, interp stops at
+    the last observation), a two-point user (every gap day linearly
+    interpolated), and leading days before any observation (all
+    null)."""
+    import datetime as dt
+
+    from hadoop_tools_spark.operators.timeseries import ts_gapfill
+
+    def ev(eid, day, user, value):
+        return (
+            eid,
+            dt.datetime(2024, 1, day, 12, 0, 0),
+            user,
+            "view",
+            float(value),
+            "{}",
+        )
+
+    rows = [
+        # user 1: observations on day 1 (10.0) and day 5 (30.0)
+        ev(0, 1, 1, 10.0),
+        ev(1, 5, 1, 30.0),
+        # user 2: single observation on day 3
+        ev(2, 3, 2, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        (r.user_id, r.day.day): (r.obs, r.ffill, r.interp)
+        for r in ts_gapfill(spark, str(tmp_path)).collect()
+    }
+    # spine covers days 1..5 for BOTH users
+    assert len(out) == 10
+    # user 1: linear interpolation across the gap
+    assert out[(1, 1)] == (10.0, 10.0, 10.0)
+    assert out[(1, 2)] == (None, 10.0, 15.0)
+    assert out[(1, 3)] == (None, 10.0, 20.0)
+    assert out[(1, 4)] == (None, 10.0, 25.0)
+    assert out[(1, 5)] == (30.0, 30.0, 30.0)
+    # user 2: days before the first obs are fully null...
+    assert out[(2, 1)] == (None, None, None)
+    assert out[(2, 2)] == (None, None, None)
+    # ...the observed day is exact, and afterwards ffill carries but
+    # interp stops (no next observation -> no extrapolation)
+    assert out[(2, 3)] == (7.0, 7.0, 7.0)
+    assert out[(2, 4)] == (None, 7.0, None)
+    assert out[(2, 5)] == (None, 7.0, None)
+    spark.catalog.clearCache()
