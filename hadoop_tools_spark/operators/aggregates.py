@@ -465,3 +465,33 @@ def agg_listagg(spark, sf_dir):
         GROUP BY r.r_name
         """
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (o_totalprice > 100000) AS BIGINT)
+             AS n_big,
+           BOOL_AND(o_totalprice > 900) AS all_over_900,
+           BOOL_OR(o_orderstatus = 'F') AS any_finished,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean(spark, sf_dir):
+    """Boolean/conditional aggregate family: count_if, every (bool_and),
+    some (bool_or), and a DETERMINISTIC any_value stand-in. All four
+    are map-side combinable single-bit or single-value states — the
+    cheapest aggregates there are; `any_value` itself is
+    intentionally avoided in favor of min(): "any" is
+    partition-order-dependent and therefore retry-unstable, the same
+    reason unordered concat is banned from the LISTAGG key.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.every(F.col("o_totalprice") > 900).alias("all_over_900"),
+        F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.min("o_orderkey").alias("first_key"),
+    )

@@ -146,3 +146,46 @@ def sample_hashmod(spark, sf_dir):
             "0", "1"
         )
     ).select("o_orderkey", "o_custkey")
+
+
+@query(
+    "set_multiset_all",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber <= 2),
+         b AS (SELECT l_suppkey FROM lineitem WHERE l_linenumber >= 2),
+         i AS (SELECT k FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+         e AS (SELECT k FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n, 'intersect_all' AS op FROM i
+    GROUP BY k
+    UNION ALL
+    SELECT k, CAST(COUNT(*) AS BIGINT), 'except_all' FROM e GROUP BY k
+    """,
+)
+def set_multiset_all(spark, sf_dir):
+    """Multiset INTERSECT ALL / EXCEPT ALL — duplicate-PRESERVING set
+    ops (each key survives min(n_a, n_b) / max(0, n_a - n_b) times),
+    which the DISTINCT variants in `set_intersect`/`set_except`
+    cannot express. Spark plans both as a single aggregated count
+    comparison per key (no row-pairing join); the grouped recount
+    here makes the multiplicities hash-observable.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select(
+        F.col("l_suppkey").alias("k")
+    )
+    b = li.filter(F.col("l_linenumber") >= 2).select(
+        F.col("l_suppkey").alias("k")
+    )
+    i = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return i.unionByName(e)
