@@ -97,3 +97,47 @@ def join_lateral(spark, sf_dir):
                  LIMIT 2) t
         """
     )
+
+
+@query(
+    "sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CASE WHEN l_extendedprice > 50000 THEN 'hi' ELSE 'lo' END AS band,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+             AS disc_revenue
+    FROM lineitem
+    GROUP BY l_returnflag,
+             CASE WHEN l_extendedprice > 50000 THEN 'hi' ELSE 'lo' END
+    """,
+)
+def sql_udf(spark, sf_dir):
+    """SQL-defined scalar functions (Spark 4 `CREATE FUNCTION ...
+    RETURN expr`): business logic named once in the catalog and
+    reused across queries — unlike a Python UDF, the body is a SQL
+    expression Catalyst INLINES, so it stays in whole-stage codegen
+    with zero serialization boundary (the oracle is literally the
+    inlined form). The definition travels with the catalog, not the
+    application code — the warehouse way to share `disc_price`.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_udf_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)"
+        " RETURNS STRING"
+        " RETURN CASE WHEN p > 50000 THEN 'hi' ELSE 'lo' END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, price_band(l_extendedprice) AS band,
+               COUNT(*) AS n,
+               ROUND(SUM(disc_price(l_extendedprice, l_discount)), 2)
+                 AS disc_revenue
+        FROM _udf_lineitem
+        GROUP BY l_returnflag, price_band(l_extendedprice)
+        """
+    )
