@@ -213,7 +213,7 @@ def source_python_stream(spark, sf_dir):
         while time.time() < deadline:
             if spark.table(name).count() >= 400:
                 break
-            time.sleep(0.3)
+            time.sleep(0.05)
     finally:
         q.stop()
         q.awaitTermination(30)

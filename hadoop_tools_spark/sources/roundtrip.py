@@ -303,3 +303,47 @@ def scan_csv_malformed(spark, sf_dir):
         ).cast("long").alias("n_salvaged"),
         F.round(F.sum("price"), 2).alias("good_revenue"),
     )
+
+
+@query(
+    "sink_rolling_files",
+    oracle="""
+    SELECT CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - (CEIL(COUNT(*) / 4096.0) - 1) * 4096 AS BIGINT)
+             AS last_file_rows
+    FROM lineitem
+    """,
+)
+def sink_rolling_files(spark, sf_dir):
+    """File-size governance on the write path: ``maxRecordsPerFile``
+    rolls output files at a fixed row count regardless of task
+    partitioning — the knob that stops a skewed task from writing one
+    10 GB file (or a thousand 10 KB ones) into a 100 TB table, where
+    downstream scan parallelism is set by file granularity. The
+    single-task writer here makes the roll boundary exact and
+    hash-checkable: ceil(rows/4096) files, remainder in the last.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    path = f"{SCRATCH}/rolling_files"
+    (
+        li.coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 4096)
+        .parquet(path)
+    )
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    # footer-only row counts (the parquet_meta pattern): no data pages
+    # read, no per-file Spark job
+    sizes = sorted(
+        _pq.ParquetFile(_os.path.join(path, f)).metadata.num_rows
+        for f in _os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    return spark.createDataFrame(
+        [(len(sizes), sum(sizes), min(sizes))],
+        "n_files long, n_rows long, last_file_rows long",
+    )
