@@ -14,6 +14,7 @@ from .operators import (  # noqa: F401
     layout,
     llm_dedup,
     llm_knn,
+    llm_retrieval,
     llm_text,
     multimodal,
     relational,

@@ -592,3 +592,42 @@ def fn_interval(spark, sf_dir):
             "plus_90min"
         ),
     )
+
+
+@query(
+    "fn_strdist",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev_type,
+           CAST(CASE WHEN levenshtein(p_name, p_type) <= 8
+                     THEN levenshtein(p_name, p_type)
+                     ELSE -1 END AS BIGINT)            AS lev_capped,
+           CAST(levenshtein(replace(p_brand, '#', ''),
+                            reverse(replace(p_brand, '#', '')))
+                AS BIGINT)                             AS lev_brand_pal
+    FROM part
+    """,
+)
+def fn_strdist(spark, sf_dir):
+    """String-distance family: Levenshtein edit distance, the
+    early-exit thresholded variant (Spark returns -1 past the
+    threshold — the oracle re-derives that contract with CASE), and a
+    palindrome-distance composition over normalized phone strings.
+
+    Edit distance is the fuzzy-matching workhorse (see
+    ``join_fuzzy_match`` for the blocked-join use); this key pins the
+    scalar semantics cross-engine. Pure codegen, zero shuffle; the
+    thresholded form is the one to use in 100 TB joins — it
+    early-exits the DP at the band limit, O(threshold·len) not
+    O(len²) per pair.
+    """
+    p = load(spark, sf_dir, "part")
+    brand = F.regexp_replace("p_brand", "#", "")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").cast("long").alias("lev_type"),
+        F.levenshtein("p_name", "p_type", 8).cast("long").alias("lev_capped"),
+        F.levenshtein(brand, F.reverse(brand)).cast("long").alias(
+            "lev_brand_pal"
+        ),
+    )

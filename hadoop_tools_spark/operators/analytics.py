@@ -760,3 +760,228 @@ def graph_common_neighbors(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH ip AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 10
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS pa, b.p AS pb
+        FROM ip a JOIN ip b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        GROUP BY node
+    ),
+    o AS (
+        SELECT CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pa ELSE e.pb END AS s,
+               CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN e.pb ELSE e.pa END AS t,
+               CASE WHEN (da.d, e.pa) < (db.d, e.pb) THEN db.d ELSE da.d END AS dt
+        FROM e
+        JOIN deg da ON da.node = e.pa
+        JOIN deg db ON db.node = e.pb
+    ),
+    w AS (
+        SELECT o1.t AS b, o2.t AS c
+        FROM o o1 JOIN o o2
+          ON o1.s = o2.s AND (o1.dt, o1.t) < (o2.dt, o2.t)
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.b AND o.t = w.c)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           floor(3.0 * tri.n_triangles
+                 / (SELECT SUM(d * (d - 1) / 2) FROM deg)
+                 * 1000000 + 0.5) / 1000000 AS clustering6
+    FROM tri
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Exact triangle count of the part co-purchase graph (parts with
+    ``p_size <= 10`` sharing an order) + global clustering coefficient.
+
+    Degree-ordered orientation — every edge points from its
+    (degree, id)-smaller endpoint, so each triangle is generated by
+    exactly one wedge at its lowest-ranked apex and closed by ONE
+    equi semi-join. That is the published scale shape: candidate
+    wedges are Σ outdeg² where out-degrees are degree-capped by the
+    orientation (O(m^1.5) total work), so a power-law hub never
+    explodes — the hot node's edges all point INTO it and it apexes
+    no wedges. No global rank/window anywhere: the orientation uses
+    the (degree, node) tuple order directly, which Spark evaluates as
+    struct comparison — everything is equi-joins + filters.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    ip = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = ip.alias("a"), ip.alias("b")
+    e = materialize(
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
+    lt = F.struct(F.col("da"), F.col("pa")) < F.struct(F.col("db"), F.col("pb"))
+    o = materialize(
+        e.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(lt, F.col("pa")).otherwise(F.col("pb")).alias("s"),
+            F.when(lt, F.col("pb")).otherwise(F.col("pa")).alias("t"),
+            F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dt"),
+        )
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    w = o1.join(
+        o2,
+        (F.col("o1.s") == F.col("o2.s"))
+        & (
+            F.struct(F.col("o1.dt"), F.col("o1.t"))
+            < F.struct(F.col("o2.dt"), F.col("o2.t"))
+        ),
+    ).select(F.col("o1.t").alias("b"), F.col("o2.t").alias("c"))
+    tri = w.join(
+        o.select(F.col("s").alias("b"), F.col("t").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    ).agg(F.count("*").alias("n_triangles"))
+    counts = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        )
+        .join(e.agg(F.count("*").alias("n_edges")))
+        .join(tri)
+    )
+    return counts.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            F.floor(
+                3.0 * F.col("n_triangles") / F.col("n_wedges") * 1_000_000 + 0.5
+            )
+            / 1_000_000
+        ).alias("clustering6"),
+    )
+
+
+#: count-min sketch geometry: 4 independent md5-salted hash rows of
+#: 512 buckets — 2 048 counters of bounded, OR-of-sums mergeable state
+#: regardless of stream cardinality.
+_CMS_D, _CMS_W = 4, 512
+
+
+@query(
+    "agg_count_min",
+    oracle=f"""
+    WITH inc AS (
+        SELECT l_partkey, j,
+               ('0x' || SUBSTR(MD5(j::VARCHAR || ':' || l_partkey::VARCHAR),
+                               1, 8))::BIGINT % {_CMS_W} AS bucket
+        FROM lineitem, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j)
+    ),
+    sketch AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM inc GROUP BY j, bucket
+    ),
+    probes AS (
+        SELECT l_partkey AS part_key, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        FROM lineitem WHERE l_partkey % 100 = 7 GROUP BY l_partkey
+    ),
+    est AS (
+        SELECT p.part_key, p.true_cnt, MIN(s.cnt) AS cms_est
+        FROM probes p,
+             (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) jj
+        JOIN sketch s
+          ON s.j = jj.j
+         AND s.bucket = ('0x' || SUBSTR(MD5(jj.j::VARCHAR || ':' ||
+                                            p.part_key::VARCHAR), 1, 8))::BIGINT
+                        % {_CMS_W}
+        GROUP BY p.part_key, p.true_cnt
+    )
+    SELECT part_key, true_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - true_cnt AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def agg_count_min(spark, sf_dir):
+    """Count-min sketch frequency estimation over ``l_partkey`` with
+    exact ground truth per probe key.
+
+    The sketch is d×w = 2 048 counters — bounded partial state that
+    merges by cell-wise addition, the canonical bounded-memory
+    frequency structure for a 100 TB stream (contrast
+    ``agg_heavy_hitters``'s exact twin). Hashes are md5-salted per
+    row so both engines derive identical buckets; estimates are
+    provably ≥ the true count (asserted per-row in pytest). Build is
+    one partial-aggregated groupBy on (j, bucket); probing joins the
+    tiny probe set against the 2 048-row sketch — both broadcastable.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    js = F.array(*[F.lit(j) for j in range(_CMS_D)])
+
+    def bucket(j, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(j.cast("string"), F.lit(":"), key.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    inc = li.select("l_partkey", F.explode(js).alias("j")).select(
+        "j", bucket(F.col("j"), F.col("l_partkey")).alias("bucket")
+    )
+    sketch = inc.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    probes = (
+        li.filter(F.col("l_partkey") % 100 == 7)
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    probe_cells = probes.select(
+        "part_key", "true_cnt", F.explode(js).alias("j")
+    ).select(
+        "part_key",
+        "true_cnt",
+        "j",
+        bucket(F.col("j"), F.col("part_key")).alias("bucket"),
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("part_key", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "part_key",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+        )
+    )

@@ -518,3 +518,87 @@ def ts_pattern_match(spark, sf_dir):
         "end_sec",
         F.round(F.col("ev") - F.col("sv"), 2).alias("total_gain"),
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    per AS (
+        SELECT user_id,
+               list_sort(list(struct_pack(day := day, cents := cents))) AS a
+        FROM daily GROUP BY user_id
+    ),
+    expanded AS (
+        SELECT user_id,
+               unnest(list_transform(generate_series(1, len(a)), i -> {
+                   'day': a[i].day,
+                   'amount': CAST(a[i].cents AS DOUBLE) / 100.0,
+                   'ewma6': floor(list_reduce(
+                       list_transform(list_slice(a, 1, i),
+                                      s -> CAST(s.cents AS DOUBLE) / 100.0),
+                       (acc, x) -> CAST(acc * 0.75 + x * 0.25 AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000
+               })) AS r
+        FROM per
+    )
+    SELECT user_id, r.day AS day, r.amount AS amount, r.ewma6 AS ewma6
+    FROM expanded
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Running exponentially-weighted moving average (α = 0.25) over
+    each user's daily spend series.
+
+    EWMA is recursive, so no window frame expresses it; instead each
+    user's (bounded: one row per calendar day) series folds left with
+    higher-order array lambdas — s₁ = x₁, sᵢ = 0.75·sᵢ₋₁ + 0.25·xᵢ.
+    Determinism: daily totals are exact scaled-BIGINT cents; α = 1/4
+    and 1−α = 3/4 are exact binary fractions, so every fold step is a
+    single IEEE operation both engines execute identically in the
+    same left-to-right order — the result is bitwise cross-engine
+    stable before the final 6-dp floor-pin. One shuffle (user_id);
+    per-user state is days-per-user, calendar-bounded — the same
+    contract as the gap-fill key, safe at any fact scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    per = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("a")
+    )
+    vals = F.transform("a", lambda s: s["cents"].cast("double") / 100.0)
+    per = per.select("user_id", "a", vals.alias("v"))
+    rows = F.transform(
+        F.sequence(F.lit(1), F.size("a")),
+        lambda i: F.struct(
+            F.element_at("a", i)["day"].alias("day"),
+            F.element_at("v", i).alias("amount"),
+            (
+                F.floor(
+                    F.aggregate(
+                        F.slice("v", 2, i - 1),
+                        F.element_at("v", 1),
+                        lambda acc, x: acc * 0.75 + x * 0.25,
+                    )
+                    * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
+            ).alias("ewma6"),
+        ),
+    )
+    return per.select("user_id", F.explode(rows).alias("r")).select(
+        "user_id",
+        F.col("r.day").alias("day"),
+        F.col("r.amount").alias("amount"),
+        F.col("r.ewma6").alias("ewma6"),
+    )

@@ -1,0 +1,183 @@
+"""Semantic invariants for the retrieval-stack operators
+(llm_inverted_index / llm_bm25 / llm_chunk_rag / llm_embed_quantize)
+beyond the oracle-parity layer."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hadoop_tools_spark.operators.llm_retrieval import (
+    _CHUNK,
+    _STRIDE,
+    llm_bm25,
+    llm_chunk_rag,
+    llm_embed_quantize,
+    llm_inverted_index,
+)
+
+
+def test_inverted_index_postings(spark, sf_dir):
+    """Postings are sorted, duplicate-free, df == len(postings), and
+    every listed doc really contains the term."""
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = llm_inverted_index(spark, sf_dir).collect()
+    assert rows
+    n = len(docs)
+    for r in rows:
+        posts = list(r.postings)
+        assert posts == sorted(set(posts))
+        assert r.df == len(posts)
+        assert r.total_tf >= r.df
+        assert 2 <= r.df and r.df * 5 <= n * 4
+        for doc_id in posts[:5]:
+            assert r.term in docs[doc_id]
+
+
+def test_bm25_ranking(spark, sf_dir):
+    """Two 3-term queries, 5 ranked hits each, ranks dense from 1,
+    scores non-increasing in rank, and every hit contains at least one
+    query term."""
+    rows = llm_bm25(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {1, 2}
+    for hits in by_q.values():
+        hits.sort(key=lambda r: r.rank)
+        assert [h.rank for h in hits] == [1, 2, 3, 4, 5]
+        scores = [h.bm25 for h in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Chunk windows tile each document: starts advance by the stride,
+    the union of [start, start+n_tokens) covers 1..n_words with the
+    configured overlap, and the md5 matches the real chunk text."""
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = llm_chunk_rag(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        words = texts[doc_id]
+        chunks.sort(key=lambda r: r.chunk_id)
+        covered = set()
+        for i, c in enumerate(chunks):
+            assert c.chunk_id == i
+            assert c.start_token == i * _STRIDE + 1
+            expect = words[c.start_token - 1 : c.start_token - 1 + _CHUNK]
+            assert c.n_tokens == len(expect)
+            assert (
+                c.chunk_md5
+                == hashlib.md5(" ".join(expect).encode()).hexdigest()
+            )
+            covered.update(range(c.start_token, c.start_token + c.n_tokens))
+        assert covered == set(range(1, len(words) + 1))
+        # last chunk must reach the end; an extra chunk would be empty
+        assert chunks[-1].start_token + chunks[-1].n_tokens - 1 == len(words)
+
+
+def test_quantize_roundtrip(spark, sf_dir):
+    """Quantized values stay in int8 range and reconstruction error is
+    bounded by half a quantization step per element."""
+    import numpy as np
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    rows = llm_embed_quantize(spark, sf_dir).collect()
+    assert len(rows) == len([v for v in vecs.values() if np.abs(v).max() > 0])
+    for r in rows[:50]:
+        v = vecs[r.vec_id]
+        amax = np.abs(v).max()
+        scale = 127.0 / amax
+        q = np.floor(v * scale + 0.5)
+        assert np.abs(q).max() <= 127
+        assert r.q_sum == int(q.sum())
+        assert r.q_l1 == int(np.abs(q).sum())
+        # SSE bound: each |v_i - q_i/scale| <= 0.5/scale
+        assert r.sse12 / 1e12 <= len(v) * (0.5 / scale) ** 2 + 1e-9
+        assert abs(r.scale6 - scale) <= 5e-7
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    from hadoop_tools_spark.operators.analytics import agg_count_min
+
+    rows = agg_count_min(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.true_cnt
+        assert r.overcount == r.cms_est - r.true_cnt
+
+
+def test_triangles_match_bruteforce(spark):
+    """Oriented-wedge count equals the O(n^3) brute force on sf0.001."""
+    from itertools import combinations
+
+    from hadoop_tools_spark.operators.analytics import graph_triangles
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf}/part.parquet")
+    ip = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .filter("p_size <= 10")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = {}
+    for r in ip:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        edges.update(
+            (a, b) for a, b in combinations(sorted(parts), 2)
+        )
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+    row = graph_triangles(spark, sf).collect()[0]
+    assert row.n_triangles == brute
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(adj)
+    assert row.n_wedges == sum(
+        len(v) * (len(v) - 1) // 2 for v in adj.values()
+    )
+
+
+def test_ewma_recurrence(spark, sf_dir):
+    """EWMA rows satisfy s_i = 0.75*s_{i-1} + 0.25*x_i exactly (up to
+    the 6-dp pin) and start at the first daily amount."""
+    from hadoop_tools_spark.operators.timeseries import ts_ewma
+
+    rows = ts_ewma(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    import math
+
+    for series in list(by_user.values())[:50]:
+        series.sort(key=lambda r: r.day)
+        acc = series[0].amount
+        assert series[0].ewma6 == math.floor(acc * 1e6 + 0.5) / 1e6
+        for r in series[1:]:
+            acc = acc * 0.75 + r.amount * 0.25
+            assert abs(r.ewma6 - acc) < 2e-6

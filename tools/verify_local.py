@@ -34,7 +34,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            df[c] = df[c].map(
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+                else v
+            )
     key = df.apply(lambda r: tuple(repr(v) for v in r), axis=1)
     return df.iloc[key.argsort(kind="stable").values].reset_index(drop=True)
 
