@@ -494,8 +494,10 @@ def fn_try(spark, sf_dir):
     of failing the job — at 100 TB one malformed row must not kill a
     12-hour pipeline. The oracle emulates try_divide with an explicit
     zero guard (DuckDB has no TRY division), so NULL placement is
-    hash-verified."""
-    li = load(spark, sf_dir, "lineitem")
+    hash-verified. load_spread: the 600 k-row fixture is one row
+    group; try_to_number's per-row format parse is the costliest
+    scalar in the suite and wants all cores."""
+    li = load_spread(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -612,7 +614,7 @@ def fn_strdist(spark, sf_dir):
     """String-distance family: Levenshtein edit distance, the
     early-exit thresholded variant (Spark returns -1 past the
     threshold — the oracle re-derives that contract with CASE), and a
-    palindrome-distance composition over normalized phone strings.
+    palindrome-distance composition over normalized brand strings.
 
     Edit distance is the fuzzy-matching workhorse (see
     ``join_fuzzy_match`` for the blocked-join use); this key pins the

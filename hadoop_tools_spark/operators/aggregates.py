@@ -495,3 +495,43 @@ def agg_boolean(spark, sf_dir):
         F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.min("o_orderkey").alias("first_key"),
     )
+
+
+@query("agg_sketch_hll_merge")  # rows-only: DataSketches binary has no DuckDB twin
+def agg_sketch_hll_merge(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches, Spark 4 built-in):
+    per-nation customer sketches unioned up to region level, estimates
+    next to exact ground truth.
+
+    This is the re-aggregatable-rollup pattern a 100 TB cube needs:
+    the nation-level sketch is a few KB of mergeable state, so the
+    region (or global) NDV re-aggregates from stored partials by
+    sketch union — no second pass over raw data, unlike
+    COUNT(DISTINCT) which cannot compose from per-group results.
+    HLL register updates are max-merges, so the estimate is
+    order/partitioning-independent — but the sketch encoding is
+    engine-specific, hence rows-only; the accuracy contract
+    (|est − exact| ≤ 5 %) is pinned in pytest instead.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    per_nation = (
+        c.groupBy(F.col("c_nationkey"))
+        .agg(
+            F.hll_sketch_agg("c_custkey", F.lit(12)).alias("sk"),
+            F.countDistinct("c_custkey").alias("exact_nd"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        per_nation.groupBy(F.col("n_regionkey").alias("region_key"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("est_ndv"),
+            # custkeys are globally unique, so nation exacts sum to the
+            # region exact — the ground truth rides the same rollup
+            F.sum("exact_nd").alias("exact_ndv"),
+        )
+        .select("region_key", "est_ndv", "exact_ndv")
+    )

@@ -244,6 +244,57 @@ def stream_stream_join(spark, sf_dir):
 
 
 @query(
+    "stream_outer_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS view_id,
+           a.user_id,
+           CAST(a.ts AS TIMESTAMP) AS click_ts,
+           CAST(b.ts AS TIMESTAMP) AS view_ts
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 10 MINUTE
+     AND b.ts <= a.ts
+    WHERE a.event_type = 'click'
+    """,
+)
+def stream_outer_join(spark, sf_dir):
+    """LEFT-OUTER stream-stream join batch form: every click, matched
+    to same-user views in the preceding 10 minutes, or NULLs if none.
+
+    The outer side is the operationally interesting one in streaming:
+    a null row can only be emitted once the watermark proves no
+    matching view can still arrive, so emission is watermark-gated
+    and state eviction doubles as the null trigger.
+    tests/test_streaming.py runs the live version with watermarks on
+    both sides plus a stream-end flush event that advances the final
+    watermark past every pending click — proving the streamed rows
+    (matches AND nulls) equal this batch plan exactly.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return (
+        clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("view_ts") <= F.col("click_ts")),
+            "left",
+        )
+        .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+    )
+
+
+@query(
     "stream_hier_rollup",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,

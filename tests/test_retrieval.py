@@ -181,3 +181,14 @@ def test_ewma_recurrence(spark, sf_dir):
         for r in series[1:]:
             acc = acc * 0.75 + r.amount * 0.25
             assert abs(r.ewma6 - acc) < 2e-6
+
+
+def test_hll_merge_accuracy(spark):
+    """Region-level sketch-union estimates stay within 5% of exact,
+    and the union estimate is >= the max single-nation estimate."""
+    from hadoop_tools_spark.operators.aggregates import agg_sketch_hll_merge
+
+    rows = agg_sketch_hll_merge(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.est_ndv - r.exact_ndv) <= 0.05 * r.exact_ndv

@@ -476,3 +476,82 @@ def test_map_state_per_type_counts(spark, sf_dir, staged):
         .collect()
     }
     assert got == want
+
+
+def test_stream_outer_join_emits_nulls(spark, sf_dir, tmp_path):
+    """LEFT-OUTER stream-stream join: unmatched clicks emit null view
+    columns once the watermark proves no match can arrive. Two flush
+    events staged after the real data advance the watermark past every
+    pending click (the first raises the watermark, the second's batch
+    evicts state and emits the nulls), so the streamed result equals
+    the batch key exactly — including the null rows."""
+    import datetime
+
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.streaming.ops import stream_outer_join
+    from hadoop_tools_spark.streaming.runner import (
+        read_event_stream,
+        run_to_completion,
+        stage_stream_files,
+    )
+
+    base = load(spark, sf_dir, "events")
+    mx = base.agg(F.max("ts")).collect()[0][0]
+
+    # flush rows must survive the click/view filters to reach BOTH
+    # watermark operators (the global watermark is the min across
+    # them); the sentinel user_id keeps them out of real matches and
+    # the sentinel event_id range is excluded from the comparison
+    def flush(eid, hours):
+        ts = mx + datetime.timedelta(hours=hours)
+        return spark.createDataFrame(
+            [
+                (eid, ts, -1, "click", 0.0, "{}"),
+                (eid + 1, ts, -1, "view", 0.0, "{}"),
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    out = str(tmp_path / "events")
+    stage_stream_files(spark, sf_dir, out, n_files=5, late_df=flush(10**9, 2))
+    # second flush file (later mtime): its micro-batch runs under the
+    # watermark the first flush advanced, triggering eviction + nulls
+    flush(10**9 + 1, 3).coalesce(1).write.mode("append").parquet(out)
+
+    def t(s):
+        clicks = (
+            s.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "30 minutes")
+        )
+        views = (
+            s.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "30 minutes")
+        )
+        return clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (
+                F.col("view_ts")
+                >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")
+            )
+            & (F.col("view_ts") <= F.col("click_ts")),
+            "leftOuter",
+        ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+
+    name = run_to_completion(t(read_event_stream(spark, out)), "append")
+    raw = spark.sql(f"SELECT * FROM {name} WHERE click_id < 1000000000")
+    got = _canon(raw)
+    want = _canon(stream_outer_join(spark, sf_dir))
+    assert (got["view_id"].isna()).any(), "expected null-padded rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
