@@ -752,3 +752,97 @@ def llm_dedup_substring(spark, sf_dir):
         (F.max("p") + _SUB_K - 1).cast("long").alias("span_end"),
         (F.max("p") - F.min("p") + _SUB_K).cast("long").alias("span_len"),
     ).drop("island")
+
+
+#: stop-shingle guard for containment blocking: trigrams present in
+#: more than this many documents are dropped from candidate generation
+#: (boilerplate shingles block everything with everything — the same
+#: viral-key rule as graph_common_neighbors' _CN_CAP).
+_CONT_DF_CAP = 50
+
+
+@query(
+    "llm_containment",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM d
+    ),
+    nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    keep AS (
+        SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {_CONT_DF_CAP}
+    ),
+    shk AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep USING (g)),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM shk a JOIN shk b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.shared AS BIGINT) AS shared,
+           CAST(na.n_sh AS BIGINT) AS n_a,
+           floor(i.shared * 1.0 / na.n_sh * 1000000 + 0.5) / 1000000
+               AS containment6
+    FROM inter i JOIN nsh na ON na.doc_id = i.doc_a
+    WHERE i.shared * 2 >= na.n_sh
+    """,
+)
+def llm_containment(spark, sf_dir):
+    """Directed shingle containment — |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.5:
+    catches a document EMBEDDED in a larger one, which symmetric
+    Jaccard misses (a snippet inside a 100× bigger doc has tiny
+    Jaccard but containment ≈ 1).
+
+    Same blocked shape as every dedup key: candidates only from
+    shared-shingle equi-joins (cost Σ df²), with the `_CONT_DF_CAP`
+    stop-shingle guard so boilerplate trigrams cannot go quadratic.
+    The ≥ 0.5 cut is evaluated integer-exactly (shared·2 ≥ n_a) before
+    the floor-pinned 6-dp score is computed, so the cut can never
+    flicker on float ulps. Denominator uses the UNCAPPED shingle
+    count, keeping the score meaningful when some of A's shingles are
+    boilerplate.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    sh = materialize(
+        d.select("doc_id", F.explode(_trigram_expr()).alias("g"))
+    )
+    nsh = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    keep = sh.groupBy("g").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _CONT_DF_CAP
+    )
+    shk = sh.join(keep.select("g"), "g", "left_semi")
+    a, b = shk.alias("a"), shk.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    na = nsh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(na, "doc_a")
+        .filter(F.col("shared") * 2 >= F.col("n_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "n_a",
+            (
+                F.floor(
+                    F.col("shared") * 1.0 / F.col("n_a") * 1_000_000 + 0.5
+                )
+                / 1_000_000
+            ).alias("containment6"),
+        )
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load, load_spread
+from ..io import load, load_spread, materialize
 from ..registry import query
 
 #: BM25 free parameters (Robertson's defaults).
@@ -113,8 +113,8 @@ def llm_inverted_index(spark, sf_dir):
         SELECT term, n_docs,
                CAST((ROW_NUMBER() OVER (ORDER BY n_docs DESC, term) - 1)
                     // 3 + 1 AS BIGINT) AS query_id
-        FROM df
-        WHERE n_docs BETWEEN 5 AND 400
+        FROM df CROSS JOIN corpus
+        WHERE n_docs * 100 >= n_total AND n_docs * 5 <= n_total * 4
         ORDER BY n_docs DESC, term
         LIMIT 6
     ),
@@ -159,7 +159,12 @@ def llm_bm25(spark, sf_dir):
     as BIGINTs so the per-document sum is order-independent.
     """
     d = load_spread(spark, sf_dir, "documents")
-    per = (
+    # (term, doc, tf) IS the index — it feeds doc lengths, document
+    # frequencies, and scoring, so cache it once instead of paying the
+    # corpus-sized tokenize+explode three times. At cluster scale the
+    # same table is the thing a real deployment would persist
+    # (llm_inverted_index's output), not recompute per consumer.
+    per = materialize(
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
@@ -172,10 +177,17 @@ def llm_bm25(spark, sf_dir):
     )
     # top-6 via orderBy+limit (TakeOrderedAndProject — distributed
     # partial top-k, never a single-partition window over the whole
-    # vocabulary); the rank window then runs on 6 rows only.
+    # vocabulary); the rank window then runs on 6 rows only. The df
+    # band is corpus-relative (1%..80% of N) so query-term selection
+    # means the same thing at every scale factor — an absolute band
+    # empties out when the corpus grows 100×.
     qw = Window.orderBy(F.col("n_docs").desc(), "term")
     qterms = (
-        dfreq.filter(F.col("n_docs").between(5, 400))
+        dfreq.join(F.broadcast(corpus))
+        .filter(
+            (F.col("n_docs") * 100 >= F.col("n_total"))
+            & (F.col("n_docs") * 5 <= F.col("n_total") * 4)
+        )
         .orderBy(F.col("n_docs").desc(), "term")
         .limit(6)
         .withColumn("rn", F.row_number().over(qw))

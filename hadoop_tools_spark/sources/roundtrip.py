@@ -347,3 +347,69 @@ def sink_rolling_files(spark, sf_dir):
         [(len(sizes), sum(sizes), min(sizes))],
         "n_files long, n_rows long, last_file_rows long",
     )
+
+
+@query(
+    "scan_parquet_schema_merge",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_discount
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(o_totalprice * 0.01, 4) AS o_discount
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unified AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(o_discount) AS BIGINT) AS n_with_discount,
+           ROUND(SUM(COALESCE(o_discount, 0)), 4) AS sum_discount
+    FROM unified GROUP BY o_orderstatus
+    """,
+)
+def scan_parquet_schema_merge(spark, sf_dir):
+    """Schema evolution on read: two parquet file sets written under
+    one table path with DIFFERENT schemas (the second adds
+    ``o_discount``), read back with ``mergeSchema`` — old files
+    surface the new column as NULL.
+
+    This is the additive-drift reality of a 100 TB lake: years of
+    files written by evolving jobs, one logical table. mergeSchema
+    reconciles footers at planning time (a metadata operation — data
+    pages of old files are never rewritten), and the NULL-filled
+    column costs nothing to scan. Contrast snapshot_schema_evolution,
+    which handles the same drift at the table-format layer.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(SCRATCH, "schema_merge")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 0.01, 4).alias("o_discount"),
+        )
+        .write.mode("append")
+        .parquet(path)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_discount").alias("n_with_discount"),
+            F.round(F.sum(F.coalesce("o_discount", F.lit(0.0))), 4).alias(
+                "sum_discount"
+            ),
+        )
+    )

@@ -192,3 +192,42 @@ def test_hll_merge_accuracy(spark):
     assert len(rows) == 5
     for r in rows:
         assert abs(r.est_ndv - r.exact_ndv) <= 0.05 * r.exact_ndv
+
+
+def test_containment_matches_bruteforce(spark):
+    """Every reported containment pair matches a brute-force shingle
+    computation, and no qualifying pair is missed (modulo the
+    stop-shingle cap, mirrored here)."""
+    from hadoop_tools_spark.operators.llm_dedup import (
+        _CONT_DF_CAP,
+        llm_containment,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    sh = {
+        d: {tuple(w[i : i + 3]) for i in range(len(w) - 2)}
+        for d, w in docs.items()
+        if len(w) >= 3
+    }
+    dfreq = {}
+    for gs in sh.values():
+        for g in gs:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    kept = {d: {g for g in gs if dfreq[g] <= _CONT_DF_CAP} for d, gs in sh.items()}
+    want = {}
+    for a, ga in kept.items():
+        for b, gb in kept.items():
+            if a == b:
+                continue
+            shared = len(ga & gb)
+            if shared and shared * 2 >= len(sh[a]):
+                want[(a, b)] = (shared, len(sh[a]))
+    rows = llm_containment(spark, sf).collect()
+    got = {(r.doc_a, r.doc_b): (r.shared, r.n_a) for r in rows}
+    assert got == want
+    for r in rows:
+        assert 0.5 <= r.containment6 <= 1.0

@@ -132,6 +132,7 @@ def main(dest: str) -> None:
     tbl = pq.read_table(f"{SRC}/embeddings.parquet")
     ids = tbl.column("vec_id").to_numpy()
     emb = np.vstack(tbl.column("embedding").to_pylist()).astype(np.float32)
+    labels = tbl.column("label").to_numpy()
     max_vec = int(ids.max()) + 1
     parts = []
     for i in range(COPIES):
@@ -145,6 +146,9 @@ def main(dest: str) -> None:
                     "embedding": pa.array(
                         list(e), type=pa.list_(pa.float32())
                     ),
+                    # keep the full fixture schema: label-consuming keys
+                    # (quantize, centroid, kmeans) must rehearse too
+                    "label": pa.array(labels, type=pa.int32()),
                 }
             )
         )
