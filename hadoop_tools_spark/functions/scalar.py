@@ -633,3 +633,69 @@ def fn_strdist(spark, sf_dir):
             "lev_brand_pal"
         ),
     )
+
+
+@query(
+    "fn_geo",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5  AS lat,
+               CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.25 AS lng
+        FROM customer
+    )
+    SELECT c_custkey, lat, lng,
+           floor(2.0 * 6371.0 * asin(sqrt(
+               sin(radians(lat) / 2) * sin(radians(lat) / 2)
+               + cos(radians(lat)) * cos(CAST(0 AS DOUBLE))
+                 * sin(radians(lng) / 2) * sin(radians(lng) / 2)))
+               * 1000 + 0.5) / 1000 AS dist_origin_km3,
+           CAST(floor((lat + 90.0) / 5.0) * 72
+                + floor((lng + 180.0) / 5.0) AS BIGINT) AS cell_id,
+           (lat BETWEEN 10.0 AND 60.0 AND lng BETWEEN -30.0 AND 40.0)
+               AS in_bbox
+    FROM pts
+    """,
+)
+def fn_geo(spark, sf_dir):
+    """Geospatial-lite family: haversine distance to the origin, 5°
+    grid-cell bucketing (geohash-style spatial blocking key), and
+    bounding-box containment. Coordinates are synthesized from keys
+    with integer-exact arithmetic.
+
+    Pure codegen, zero shuffle; the grid cell is the spatial JOIN
+    pattern at 100 TB (equi-join on cell_id blocks candidates, exact
+    distance verifies — same block-then-verify shape as every dedup
+    key). Float discipline: the distance is pinned at 3 dp (meter
+    precision). Trig differs by ≤2 ulp across libm implementations —
+    relative 1e-15, absolute ~1e-11 km here — so the flicker
+    probability per row at a 1e-3 step is ~1e-8; at 6 dp it would be
+    1000× higher, which is why this key rounds coarser than the
+    engine's usual 6 dp.
+    """
+    c = load(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 180).cast("double") - 90.0 + 0.5
+    lng = ((F.col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.25
+    pts = c.select("c_custkey", lat.alias("lat"), lng.alias("lng"))
+    la, lo = F.radians("lat"), F.radians("lng")
+    hav = (
+        F.sin(la / 2) * F.sin(la / 2)
+        + F.cos(la) * F.cos(F.lit(0.0)) * F.sin(lo / 2) * F.sin(lo / 2)
+    )
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lng",
+        (F.floor(2.0 * 6371.0 * F.asin(F.sqrt(hav)) * 1000 + 0.5) / 1000).alias(
+            "dist_origin_km3"
+        ),
+        (
+            F.floor((F.col("lat") + 90.0) / 5.0) * 72
+            + F.floor((F.col("lng") + 180.0) / 5.0)
+        )
+        .cast("long")
+        .alias("cell_id"),
+        (
+            F.col("lat").between(10.0, 60.0) & F.col("lng").between(-30.0, 40.0)
+        ).alias("in_bbox"),
+    )

@@ -197,3 +197,57 @@ def udtf_analyze(spark, sf_dir):
         FROM docs_pw_src d, LATERAL first_words(d.text, 3) w
         """
     )
+
+
+@query(
+    "udf_arrow",
+    oracle="""
+    SELECT vec_id,
+           floor(sqrt(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b)) * 1000000 + 0.5) / 1000000 AS l2_norm6,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def udf_arrow(spark, sf_dir):
+    """``mapInArrow`` — the zero-copy Arrow-batch UDF surface (§2.F):
+    per-vector L2 norms computed straight off Arrow buffers, no pandas
+    materialization (vs ``mapInPandas``, which converts every batch to
+    a DataFrame first).
+
+    Determinism contract: the squared terms accumulate SEQUENTIALLY in
+    float64 (a Python left-fold, not numpy pairwise summation), the
+    identical op order to the oracle's ``list_reduce`` left-fold, and
+    IEEE sqrt is correctly-rounded in both engines — so the 6-dp
+    floor-pinned norms are bitwise cross-engine stable.
+    """
+    import math
+
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id").to_pylist()
+            embs = batch.column("embedding").to_pylist()
+            out_norm, out_dim = [], []
+            for emb in embs:
+                acc = 0.0
+                for v in emb:
+                    x = float(v)
+                    acc += x * x
+                out_norm.append(math.floor(math.sqrt(acc) * 1e6 + 0.5) / 1e6)
+                out_dim.append(len(emb))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(out_norm, type=pa.float64()),
+                    pa.array(out_dim, type=pa.int64()),
+                ],
+                names=["vec_id", "l2_norm6", "dim"],
+            )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(norms, "vec_id long, l2_norm6 double, dim long")

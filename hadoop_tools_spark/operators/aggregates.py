@@ -535,3 +535,46 @@ def agg_sketch_hll_merge(spark, sf_dir):
         )
         .select("region_key", "est_ndv", "exact_ndv")
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark, sf_dir):
+    """CUBE with ``grouping_id()``/``grouping()`` — the bitmask that
+    tells a consumer WHICH aggregation level each output row belongs
+    to (0 = detail, 3 = grand total), so one cube pass can feed
+    level-specific downstream logic without re-aggregating. The oracle
+    composes the id from GROUPING() bits explicitly
+    (g(status)·2 + g(priority)), pinning the bit order against
+    engine-convention drift. Single Expand + partial agg, same shape
+    as agg_cube.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("gid").cast("long").alias("gid"),
+            "g_status",
+            "n_orders",
+            "sum_price",
+        )
+    )

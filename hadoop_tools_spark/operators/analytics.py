@@ -985,3 +985,73 @@ def agg_count_min(spark, sf_dir):
             (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
         )
     )
+
+
+@query(
+    "graph_khop",
+    oracle=f"""
+    WITH {_PR_ORACLE_EDGES},
+    seeds AS (
+        SELECT DISTINCT c_custkey AS node FROM customer
+        WHERE c_custkey % 100 = 1
+    ),
+    h1 AS (
+        SELECT DISTINCT sym.dst AS node
+        FROM seeds JOIN sym ON sym.src = seeds.node
+    ),
+    h2 AS (
+        SELECT DISTINCT sym.dst AS node
+        FROM h1 JOIN sym ON sym.src = h1.node
+    ),
+    reached AS (
+        SELECT node, 0 AS hop FROM seeds
+        UNION ALL SELECT node, 1 FROM h1
+        UNION ALL SELECT node, 2 FROM h2
+    ),
+    first_hop AS (
+        SELECT node, MIN(hop) AS hop FROM reached GROUP BY node
+    )
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM first_hop GROUP BY hop
+    """,
+)
+def graph_khop(spark, sf_dir):
+    """Bounded k-hop reachability (BFS frontier, k = 2) from a seed
+    customer set over the co-purchase graph — nodes counted at their
+    FIRST reach hop.
+
+    The Pregel-lite shape shared with graph_pagerank: each hop is ONE
+    equi-join frontier ⋈ edges + a distinct, so k hops cost k bounded
+    shuffles — no recursion, no driver loop state beyond the loop
+    counter. Frontiers are node-id sets (never paths), so frontier
+    size is bounded by |V| regardless of path multiplicity — the
+    property that keeps BFS from exploding on dense graphs. Min-hop
+    dedup runs once at the end on the union of frontiers.
+    """
+    e = materialize(_edges(spark, sf_dir))
+    seeds = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 1)
+        .select(F.col("c_custkey").alias("node"))
+        .distinct()
+    )
+    frontiers = [seeds.withColumn("hop", F.lit(0))]
+    frontier = seeds
+    for hop in (1, 2):
+        frontier = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontiers.append(frontier.withColumn("hop", F.lit(hop)))
+    reached = frontiers[0]
+    for f in frontiers[1:]:
+        reached = reached.unionAll(f)
+    return (
+        reached.groupBy("node")
+        .agg(F.min("hop").alias("hop"))
+        .groupBy("hop")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(F.col("hop").cast("long").alias("hop"), "n_nodes")
+    )

@@ -1136,3 +1136,108 @@ def llm_mix_balance(spark, sf_dir):
         .filter(F.col("v") < F.col("thr"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               sha256(text) AS h
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts
+        FROM base
+    ),
+    lang_terms AS (
+        SELECT CAST(floor(
+                   -(COUNT(*) * 1.0 / MAX(tot.n_docs))
+                   * LN(COUNT(*) * 1.0 / MAX(tot.n_docs))
+                   * 1000000 + 0.5) AS BIGINT) AS term6
+        FROM base CROSS JOIN tot
+        GROUP BY lang
+    ),
+    ent AS (SELECT CAST(SUM(term6) AS BIGINT) AS ent6 FROM lang_terms)
+    SELECT tot.n_docs, tot.total_tokens, tot.total_chars, tot.n_langs,
+           floor(CAST(tot.total_tokens AS DOUBLE) / tot.n_docs * 10000 + 0.5)
+               / 10000 AS mean_doc_tokens4,
+           CAST(ent.ent6 AS DOUBLE) / 1000000 AS lang_entropy6,
+           floor(CAST(tot.n_docs - tot.n_unique_texts AS DOUBLE) / tot.n_docs
+                 * 1000000 + 0.5) / 1000000 AS exact_dup_rate6
+    FROM tot CROSS JOIN ent
+    """,
+)
+def llm_dataset_card(spark, sf_dir):
+    """One-row corpus "dataset card": document/token/char totals,
+    language count + Shannon entropy of the language mix, and the
+    exact-duplicate rate — the governance summary published alongside
+    a training corpus.
+
+    Everything partial-aggregates: the corpus collapses to one global
+    row plus one row per language before any cross-term math, so the
+    card costs two scans regardless of corpus size (the sha256 NDV is
+    the one genuinely distinct-heavy term; its HLL twin is
+    ``agg_sketch_hll_merge``'s pattern when exactness can be traded).
+    Entropy terms are floor-pinned to scaled BIGINTs per language and
+    summed order-independently.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("h"),
+    )
+    tot = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_unique_texts"),
+    )
+    p = F.col("n_lang") * 1.0 / F.col("n_docs")
+    ent = (
+        base.groupBy("lang")
+        .agg(F.count("*").alias("n_lang"))
+        .join(F.broadcast(tot.select("n_docs")))
+        .select(
+            F.floor(-p * F.log(p) * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("term6")
+        )
+        .agg(F.sum("term6").alias("ent6"))
+    )
+    return (
+        tot.join(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "n_langs",
+            (
+                F.floor(
+                    F.col("total_tokens").cast("double")
+                    / F.col("n_docs")
+                    * 10_000
+                    + 0.5
+                )
+                / 10_000
+            ).alias("mean_doc_tokens4"),
+            (F.col("ent6").cast("double") / 1_000_000).alias("lang_entropy6"),
+            (
+                F.floor(
+                    (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+                    / F.col("n_docs")
+                    * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
+            ).alias("exact_dup_rate6"),
+        )
+    )
