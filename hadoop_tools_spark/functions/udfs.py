@@ -251,3 +251,62 @@ def udf_arrow(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(norms, "vec_id long, l2_norm6 double, dim long")
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, event_id, cents,
+               SUM(cents) OVER (PARTITION BY user_id) AS sum_cents,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM base
+    )
+    SELECT user_id, event_id, cents,
+           floor((cents * cnt - sum_cents) * 1.0 / (100.0 * cnt)
+                 * 1000000 + 0.5) / 1000000 AS delta_from_mean6
+    FROM stats
+    """,
+)
+def udf_grouped_map(spark, sf_dir):
+    """Grouped-map ``applyInPandas`` (batch §2.F surface): per-user
+    mean-centering of event values — each group arrives as ONE pandas
+    DataFrame, the full-group context that per-row and grouped-agg
+    UDFs cannot see.
+
+    Determinism: values are pinned to integer cents first, the group
+    sum is an exact int64 reduction, and the centered delta is a
+    single float division of exact integers — so the pandas path
+    hash-matches the oracle's window formulation bit-for-bit. Scale
+    contract: one shuffle on user_id and per-group memory bounded by
+    the largest user's events (same bound any window over user_id
+    needs); groups stream through Arrow batches, never the driver.
+    """
+    import math
+
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["cents"].sum())
+        n = len(pdf)
+        pdf["delta_from_mean6"] = [
+            math.floor((c * n - s) / (100.0 * n) * 1e6 + 0.5) / 1e6
+            for c in pdf["cents"].astype("int64")
+        ]
+        return pdf[["user_id", "event_id", "cents", "delta_from_mean6"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        center,
+        "user_id long, event_id long, cents long, delta_from_mean6 double",
+    )

@@ -846,3 +846,168 @@ def llm_containment(spark, sf_dir):
             ).alias("containment6"),
         )
     )
+
+
+#: MinHash signature width for the estimate-vs-truth key: 32 md5-salted
+#: permutation surrogates.
+_MH_K = 32
+
+
+@query(
+    "llm_minhash_estimate",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM d
+    ),
+    sig AS (
+        SELECT doc_id, j,
+               MIN(('0x' || SUBSTR(MD5(j::VARCHAR || '|' || g), 1, 16))::UBIGINT)
+                   AS mh
+        FROM sh, (SELECT unnest(generate_series(0, {_MH_K - 1})) AS j)
+        GROUP BY doc_id, j
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM documents a JOIN documents b
+          ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+         AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    exact AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT ag.doc_a, ag.doc_b,
+           floor(ag.n_agree * 1.0 / {_MH_K} * 1000000 + 0.5) / 1000000
+               AS jaccard_est6,
+           floor(COALESCE(ex.n_inter, 0) * 1.0
+                 / (sa.n_sh + sb.n_sh - COALESCE(ex.n_inter, 0))
+                 * 1000000 + 0.5) / 1000000 AS jaccard_exact6
+    FROM agree ag
+    LEFT JOIN exact ex ON ex.doc_a = ag.doc_a AND ex.doc_b = ag.doc_b
+    JOIN sizes sa ON sa.doc_id = ag.doc_a
+    JOIN sizes sb ON sb.doc_id = ag.doc_b
+    """,
+)
+def llm_minhash_estimate(spark, sf_dir):
+    """MinHash Jaccard ESTIMATE next to exact Jaccard for the same
+    pairs — the sketch-accuracy ledger, fully hash-matched because the
+    "permutations" are md5-salted hashes both engines derive
+    identically (unlike `MinHashLSH`'s engine-private family, which is
+    why `llm_neardup_lsh` is rows-only).
+
+    Estimate = fraction of {_MH_K} slots whose min-hash agrees —
+    E[agree/k] is exactly the Jaccard similarity. Signatures cost one
+    explode×k → (doc, slot) MIN reduction (map-side combined);
+    candidate pairs come from the same prefix blocking as
+    `llm_neardup_pairs`, so the quadratic term never appears. The
+    pytest layer asserts |est − exact| ≤ 3/sqrt(k) per pair.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    sh = materialize(
+        d.select("doc_id", F.explode(_trigram_expr()).alias("g"))
+    )
+    js = F.array(*[F.lit(j) for j in range(_MH_K)])
+    sig = (
+        sh.select("doc_id", F.explode(js).alias("j"), "g")
+        .select(
+            "doc_id",
+            "j",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), "g")),
+                    1,
+                    16,
+                ),
+                16,
+                10,
+            ).alias("mh"),
+        )
+        .groupBy("doc_id", "j")
+        # conv() returns a STRING; MIN must be numeric (string MIN would
+        # order '9' > '10'). 16 hex digits exceed BIGINT, so the
+        # unsigned value lives in DECIMAL(20,0) — DuckDB's ::UBIGINT
+        # MIN picks the identical element
+        .agg(F.min(F.col("mh").cast("decimal(20,0)")).alias("mh"))
+    )
+    pfx = d.select("doc_id", F.substring("text", 1, 40).alias("pfx"))
+    pa, pb = pfx.alias("pa"), pfx.alias("pb")
+    cand = materialize(
+        pa.join(
+            pb,
+            (F.col("pa.pfx") == F.col("pb.pfx"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        ).select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mh_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "j", F.col("mh").alias("mh_b")
+    )
+    agree = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "j"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+            ).alias("n_agree")
+        )
+    )
+    ga = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    exact = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        agree.join(exact, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(F.col("n_agree") * 1.0 / _MH_K * 1_000_000 + 0.5)
+                / 1_000_000
+            ).alias("jaccard_est6"),
+            (
+                F.floor(
+                    F.coalesce("n_inter", F.lit(0))
+                    * 1.0
+                    / (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0)))
+                    * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
+            ).alias("jaccard_exact6"),
+        )
+    )

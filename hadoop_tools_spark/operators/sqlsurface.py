@@ -141,3 +141,52 @@ def sql_udf(spark, sf_dir):
         GROUP BY l_returnflag, price_band(l_extendedprice)
         """
     )
+
+
+@query(
+    "sql_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2)
+               AS rev_f,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2)
+               AS rev_o,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2)
+               AS rev_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot(spark, sf_dir):
+    """SQL-syntax PIVOT clause (vs ``agg_pivot``'s DataFrame API):
+    order counts and revenue per priority, pivoted on the three order
+    statuses. The oracle is the semantic definition — conditional
+    FILTER aggregates — which is also exactly what Catalyst rewrites
+    PIVOT into (one pass, no per-status scans); the explicit IN list
+    keeps the output schema static so no driver-side distinct-value
+    probe runs at plan time (the 100 TB rule for pivots: always name
+    your columns).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pivot_src")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COALESCE(F_n, 0)  AS n_f,
+               COALESCE(O_n, 0)  AS n_o,
+               COALESCE(P_n, 0)  AS n_p,
+               ROUND(COALESCE(F_rev, 0), 2) AS rev_f,
+               ROUND(COALESCE(O_rev, 0), 2) AS rev_o,
+               ROUND(COALESCE(P_rev, 0), 2) AS rev_p
+        FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice
+            FROM orders_pivot_src
+        )
+        PIVOT (
+            COUNT(*) AS n, SUM(o_totalprice) AS rev
+            FOR o_orderstatus IN ('F', 'O', 'P')
+        )
+        """
+    )

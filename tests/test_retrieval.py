@@ -231,3 +231,20 @@ def test_containment_matches_bruteforce(spark):
     assert got == want
     for r in rows:
         assert 0.5 <= r.containment6 <= 1.0
+
+
+def test_minhash_estimate_accuracy(spark, sf_dir):
+    """MinHash estimates stay within 3/sqrt(k) of exact Jaccard
+    (≈3 standard errors) and both scores live in [0, 1]."""
+    from hadoop_tools_spark.operators.llm_dedup import (
+        _MH_K,
+        llm_minhash_estimate,
+    )
+
+    rows = llm_minhash_estimate(spark, sf_dir).collect()
+    assert rows
+    bound = 3.0 / (_MH_K**0.5)
+    for r in rows:
+        assert 0.0 <= r.jaccard_est6 <= 1.0
+        assert 0.0 <= r.jaccard_exact6 <= 1.0
+        assert abs(r.jaccard_est6 - r.jaccard_exact6) <= bound
