@@ -287,8 +287,7 @@ def udf_grouped_map(spark, sf_dir):
     the largest user's events (same bound any window over user_id
     needs); groups stream through Arrow batches, never the driver.
     """
-    import math
-
+    import numpy as np
     import pandas as pd  # noqa: F811 — worker-side import
 
     ev = load(spark, sf_dir, "events").select(
@@ -298,12 +297,14 @@ def udf_grouped_map(spark, sf_dir):
     )
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
-        s = int(pdf["cents"].sum())
-        n = len(pdf)
-        pdf["delta_from_mean6"] = [
-            math.floor((c * n - s) / (100.0 * n) * 1e6 + 0.5) / 1e6
-            for c in pdf["cents"].astype("int64")
-        ]
+        c = pdf["cents"].to_numpy(dtype="int64")
+        s, n = int(c.sum()), len(c)
+        # vectorized but ELEMENTWISE-only numpy (no reductions after
+        # the exact int64 sum), so each output is the same single
+        # IEEE division/floor the oracle's window formulation performs
+        pdf["delta_from_mean6"] = (
+            np.floor((c * n - s) / (100.0 * n) * 1e6 + 0.5) / 1e6
+        )
         return pdf[["user_id", "event_id", "cents", "delta_from_mean6"]]
 
     return ev.groupBy("user_id").applyInPandas(

@@ -578,3 +578,45 @@ def agg_grouping_id(spark, sf_dir):
             "sum_price",
         )
     )
+
+
+@query(
+    "agg_argminmax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(MIN_BY(o_orderkey,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       * 10000000 + o_orderkey) AS BIGINT)
+               AS cheapest_order,
+           CAST(MAX_BY(o_orderkey,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       * 10000000 + o_orderkey) AS BIGINT)
+               AS priciest_order,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_argminmax(spark, sf_dir):
+    """argmin/argmax aggregates (``min_by``/``max_by``): the order id
+    carrying each priority's extreme price — one pass, no join-back
+    and no per-group sort, the single-shuffle alternative to the
+    window-rank idiom when only the extreme row's key is needed.
+
+    Determinism: price ties would make bare min_by engine-arbitrary,
+    so the ordering key is the integer composite cents·10⁷ + orderkey
+    — a total order (exact cents, orderkey < 10⁷ at every fixture SF)
+    encoded identically on both engines, since DuckDB's min_by cannot
+    order by a struct.
+    """
+    o = load(spark, sf_dir, "orders")
+    ordkey = (
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") * 10_000_000
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", ordkey).cast("long").alias("cheapest_order"),
+        F.max_by("o_orderkey", ordkey).cast("long").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

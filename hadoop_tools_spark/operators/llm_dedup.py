@@ -868,8 +868,10 @@ _MH_K = 32
     ),
     sig AS (
         SELECT doc_id, j,
-               MIN(('0x' || SUBSTR(MD5(j::VARCHAR || '|' || g), 1, 16))::UBIGINT)
-                   AS mh
+               MIN(('0x' || CASE WHEN j % 2 = 0
+                            THEN SUBSTR(MD5((j // 2)::VARCHAR || '|' || g), 1, 16)
+                            ELSE SUBSTR(MD5((j // 2)::VARCHAR || '|' || g), 17, 16)
+                            END)::UBIGINT) AS mh
         FROM sh, (SELECT unnest(generate_series(0, {_MH_K - 1})) AS j)
         GROUP BY doc_id, j
     ),
@@ -927,21 +929,38 @@ def llm_minhash_estimate(spark, sf_dir):
     sh = materialize(
         d.select("doc_id", F.explode(_trigram_expr()).alias("g"))
     )
-    js = F.array(*[F.lit(j) for j in range(_MH_K)])
+    # one md5 yields TWO 64-bit signature slots (its halves) — the
+    # digest work halves vs hashing per slot; the oracle derives the
+    # identical values with j//2 salts and j%2 slicing
+    half = F.array(*[F.lit(m) for m in range(_MH_K // 2)])
     sig = (
-        sh.select("doc_id", F.explode(js).alias("j"), "g")
+        sh.select("doc_id", F.explode(half).alias("m"), "g")
         .select(
             "doc_id",
-            "j",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), "g")),
-                    1,
-                    16,
-                ),
-                16,
-                10,
-            ).alias("mh"),
+            F.md5(
+                F.concat(F.col("m").cast("string"), F.lit("|"), "g")
+            ).alias("dg"),
+            "m",
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("m") * 2).alias("j"),
+                        F.substring("dg", 1, 16).alias("hx"),
+                    ),
+                    F.struct(
+                        (F.col("m") * 2 + 1).alias("j"),
+                        F.substring("dg", 17, 16).alias("hx"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.j").alias("j"),
+            F.conv(F.col("s.hx"), 16, 10).alias("mh"),
         )
         .groupBy("doc_id", "j")
         # conv() returns a STRING; MIN must be numeric (string MIN would

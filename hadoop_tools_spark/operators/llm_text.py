@@ -1241,3 +1241,62 @@ def llm_dataset_card(spark, sf_dir):
             ).alias("exact_dup_rate6"),
         )
     )
+
+
+@query(
+    "llm_split_assign",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '/split'),
+                                         1, 8))::BIGINT % 100 < 80 THEN 'train'
+                    WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '/split'),
+                                         1, 8))::BIGINT % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def llm_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test assignment by salted
+    md5-mod of the document id — every document lands in EXACTLY one
+    split (disjoint + complete by construction, proven in pytest), and
+    the assignment is stable under retries, re-partitioning, and
+    incremental corpus growth (a new doc never moves an old one —
+    unlike randomSplit, whose assignment depends on partition layout).
+
+    The '/split' salt decouples this hash-mod from every other
+    hash-mod key (sampling, stratification) so the carved subsets are
+    statistically independent. Scan-side CASE, zero extra shuffle
+    beyond the reporting groupBy.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    assigned = d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -602,3 +602,91 @@ def ts_ewma(spark, sf_dir):
         F.col("r.amount").alias("amount"),
         F.col("r.ewma6").alias("ewma6"),
     )
+
+
+@query(
+    "ts_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    k AS (
+        SELECT CAST(SUM(cents) * 12 // (COUNT(*) * 10) AS BIGINT) AS drift
+        FROM daily
+    ),
+    per AS (
+        SELECT user_id,
+               list_sort(list(struct_pack(day := day, cents := cents))) AS a
+        FROM daily GROUP BY user_id
+    ),
+    expanded AS (
+        SELECT user_id, k.drift,
+               unnest(list_transform(generate_series(1, len(a)), i -> {
+                   'day': a[i].day,
+                   'cents': a[i].cents,
+                   'cusum': list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(list_slice(a, 1, i),
+                                          s -> s.cents)),
+                       (acc, x) -> GREATEST(acc + x - k.drift,
+                                            CAST(0 AS BIGINT)))
+               })) AS r
+        FROM per CROSS JOIN k
+    )
+    SELECT user_id, r.day AS day, CAST(r.cents AS BIGINT) AS cents,
+           CAST(r.cusum AS BIGINT) AS cusum_cents,
+           r.cusum > 3 * drift AS alarm
+    FROM expanded
+    """,
+)
+def ts_cusum(spark, sf_dir):
+    """CUSUM⁺ change-point detection per user: sᵢ = max(0, sᵢ₋₁ + xᵢ − k)
+    over daily spend, alarming when the statistic exceeds 3k — the
+    classic drift detector for data-quality monitoring on ingest
+    pipelines.
+
+    Recursive like EWMA, so it uses the same left-fold array-lambda
+    shape — but the entire computation is INTEGER arithmetic (cents,
+    integer drift allowance from a 1-row floor-division aggregate,
+    GREATEST), so the key is exact with no float pinning at all. One
+    user_id shuffle; per-user fold arrays calendar-bounded.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    k = daily.agg(
+        F.expr("CAST(SUM(cents) * 12 DIV (COUNT(*) * 10) AS BIGINT)").alias(
+            "drift"
+        )
+    )
+    per = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("a")
+    ).join(F.broadcast(k))
+    zero = F.lit(0).cast("long")
+    rows = F.transform(
+        F.sequence(F.lit(1), F.size("a")),
+        lambda i: F.struct(
+            F.element_at("a", i)["day"].alias("day"),
+            F.element_at("a", i)["cents"].alias("cents"),
+            F.aggregate(
+                F.transform(F.slice("a", 1, i), lambda s: s["cents"]),
+                zero,
+                lambda acc, x: F.greatest(acc + x - F.col("drift"), zero),
+            ).alias("cusum"),
+        ),
+    )
+    return per.select(
+        "user_id", "drift", F.explode(rows).alias("r")
+    ).select(
+        "user_id",
+        F.col("r.day").alias("day"),
+        F.col("r.cents").alias("cents"),
+        F.col("r.cusum").alias("cusum_cents"),
+        (F.col("r.cusum") > 3 * F.col("drift")).alias("alarm"),
+    )

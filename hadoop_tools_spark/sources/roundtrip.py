@@ -413,3 +413,63 @@ def scan_parquet_schema_merge(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "sink_csv_hostile",
+    oracle="""
+    WITH hostile AS (
+        SELECT p_partkey,
+               p_name || ', "' || p_brand || '"' || chr(10) || p_type
+                   AS tricky
+        FROM part
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(LENGTH(tricky)) AS BIGINT) AS total_chars,
+           MD5(STRING_AGG(tricky, '|' ORDER BY p_partkey)) AS content_md5
+    FROM hostile
+    """,
+)
+def sink_csv_hostile(spark, sf_dir):
+    """CSV roundtrip with hostile content: embedded commas, double
+    quotes, and NEWLINES inside quoted fields. The writer must quote +
+    escape; the reader must run in multiLine mode (a quoted newline
+    spans physical lines, so naive line-splitting corrupts rows).
+
+    The md5 over the ordered recovered strings proves byte-exact
+    survival. Scale note: multiLine CSV is NOT splittable (a worker
+    cannot start mid-file — it can't know if it's inside quotes), so
+    at 100 TB hostile CSV must arrive as many files; this key's single
+    small file is the correctness witness, parquet is the scale path.
+    """
+    p = load(spark, sf_dir, "part")
+    hostile = p.select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"),
+            F.lit(', "'),
+            F.col("p_brand"),
+            F.lit('"\n'),
+            F.col("p_type"),
+        ).alias("tricky"),
+    )
+    path = os.path.join(SCRATCH, "csv_hostile")
+    hostile.write.mode("overwrite").option("header", True).option(
+        "escape", '"'
+    ).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("p_partkey long, tricky string")
+        .csv(path)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("tricky")).alias("total_chars"),
+        F.md5(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list(F.struct("p_partkey", "tricky"))).getField("tricky")
+            ).cast("binary")
+        ).alias("content_md5"),
+    )

@@ -248,3 +248,45 @@ def test_minhash_estimate_accuracy(spark, sf_dir):
         assert 0.0 <= r.jaccard_est6 <= 1.0
         assert 0.0 <= r.jaccard_exact6 <= 1.0
         assert abs(r.jaccard_est6 - r.jaccard_exact6) <= bound
+
+
+def test_cusum_recurrence_and_alarm(spark, sf_dir):
+    """CUSUM rows satisfy s_i = max(0, s_{i-1} + x_i - k) exactly
+    (integer arithmetic) and alarms fire iff s_i > 3k."""
+    from hadoop_tools_spark.operators.timeseries import ts_cusum
+
+    rows = ts_cusum(spark, sf_dir).collect()
+    # recover k from any alarm boundary: recompute from the data
+    daily = {}
+    for r in rows:
+        daily.setdefault(r.user_id, []).append(r)
+    total = sum(r.cents for r in rows)
+    n = len(rows)
+    k = total * 12 // (n * 10)
+    for series in list(daily.values())[:50]:
+        series.sort(key=lambda r: r.day)
+        acc = 0
+        for r in series:
+            acc = max(0, acc + r.cents - k)
+            assert r.cusum_cents == acc
+            assert r.alarm == (acc > 3 * k)
+
+
+def test_split_assign_disjoint_complete(spark, sf_dir):
+    """Split counts cover every document exactly once and the ratios
+    are near 80/10/10."""
+    from hadoop_tools_spark.operators.llm_text import llm_split_assign
+
+    rows = llm_split_assign(spark, "/root/testdata/sf0.01").collect()
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).count()
+    total = sum(r.n_docs for r in rows)
+    assert total == n_docs  # complete + disjoint (each doc counted once)
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) == {"train", "valid", "test"}
+    assert 0.7 <= by_split["train"] / n_docs <= 0.9
+    assert 0.05 <= by_split["valid"] / n_docs <= 0.15
+    assert 0.05 <= by_split["test"] / n_docs <= 0.15
