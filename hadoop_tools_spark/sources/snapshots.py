@@ -81,18 +81,30 @@ class SnapshotTable:
         return [os.path.join(self.path, f) for f in self._manifest(v)["files"]]
 
     # -- commits -----------------------------------------------------
-    def _stage(self, df: DataFrame, commit_id: str) -> list[str]:
+    def _stage(
+        self,
+        df: DataFrame,
+        commit_id: str,
+        partition_by: list[str] | None = None,
+    ) -> list[str]:
         """Write data files for one commit into their own subdir;
-        returns table-relative file names. Files are immutable once
-        written — the manifest publish is the only mutation point."""
+        returns table-relative file names (recursive — partitioned
+        commits nest ``col=value`` directories). Files are immutable
+        once written — the manifest publish is the only mutation
+        point."""
         sub = f"data-{commit_id}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, sub))
-        names = [
-            os.path.join(sub, f)
-            for f in sorted(os.listdir(os.path.join(self.path, sub)))
-            if f.endswith(".parquet")
-        ]
-        return names
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.path, sub))
+        root = os.path.join(self.path, sub)
+        names = []
+        for dirpath, _dirs, files in os.walk(root):
+            rel = os.path.relpath(dirpath, self.path)
+            names.extend(
+                os.path.join(rel, f) for f in files if f.endswith(".parquet")
+            )
+        return sorted(names)
 
     def _publish(self, files: list[str], version: int,
                  extra: dict | None = None) -> int:
@@ -123,14 +135,15 @@ class SnapshotTable:
         return self._publish(files, 0)
 
     def _commit_retry(self, df: DataFrame, keep_prev: bool,
-                      max_retries: int = 10) -> int:
+                      max_retries: int = 10,
+                      partition_by: list[str] | None = None) -> int:
         """Stage once, then CAS-loop the manifest publish: on conflict
         re-read the new latest manifest and re-derive the file list.
         Staged data files are immutable and commit-id-unique, so no
         restaging is needed on retry."""
         v = self.latest_version()
         commit_id = f"{v + 1:05d}-{os.getpid()}"
-        staged = self._stage(df, commit_id)
+        staged = self._stage(df, commit_id, partition_by=partition_by)
         for _ in range(max_retries):
             v = self.latest_version()
             prev = self._manifest(v)["files"] if keep_prev else []
@@ -140,8 +153,8 @@ class SnapshotTable:
                 continue  # another writer won this version: rebase
         raise CommitConflict(v + 1)
 
-    def append(self, df: DataFrame) -> int:
-        return self._commit_retry(df, keep_prev=True)
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        return self._commit_retry(df, keep_prev=True, partition_by=partition_by)
 
     def overwrite(self, df: DataFrame) -> int:
         return self._commit_retry(df, keep_prev=False)
@@ -157,10 +170,29 @@ class SnapshotTable:
         files (parquet mergeSchema): after an additive schema change,
         files written before the new column surface it as NULL. Off by
         default — merging pays a footer-read per file at planning."""
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*self.files(version))
+        files = self.files(version)
+        # Partition-spec evolution (Iceberg-style): each commit owns its
+        # layout, so files are read PER COMMIT GROUP with that commit's
+        # dir as basePath (recovering its col=value partition columns,
+        # if any), then unioned by name — a flat multi-path read would
+        # fail on CONFLICTING_DIRECTORY_STRUCTURES the moment one
+        # commit is partitioned and another is not.
+        groups: dict[str, list[str]] = {}
+        for f in files:  # absolute paths; group by commit subdir
+            rel = os.path.relpath(f, self.path)
+            groups.setdefault(rel.split(os.sep, 1)[0], []).append(f)
+        parts = []
+        for commit_dir in sorted(groups):
+            reader = spark.read.option(
+                "basePath", os.path.join(self.path, commit_dir)
+            )
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            parts.append(reader.parquet(*groups[commit_dir]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
 
 @query(
@@ -320,3 +352,59 @@ def snapshot_schema_evolution(spark, sf_dir):
         "n_with_priority",
     )
     return s0.unionAll(s1)
+
+
+@query(
+    "snapshot_partition_evolution",
+    oracle="""
+    WITH all_rows AS (
+        SELECT o_orderkey, o_totalprice,
+               STRFTIME(o_orderdate, '%Y-%m') AS o_month
+        FROM orders
+    )
+    SELECT o_month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM all_rows
+    WHERE o_month = '1996-03'
+    GROUP BY o_month
+    """,
+)
+def snapshot_partition_evolution(spark, sf_dir):
+    """Partition-spec evolution: the table's FIRST commit is
+    unpartitioned (month is a plain column), a LATER commit is
+    month-partitioned — and one read sees both, Iceberg-style, because
+    each commit group is scanned under its own layout (its dir as
+    basePath recovers `o_month=...` partition values) and the groups
+    union by name. No old file is rewritten when the spec changes.
+
+    The month filter prunes DIRECTORIES in the partitioned commit
+    (only `o_month=1996-03/` is listed) while the unpartitioned
+    commit's files are filtered row-wise via parquet predicate
+    pushdown — the exact hybrid a multi-year 100 TB table lives with
+    after a partitioning change.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+    )
+    table_path = os.path.join(SCRATCH, "snapshot_partevolve")
+    import shutil
+
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    # epoch 1: unpartitioned (odd keys)
+    tbl.create(orders.filter(F.col("o_orderkey") % 2 == 1))
+    # epoch 2: the pipeline adopts month partitioning (even keys)
+    tbl.append(
+        orders.filter(F.col("o_orderkey") % 2 == 0), partition_by=["o_month"]
+    )
+    cur = tbl.read(spark)
+    return (
+        cur.filter(F.col("o_month") == "1996-03")
+        .groupBy("o_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -290,3 +290,38 @@ def test_split_assign_disjoint_complete(spark, sf_dir):
     assert 0.7 <= by_split["train"] / n_docs <= 0.9
     assert 0.05 <= by_split["valid"] / n_docs <= 0.15
     assert 0.05 <= by_split["test"] / n_docs <= 0.15
+
+
+def test_partition_evolution_prunes_and_time_travels(spark, sf_dir, tmp_path):
+    """After a partition-spec change: (a) v0 reads exactly the
+    pre-evolution rows, (b) the current read sees both layouts, and
+    (c) a month filter reaches the partitioned commit as a partition
+    filter (directory pruning), not a row filter."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        )
+    )
+    tbl = SnapshotTable(str(tmp_path / "pe"))
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    tbl.create(odd)
+    tbl.append(even, partition_by=["o_month"])
+
+    assert tbl.read(spark, version=0).count() == odd.count()
+    assert tbl.read(spark).count() == orders.count()
+
+    filtered = tbl.read(spark).filter(F.col("o_month") == "1996-03")
+    want = orders.filter(F.col("o_month") == "1996-03").count()
+    assert filtered.count() == want
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_month" in plan or (
+        "o_month=1996-03" in plan
+    ), plan
