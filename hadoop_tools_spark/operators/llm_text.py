@@ -1300,3 +1300,84 @@ def llm_split_assign(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+#: training sequence length for packing (tokens) and shard fan-out.
+_PACK_SEQ = 256
+_PACK_SHARDS = 16
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '/pack'), 1, 8))
+                   ::BIGINT % {_PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_tok
+        FROM base
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(start_tok // {_PACK_SEQ} AS BIGINT) AS seq_first,
+           CAST((start_tok + n_tokens - 1) // {_PACK_SEQ} AS BIGINT)
+               AS seq_last,
+           CAST(start_tok % {_PACK_SEQ} AS BIGINT) AS offset_in_seq
+    FROM pos
+    """,
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Pretraining sequence packing: documents are concatenated in
+    deterministic order within hash-assigned shards, then cut into
+    fixed {_PACK_SEQ}-token training sequences — each doc learns which
+    sequence(s) it lands in and at what offset (docs may straddle a
+    boundary; seq_first/seq_last expose the straddle).
+
+    The GPT-style concat-and-chunk data layout, made distributable:
+    the packing unit is a SHARD (salted md5-mod of doc_id), so the
+    running-token window partitions on shard — {_PACK_SHARDS}-way
+    parallel here, thousands-way at 100 TB — and never needs a global
+    order. Shard assignment is retry-stable and append-stable for
+    existing docs; token offsets within a shard are pure window
+    arithmetic over exact integers.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/pack"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _PACK_SHARDS
+    )
+    base = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    pos = base.withColumn(
+        "start_tok",
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - F.col("n_tokens"),
+    )
+    return pos.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("start_tok") / _PACK_SEQ).cast("long").alias("seq_first"),
+        ((F.col("start_tok") + F.col("n_tokens") - 1) / _PACK_SEQ)
+        .cast("long")
+        .alias("seq_last"),
+        (F.col("start_tok") % _PACK_SEQ).alias("offset_in_seq"),
+    )

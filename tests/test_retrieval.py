@@ -325,3 +325,26 @@ def test_partition_evolution_prunes_and_time_travels(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(o_month" in plan or (
         "o_month=1996-03" in plan
     ), plan
+
+
+def test_pack_sequences_tile_contiguously(spark, sf_dir):
+    """Within each shard, docs tile the token stream with no gaps or
+    overlaps, and seq bounds/offsets are consistent."""
+    from hadoop_tools_spark.operators.llm_text import (
+        _PACK_SEQ,
+        llm_pack_sequences,
+    )
+
+    rows = llm_pack_sequences(spark, sf_dir).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert by_shard
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in shard_rows:
+            assert r.offset_in_seq == pos % _PACK_SEQ
+            assert r.seq_first == pos // _PACK_SEQ
+            assert r.seq_last == (pos + r.n_tokens - 1) // _PACK_SEQ
+            pos += r.n_tokens
