@@ -755,10 +755,12 @@ def llm_dedup_substring(spark, sf_dir):
 
 
 #: stop-shingle guard for containment blocking: trigrams present in
-#: more than this many documents are dropped from candidate generation
+#: more than 10% of documents are dropped from candidate generation
 #: (boilerplate shingles block everything with everything — the same
-#: viral-key rule as graph_common_neighbors' _CN_CAP).
-_CONT_DF_CAP = 50
+#: viral-key rule as graph_common_neighbors' _CN_CAP). The cap is
+#: corpus-RELATIVE (df·10 ≤ N): the sf1 rehearsal showed an absolute
+#: cap emptying the candidate set once a 10× corpus multiplied every
+#: shingle's df past it.
 
 
 @query(
@@ -775,8 +777,10 @@ _CONT_DF_CAP = 50
         FROM d
     ),
     nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    n AS (SELECT COUNT(*) AS n_total FROM documents),
     keep AS (
-        SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {_CONT_DF_CAP}
+        SELECT g FROM sh CROSS JOIN n
+        GROUP BY g, n.n_total HAVING COUNT(*) * 10 <= n_total
     ),
     shk AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep USING (g)),
     inter AS (
@@ -800,8 +804,11 @@ def llm_containment(spark, sf_dir):
     Jaccard but containment ≈ 1).
 
     Same blocked shape as every dedup key: candidates only from
-    shared-shingle equi-joins (cost Σ df²), with the `_CONT_DF_CAP`
-    stop-shingle guard so boilerplate trigrams cannot go quadratic.
+    shared-shingle equi-joins (cost Σ df²), with the corpus-relative
+    stop-shingle guard (df·10 ≤ N) so boilerplate trigrams cannot go
+    quadratic — and so the guard means the same thing at every corpus
+    size (the sf1 rehearsal caught the absolute form emptying the
+    candidate set at 10×).
     The ≥ 0.5 cut is evaluated integer-exactly (shared·2 ≥ n_a) before
     the floor-pinned 6-dp score is computed, so the cut can never
     flicker on float ulps. Denominator uses the UNCAPPED shingle
@@ -813,8 +820,12 @@ def llm_containment(spark, sf_dir):
         d.select("doc_id", F.explode(_trigram_expr()).alias("g"))
     )
     nsh = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    keep = sh.groupBy("g").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= _CONT_DF_CAP
+    n_total = d.agg(F.count("*").alias("n_total"))
+    keep = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(n_total))
+        .filter(F.col("df") * 10 <= F.col("n_total"))
     )
     shk = sh.join(keep.select("g"), "g", "left_semi")
     a, b = shk.alias("a"), shk.alias("b")

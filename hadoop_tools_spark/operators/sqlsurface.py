@@ -190,3 +190,34 @@ def sql_pivot(spark, sf_dir):
         )
         """
     )
+
+
+@query(
+    "sql_params",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_params(spark, sf_dir):
+    """Parameterized SQL (Spark 4 named-parameter binding): the query
+    text carries ``:threshold`` / ``:status`` placeholders and values
+    bind server-side — no string interpolation, so a hostile value
+    cannot change the query shape (the SQL-injection-safe pattern for
+    templated analytics at any scale) and plan caching keys on the
+    constant template.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_src")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders_param_src
+        WHERE o_totalprice > :threshold AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"threshold": 150000.0, "status": "O"},
+    )

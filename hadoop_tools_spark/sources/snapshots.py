@@ -408,3 +408,62 @@ def snapshot_partition_evolution(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "snapshot_changes",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey % 3 = 0
+    ),
+    v1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+    ),
+    removed AS (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1),
+    added   AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+    SELECT '-' AS change, o_orderkey, o_orderstatus FROM removed
+    UNION ALL
+    SELECT '+', o_orderkey, o_orderstatus FROM added
+    """,
+)
+def snapshot_changes(spark, sf_dir):
+    """Change-data-feed between two snapshot versions: row-level diff
+    of v0 → v1 as '+' (added) / '-' (removed) rows — updates appear as
+    a remove+add pair, the representation every downstream CDC
+    consumer (merge_upsert, scd2_intervals) can replay.
+
+    Computed as two exceptAll passes over the version reads — no
+    change log is stored, the manifests ARE the log (diffing file
+    LISTS first would skip unchanged files entirely; at 100 TB that
+    file-level prune makes the diff proportional to the changed
+    commits, not the table).
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v0_df = orders.filter(F.col("o_orderkey") % 3 == 0)
+    v1_df = v0_df.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 2 == 0, "X").otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    table_path = os.path.join(SCRATCH, "snapshot_changes")
+    import shutil
+
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    tbl.create(v0_df)
+    tbl.overwrite(v1_df)
+    old, new = tbl.read(spark, version=0), tbl.read(spark, version=1)
+    removed = old.exceptAll(new).select(
+        F.lit("-").alias("change"), "o_orderkey", "o_orderstatus"
+    )
+    added = new.exceptAll(old).select(
+        F.lit("+").alias("change"), "o_orderkey", "o_orderstatus"
+    )
+    return removed.unionAll(added)

@@ -198,10 +198,7 @@ def test_containment_matches_bruteforce(spark):
     """Every reported containment pair matches a brute-force shingle
     computation, and no qualifying pair is missed (modulo the
     stop-shingle cap, mirrored here)."""
-    from hadoop_tools_spark.operators.llm_dedup import (
-        _CONT_DF_CAP,
-        llm_containment,
-    )
+    from hadoop_tools_spark.operators.llm_dedup import llm_containment
 
     sf = "/root/testdata/sf0.001"
     docs = {
@@ -217,7 +214,8 @@ def test_containment_matches_bruteforce(spark):
     for gs in sh.values():
         for g in gs:
             dfreq[g] = dfreq.get(g, 0) + 1
-    kept = {d: {g for g in gs if dfreq[g] <= _CONT_DF_CAP} for d, gs in sh.items()}
+    cap = len(docs) // 10
+    kept = {d: {g for g in gs if dfreq[g] <= cap} for d, gs in sh.items()}
     want = {}
     for a, ga in kept.items():
         for b, gb in kept.items():
