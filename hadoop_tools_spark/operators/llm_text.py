@@ -1381,3 +1381,73 @@ def llm_pack_sequences(spark, sf_dir):
         .alias("seq_last"),
         (F.col("start_tok") % _PACK_SEQ).alias("offset_in_seq"),
     )
+
+
+@query(
+    "llm_entropy_filter",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, n_chars,
+               unnest(string_split_regex(text, '')) AS ch
+        FROM documents WHERE n_chars > 0
+    ),
+    freq AS (
+        SELECT doc_id, n_chars, ch, COUNT(*) AS n
+        FROM chars WHERE ch <> '' GROUP BY doc_id, n_chars, ch
+    ),
+    terms AS (
+        SELECT doc_id, n_chars,
+               CAST(floor(-(n * 1.0 / n_chars) * LN(n * 1.0 / n_chars)
+                          / LN(2.0) * 1000000 + 0.5) AS BIGINT) AS t6
+        FROM freq
+    ),
+    ent AS (
+        SELECT doc_id, MAX(n_chars) AS n_chars,
+               CAST(SUM(t6) AS BIGINT) AS ent6
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(ent6 AS DOUBLE) / 1000000 AS char_entropy_bits6,
+           ent6 * 2 >= 3000000 AS keep
+    FROM ent
+    """,
+)
+def llm_entropy_filter(spark, sf_dir):
+    """Character-level Shannon entropy per document (bits/char) with a
+    keep flag at 1.5 bits — the gibberish/binary-blob screen: natural
+    text sits ~3.5–4.5 bits, a repeated-character or base64-ish blob
+    falls outside, so this one number catches two corpus failure
+    modes a word-level filter misses.
+
+    Explode-to-chars multiplies rows ~300×, but partial aggregation
+    collapses (doc, char) counts map-side before the one exchange —
+    the same shape as wordcount. Entropy terms are floor-pinned
+    scaled-BIGINTs summed order-independently, and the keep cut is
+    integer-exact (ent6·2 ≥ 3·10⁶).
+    """
+    d = load_spread(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    chars = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.split("text", "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "n_chars", "ch").agg(
+        F.count("*").alias("n")
+    )
+    p = F.col("n") * 1.0 / F.col("n_chars")
+    terms = freq.select(
+        "doc_id",
+        "n_chars",
+        F.floor(-p * F.log(p) / F.log(F.lit(2.0)) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("t6"),
+    )
+    ent = terms.groupBy("doc_id").agg(
+        F.max("n_chars").alias("n_chars"), F.sum("t6").alias("ent6")
+    )
+    return ent.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("ent6").cast("double") / 1_000_000).alias("char_entropy_bits6"),
+        (F.col("ent6") * 2 >= 3_000_000).alias("keep"),
+    )
