@@ -937,8 +937,31 @@ def llm_minhash_estimate(spark, sf_dir):
     pytest layer asserts |est − exact| ≤ 3/sqrt(k) per pair.
     """
     d = load_spread(spark, sf_dir, "documents")
+    pfx0 = d.select("doc_id", F.substring("text", 1, 40).alias("pfx"))
+    ca, cb = pfx0.alias("pa"), pfx0.alias("pb")
+    cand0 = ca.join(
+        cb,
+        (F.col("pa.pfx") == F.col("pb.pfx"))
+        & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+    ).select(
+        F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+    )
+    cand = materialize(cand0)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # signatures, intersections and sizes are only ever consumed for
+    # docs inside a candidate pair, so the shingle table is
+    # semi-joined down to those docs BEFORE any hashing — at any scale
+    # the ledger's cost tracks the blocked-candidate volume, not the
+    # corpus (the oracle signs everything and filters at the join;
+    # same values, since unpaired docs never reach its output either)
     sh = materialize(
-        d.select("doc_id", F.explode(_trigram_expr()).alias("g"))
+        d.join(cand_docs, "doc_id", "left_semi").select(
+            "doc_id", F.explode(_trigram_expr()).alias("g")
+        )
     )
     # one md5 yields TWO 64-bit signature slots (its halves) — the
     # digest work halves vs hashing per slot; the oracle derives the
@@ -979,17 +1002,6 @@ def llm_minhash_estimate(spark, sf_dir):
         # unsigned value lives in DECIMAL(20,0) — DuckDB's ::UBIGINT
         # MIN picks the identical element
         .agg(F.min(F.col("mh").cast("decimal(20,0)")).alias("mh"))
-    )
-    pfx = d.select("doc_id", F.substring("text", 1, 40).alias("pfx"))
-    pa, pb = pfx.alias("pa"), pfx.alias("pb")
-    cand = materialize(
-        pa.join(
-            pb,
-            (F.col("pa.pfx") == F.col("pb.pfx"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
-        ).select(
-            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
-        )
     )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mh_a")

@@ -487,3 +487,45 @@ def test_null_aware_anti_join_planned_and_correct(spark, sf_dir):
         " FROM _naaj_nation)"
     )
     assert empty.count() == 0
+
+
+def test_bm25_broadcasts_query_side(spark, sf_dir):
+    """BM25's scoring join must broadcast the bounded query-term side
+    (the corpus-sized (term, doc) counts never reshuffle for a
+    query), with no cartesian anywhere."""
+    from hadoop_tools_spark.operators.llm_retrieval import llm_bm25
+
+    p = plan_str(llm_bm25(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_triangles_all_equi_joins(spark, sf_dir):
+    """Degree-ordered triangle counting stays pure equi-join — the
+    (deg, id) orientation is struct comparison inside join
+    conditions, never a nested-loop theta join."""
+    from hadoop_tools_spark.operators.analytics import graph_triangles
+
+    p = plan_str(graph_triangles(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+
+
+def test_count_min_broadcasts_sketch(spark, sf_dir):
+    """Probing joins the tiny probe set against the 2048-cell sketch —
+    a broadcast, never a shuffle of the stream."""
+    from hadoop_tools_spark.operators.analytics import agg_count_min
+
+    p = plan_str(agg_count_min(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_dir):
+    """Sequence packing's running-token window partitions on shard —
+    exactly one hash exchange, no global (empty-partition) window."""
+    from hadoop_tools_spark.operators.llm_text import llm_pack_sequences
+
+    p = plan_str(llm_pack_sequences(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    # a global window would surface as SinglePartition exchange
+    assert "SinglePartition" not in p, p
