@@ -1451,3 +1451,78 @@ def llm_entropy_filter(spark, sf_dir):
         (F.col("ent6").cast("double") / 1_000_000).alias("char_entropy_bits6"),
         (F.col("ent6") * 2 >= 3_000_000).alias("keep"),
     )
+
+
+@query(
+    "llm_leakage_check",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '/split'),
+                                         1, 8))::BIGINT % 100 < 80 THEN 'train'
+                    WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '/split'),
+                                         1, 8))::BIGINT % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc, b.split AS eval_split
+        FROM assigned a JOIN assigned b
+          ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+         AND a.split = 'train' AND b.split <> 'train'
+    )
+    SELECT eval_split, eval_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+           CAST(MIN(train_doc) AS BIGINT) AS example_train_doc
+    FROM pairs GROUP BY eval_split, eval_doc
+    """,
+)
+def llm_leakage_check(spark, sf_dir):
+    """Cross-split leakage audit: valid/test documents that share a
+    near-dup blocking key (40-char normalized prefix) with any TRAIN
+    document — the contamination check run before every evaluation,
+    composing the engine's split assignment with its dedup blocking.
+
+    Same equi-blocked shape as `llm_neardup_pairs` with a split
+    predicate folded into the join, so candidate volume is still
+    Σ|block|² — a leakage audit over 100 TB costs no more than the
+    dedup pass it reuses. Output is per contaminated eval doc with a
+    concrete offending train doc (min id) for triage.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    assigned = d.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("pfx"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tr = assigned.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "pfx"
+    )
+    ev = assigned.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_doc"),
+        F.col("split").alias("eval_split"),
+        "pfx",
+    )
+    return (
+        tr.join(ev, "pfx")
+        .groupBy("eval_split", "eval_doc")
+        .agg(
+            F.count("*").alias("n_train_matches"),
+            F.min("train_doc").alias("example_train_doc"),
+        )
+    )

@@ -690,3 +690,64 @@ def ts_cusum(spark, sf_dir):
         F.col("r.cusum").alias("cusum_cents"),
         (F.col("r.cusum") > 3 * F.col("drift")).alias("alarm"),
     )
+
+
+@query(
+    "ts_seasonal_dow",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    seasonal AS (
+        SELECT dow,
+               floor(SUM(cents) * 100.0 / COUNT(*) + 0.5) / 10000
+                   AS dow_mean4
+        FROM daily GROUP BY dow
+    )
+    SELECT d.day, d.dow, CAST(d.cents AS DOUBLE) / 100 AS amount,
+           s.dow_mean4,
+           floor((CAST(d.cents AS DOUBLE) / 100 - s.dow_mean4) * 10000 + 0.5)
+               / 10000 AS residual4
+    FROM daily d JOIN seasonal s ON s.dow = d.dow
+    """,
+)
+def ts_seasonal_dow(spark, sf_dir):
+    """Seasonal-naive decomposition: corpus-wide daily totals split
+    into a day-of-week seasonal component (per-weekday mean) and a
+    residual — the first-line screen that separates "Mondays are
+    always low" from a real anomaly (contrast ``ts_anomaly``'s
+    per-user z-score, which this complements at corpus grain).
+
+    Two tiny aggregates: facts collapse to one row per calendar day,
+    the seasonal table is 7 rows broadcast back onto them. Exact
+    integer cents throughout; the per-weekday mean and residual use
+    the floor-form pin. Weekday numbering is pinned to Spark's
+    1=Sunday convention (DuckDB's 0-based dayofweek is +1'd in the
+    oracle, same as fn_interval).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    seasonal = daily.groupBy("dow").agg(
+        (
+            F.floor(F.sum("cents") * 100.0 / F.count("*") + 0.5) / 10_000
+        ).alias("dow_mean4")
+    )
+    amount = F.col("cents").cast("double") / 100
+    return daily.join(F.broadcast(seasonal), "dow").select(
+        "day",
+        "dow",
+        amount.alias("amount"),
+        "dow_mean4",
+        (
+            F.floor((amount - F.col("dow_mean4")) * 10_000 + 0.5) / 10_000
+        ).alias("residual4"),
+    )
