@@ -1526,3 +1526,129 @@ def llm_leakage_check(spark, sf_dir):
             F.min("train_doc").alias("example_train_doc"),
         )
     )
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Generate the round-unrolled DuckDB oracle for llm_bpe_learn."""
+    parts = [
+        """
+    WITH w AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    s0 AS (
+        SELECT word, n,
+               ' ' || array_to_string(
+                   list_filter(string_split_regex(word, ''), c -> c <> ''),
+                   ' ') AS seq
+        FROM w
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(f"""
+    a{r} AS (
+        SELECT word, n, string_split(substr(seq, 2), ' ') AS arr FROM {prev}
+    ),
+    p{r} AS (
+        SELECT pr.pa AS pa, pr.pb AS pb, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (
+            SELECT n, unnest(list_transform(
+                generate_series(1, len(arr) - 1),
+                i -> struct_pack(pa := arr[i], pb := arr[i + 1]))) AS pr
+            FROM a{r}
+        ) GROUP BY pr.pa, pr.pb
+    ),
+    b{r} AS (SELECT pa, pb, cnt FROM p{r} ORDER BY cnt DESC, pa, pb LIMIT 1),
+    s{r} AS (
+        SELECT word, n,
+               list_reduce(
+                   list_prepend(' ' || arr[1], list_slice(arr, 2, len(arr))),
+                   (acc, c) -> CASE WHEN ends_with(acc, ' ' || b.pa)
+                                     AND c = b.pb
+                               THEN acc || c ELSE acc || ' ' || c END) AS seq
+        FROM a{r} CROSS JOIN b{r} b
+    )""")
+    selects = [
+        f"SELECT {r} AS round, pa AS merge_left, pb AS merge_right,"
+        f" pa || pb AS merged, cnt FROM b{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_BPE_ROUNDS = 3
+
+
+@query("llm_bpe_learn", oracle=_bpe_oracle(_BPE_ROUNDS))
+def llm_bpe_learn(spark, sf_dir):
+    """Distributed BPE vocabulary learning: 3 merge rounds over the
+    corpus word distribution — each round counts adjacent symbol pairs
+    (weighted by word frequency), adopts the most frequent pair as a
+    new token, and re-segments every word with a greedy left-to-right
+    merge. The tokenizer-training step of an LLM data pipeline, run
+    where the data lives.
+
+    Scale shape per round: pair counting partial-aggregates over the
+    VOCABULARY table (corpus text is touched once, to build word
+    counts — at 100 TB the vocab is millions of rows, not billions),
+    the winning pair is a 1-row broadcast, and re-segmentation is a
+    shuffle-free projection (a string left-fold identical in both
+    engines, so greedy-merge semantics — 'xxx' → 'xx x' — are
+    bit-reproducible). Rounds are driver-unrolled: k rounds = k tiny
+    aggregates, no iterative state beyond the loop counter.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    chars = F.split("word", "")
+    state = w.select(
+        "word", "n", F.concat(F.lit(" "), F.array_join(chars, " ")).alias("seq")
+    )
+    out = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        arr = F.split(F.expr("substring(seq, 2)"), " ")
+        pair_structs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("pa"),
+                    F.element_at(arr, i + 1).alias("pb"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pa:string,pb:string>>"))
+        best = (
+            state.select("n", F.explode(pair_structs).alias("pr"))
+            .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pa", "pb")
+            .limit(1)
+        )
+        best = materialize(best)
+        row = best.select(
+            F.lit(r).alias("round"),
+            F.col("pa").alias("merge_left"),
+            F.col("pb").alias("merge_right"),
+            F.concat("pa", "pb").alias("merged"),
+            "cnt",
+        )
+        out = row if out is None else out.unionAll(row)
+        merged_seq = F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.concat(F.lit(" "), F.element_at(arr, 1)),
+            lambda acc, c: F.when(
+                acc.endswith(F.concat(F.lit(" "), F.col("pa")))
+                & (c == F.col("pb")),
+                F.concat(acc, c),
+            ).otherwise(F.concat(acc, F.lit(" "), c)),
+        )
+        state = state.join(F.broadcast(best)).select(
+            "word", "n", merged_seq.alias("seq")
+        )
+    return out

@@ -346,3 +346,45 @@ def test_pack_sequences_tile_contiguously(spark, sf_dir):
             assert r.seq_first == pos // _PACK_SEQ
             assert r.seq_last == (pos + r.n_tokens - 1) // _PACK_SEQ
             pos += r.n_tokens
+
+
+def test_bpe_learn_matches_reference(spark, sf_dir):
+    """The 3 learned merges equal a pure-Python BPE reference over the
+    same word distribution (greedy left-to-right merge semantics)."""
+    from collections import Counter
+
+    from hadoop_tools_spark.operators.llm_text import llm_bpe_learn
+
+    words = Counter()
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        for w in r.text.split(" "):
+            if w:
+                words[w] += 1
+    seqs = {w: list(w) for w in words}
+
+    def learn_one():
+        pairs = Counter()
+        for w, seq in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += words[w]
+        (pa, pb), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == pa and seq[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+        return pa, pb, cnt
+
+    expect = [learn_one() for _ in range(3)]
+    rows = sorted(llm_bpe_learn(spark, sf_dir).collect(), key=lambda r: r.round)
+    assert len(rows) == 3
+    for r, (pa, pb, cnt) in zip(rows, expect):
+        assert (r.merge_left, r.merge_right, r.cnt) == (pa, pb, cnt)
+        assert r.merged == pa + pb
