@@ -1599,6 +1599,13 @@ def llm_bpe_learn(spark, sf_dir):
     bit-reproducible). Rounds are driver-unrolled: k rounds = k tiny
     aggregates, no iterative state beyond the loop counter.
     """
+    _state, out = _bpe_run(spark, sf_dir)
+    return out
+
+
+def _bpe_run(spark, sf_dir):
+    """Run the BPE merge loop; returns (final vocab segmentation,
+    merge-ledger DataFrame) — shared by the learn and apply keys."""
     d = load_spread(spark, sf_dir, "documents")
     w = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1651,4 +1658,80 @@ def llm_bpe_learn(spark, sf_dir):
         state = state.join(F.broadcast(best)).select(
             "word", "n", merged_seq.alias("seq")
         )
-    return out
+    return state, out
+
+
+def _bpe_apply_oracle(rounds: int) -> str:
+    """Oracle for llm_tokenize_apply: the learn CTEs + per-doc token
+    accounting against the final segmentation."""
+    body = _bpe_oracle(rounds)
+    # reuse the learn oracle's CTE prefix (WITH ... s{rounds}); strip
+    # its UNION ALL output selects and continue the CTE list
+    ctes = body.split("\nUNION ALL\n")[0]
+    ctes = ctes[: ctes.rindex("SELECT 1 AS round")].rstrip()
+    return f"""{ctes}
+    ,
+    vocab AS (
+        SELECT word, CAST(len(string_split(substr(seq, 2), ' ')) AS BIGINT)
+                   AS n_tok
+        FROM s{rounds}
+    ),
+    docw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(LENGTH(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(v.n_tok) AS BIGINT) AS n_tokens,
+           floor(CAST(SUM(LENGTH(word)) AS DOUBLE) / SUM(v.n_tok) * 10000
+                 + 0.5) / 10000 AS chars_per_token4
+    FROM docw JOIN vocab v USING (word)
+    WHERE word <> ''
+    GROUP BY doc_id
+    """
+
+
+@query("llm_tokenize_apply", oracle=_bpe_apply_oracle(_BPE_ROUNDS))
+def llm_tokenize_apply(spark, sf_dir):
+    """Tokenizer APPLY: segment every document with the merges
+    ``llm_bpe_learn`` just learned and account tokens per document —
+    the inference half of the tokenizer loop, the pass that actually
+    runs over 100 TB.
+
+    The scale trick: segmentation is computed once per DISTINCT
+    vocabulary word (the BPE state table), and documents join their
+    exploded words against that vocab — the corpus-sized side does one
+    hash join on a vocabulary-sized build side and a per-doc reduce;
+    no document's text is ever re-folded. chars/token is the budget
+    number a context-window planner consumes.
+    """
+    state, _out = _bpe_run(spark, sf_dir)
+    vocab = state.select(
+        "word",
+        F.size(F.split(F.expr("substring(seq, 2)"), " "))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    d = load_spread(spark, sf_dir, "documents")
+    docw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_tok").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(F.length("word")).cast("double")
+                    / F.sum("n_tok")
+                    * 10_000
+                    + 0.5
+                )
+                / 10_000
+            ).alias("chars_per_token4"),
+        )
+    )
