@@ -929,7 +929,7 @@ def llm_minhash_estimate(spark, sf_dir):
     identically (unlike `MinHashLSH`'s engine-private family, which is
     why `llm_neardup_lsh` is rows-only).
 
-    Estimate = fraction of {_MH_K} slots whose min-hash agrees —
+    Estimate = fraction of k=32 slots whose min-hash agrees —
     E[agree/k] is exactly the Jaccard similarity. Signatures cost one
     explode×k → (doc, slot) MIN reduction (map-side combined);
     candidate pairs come from the same prefix blocking as

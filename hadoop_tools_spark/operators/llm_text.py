@@ -1335,13 +1335,13 @@ _PACK_SHARDS = 16
 def llm_pack_sequences(spark, sf_dir):
     """Pretraining sequence packing: documents are concatenated in
     deterministic order within hash-assigned shards, then cut into
-    fixed {_PACK_SEQ}-token training sequences — each doc learns which
+    fixed 256-token training sequences — each doc learns which
     sequence(s) it lands in and at what offset (docs may straddle a
     boundary; seq_first/seq_last expose the straddle).
 
     The GPT-style concat-and-chunk data layout, made distributable:
     the packing unit is a SHARD (salted md5-mod of doc_id), so the
-    running-token window partitions on shard — {_PACK_SHARDS}-way
+    running-token window partitions on shard — 16-way
     parallel here, thousands-way at 100 TB — and never needs a global
     order. Shard assignment is retry-stable and append-stable for
     existing docs; token offsets within a shard are pure window
