@@ -478,3 +478,78 @@ def join_fuzzy_match(spark, sf_dir):
             dist.cast("long").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, ts FROM events WHERE event_type = 'click'),
+         cand AS (
+            SELECT p.event_id, p.user_id, c.event_id AS c_id,
+                   ABS(CAST(floor(epoch(p.ts) * 1000000) AS BIGINT)
+                       - CAST(floor(epoch(c.ts) * 1000000) AS BIGINT))
+                       AS adiff_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY ABS(CAST(floor(epoch(p.ts) * 1000000) AS BIGINT)
+                                    - CAST(floor(epoch(c.ts) * 1000000) AS BIGINT)),
+                                c.ts, c.event_id) AS rn
+            FROM p JOIN c
+              ON c.ts >= p.ts - INTERVAL 5 MINUTE
+             AND c.ts <= p.ts + INTERVAL 5 MINUTE
+         )
+    SELECT event_id, user_id, c_id AS nearest_click_id,
+           CAST(adiff_us AS BIGINT) AS abs_diff_us
+    FROM cand WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join (pandas ``merge_asof(direction='nearest')``
+    semantics): each purchase matched to the click closest in time
+    within a ±5-minute tolerance, ties broken toward the earlier
+    click then event id.
+
+    Where `join_asof` looks backward only (window trick over a union),
+    nearest needs BOTH directions — so it uses the tolerance-bounded
+    range join + per-left rank instead: candidates are generated only
+    inside the ±tolerance band (at scale, bucketized on time like
+    `join_range_bucketed` so the band is an equi-prefix), and the
+    |Δt| rank picks one winner per purchase. The tolerance is what
+    keeps state bounded — an unbounded nearest-join cannot exist at
+    100 TB.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    tol = F.expr("INTERVAL 5 MINUTES")
+    cand = p.join(
+        c,
+        (F.col("c_ts") >= F.col("p_ts") - tol)
+        & (F.col("c_ts") <= F.col("p_ts") + tol),
+    ).select(
+        "event_id",
+        "user_id",
+        "c_id",
+        "c_ts",
+        F.abs(
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("c_ts").cast("timestamp"))
+        ).alias("adiff_us"),
+    )
+    w = Window.partitionBy("event_id").orderBy("adiff_us", "c_ts", "c_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_id").alias("nearest_click_id"),
+            F.col("adiff_us").alias("abs_diff_us"),
+        )
+    )

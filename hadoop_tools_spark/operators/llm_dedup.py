@@ -1053,3 +1053,157 @@ def llm_minhash_estimate(spark, sf_dir):
             ).alias("jaccard_exact6"),
         )
     )
+
+
+@query(
+    "llm_url_canonical",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'HTTP://Site-' || (doc_id % 50)
+                      || '.Example.COM:80/a/b/?utm_source=x&id=' || doc_id % 7
+                 WHEN 1 THEN 'http://site-' || (doc_id % 50)
+                      || '.example.com/a/b?id=' || doc_id % 7
+                 WHEN 2 THEN 'https://site-' || (doc_id % 50)
+                      || '.example.com:443/a/b/index.html?id=' || doc_id % 7
+                      || '&utm_campaign=y'
+                 ELSE 'https://site-' || (doc_id % 50)
+                      || '.example.com/a/b?ref=z&id=' || doc_id % 7
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^[Hh][Tt][Tt][Pp][Ss]?://([^/?#]+)', 1))
+                   AS hostport,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     COALESCE(NULLIF(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), ''), '/'),
+                     '/index\\.html$', '/'),
+                   '/+$', ''),
+                 '^$', '/') AS path,
+               regexp_extract(url, '\\?(.*)$', 1) AS qs
+        FROM raw
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               replace(replace(hostport, ':80', ''), ':443', '') AS host,
+               path,
+               array_to_string(
+                 list_sort(list_filter(string_split(qs, '&'),
+                     p -> p <> '' AND NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))),
+                 '&') AS params
+        FROM canon
+    ),
+    keys AS (
+        SELECT doc_id,
+               host || path || CASE WHEN params = '' THEN ''
+                                    ELSE '?' || params END AS canonical
+        FROM cleaned
+    )
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM keys GROUP BY canonical
+    """,
+)
+def llm_url_canonical(spark, sf_dir):
+    """URL canonicalization dedup — the crawl-frontier collapse every
+    web-corpus pipeline runs before fetch/dedup: lowercase the host,
+    drop default ports (:80/:443), strip index.html and trailing
+    slashes, remove tracking params (utm_*, ref), and SORT the
+    remaining query params so equivalent URLs in any param order
+    collapse to one canonical key. Four synthetic variants per
+    document id fold to one canonical URL each.
+
+    Pure codegen string work (regex + list lambdas — the param sort is
+    an in-array sort, not a shuffle); the only exchange is the final
+    canonical-key groupBy, which is exact dedup's hash-groupBy shape.
+    """
+    d = load_spread(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    site = F.concat(F.lit("site-"), (F.col("doc_id") % 50).cast("string"))
+    idp = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTP://Site-"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".Example.COM:80/a/b/?utm_source=x&id="),
+                idp,
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(F.lit("http://"), site, F.lit(".example.com/a/b?id="), idp),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://"),
+                site,
+                F.lit(".example.com:443/a/b/index.html?id="),
+                idp,
+                F.lit("&utm_campaign=y"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), site, F.lit(".example.com/a/b?ref=z&id="), idp
+            )
+        )
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    hostport = F.lower(
+        F.regexp_extract("url", r"^[Hh][Tt][Tt][Pp][Ss]?://([^/?#]+)", 1)
+    )
+    path0 = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.coalesce(F.nullif(path0, F.lit("")), F.lit("/")),
+                r"/index\.html$",
+                "/",
+            ),
+            r"/+$",
+            "",
+        ),
+        r"^$",
+        "/",
+    )
+    qs = F.regexp_extract("url", r"\?(.*)$", 1)
+    cleaned = raw.select(
+        "doc_id",
+        F.replace(
+            F.replace(hostport, F.lit(":80"), F.lit("")),
+            F.lit(":443"),
+            F.lit(""),
+        ).alias("host"),
+        path.alias("path"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split(qs, "&"),
+                    lambda p: (p != "")
+                    & ~(p.startswith("utm_") | p.startswith("ref=")),
+                )
+            ),
+            "&",
+        ).alias("params"),
+    )
+    keys = cleaned.select(
+        "doc_id",
+        F.concat(
+            "host",
+            "path",
+            F.when(F.col("params") == "", "").otherwise(
+                F.concat(F.lit("?"), F.col("params"))
+            ),
+        ).alias("canonical"),
+    )
+    return keys.groupBy("canonical").agg(
+        F.count("*").alias("n_urls"), F.min("doc_id").alias("keeper_doc")
+    )

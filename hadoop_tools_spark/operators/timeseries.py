@@ -751,3 +751,90 @@ def ts_seasonal_dow(spark, sf_dir):
             F.floor((amount - F.col("dow_mean4")) * 10_000 + 0.5) / 10_000
         ).alias("residual4"),
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1
+    ),
+    ks AS (SELECT unnest([1, 7]) AS k),
+    pairs AS (
+        SELECT ks.k, a.cents AS x, b.cents AS y
+        FROM ks
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(ks.k || ' days' AS INTERVAL)
+    ),
+    moms AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS k, n AS n_pairs,
+           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 * 1000000 + 0.5) / 1000000 AS autocorr6
+    FROM moms
+    """,
+)
+def ts_autocorr(spark, sf_dir):
+    """Lag-k autocorrelation (k = 1 and 7 days) of the corpus-wide
+    daily spend series — the seasonality detector that says whether
+    ``ts_seasonal_dow``'s weekly component is real.
+
+    The lag alignment is an EQUI-join on day = day + k (never a
+    global-order window), so it distributes like any join; Pearson r
+    is assembled from five exact BIGINT moment sums — the only float
+    ops are the final normalization (each pre-product magnitude
+    < 2⁵³, so the double casts are exact and the expression is a
+    fixed sequence of IEEE ops both engines execute identically).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(7))).alias("k")
+    )
+    a = daily.select(F.col("day").alias("a_day"), F.col("cents").alias("x"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("cents").alias("y"))
+    pairs = (
+        ks.crossJoin(a)
+        .join(b, F.col("b_day") == F.expr("date_add(a_day, k)"))
+        .select("k", "x", "y")
+    )
+    moms = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return moms.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").alias("n_pairs"),
+        (
+            F.floor(
+                (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+                / F.sqrt(
+                    (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                    * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+                )
+                * 1_000_000
+                + 0.5
+            )
+            / 1_000_000
+        ).alias("autocorr6"),
+    )

@@ -388,3 +388,19 @@ def test_bpe_learn_matches_reference(spark, sf_dir):
     for r, (pa, pb, cnt) in zip(rows, expect):
         assert (r.merge_left, r.merge_right, r.cnt) == (pa, pb, cnt)
         assert r.merged == pa + pb
+
+
+def test_url_canonical_collapses_variants(spark, sf_dir):
+    """All four synthetic URL variants of the same (site, id) collapse
+    to ONE canonical key: n distinct canonicals == n_sites * n_ids and
+    every group counts all its variant urls."""
+    from hadoop_tools_spark.operators.llm_dedup import llm_url_canonical
+
+    rows = llm_url_canonical(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 350  # 50 sites x 7 id values
+    assert sum(r.n_urls for r in rows) == 500
+    for r in rows:
+        assert r.canonical.startswith("site-")
+        assert ":80" not in r.canonical and ":443" not in r.canonical
+        assert "utm" not in r.canonical and "ref=" not in r.canonical
+        assert "index.html" not in r.canonical
