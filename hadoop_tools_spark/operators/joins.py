@@ -512,26 +512,51 @@ def join_asof_nearest(spark, sf_dir):
     click then event id.
 
     Where `join_asof` looks backward only (window trick over a union),
-    nearest needs BOTH directions — so it uses the tolerance-bounded
-    range join + per-left rank instead: candidates are generated only
-    inside the ±tolerance band (at scale, bucketized on time like
-    `join_range_bucketed` so the band is an equi-prefix), and the
-    |Δt| rank picks one winner per purchase. The tolerance is what
-    keeps state bounded — an unbounded nearest-join cannot exist at
-    100 TB.
+    nearest needs BOTH directions — so it uses a bucketized
+    tolerance-band join: clicks land in one 10-minute bucket
+    (2× tolerance), purchases probe their own bucket ±1 (a 3-element
+    explode), so the join is a pure EQUI-join on bucket with the exact
+    band as a residual filter — a raw range predicate planned as a
+    nested-loop join here, which the sf1 rehearsal timed out on
+    (200k × 200k comparisons). The |Δt| rank picks one winner per
+    purchase; the tolerance is what keeps the candidate band (and a
+    streaming version's state) bounded.
     """
     ev = load(spark, sf_dir, "events")
+    bucket_s = 600  # 2× the 5-minute tolerance
     p = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").alias("p_ts")
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.floor(
+                            F.unix_micros(F.col("ts").cast("timestamp"))
+                            / (bucket_s * 1_000_000)
+                        )
+                        + d
+                    ).cast("long")
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("bucket"),
     )
     c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / (bucket_s * 1_000_000)
+        )
+        .cast("long")
+        .alias("bucket"),
     )
     tol = F.expr("INTERVAL 5 MINUTES")
-    cand = p.join(
-        c,
+    cand = p.join(c, "bucket").filter(
         (F.col("c_ts") >= F.col("p_ts") - tol)
-        & (F.col("c_ts") <= F.col("p_ts") + tol),
+        & (F.col("c_ts") <= F.col("p_ts") + tol)
     ).select(
         "event_id",
         "user_id",

@@ -529,3 +529,17 @@ def test_pack_sequences_single_shard_exchange(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     # a global window would surface as SinglePartition exchange
     assert "SinglePartition" not in p, p
+
+
+def test_asof_nearest_is_equi_join(spark, sf_dir):
+    """The nearest as-of join must plan as an equi join on the time
+    bucket — the raw tolerance predicate alone would be a nested-loop
+    join (the sf1 rehearsal timed out on exactly that)."""
+    from hadoop_tools_spark.operators.joins import join_asof_nearest
+
+    p = plan_str(join_asof_nearest(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    ), p
