@@ -620,3 +620,102 @@ def agg_argminmax(spark, sf_dir):
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@query(
+    "agg_moments",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(x * x) AS BIGINT) AS s2,
+               CAST(SUM(x * x * x) AS HUGEINT) AS s3,
+               CAST(SUM(x * x * x * x) AS HUGEINT) AS s4
+        FROM c GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor((CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 * 10000 + 0.5) / 10000 AS var_pop4,
+           floor((CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+                 / pow(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       1.5)
+                 * 1000000 + 0.5) / 1000000 AS skewness6,
+           floor((CAST(s4 AS DOUBLE) / n
+                  - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                  + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    * (CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                 * 1000000 + 0.5) / 1000000 AS kurtosis6
+    FROM m
+    """,
+)
+def agg_moments(spark, sf_dir):
+    """Population skewness and kurtosis per event type from EXACT raw
+    moment sums — higher-order distribution shape beyond
+    ``agg_stats``'s variance/correlation.
+
+    Raw moments Σx..Σx⁴ accumulate as integers over cents (x ≤ 10⁴
+    cents ⇒ x⁴ ≤ 10¹⁶; partial sums stay in range at fixture scales
+    and the reduction is order-independent — unlike merged
+    central-moment streams, whose last-ulp depends on partition
+    order). The central-moment identities then run in float once per
+    GROUP (not per row), a fixed IEEE expression both engines
+    evaluate identically; outputs are floor-pinned. Map-side
+    combinable like any sum — the single-pass mergeable-moments
+    pattern (same family as agg_linreg).
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x")
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum((F.col("x") * F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .alias("s3"),
+        F.sum(
+            (F.col("x") * F.col("x") * F.col("x") * F.col("x")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3 * mu * (F.col("s2").cast("double") / F.col("n"))
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / F.col("n")
+        - 4 * mu * (F.col("s3").cast("double") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2").cast("double") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return m.select(
+        "event_type",
+        "n",
+        (F.floor(m2 * 10_000 + 0.5) / 10_000).alias("var_pop4"),
+        (F.floor(m3 / F.pow(m2, 1.5) * 1_000_000 + 0.5) / 1_000_000).alias(
+            "skewness6"
+        ),
+        (F.floor(m4 / (m2 * m2) * 1_000_000 + 0.5) / 1_000_000).alias(
+            "kurtosis6"
+        ),
+    )

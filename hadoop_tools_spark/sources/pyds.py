@@ -22,7 +22,13 @@ emit one InputPartition per split exactly as this one does.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from ..registry import query
 
@@ -224,4 +230,118 @@ def source_python_stream(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum("latency_ms").alias("total_latency"),
         )
+    )
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonlWriter(DataSourceWriter):
+    """Per-partition JSON-lines writer with two-phase commit: tasks
+    write to uniquely-named staging files and report them in commit
+    messages; only the driver-side ``commit`` publishes the file list
+    as a manifest. A failed/speculative task's file is simply never
+    listed — the same staged-files + manifest-pointer protocol as the
+    snapshot table, at connector level."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc is not None else 0
+        _os.makedirs(self.path, exist_ok=True)
+        fname = _os.path.join(
+            self.path, f"part-{part:05d}-{_uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "files": sorted(m.path for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            _json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.unlink(m.path)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite):
+        return JsonlWriter(self.options)
+
+
+@query(
+    "sink_python_ds",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_python_ds(spark, sf_dir):
+    """Custom Python DataSource WRITE path (Spark 4): a JSON-lines
+    sink with real two-phase commit — executors stage uniquely-named
+    files and return commit messages, the driver publishes the
+    manifest, abort unlinks strays. The read-back (only manifest-listed
+    files) must reproduce the source aggregate exactly, proving no
+    row was lost or doubled across the distributed write.
+
+    This is the connector seam for systems Spark has no built-in sink
+    for; like the Python reader, rows cross to Python workers via
+    Arrow, so it is an integration path — the bulk path stays parquet.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from ..io import load
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out_dir = _os.path.join(
+        _os.environ.get("HTS_SCRATCH", "/tmp/hts_scratch"), "jsonl_sink"
+    )
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice").write.format(
+        "jsonl_sink"
+    ).option("path", out_dir).mode("append").save()
+    with open(_os.path.join(out_dir, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).json(manifest["files"])
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
