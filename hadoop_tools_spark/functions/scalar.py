@@ -699,3 +699,42 @@ def fn_geo(spark, sf_dir):
             F.col("lat").between(10.0, 60.0) & F.col("lng").between(-30.0, 40.0)
         ).alias("in_bbox"),
     )
+
+
+@query(
+    "fn_mask",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               p_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS name_masked,
+           regexp_replace(regexp_replace(regexp_replace(
+               p_brand, '[A-Z]', 'Q', 'g'), '[a-z]', 'q', 'g'),
+               '[0-9]', '9', 'g') AS brand_masked,
+           regexp_replace(p_type, '[0-9]', 'n', 'g') AS type_digits_masked
+    FROM part
+    """,
+)
+def fn_mask(spark, sf_dir):
+    """Data-masking family (Spark 4 ``mask``): format-preserving
+    redaction — uppercase→X, lowercase→x, digits→n, punctuation kept —
+    the display-layer PII control that keeps string SHAPE for QA while
+    destroying content (complement of ``llm_pii_scrub``'s audit-side
+    scrubbing). The oracle re-derives the same contract from char-class
+    regexes, pinning ``mask``'s class semantics cross-engine. Pure
+    codegen, zero shuffle.
+    """
+    p = load_spread(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.mask("p_name").alias("name_masked"),
+        F.mask("p_brand", F.lit("Q"), F.lit("q"), F.lit("9")).alias(
+            "brand_masked"
+        ),
+        F.mask(
+            "p_type",
+            F.lit(None).cast("string"),
+            F.lit(None).cast("string"),
+            F.lit("n"),
+        ).alias("type_digits_masked"),
+    )

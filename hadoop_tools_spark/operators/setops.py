@@ -3,9 +3,10 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, load_spread
 from ..registry import query
 
 
@@ -189,3 +190,44 @@ def set_multiset_all(spark, sf_dir):
         .withColumn("op", F.lit("except_all"))
     )
     return i.unionByName(e)
+
+
+@query(
+    "sample_reservoir_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR) || '/res'), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def sample_reservoir_group(spark, sf_dir):
+    """Deterministic fixed-SIZE per-group sample: exactly k = 10
+    documents per language, chosen by salted-md5 order — the
+    reservoir-sampling contract (uniform k per stratum) without RNG
+    state, so the pick is identical under retries, repartitioning,
+    and across engines. Complements `llm_sample_stratified`, which is
+    rate-based (keep p%) rather than count-based (keep k).
+
+    One user-key window per group ranks by the hash; at scale the
+    k-smallest-by-hash per group is a per-partition top-k + merge
+    (the same TakeOrderedAndProject shape as topk_group), never a full
+    sort. The '/res' salt keeps this draw independent of every other
+    hash-mod decision in the pipeline.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/res"))),
+        "doc_id",
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+    )
