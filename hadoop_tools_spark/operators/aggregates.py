@@ -634,8 +634,8 @@ def agg_argminmax(spark, sf_dir):
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(x) AS BIGINT) AS s1,
                CAST(SUM(x * x) AS BIGINT) AS s2,
-               CAST(SUM(x * x * x) AS HUGEINT) AS s3,
-               CAST(SUM(x * x * x * x) AS HUGEINT) AS s4
+               CAST(SUM(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+               CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
         FROM c GROUP BY event_type
     )
     SELECT event_type, n,
@@ -687,12 +687,17 @@ def agg_moments(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("x").alias("s1"),
         F.sum(F.col("x") * F.col("x")).alias("s2"),
-        F.sum((F.col("x") * F.col("x") * F.col("x")).cast("decimal(38,0)"))
-        .alias("s3"),
+        # widen BEFORE multiplying: cents^4 for a 560.21 value is
+        # 9.85e18 > int64 max — the sf0.1 bench caught the per-row
+        # overflow that sf0.01's smaller maxima never hit
         F.sum(
-            (F.col("x") * F.col("x") * F.col("x") * F.col("x")).cast(
-                "decimal(38,0)"
-            )
+            F.col("x").cast("decimal(38,0)") * F.col("x") * F.col("x")
+        ).alias("s3"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("x")
+            * F.col("x")
+            * F.col("x")
         ).alias("s4"),
     )
     mu = F.col("s1").cast("double") / F.col("n")
