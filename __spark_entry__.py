@@ -64,13 +64,13 @@ def _driver_verdicts() -> dict[str, bool]:
 def _ordered_keys() -> list[str]:
     """Coverage-maximising order for the driver's capped key sample.
 
-    Tiering (driver samples a prefix of this list): never-sampled keys
-    first (oracle'd before rows-only), then keys whose *latest* driver
-    sample FAILED (their repairs need driver re-confirmation), then
-    already-green keys. Parsing verdicts — not just key sets — is what
-    keeps a repaired key inside the sample until the driver re-confirms
-    it (round-3 lesson: coverage-only ranking shipped two fixes with no
-    driver evidence).
+    Tiering (driver samples a prefix of this list): keys whose *latest*
+    driver sample FAILED rank FIRST (a known-bad verdict is worse than
+    no verdict — their repairs need driver re-confirmation NOW), then
+    never-sampled keys (oracle'd before rows-only), then already-green
+    keys. Round-4 lesson: with 60 never-sampled keys queued ahead, the
+    old never-sampled-first order starved three repaired keys at
+    positions 61–63 for three consecutive rounds.
 
     Stale-green policy: a green key whose implementing module later
     changed is NOT re-ranked here; instead every round re-verifies ALL
@@ -82,10 +82,10 @@ def _ordered_keys() -> list[str]:
 
     def rank(key: str) -> tuple[int, str]:
         has_oracle = key in registry.ORACLES
-        if key not in verdicts:
-            tier = 0 if has_oracle else 1  # fresh coverage first
-        elif not verdicts[key]:
-            tier = 2  # last driver sample FAILED: re-confirm the repair
+        if key in verdicts and not verdicts[key]:
+            tier = 0  # last driver sample FAILED: re-confirm the repair
+        elif key not in verdicts:
+            tier = 1 if has_oracle else 2  # fresh coverage next
         elif has_oracle:
             tier = 3  # already green with oracle
         else:

@@ -100,11 +100,22 @@ _N_HASHES = 4  # 2 bands × 2 rows
 
 
 def _trigram_expr():
-    """Distinct word-trigram shingles of ``text`` as an array column."""
+    """Distinct word-trigram shingles of ``text`` as an array column.
+
+    Docs with <3 words yield an EMPTY array: ``sequence`` defaults to
+    step -1 when start > stop, so the naive ``sequence(1, size-2)``
+    would generate a DESCENDING run hitting ``element_at(w, 0)`` →
+    INVALID_INDEX_OF_ZERO at runtime (latent only because the fixture's
+    minimum doc length is 10 words — a real corpus has 1-word docs).
+    The explicit size branch keeps every generated index in [1, size-2].
+    """
     w = F.split("text", " ")
+    idx = F.when(
+        F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2)
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
+            idx,
             lambda i: F.concat_ws(
                 " ",
                 F.element_at(w, i),

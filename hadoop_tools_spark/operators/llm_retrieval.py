@@ -52,7 +52,7 @@ _CHUNK, _STRIDE = 32, 24
     SELECT term,
            CAST(COUNT(*) AS BIGINT) AS df,
            CAST(SUM(tf) AS BIGINT) AS total_tf,
-           list_sort(list(doc_id)) AS postings
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
     FROM per CROSS JOIN n
     GROUP BY term, n.n_total
     HAVING COUNT(*) >= {_IDX_DF_MIN} AND COUNT(*) * 5 <= n_total * 4
@@ -60,6 +60,10 @@ _CHUNK, _STRIDE = 32, 24
 )
 def llm_inverted_index(spark, sf_dir):
     """Posting-list build: term → sorted doc ids + df + total tf.
+
+    Postings serialize as a comma-joined string (the ``agg_collect``
+    convention, aggregates.py) so both harness canonicalizers hash a
+    scalar cell — raw array columns crash the driver's comparator.
 
     Two partial-aggregated reductions — words collapse to (term, doc)
     counts map-side before the one hash exchange on ``term``; the
@@ -81,7 +85,13 @@ def llm_inverted_index(spark, sf_dir):
         .agg(
             F.count("*").alias("df"),
             F.sum("tf").alias("total_tf"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .join(F.broadcast(n_total))
         .filter(

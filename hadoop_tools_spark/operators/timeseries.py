@@ -772,15 +772,18 @@ def ts_seasonal_dow(spark, sf_dir):
     moms AS (
         SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx,
-               CAST(SUM(y * y) AS BIGINT) AS syy
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
         FROM pairs GROUP BY k
     )
     SELECT CAST(k AS BIGINT) AS k, n AS n_pairs,
-           floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy))
                  * 1000000 + 0.5) / 1000000 AS autocorr6
     FROM moms
     """,
@@ -792,10 +795,14 @@ def ts_autocorr(spark, sf_dir):
 
     The lag alignment is an EQUI-join on day = day + k (never a
     global-order window), so it distributes like any join; Pearson r
-    is assembled from five exact BIGINT moment sums — the only float
-    ops are the final normalization (each pre-product magnitude
-    < 2⁵³, so the double casts are exact and the expression is a
-    fixed sequence of IEEE ops both engines execute identically).
+    is assembled from exact integer moment sums. Products of two
+    daily cent totals are ~9e17 at sf1 and grow with SF², so the
+    quadratic moments widen to decimal(38,0) BEFORE multiplying
+    (Spark) / HUGEINT (DuckDB) — the same overflow class agg_moments
+    fixed. The final normalization casts each widened sum to double
+    once (not exact past 2⁵³, but both engines perform the identical
+    cast-then-IEEE-expression, so outputs stay bit-equal) and the
+    result is floor-pinned to 6 decimals.
     """
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -817,9 +824,11 @@ def ts_autocorr(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        # widen BEFORE multiplying: daily-total products overflow int64
+        # around sf10 (totals grow ∝ SF, products ∝ SF²)
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
     )
     nd = F.col("n").cast("double")
     return moms.select(
@@ -827,10 +836,19 @@ def ts_autocorr(spark, sf_dir):
         F.col("n").alias("n_pairs"),
         (
             F.floor(
-                (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+                (
+                    nd * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double") * F.col("sy")
+                )
                 / F.sqrt(
-                    (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-                    * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+                    (
+                        nd * F.col("sxx").cast("double")
+                        - F.col("sx").cast("double") * F.col("sx")
+                    )
+                    * (
+                        nd * F.col("syy").cast("double")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    )
                 )
                 * 1_000_000
                 + 0.5

@@ -628,3 +628,23 @@ def test_substring_dedup_spans_verified(spark, sf_dir):
         # maximality on the left edge
         if r.span_start > 1:
             assert not shared(r.doc_id, r.span_start - 1)
+
+
+def test_trigram_expr_short_docs_yield_empty_not_crash(spark):
+    """Docs with <3 words must produce an empty gram array — the naive
+    sequence(1, size-2) descends for short docs and crashes with
+    INVALID_INDEX_OF_ZERO (round-4 ADVICE). Exercises 0/1/2/3/4-word
+    inputs through the same expression every MinHash/containment key
+    explodes."""
+    from hadoop_tools_spark.operators.llm_dedup import _trigram_expr
+
+    rows = [(0, ""), (1, "one"), (2, "two words"), (3, "now three words"),
+            (4, "four words in here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", _trigram_expr().alias("g")).collect()
+    }
+    assert out[0] == [] and out[1] == [] and out[2] == []
+    assert out[3] == ["now three words"]
+    assert out[4] == ["four words in", "words in here"]

@@ -57,8 +57,31 @@ def cells_equal(a, b) -> bool:
     return a == b or repr(a) == repr(b)
 
 
+def nonscalar_columns(df: pd.DataFrame) -> list[str]:
+    """Columns holding list/array/dict cells — the driver's canonicalizer
+    (pandas sort_values → Categorical) crashes on them with
+    ``TypeError: unhashable type: 'list'`` (round-4 llm_inverted_index
+    ERR). Serialize such columns (array_join / array_to_string) instead.
+    """
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            for v in df[c].head(50):
+                if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+                    bad.append(c)
+                    break
+    return bad
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     errs = []
+    ns = nonscalar_columns(sdf)
+    if ns:
+        errs.append(
+            f"non-scalar output columns {ns}: driver canonicalizer crashes "
+            "on list cells — serialize with array_join(...)"
+        )
+        return errs
     if sorted(sdf.columns) != sorted(odf.columns):
         errs.append(f"columns: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         return errs
@@ -116,8 +139,13 @@ def main() -> int:
             n_fail += 1
             continue
         if key not in oracles:
-            print(f"rows-only {key}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
-            n_rows_only += 1
+            ns = nonscalar_columns(sdf)
+            if ns:
+                print(f"FAIL {key}: non-scalar output columns {ns}")
+                n_fail += 1
+            else:
+                print(f"rows-only {key}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+                n_rows_only += 1
             continue
         try:
             odf = con.execute(oracles[key]).fetchdf()
