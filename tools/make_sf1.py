@@ -11,7 +11,16 @@ corpus has ~10× the duplicate pairs, not 45× from verbatim clones —
 the 40-char prefix blocks stay within-copy). embeddings get
 deterministic per-copy noise for the same reason.
 
-Usage: python tools/make_sf1.py [/tmp/sf1]
+Usage: python tools/make_sf1.py [/tmp/sf1] [--constant-rate]
+
+``--constant-rate`` (VERDICT r4 ask #5) additionally tags EVERY interior
+word of each copy's documents with the copy index, so copies share zero
+word trigrams. The default leading-token perturbation keeps 40-char
+*prefix* blocks within-copy but leaves interior trigrams identical
+across copies, which inflates shingle-blocked keys (llm_containment)
+~COPIES× beyond a true sf1's duplicate mass; the constant-rate corpus
+holds the dup rate at the sf0.1 level so their rehearsal measures
+scaling, not amplification artifacts.
 """
 
 from __future__ import annotations
@@ -67,7 +76,7 @@ def _offsets(con) -> dict[str, int]:
     return out
 
 
-def main(dest: str) -> None:
+def main(dest: str, constant_rate: bool = False) -> None:
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     off = _offsets(con)
@@ -102,27 +111,30 @@ def main(dest: str) -> None:
         ).fetchone()[0]
         print(t, n)
 
-    # documents: per-copy distinct leading token keeps dup-blocks within-copy
+    # documents: per-copy distinct leading token keeps dup-blocks within-copy;
+    # constant-rate mode tags EVERY interior word so cross-copy trigram
+    # sharing is zero (within-copy near-dup structure is preserved — the
+    # same word->w{i}word map applies to every doc in the copy)
     max_doc = con.execute(
         f"SELECT MAX(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchone()[0]
-    sel = " UNION ALL ".join(
-        f"SELECT doc_id + {i * max_doc} AS doc_id, "
-        f"'w{i} ' || text AS text, lang "
-        f"FROM read_parquet('{SRC}/documents.parquet')"
-        for i in range(COPIES)
-    )
+
+    def text_expr(i: int) -> str:
+        if constant_rate:
+            return f"'w{i} ' || replace(text, ' ', ' w{i}') AS text"
+        return f"'w{i} ' || text AS text"
+
     cols_doc = [r[0] for r in con.execute(
         f"DESCRIBE SELECT * FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchall()]
     extra = [c for c in cols_doc if c not in ("doc_id", "text", "lang")]
-    if extra:
-        sel = " UNION ALL ".join(
-            f"SELECT doc_id + {i * max_doc} AS doc_id, "
-            f"'w{i} ' || text AS text, lang, {', '.join(extra)} "
-            f"FROM read_parquet('{SRC}/documents.parquet')"
-            for i in range(COPIES)
-        )
+    tail = (", " + ", ".join(extra)) if extra else ""
+    sel = " UNION ALL ".join(
+        f"SELECT doc_id + {i * max_doc} AS doc_id, "
+        f"{text_expr(i)}, lang{tail} "
+        f"FROM read_parquet('{SRC}/documents.parquet')"
+        for i in range(COPIES)
+    )
     con.execute(f"COPY ({sel}) TO '{dest}/documents.parquet' (FORMAT PARQUET)")
     print("documents", con.execute(
         f"SELECT COUNT(*) FROM read_parquet('{dest}/documents.parquet')"
@@ -157,4 +169,8 @@ def main(dest: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
+    argv = [a for a in sys.argv[1:] if a != "--constant-rate"]
+    main(
+        argv[0] if argv else "/tmp/sf1",
+        constant_rate="--constant-rate" in sys.argv[1:],
+    )
