@@ -268,6 +268,33 @@ def main() -> None:
                 break
         with open(os.path.join(OUT, f"arith_{i}.jpeg"), "wb") as f:
             f.write(bytes(blob))
+    # lossless WebP (VP8L) twins of img_{i}.ppm — pixel-identical, so
+    # the graded key's oracle derives stats from the PPM bytes while
+    # Spark decodes the VP8L bitstream. Encoder options rotate so the
+    # committed fixtures cover distinct decoder paths: plain literals,
+    # subtract-green + predictor transform (all 14 modes), palette
+    # (the PPM recipe has <= 256 colors), color cache + meta groups.
+    from hadoop_tools_spark.operators.webp import encode_webp_lossless
+
+    webp_opts = [
+        {},
+        {"subtract_green": True, "predictor_bits": 2},
+        {"palette": True},
+        {"cache_bits": 5},
+        {"meta_bits": 2},
+        {"subtract_green": True, "color_bits": 2, "predictor_bits": 3},
+        {"subtract_green": True},
+        {"palette": True},
+    ]
+    for i in range(8):
+        w, h = 16 + i * 3, 12 + i * 2
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [(xx * 7 + yy * 13 + c * 29 + i * 31) % 256 for c in range(3)],
+            axis=2,
+        ).astype(np.uint8)
+        with open(os.path.join(OUT, f"webp_{i}.webp"), "wb") as f:
+            f.write(encode_webp_lossless(px, **webp_opts[i]))
     print(f"wrote fixtures to {OUT}")
 
 
