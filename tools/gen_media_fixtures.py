@@ -295,6 +295,13 @@ def main() -> None:
         ).astype(np.uint8)
         with open(os.path.join(OUT, f"webp_{i}.webp"), "wb") as f:
             f.write(encode_webp_lossless(px, **webp_opts[i]))
+    # lossy-VP8 fixture for the tolerant-decode key: a valid RIFF/WEBP
+    # container whose 'VP8 ' (lossy) chunk is out of codec scope — the
+    # decoder must flag the row, not fail the task
+    payload = bytes(range(20))
+    vp8 = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    with open(os.path.join(OUT, "lossy_0.webp"), "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(vp8)) + b"WEBP" + vp8)
     print(f"wrote fixtures to {OUT}")
 
 
