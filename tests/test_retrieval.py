@@ -17,7 +17,8 @@ from hadoop_tools_spark.operators.llm_retrieval import (
 
 
 def test_inverted_index_postings(spark, sf_dir):
-    """Postings are sorted, duplicate-free, df == len(postings), and
+    """Postings (comma-joined string per the driver-hashable-output
+    convention) are sorted, duplicate-free, df == len(postings), and
     every listed doc really contains the term."""
     docs = {
         r.doc_id: set(r.text.split(" "))
@@ -27,7 +28,8 @@ def test_inverted_index_postings(spark, sf_dir):
     assert rows
     n = len(docs)
     for r in rows:
-        posts = list(r.postings)
+        assert isinstance(r.postings, str)  # scalar cell, never a list
+        posts = [int(p) for p in r.postings.split(",")]
         assert posts == sorted(set(posts))
         assert r.df == len(posts)
         assert r.total_tf >= r.df
