@@ -279,3 +279,61 @@ def test_gapfill_edge_semantics(spark, tmp_path):
     assert out[(2, 4)] == (None, 7.0, None)
     assert out[(2, 5)] == (None, 7.0, None)
     spark.catalog.clearCache()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+    opt=st.sampled_from(
+        [
+            {},
+            {"subtract_green": True},
+            {"cache_bits": 4},
+            {"lz77_runs": True},
+            {"predictor_bits": 2},
+            {"color_bits": 3},
+            {"meta_bits": 2},
+        ]
+    ),
+)
+def test_webp_roundtrip_arbitrary_images(w, h, seed, opt):
+    """VP8L encoder→decoder is bit-exact on arbitrary random images
+    across every optional feature path (hypothesis-driven)."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ww, hh, out = decode_webp(encode_webp_lossless(src, **opt))
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(out, src)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    ncol=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_webp_palette_roundtrip_arbitrary(w, h, ncol, seed):
+    """Palette (color-indexing) path incl. sub-byte packing widths."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    src = colors[rng.integers(0, ncol, size=(h, w))]
+    ww, hh, out = decode_webp(encode_webp_lossless(src, palette=True))
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(out, src)
