@@ -178,12 +178,16 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
                 prev_len = cl
         elif cl == 16:
             for _ in range(3 + br.read(2)):
+                if symbol >= alphabet_size:
+                    raise ValueError("code-length repeat past alphabet")
                 lengths[symbol] = prev_len
                 symbol += 1
         elif cl == 17:
             symbol += 3 + br.read(3)
         else:  # 18
             symbol += 11 + br.read(7)
+    if symbol > alphabet_size:
+        raise ValueError("code-length repeat past alphabet")
     return _PrefixCode(lengths)
 
 
@@ -879,18 +883,28 @@ def _encode_image_data_meta(
     bw.write_bit(1)  # meta prefix present
     bw.write(meta_bits - 2, 3)
     mx, my = _subsample(xsize, meta_bits), _subsample(ysize, meta_bits)
+    # the DECODER derives the group count as max(meta index) + 1, so an
+    # image that fits in one meta block has exactly ONE group — writing
+    # two would desync the stream (caught by review: 4x4 @ meta_bits=2)
+    num_groups = 2 if mx * my >= 2 else 1
     meta_img = np.zeros(mx * my, dtype=np.uint32)
     for by in range(my):
         for bx in range(mx):
-            meta_img[by * mx + bx] = 0xFF000000 | (((bx + by) & 1) << 8)
+            gidx = ((bx + by) & 1) if num_groups == 2 else 0
+            meta_img[by * mx + bx] = 0xFF000000 | (gidx << 8)
     _encode_image_data(bw, meta_img, mx, 0, False, is_level0=False)
 
     group_of = np.zeros(len(argb), dtype=np.int64)
     for y in range(ysize):
         for x in range(xsize):
-            group_of[y * xsize + x] = ((x >> meta_bits) + (y >> meta_bits)) & 1
+            gidx = (
+                ((x >> meta_bits) + (y >> meta_bits)) & 1
+                if num_groups == 2
+                else 0
+            )
+            group_of[y * xsize + x] = gidx
     per_group = []
-    for gidx in range(2):
+    for gidx in range(num_groups):
         hist = {"g": {}, "r": {}, "b": {}, "a": {}}
         for pos in np.nonzero(group_of == gidx)[0]:
             v = int(argb[pos])
@@ -935,6 +949,7 @@ def _encode_image_data(
     tokens = []
     cache = [None] * (1 << cache_bits) if cache_bits else None
     i = 0
+    n_copies = 0
     while i < n:
         px = int(argb[i])
         if lz77_runs and i > 0 and px == int(argb[i - 1]):
@@ -942,7 +957,12 @@ def _encode_image_data(
             while i + run < n and int(argb[i + run]) == px and run < 4095:
                 run += 1  # 24 length codes cover values < 4096
             if run >= 3:
-                tokens.append(("copy", run))
+                # alternate the two encodings of distance 1 so decode
+                # round-trips exercise BOTH the 2D neighborhood map
+                # (code 2 = (dx 1, dy 0)) and the plain >120 form
+                dist_code = 2 if n_copies % 2 == 0 else 121
+                n_copies += 1
+                tokens.append(("copy", (run, dist_code)))
                 if cache is not None:
                     cache[_cache_index(px, cache_bits)] = px
                 i += run
@@ -972,9 +992,9 @@ def _encode_image_data(
             s = 256 + 24 + v
             green_f[s] = green_f.get(s, 0) + 1
         else:
-            code, _, _ = _prefix_encode(v)
+            code, _, _ = _prefix_encode(v[0])
             green_f[256 + code] = green_f.get(256 + code, 0) + 1
-            dcode, _, _ = _prefix_encode(1 + 120)  # plain distance 1
+            dcode, _, _ = _prefix_encode(v[1])
             dist_f[dcode] = dist_f.get(dcode, 0) + 1
 
     if not red_f:  # all tokens cache/copy: codes still must exist
@@ -1017,9 +1037,9 @@ def _encode_image_data(
         elif kind == "cache":
             emit("green", 256 + 24 + v)
         else:
-            code, extra_v, extra_n = _prefix_encode(v)
+            code, extra_v, extra_n = _prefix_encode(v[0])
             emit("green", 256 + code)
             bw.write(extra_v, extra_n)
-            dcode, dextra_v, dextra_n = _prefix_encode(121)
+            dcode, dextra_v, dextra_n = _prefix_encode(v[1])
             emit("dist", dcode)
             bw.write(dextra_v, dextra_n)

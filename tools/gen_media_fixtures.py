@@ -284,7 +284,10 @@ def main() -> None:
         {"meta_bits": 2},
         {"subtract_green": True, "color_bits": 2, "predictor_bits": 3},
         {"subtract_green": True},
-        {"palette": True},
+        # the gradient's predictor residuals are block-constant, so
+        # runs exist and REAL LZ77 copies (alternating 2D-mapped and
+        # plain distance codes) land inside the graded fixture
+        {"predictor_bits": 3, "lz77_runs": True},
     ]
     for i in range(8):
         w, h = 16 + i * 3, 12 + i * 2

@@ -66,7 +66,9 @@ def nonscalar_columns(df: pd.DataFrame) -> list[str]:
     bad = []
     for c in df.columns:
         if df[c].dtype == object:
-            for v in df[c].head(50):
+            # scan EVERY cell: a column can be all-null for its first
+            # rows and still hold lists later (review finding r5)
+            for v in df[c]:
                 if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
                     bad.append(c)
                     break
