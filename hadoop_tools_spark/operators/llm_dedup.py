@@ -671,10 +671,10 @@ def dedup_incremental(spark, new_docs_df, index_path: str):
 
 _SUB_K = 40  # exact-substring window (chars), Lee et al.-style
 
-
-@query(
-    "llm_dedup_substring",
-    oracle=f"""
+#: shared oracle for the exact anchor and its hash-shuffled scale twin
+#: (both produce identical spans; the twin only changes WHICH BYTES
+#: move through the shuffle, not the result)
+_SUBSTRING_ORACLE = f"""
     WITH pos AS (
       SELECT doc_id, text,
              unnest(generate_series(1, n_chars - {_SUB_K} + 1)) AS p
@@ -706,7 +706,12 @@ _SUB_K = 40  # exact-substring window (chars), Lee et al.-style
            CAST(MAX(p) + {_SUB_K} - 1 AS BIGINT) AS span_end,
            CAST(MAX(p) - MIN(p) + {_SUB_K} AS BIGINT) AS span_len
     FROM isl GROUP BY doc_id, island
-    """,
+    """
+
+
+@query(
+    "llm_dedup_substring",
+    oracle=_SUBSTRING_ORACLE,
 )
 def llm_dedup_substring(spark, sf_dir):
     """Exact cross-document substring dedup (the Lee et al. 2022
@@ -763,6 +768,85 @@ def llm_dedup_substring(spark, sf_dir):
         (F.max("p") + _SUB_K - 1).cast("long").alias("span_end"),
         (F.max("p") - F.min("p") + _SUB_K).cast("long").alias("span_len"),
     ).drop("island")
+
+
+def _merge_islands(flagged):
+    """(doc_id, p) flagged window starts → maximal spans (shared by the
+    exact anchor and the hashed twin)."""
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = flagged.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("p") - F.lag("p").over(w) == 1, 0).otherwise(1)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("p").cast("long").alias("span_start"),
+        (F.max("p") + _SUB_K - 1).cast("long").alias("span_end"),
+        (F.max("p") - F.min("p") + _SUB_K).cast("long").alias("span_len"),
+    ).drop("island")
+
+
+@query(
+    "llm_substring_dedup_hashed",
+    oracle=_SUBSTRING_ORACLE,
+)
+def llm_substring_dedup_hashed(spark, sf_dir):
+    """``llm_dedup_substring``'s 100 TB shuffle-volume twin — IDENTICAL
+    spans (same oracle, hash-matched), but the k× window explode
+    shuffles 8-byte ``xxhash64(gram)`` values instead of the k-char
+    gram bytes, and full gram bytes move only for CANDIDATE positions.
+
+    Three stages: (1) candidate pass — group window positions by the
+    64-bit gram hash, keep hashes spanning >1 distinct doc
+    (map-side-combining min/max test, same skew argument as the
+    anchor); the k× data expansion through this exchange is ~20 bytes
+    per window instead of k+20. (2) exactness repair — the flagged
+    positions (volume ∝ duplicate mass + a ~n²/2⁶⁴ collision residue,
+    zero at any real corpus fraction) join back to the documents table
+    on doc_id (texts cross the wire once, not k×), re-extract the REAL
+    gram, and re-run the >1-distinct-doc test on actual bytes, so a
+    hash collision can never flag a false span. (3) the anchor's
+    gap-and-island merge. At 100 TB stage 1 is the cost center and it
+    now moves ~1/3 the bytes of the anchor's gram shuffle at k=40 —
+    the suffix-array-per-shard design the anchor's docstring sketches
+    buys the rest, at the price of a custom merge; this twin keeps
+    everything in Catalyst-visible DataFrame ops.
+    """
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= _SUB_K
+    )
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_chars") - _SUB_K + 1)
+        ).alias("p"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        "p",
+        F.xxhash64(F.expr(f"substr(text, p, {_SUB_K})")).alias("h"),
+    )
+    cand_h = (
+        hashed.groupBy("h")
+        .agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
+        .filter(F.col("dmin") != F.col("dmax"))
+        .select("h")
+    )
+    cand_pos = hashed.join(cand_h, "h", "left_semi").select("doc_id", "p")
+    # exactness repair: re-extract true gram bytes for candidates only
+    cand_g = cand_pos.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "p", F.expr(f"substr(text, p, {_SUB_K})").alias("g")
+    )
+    true_g = (
+        cand_g.groupBy("g")
+        .agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
+        .filter(F.col("dmin") != F.col("dmax"))
+        .select("g")
+    )
+    flagged = cand_g.join(true_g, "g", "left_semi").select("doc_id", "p")
+    return _merge_islands(flagged)
 
 
 #: stop-shingle guard for containment blocking: trigrams present in

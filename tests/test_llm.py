@@ -747,3 +747,38 @@ def test_webp_rejects_lossy_and_junk():
     decoded = [(8 - (t & 0xF), t >> 4) for t in _DIST_MAP]  # (dx, dy)
     assert decoded[:6] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0)]
     assert all(dy >= 0 and (dy > 0 or dx > 0) for dx, dy in decoded)
+
+
+def test_webp_container_walk_vp8x_extended():
+    """A VP8X extended-format container with the VP8L chunk after the
+    header still decodes (the RIFF walk skips unknown chunks)."""
+    import struct
+
+    import numpy as np
+
+    from hadoop_tools_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    src = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    plain = encode_webp_lossless(src)
+    vp8l_chunk = plain[12:]  # strip RIFF+size+WEBP, keep VP8L chunk
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(10)
+    body = b"WEBP" + vp8x + vp8l_chunk
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    w, h, out = decode_webp(blob)
+    assert (w, h) == (5, 4) and np.array_equal(out, src)
+
+
+def test_substring_hashed_twin_matches_exact_anchor(spark, sf_dir):
+    """The hash-shuffled scale twin produces EXACTLY the anchor's spans
+    (the collision-repair stage makes hashing invisible in results)."""
+    from hadoop_tools_spark.operators.llm_dedup import (
+        llm_dedup_substring,
+        llm_substring_dedup_hashed,
+    )
+
+    a = {tuple(r) for r in llm_dedup_substring(spark, sf_dir).collect()}
+    b = {tuple(r) for r in llm_substring_dedup_hashed(spark, sf_dir).collect()}
+    assert a == b and a
