@@ -812,6 +812,13 @@ def llm_substring_dedup_hashed(spark, sf_dir):
     the suffix-array-per-shard design the anchor's docstring sketches
     buys the rest, at the price of a custom merge; this twin keeps
     everything in Catalyst-visible DataFrame ops.
+
+    Measured trade (SCALE.md round-5): local wall is ~1.1× the anchor
+    at sf0.1 and ~1.8× at constant-rate sf1 — the extra xxhash pass
+    and candidate re-extraction cost CPU, which dominates while the
+    exchange still fits memory. The twin wins only where the explode
+    exchange is network/disk-bound (the 100 TB regime it exists for);
+    the anchor stays the default at fixture scales.
     """
     d = load_spread(spark, sf_dir, "documents").filter(
         F.col("n_chars") >= _SUB_K
