@@ -1035,7 +1035,11 @@ def graph_khop(spark, sf_dir):
     frontiers = [seeds.withColumn("hop", F.lit(0))]
     frontier = seeds
     for hop in (1, 2):
-        frontier = (
+        # cache each frontier: it feeds BOTH the next hop's join and
+        # the final union — uncached, hop-1's join+distinct would run
+        # twice. Frontiers are node-id sets bounded by |V|, so the
+        # cache is scale-safe (never paths, never edges).
+        frontier = materialize(
             frontier.join(e, frontier.node == e.src)
             .select(F.col("dst").alias("node"))
             .distinct()
