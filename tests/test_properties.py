@@ -337,3 +337,38 @@ def test_webp_palette_roundtrip_arbitrary(w, h, ncol, seed):
     ww, hh, out = decode_webp(encode_webp_lossless(src, palette=True))
     assert (ww, hh) == (w, h)
     assert np.array_equal(out, src)
+
+
+@settings(max_examples=200, deadline=None)
+@given(value=st.integers(1, 4095))
+def test_vp8l_prefix_encode_decode_inverse(value):
+    """_prefix_encode is the exact inverse of _read_prefix_value for
+    every LZ77 length/distance the encoder can emit."""
+    from hadoop_tools_spark.operators.webp import (
+        _BitReader,
+        _BitWriter,
+        _prefix_encode,
+    )
+    from hadoop_tools_spark.operators.webp import _read_prefix_value
+
+    code, extra_v, extra_n = _prefix_encode(value)
+    assert 0 <= code < 24
+    bw = _BitWriter()
+    bw.write(extra_v, extra_n)
+    br = _BitReader(bw.getvalue() or b"\x00")
+    assert _read_prefix_value(br, code) == value
+
+
+def test_vp8l_distance_map_encoder_decoder_consistent():
+    """Every 2D-mapped distance code decodes to the distance the map
+    entry encodes, for a range of row widths."""
+    from hadoop_tools_spark.operators.webp import _DIST_MAP, _map_distance
+
+    for xsize in (1, 3, 8, 640):
+        for code0, t in enumerate(_DIST_MAP):
+            dy, dx = t >> 4, 8 - (t & 0xF)
+            expect = max(dy * xsize + dx, 1)
+            assert _map_distance(code0 + 1, xsize) == expect
+    # plain codes: identity minus 120
+    assert _map_distance(121, 99) == 1
+    assert _map_distance(1000, 99) == 880
