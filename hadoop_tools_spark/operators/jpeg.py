@@ -1,22 +1,23 @@
 """Minimal JPEG codec family (pure Python + numpy).
 
-Decoder for 8-bit Huffman-coded DCT JPEG — baseline sequential (SOF0)
+Decoder for Huffman-coded DCT JPEG — baseline sequential (SOF0),
+extended sequential (SOF1, 8- or 12-bit samples, 8- or 16-bit DQT)
 AND progressive (SOF2, spectral selection + successive approximation)
 — 1-component greyscale or 3-component YCbCr with 4:4:4, 4:2:2, or
 4:2:0 chroma sampling, and restart-interval support (DRI / RSTn).
 Matching encoders (baseline with optional subsampling + restart
-markers, and a progressive encoder with per-scan optimal Huffman
-tables) generate the deterministic fixtures in
-tools/gen_media_fixtures.py. Production corpora use a C codec
+markers, a progressive encoder with per-scan optimal Huffman tables,
+and a 12-bit extended sequential encoder) generate the deterministic
+fixtures in tools/gen_media_fixtures.py. Production corpora use a C codec
 (PIL/libjpeg-turbo) behind the same :func:`decode_image` seam in
 operators/multimodal.py; this implementation exists so the engine's
 JPEG path is REAL and testable in a no-network sandbox.
 
 Scope intentionally excluded: arithmetic coding (SOF9/SOF10),
-lossless (SOF3/SOF11), hierarchical (SOF5-7/SOF13-15), 12-bit
-precision — all raise NotImplementedError so the fault-tolerant
-decode path (multimodal.extract_features_tolerant) flags the row
-instead of dying.
+lossless (SOF3/SOF11), hierarchical (SOF5-7/SOF13-15) — all raise
+NotImplementedError so the fault-tolerant decode path
+(multimodal.extract_features_tolerant) flags the row instead of
+dying.
 
 Standard tables from ITU-T T.81 Annex K: quantization (scaled by the
 usual libjpeg quality formula) and the example Huffman tables every
@@ -361,6 +362,148 @@ def encode_jpeg(
     out += _seg(0xFFDA, sos)
     out += bw_.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# extended sequential 12-bit encoder (SOF1)
+# --------------------------------------------------------------------------
+
+
+def _dqt16(tid: int, table: np.ndarray) -> bytes:
+    """DQT segment with Pq=1 (16-bit entries) — required once table
+    values exceed 255, which 12-bit quantizers routinely do."""
+    payload = bytes([0x10 | tid]) + b"".join(
+        struct.pack(">H", int(x)) for x in table[ZIGZAG]
+    )
+    return _seg(0xFFDB, payload)
+
+
+class _SeqOps:
+    """Tagged op recorder for one interleaved sequential scan: pass 1
+    collects per-table symbol frequencies (DC and AC symbols
+    interleave inside each block, so unlike the progressive
+    :class:`_ScanOps` the stream carries its table id), pass 2 replays
+    the identical stream through the optimal canonical codes."""
+
+    def __init__(self):
+        self.ops: list[tuple] = []  # (tid, sym, 0) | (None, bits, n)
+        self.freq: dict[str, list[int]] = {}
+
+    def sym(self, tid: str, s: int) -> None:
+        self.ops.append((tid, s, 0))
+        self.freq.setdefault(tid, [0] * 256)[s] += 1
+
+    def raw(self, bits: int, n: int) -> None:
+        if n:
+            self.ops.append((None, bits, n))
+
+    def tables(self) -> dict[str, tuple[list[int], list[int]]]:
+        return {tid: _optimal_table(f) for tid, f in self.freq.items()}
+
+    def emit(self, bw: _BitWriter, codes) -> None:
+        for tid, a, b in self.ops:
+            if tid is None:
+                bw.write(a, b)
+            else:
+                code, ln = codes[tid][a]
+                bw.write(code, ln)
+
+
+def _block_syms(ops: _SeqOps, dt: str, at: str, block, pred: int) -> int:
+    """Sequential DC+AC coding of one quantized block into the
+    recorder — the same run/magnitude structure as
+    :func:`_encode_block`, precision-agnostic (categories above 11
+    appear only in 12-bit streams; the recorder's optimal tables cover
+    whatever actually occurs)."""
+    zz = block.reshape(64)[ZIGZAG]
+    cat, bits = _magnitude(int(zz[0]) - pred)
+    ops.sym(dt, cat)
+    ops.raw(bits, cat)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ops.sym(at, 0xF0)  # ZRL
+            run -= 16
+        cat, bits = _magnitude(v)
+        ops.sym(at, (run << 4) | cat)
+        ops.raw(bits, cat)
+        run = 0
+    if last < 63:
+        ops.sym(at, 0x00)  # EOB
+    return int(zz[0])
+
+
+def encode_jpeg_ext12(px: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) uint16 RGB with 12-bit samples (0..4095) → extended
+    sequential JFIF bytes (SOF1, precision 12, 4:4:4).
+
+    The medical-imaging / high-bit-depth scan profile: 16-bit DQT
+    entries (the 8-bit quantizers scaled ×16 to match the wider sample
+    range, exactly libjpeg's convention), level shift 2^11, and
+    per-image OPTIMAL Huffman tables — the Annex K example tables only
+    cover magnitude categories through 11, while 12-bit DC differences
+    reach category 15, so fixed tables cannot express the stream.
+    """
+    if px.dtype != np.uint16 or px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint16 RGB")
+    if int(px.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be <= 4095")
+    h, w = px.shape[:2]
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    planes = (
+        0.299 * r + 0.587 * g + 0.114 * b - 2048.0,
+        -0.168736 * r - 0.331264 * g + 0.5 * b,
+        0.5 * r - 0.418688 * g - 0.081312 * b,
+    )
+    qy = np.clip(_quality_scale(_Q_LUMA, quality) * 16, 1, 65535)
+    qc = np.clip(_quality_scale(_Q_CHROMA, quality) * 16, 1, 65535)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    coefs = []
+    for plane, q in zip(planes, (qy, qc, qc)):
+        p = np.pad(
+            plane,
+            ((0, mcuy * 8 - h), (0, mcux * 8 - w)),
+            mode="edge",
+        )
+        coefs.append(_quant_blocks(p, q))
+
+    ops = _SeqOps()
+    preds = [0, 0, 0]
+    tids = [("dc0", "ac0"), ("dc1", "ac1"), ("dc1", "ac1")]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                preds[ci] = _block_syms(
+                    ops, tids[ci][0], tids[ci][1],
+                    coefs[ci][my, mx], preds[ci],
+                )
+    specs = ops.tables()
+    codes = {tid: _canonical_codes(*spec) for tid, spec in specs.items()}
+    bw = _BitWriter()
+    ops.emit(bw, codes)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt16(0, qy) + _dqt16(1, qc)
+    sof = bytes([12]) + struct.pack(">HH", h, w) + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out += _seg(0xFFC1, sof)
+    out += _dht(0, 0, specs["dc0"]) + _dht(1, 0, specs["ac0"])
+    out += _dht(0, 1, specs["dc1"]) + _dht(1, 1, specs["ac1"])
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -734,7 +877,7 @@ class _Scan:
 
 
 def _parse(blob: bytes):
-    """Marker walk → (progressive, h, w, comps, qtables, scans)."""
+    """Marker walk → (progressive, precision, h, w, comps, qtables, scans)."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -742,6 +885,7 @@ def _parse(blob: bytes):
     htrees: dict[tuple[int, int], dict] = {}
     h = w = None
     progressive = False
+    precision = 8
     dri = 0
     comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, qid)
     scans: list[_Scan] = []
@@ -761,14 +905,19 @@ def _parse(blob: bytes):
             p = 0
             while p < len(payload):
                 prec_id = payload[p]
-                if prec_id >> 4:
-                    raise NotImplementedError("16-bit quant tables")
                 tbl = np.zeros(64, dtype=np.int32)
-                tbl[ZIGZAG] = np.frombuffer(
-                    payload, np.uint8, 64, p + 1
-                ).astype(np.int32)
+                if prec_id >> 4:  # Pq=1: 16-bit table entries
+                    tbl[ZIGZAG] = (
+                        np.frombuffer(payload, ">u2", 64, p + 1)
+                        .astype(np.int32)
+                    )
+                    p += 129
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(
+                        payload, np.uint8, 64, p + 1
+                    ).astype(np.int32)
+                    p += 65
                 qtables[prec_id & 0xF] = tbl
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
@@ -779,8 +928,13 @@ def _parse(blob: bytes):
                 htrees[(cls_id >> 4, cls_id & 0xF)] = _decode_tree(bits, vals)
                 p += 17 + nvals
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / ext. sequential / SOF2
-            if payload[0] != 8:
-                raise NotImplementedError("non-8-bit precision")
+            precision = payload[0]
+            # T.81: baseline (SOF0) is 8-bit only; extended sequential
+            # (SOF1) and progressive (SOF2) allow 8 or 12
+            if precision != 8 and (marker == 0xC0 or precision != 12):
+                raise NotImplementedError(
+                    "unsupported sample precision %d" % precision
+                )
             progressive = marker == 0xC2
             h, w = struct.unpack_from(">HH", payload, 1)
             n_comp = payload[5]
@@ -824,7 +978,7 @@ def _parse(blob: bytes):
         pos += seglen
     if h is None or not scans:
         raise ValueError("missing SOF/SOS")
-    return progressive, h, w, comps, qtables, scans
+    return progressive, precision, h, w, comps, qtables, scans
 
 
 def _decode_block_baseline(br, zz, dc_tree, ac_tree, preds, idx):
@@ -918,10 +1072,14 @@ def _decode_ac_refine(br, zz, tree, ss, se, al, eobrun):
 def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
     """JFIF bytes → (width, height, (h, w, 3) uint8 RGB).
 
-    Handles baseline (SOF0/SOF1) and progressive (SOF2) processes,
-    4:4:4 / 4:2:2 / 4:2:0 sampling, and restart intervals. Chroma is
-    upsampled by sample replication (the standard fast path)."""
-    progressive, h, w, comps, qtables, scans = _parse(blob)
+    Handles baseline/extended sequential (SOF0/SOF1, 8- or 12-bit
+    samples) and progressive (SOF2) processes, 4:4:4 / 4:2:2 / 4:2:0
+    sampling, and restart intervals. Chroma is upsampled by sample
+    replication (the standard fast path). 12-bit decodes are reduced
+    to 8-bit output by dropping the 4 low bits (``v >> 4``) AFTER
+    color conversion — the documented normalization the round-trip
+    tests compare against (``source >> 4``)."""
+    progressive, precision, h, w, comps, qtables, scans = _parse(blob)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -1043,14 +1201,19 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
             plane = plane[:h, :w]
         planes.append(plane)
 
+    level = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    shift = precision - 8
     if len(comps) == 1:
-        y = np.clip(planes[0] + 128.0, 0, 255).astype(np.uint8)
+        y = np.clip(planes[0] + level, 0, maxv)
+        y = (y.astype(np.int32) >> shift).astype(np.uint8)
         return w, h, np.repeat(y[:, :, None], 3, axis=2)
-    y = planes[0] + 128.0
+    y = planes[0] + level
     cb = planes[1]
     cr = planes[2]
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255)
-    return w, h, (rgb + 0.5).astype(np.uint8)
+    rgb = np.clip(np.stack([r, g, b], axis=2), 0, maxv)
+    rgb = (rgb + 0.5).astype(np.int32) >> shift
+    return w, h, rgb.astype(np.uint8)

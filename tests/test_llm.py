@@ -359,6 +359,91 @@ def test_jpeg_fixture_decode_matches_source_function():
         assert diff.mean() <= 3.0, (i, diff.mean())
 
 
+def test_jpeg12_roundtrip_fidelity():
+    """12-bit extended sequential (SOF1) encode→decode: exact dims,
+    error bounds on the 8-bit-reduced output (decode >> keeps the top
+    8 of 12 bits; compare vs source >> 4), odd sizes for edge blocks,
+    and header invariants (SOF1 marker, precision byte 12, 16-bit
+    DQT)."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_ext12,
+    )
+
+    for (w, h) in [(16, 12), (33, 21), (5, 7)]:
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [
+                (xx * 48 + yy * 32) % 4096,
+                (xx * 80 + 480) % 4096,
+                (yy * 64 + 960) % 4096,
+            ],
+            axis=2,
+        ).astype(np.uint16)
+        blob = encode_jpeg_ext12(px, quality=92)
+        # SOF1 marker present, SOF0 absent; precision byte is 12;
+        # both DQT segments declare Pq=1 (16-bit entries, seglen 131)
+        sof1 = blob.find(b"\xff\xc1")
+        assert sof1 > 0 and blob.find(b"\xff\xc0") < 0
+        assert blob[sof1 + 4] == 12
+        dqt = blob.find(b"\xff\xdb")
+        assert blob[dqt + 4] >> 4 == 1 and blob[dqt + 3] == 131
+        w2, h2, out = decode_jpeg(blob)
+        assert (w2, h2) == (w, h)
+        diff = np.abs(out.astype(int) - (px >> 4).astype(int))
+        assert diff.max() <= 8, diff.max()
+        assert diff.mean() <= 2.0, diff.mean()
+
+
+def test_jpeg12_fixture_decode_matches_source_function():
+    """Committed jpg12_{i}.jpg fixtures decode close to the
+    generator's closed-form 12-bit arrays (mod-4096 wraps allow local
+    ringing; mean stays tight)."""
+    import os
+
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import decode_jpeg
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+
+    for i in range(3):
+        w, h = 18 + i * 5, 14 + i * 4
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [
+                (xx * (40 + 7 * i) + yy * 23) % 4096,
+                (xx * 31 + yy * (52 + 9 * i) + 600) % 4096,
+                (xx * 17 + yy * 11 + i * 301 + 1200) % 4096,
+            ],
+            axis=2,
+        ).astype(np.uint16)
+        with open(os.path.join(MEDIA_DIR, f"jpg12_{i}.jpg"), "rb") as f:
+            w2, h2, out = decode_jpeg(f.read())
+        assert (w2, h2) == (w, h)
+        diff = np.abs(out.astype(int) - (px >> 4).astype(int))
+        assert diff.mean() <= 3.0, (i, diff.mean())
+
+
+def test_jpeg12_rejects_baseline_frame():
+    """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
+    parser must reject the combination rather than mis-decode."""
+    import struct as _s
+
+    import pytest
+
+    from hadoop_tools_spark.operators.jpeg import decode_jpeg
+
+    bad = (
+        b"\xff\xd8"
+        + _s.pack(">HH", 0xFFC0, 11)
+        + bytes([12]) + _s.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bad + b"\xff\xd9")
+
+
 def test_jpeg_rejects_unsupported_profiles():
     import struct as _s
 

@@ -255,6 +255,25 @@ def main() -> None:
                     restart_interval=2,
                 )
             )
+    # 12-bit extended sequential JPEGs (SOF1, precision 12, 16-bit
+    # DQT, per-image optimal Huffman tables): smooth 12-bit gradients.
+    # Prefix 'jpg12_' does not match the baseline oracles' 'jpg_*'
+    # glob (the literal underscore after 'jpg' excludes it).
+    from hadoop_tools_spark.operators.jpeg import encode_jpeg_ext12
+
+    for i in range(3):
+        w, h = 18 + i * 5, 14 + i * 4
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [
+                (xx * (40 + 7 * i) + yy * 23) % 4096,
+                (xx * 31 + yy * (52 + 9 * i) + 600) % 4096,
+                (xx * 17 + yy * 11 + i * 301 + 1200) % 4096,
+            ],
+            axis=2,
+        ).astype(np.uint16)
+        with open(os.path.join(OUT, f"jpg12_{i}.jpg"), "wb") as f:
+            f.write(encode_jpeg_ext12(px, quality=92))
     # unsupported-subformat fixtures for the tolerant-decode key:
     # arithmetic-coded JPEGs faked by rewriting jpg_{i}'s SOF0 marker
     # (FF C0) to SOF9 (FF C9) — the decoder must flag, not die.
