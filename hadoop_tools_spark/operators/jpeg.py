@@ -1,23 +1,24 @@
 """Minimal JPEG codec family (pure Python + numpy).
 
-Decoder for Huffman-coded DCT JPEG — baseline sequential (SOF0),
-extended sequential (SOF1, 8- or 12-bit samples, 8- or 16-bit DQT)
-AND progressive (SOF2, spectral selection + successive approximation)
-— 1-component greyscale or 3-component YCbCr with 4:4:4, 4:2:2, or
+Decoder for Huffman-coded JPEG — baseline sequential (SOF0),
+extended sequential (SOF1, 8- or 12-bit samples, 8- or 16-bit DQT),
+progressive (SOF2, spectral selection + successive approximation),
+AND lossless (SOF3, T.81 Annex H predictive coding, bit-exact) —
+1-component greyscale or 3-component YCbCr with 4:4:4, 4:2:2, or
 4:2:0 chroma sampling, and restart-interval support (DRI / RSTn).
 Matching encoders (baseline with optional subsampling + restart
 markers, a progressive encoder with per-scan optimal Huffman tables,
-and a 12-bit extended sequential encoder) generate the deterministic
-fixtures in tools/gen_media_fixtures.py. Production corpora use a C codec
+a 12-bit extended sequential encoder, and a lossless encoder covering
+all seven predictors) generate the deterministic fixtures in
+tools/gen_media_fixtures.py. Production corpora use a C codec
 (PIL/libjpeg-turbo) behind the same :func:`decode_image` seam in
 operators/multimodal.py; this implementation exists so the engine's
 JPEG path is REAL and testable in a no-network sandbox.
 
-Scope intentionally excluded: arithmetic coding (SOF9/SOF10),
-lossless (SOF3/SOF11), hierarchical (SOF5-7/SOF13-15) — all raise
-NotImplementedError so the fault-tolerant decode path
-(multimodal.extract_features_tolerant) flags the row instead of
-dying.
+Scope intentionally excluded: arithmetic coding (SOF9/SOF10/SOF11),
+hierarchical (SOF5-7/SOF13-15) — all raise NotImplementedError so the
+fault-tolerant decode path (multimodal.extract_features_tolerant)
+flags the row instead of dying.
 
 Standard tables from ITU-T T.81 Annex K: quantization (scaled by the
 usual libjpeg quality formula) and the example Huffman tables every
@@ -508,6 +509,167 @@ def encode_jpeg_ext12(px: np.ndarray, quality: int = 85) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# lossless codec (SOF3, T.81 Annex H)
+# --------------------------------------------------------------------------
+
+
+def _predict(psel: int, ra: int, rb: int, rc: int) -> int:
+    """T.81 H.1.2.1 predictor formulas 1-7 (``>>`` is the arithmetic
+    shift the spec's integer divisions compile to)."""
+    if psel == 1:
+        return ra
+    if psel == 2:
+        return rb
+    if psel == 3:
+        return rc
+    if psel == 4:
+        return ra + rb - rc
+    if psel == 5:
+        return ra + ((rb - rc) >> 1)
+    if psel == 6:
+        return rb + ((ra - rc) >> 1)
+    if psel == 7:
+        return (ra + rb) >> 1
+    raise ValueError("bad lossless predictor %d" % psel)
+
+
+def decode_lossless_planes(blob: bytes):
+    """SOF3 bytes → (precision, point transform, [component planes])
+    at FULL sample precision — the bit-exact surface the round-trip
+    tests assert on (:func:`decode_jpeg` additionally normalizes to
+    8-bit RGB)."""
+    process, precision, h, w, comps, _, scans = _parse(blob)
+    if process != "lossless":
+        raise ValueError("not a lossless JPEG")
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+    pt_out = 0
+    for scan in scans:
+        if scan.dri:
+            raise NotImplementedError("restart intervals in lossless scan")
+        br = _BitReader(scan.data)
+        psel, pt = scan.ss, scan.al
+        pt_out = pt
+        default = 1 << (precision - pt - 1)
+        members = [(idx, scan.trees[(0, dc_t)]) for idx, dc_t, _ in scan.comps]
+        for y in range(h):
+            for x in range(w):
+                for idx, tree in members:
+                    cat = _read_symbol(br, tree)
+                    if cat == 16:  # SSSS=16: diff 32768, no extra bits
+                        diff = 32768
+                    elif cat:
+                        diff = _extend(br.read_bits(cat), cat)
+                    else:
+                        diff = 0
+                    pl = planes[idx]
+                    # H.1.2.2 initial conditions: scan start uses the
+                    # midpoint, the rest of line 0 uses Ra, each later
+                    # line starts from Rb, elsewhere the selected
+                    # predictor applies
+                    if y == 0:
+                        pred = default if x == 0 else int(pl[0, x - 1])
+                    elif x == 0:
+                        pred = int(pl[y - 1, 0])
+                    else:
+                        pred = _predict(
+                            psel,
+                            int(pl[y, x - 1]),
+                            int(pl[y - 1, x]),
+                            int(pl[y - 1, x - 1]),
+                        )
+                    pl[y, x] = (pred + diff) & 0xFFFF  # mod-2^16 (H.1)
+    return precision, pt_out, planes
+
+
+def _decode_lossless(precision, pt, planes):
+    """Normalize decoded lossless planes to the (w, h, uint8 RGB)
+    contract: undo the point transform, then map precision P to 8 bits
+    (``>> (P-8)`` for deep samples — same convention as the 12-bit DCT
+    path)."""
+    h, w = planes[0].shape
+    out = []
+    for pl in planes:
+        v = pl << pt
+        if precision > 8:
+            v = v >> (precision - 8)
+        elif precision < 8:
+            v = v << (8 - precision)
+        out.append(np.clip(v, 0, 255).astype(np.uint8))
+    if len(out) == 1:
+        return w, h, np.repeat(out[0][:, :, None], 3, axis=2)
+    return w, h, np.stack(out[:3], axis=2)
+
+
+def encode_jpeg_lossless(px: np.ndarray, predictor: int = 1) -> bytes:
+    """Image array → lossless JPEG (SOF3) bytes, BIT-EXACT on decode.
+
+    ``px``: (h, w) greyscale or (h, w, 3) RGB; uint8 → precision 8,
+    uint16 → precision 16 (differences run mod 2^16, exercising the
+    SSSS=16 escape). Components are coded directly (no color
+    transform — that is what keeps the codec lossless), one optimal
+    Huffman table per component, a single interleaved scan with the
+    chosen predictor (1-7) in Ss."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("1 or 3 components")
+    precision = 16 if px.dtype == np.uint16 else 8
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    default = 1 << (precision - 1)
+    ops = _SeqOps()
+    tids = ["c%d" % ci for ci in range(nc)]
+    vals = px.astype(np.int64)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                pl = vals[:, :, ci]
+                if y == 0:
+                    pred = default if x == 0 else int(pl[0, x - 1])
+                elif x == 0:
+                    pred = int(pl[y - 1, 0])
+                else:
+                    pred = _predict(
+                        predictor,
+                        int(pl[y, x - 1]),
+                        int(pl[y - 1, x]),
+                        int(pl[y - 1, x - 1]),
+                    )
+                diff = (int(pl[y, x]) - pred) & 0xFFFF
+                if diff > 32767:
+                    diff -= 65536
+                if diff == -32768:  # maps to the SSSS=16 escape
+                    ops.sym(tids[ci], 16)
+                else:
+                    cat, bits = _magnitude(diff)
+                    ops.sym(tids[ci], cat)
+                    ops.raw(bits, cat)
+    specs = ops.tables()
+    codes = {tid: _canonical_codes(*spec) for tid, spec in specs.items()}
+    bw = _BitWriter()
+    ops.emit(bw, codes)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes(
+        [nc] + [b for ci in range(nc) for b in (ci + 1, 0x11, 0)]
+    )
+    out += _seg(0xFFC3, sof)
+    for ci in range(nc):
+        out += _dht(0, ci, specs[tids[ci]])
+    sos = bytes(
+        [nc]
+        + [b for ci in range(nc) for b in (ci + 1, ci << 4)]
+        + [predictor, 0, 0]  # Ss=predictor, Se=0, Ah<<4|Al=0
+    )
+    out += _seg(0xFFDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # progressive encoder
 # --------------------------------------------------------------------------
 
@@ -877,14 +1039,16 @@ class _Scan:
 
 
 def _parse(blob: bytes):
-    """Marker walk → (progressive, precision, h, w, comps, qtables, scans)."""
+    """Marker walk → (process, precision, h, w, comps, qtables, scans)
+    where ``process`` is ``"baseline"`` (SOF0/SOF1), ``"progressive"``
+    (SOF2), or ``"lossless"`` (SOF3)."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htrees: dict[tuple[int, int], dict] = {}
     h = w = None
-    progressive = False
+    process = "baseline"
     precision = 8
     dri = 0
     comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, qid)
@@ -927,15 +1091,20 @@ def _parse(blob: bytes):
                 vals = list(payload[p + 17 : p + 17 + nvals])
                 htrees[(cls_id >> 4, cls_id & 0xF)] = _decode_tree(bits, vals)
                 p += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / ext. sequential / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2/3
             precision = payload[0]
             # T.81: baseline (SOF0) is 8-bit only; extended sequential
-            # (SOF1) and progressive (SOF2) allow 8 or 12
-            if precision != 8 and (marker == 0xC0 or precision != 12):
+            # (SOF1) and progressive (SOF2) allow 8 or 12; lossless
+            # (SOF3) allows 2..16
+            if marker == 0xC3:
+                if not 2 <= precision <= 16:
+                    raise ValueError("bad lossless precision")
+            elif precision != 8 and (marker == 0xC0 or precision != 12):
                 raise NotImplementedError(
                     "unsupported sample precision %d" % precision
                 )
-            progressive = marker == 0xC2
+            process = {0xC0: "baseline", 0xC1: "baseline",
+                       0xC2: "progressive", 0xC3: "lossless"}[marker]
             h, w = struct.unpack_from(">HH", payload, 1)
             n_comp = payload[5]
             for ci in range(n_comp):
@@ -943,8 +1112,10 @@ def _parse(blob: bytes):
                 hi, vi = samp >> 4, samp & 0xF
                 if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(f"sampling factor {hi}x{vi}")
+                if marker == 0xC3 and (hi, vi) != (1, 1):
+                    raise NotImplementedError("subsampled lossless scan")
                 comps.append((cid, hi, vi, qid))
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "unsupported JPEG process (SOF%d)" % (marker & 0xF)
             )
@@ -978,7 +1149,7 @@ def _parse(blob: bytes):
         pos += seglen
     if h is None or not scans:
         raise ValueError("missing SOF/SOS")
-    return progressive, precision, h, w, comps, qtables, scans
+    return process, precision, h, w, comps, qtables, scans
 
 
 def _decode_block_baseline(br, zz, dc_tree, ac_tree, preds, idx):
@@ -1078,8 +1249,13 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
     replication (the standard fast path). 12-bit decodes are reduced
     to 8-bit output by dropping the 4 low bits (``v >> 4``) AFTER
     color conversion — the documented normalization the round-trip
-    tests compare against (``source >> 4``)."""
-    progressive, precision, h, w, comps, qtables, scans = _parse(blob)
+    tests compare against (``source >> 4``). Lossless (SOF3) frames
+    decode bit-exactly via the predictive path."""
+    process, precision, h, w, comps, qtables, scans = _parse(blob)
+    if process == "lossless":
+        precision, pt, planes = decode_lossless_planes(blob)
+        return _decode_lossless(precision, pt, planes)
+    progressive = process == "progressive"
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))

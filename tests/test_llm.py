@@ -426,6 +426,70 @@ def test_jpeg12_fixture_decode_matches_source_function():
         assert diff.mean() <= 3.0, (i, diff.mean())
 
 
+def test_jpeg_lossless_roundtrip_exact_all_predictors():
+    """SOF3 lossless: encode→decode is BIT-EXACT for every T.81 H.1
+    predictor (1-7), RGB and greyscale, on full-range random data —
+    no smoothness assumption, unlike the lossy bounds."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(11)
+    for pred in range(1, 8):
+        px = rng.randint(0, 256, size=(13, 17, 3)).astype(np.uint8)
+        w, h, out = decode_jpeg(encode_jpeg_lossless(px, predictor=pred))
+        assert (w, h) == (17, 13)
+        assert np.array_equal(out, px), pred
+    g = rng.randint(0, 256, size=(7, 5)).astype(np.uint8)
+    _, _, out = decode_jpeg(encode_jpeg_lossless(g, predictor=7))
+    assert np.array_equal(out[:, :, 0], g)
+
+
+def test_jpeg_lossless_16bit_mod_wrap_exact():
+    """16-bit lossless differences run mod 2^16 (T.81 H.1), hitting
+    the SSSS=16 escape on full-range random data; the raw-plane
+    decode surface must reproduce the source exactly."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import (
+        decode_lossless_planes,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 65536, size=(9, 11, 3)).astype(np.uint16)
+    prec, pt, planes = decode_lossless_planes(encode_jpeg_lossless(px, predictor=4))
+    assert (prec, pt) == (16, 0)
+    assert np.array_equal(np.stack(planes, axis=2), px.astype(np.int64))
+
+
+def test_jpeg_lossless_fixtures_bit_exact_to_ppm_recipe():
+    """Committed jls_{i}.jpg fixtures (predictors rotating 1-7) decode
+    bit-identically to the img_{i}.ppm closed-form pixel function —
+    the exactness the cross-format oracle key relies on."""
+    import os
+
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import decode_jpeg
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+
+    for i in range(8):
+        w, h = 16 + i * 3, 12 + i * 2
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [(xx * 7 + yy * 13 + c * 29 + i * 31) % 256 for c in range(3)],
+            axis=2,
+        ).astype(np.uint8)
+        with open(os.path.join(MEDIA_DIR, f"jls_{i}.jpg"), "rb") as f:
+            w2, h2, out = decode_jpeg(f.read())
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(out, px), i
+
+
 def test_jpeg12_rejects_baseline_frame():
     """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
     parser must reject the combination rather than mis-decode."""

@@ -372,3 +372,41 @@ def test_vp8l_distance_map_encoder_decoder_consistent():
     # plain codes: identity minus 120
     assert _map_distance(121, 99) == 1
     assert _map_distance(1000, 99) == 880
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+    predictor=st.integers(1, 7),
+    deep=st.booleans(),
+)
+def test_jpeg_lossless_roundtrip_arbitrary(w, h, seed, predictor, deep):
+    """SOF3 lossless encoder→decoder is bit-exact on arbitrary random
+    images for every predictor, at both 8- and 16-bit precision (the
+    16-bit case drives differences through the mod-2^16 wrap and the
+    SSSS=16 escape)."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_lossless_planes,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(seed)
+    if deep:
+        src = rng.integers(0, 65536, size=(h, w, 3), dtype=np.uint16)
+        prec, pt, planes = decode_lossless_planes(
+            encode_jpeg_lossless(src, predictor=predictor)
+        )
+        assert (prec, pt) == (16, 0)
+        assert np.array_equal(np.stack(planes, axis=2), src.astype(np.int64))
+    else:
+        src = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        ww, hh, out = decode_jpeg(
+            encode_jpeg_lossless(src, predictor=predictor)
+        )
+        assert (ww, hh) == (w, h)
+        assert np.array_equal(out, src)

@@ -274,6 +274,21 @@ def main() -> None:
         ).astype(np.uint16)
         with open(os.path.join(OUT, f"jpg12_{i}.jpg"), "wb") as f:
             f.write(encode_jpeg_ext12(px, quality=92))
+    # lossless JPEG (SOF3) twins of img_{i}.ppm — components coded
+    # directly (no color transform), so decode is BIT-EXACT and the
+    # graded key's oracle derives stats from the PPM bytes. The
+    # predictor rotates through all seven T.81 H.1 formulas.
+    from hadoop_tools_spark.operators.jpeg import encode_jpeg_lossless
+
+    for i in range(8):
+        w, h = 16 + i * 3, 12 + i * 2
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        px = np.stack(
+            [(xx * 7 + yy * 13 + c * 29 + i * 31) % 256 for c in range(3)],
+            axis=2,
+        ).astype(np.uint8)
+        with open(os.path.join(OUT, f"jls_{i}.jpg"), "wb") as f:
+            f.write(encode_jpeg_lossless(px, predictor=(i % 7) + 1))
     # unsupported-subformat fixtures for the tolerant-decode key:
     # arithmetic-coded JPEGs faked by rewriting jpg_{i}'s SOF0 marker
     # (FF C0) to SOF9 (FF C9) — the decoder must flag, not die.
