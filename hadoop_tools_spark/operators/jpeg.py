@@ -533,14 +533,24 @@ def _predict(psel: int, ra: int, rb: int, rc: int) -> int:
     raise ValueError("bad lossless predictor %d" % psel)
 
 
-def decode_lossless_planes(blob: bytes):
-    """SOF3 bytes → (precision, point transform, [component planes])
-    at FULL sample precision — the bit-exact surface the round-trip
-    tests assert on (:func:`decode_jpeg` additionally normalizes to
-    8-bit RGB)."""
-    process, precision, h, w, comps, _, scans = _parse(blob)
-    if process != "lossless":
-        raise ValueError("not a lossless JPEG")
+def _lossless_pred(pl, y: int, x: int, psel: int, default: int) -> int:
+    """H.1.2.2 initial conditions + predictor selection, shared by the
+    encoder and decoder so the bit-exactness invariant has one home:
+    scan start uses the precision midpoint, the rest of line 0 uses
+    Ra, each later line starts from Rb, elsewhere the selected
+    predictor applies."""
+    if y == 0:
+        return default if x == 0 else int(pl[0, x - 1])
+    if x == 0:
+        return int(pl[y - 1, 0])
+    return _predict(
+        psel, int(pl[y, x - 1]), int(pl[y - 1, x]), int(pl[y - 1, x - 1])
+    )
+
+
+def _decode_lossless_planes(precision, h, w, comps, scans):
+    """Parsed SOF3 frame → (precision, point transform, [planes]) at
+    FULL sample precision."""
     planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
     pt_out = 0
     for scan in scans:
@@ -562,23 +572,20 @@ def decode_lossless_planes(blob: bytes):
                     else:
                         diff = 0
                     pl = planes[idx]
-                    # H.1.2.2 initial conditions: scan start uses the
-                    # midpoint, the rest of line 0 uses Ra, each later
-                    # line starts from Rb, elsewhere the selected
-                    # predictor applies
-                    if y == 0:
-                        pred = default if x == 0 else int(pl[0, x - 1])
-                    elif x == 0:
-                        pred = int(pl[y - 1, 0])
-                    else:
-                        pred = _predict(
-                            psel,
-                            int(pl[y, x - 1]),
-                            int(pl[y - 1, x]),
-                            int(pl[y - 1, x - 1]),
-                        )
+                    pred = _lossless_pred(pl, y, x, psel, default)
                     pl[y, x] = (pred + diff) & 0xFFFF  # mod-2^16 (H.1)
     return precision, pt_out, planes
+
+
+def decode_lossless_planes(blob: bytes):
+    """SOF3 bytes → (precision, point transform, [component planes])
+    at FULL sample precision — the bit-exact surface the round-trip
+    tests assert on (:func:`decode_jpeg` additionally normalizes to
+    8-bit RGB)."""
+    process, precision, h, w, comps, _, scans = _parse(blob)
+    if process != "lossless":
+        raise ValueError("not a lossless JPEG")
+    return _decode_lossless_planes(precision, h, w, comps, scans)
 
 
 def _decode_lossless(precision, pt, planes):
@@ -586,6 +593,13 @@ def _decode_lossless(precision, pt, planes):
     contract: undo the point transform, then map precision P to 8 bits
     (``>> (P-8)`` for deep samples — same convention as the 12-bit DCT
     path)."""
+    if len(planes) not in (1, 3):
+        # 2- or 4-component lossless has no RGB interpretation; raise
+        # so the tolerant seam FLAGS the row instead of emitting
+        # plausible-but-wrong features from a malformed stack
+        raise NotImplementedError(
+            "%d-component lossless frame" % len(planes)
+        )
     h, w = planes[0].shape
     out = []
     for pl in planes:
@@ -597,7 +611,7 @@ def _decode_lossless(precision, pt, planes):
         out.append(np.clip(v, 0, 255).astype(np.uint8))
     if len(out) == 1:
         return w, h, np.repeat(out[0][:, :, None], 3, axis=2)
-    return w, h, np.stack(out[:3], axis=2)
+    return w, h, np.stack(out, axis=2)
 
 
 def encode_jpeg_lossless(px: np.ndarray, predictor: int = 1) -> bytes:
@@ -614,7 +628,14 @@ def encode_jpeg_lossless(px: np.ndarray, predictor: int = 1) -> bytes:
     h, w, nc = px.shape
     if nc not in (1, 3):
         raise ValueError("1 or 3 components")
-    precision = 16 if px.dtype == np.uint16 else 8
+    if px.dtype == np.uint16:
+        precision = 16
+    elif px.dtype == np.uint8:
+        precision = 8
+    else:
+        # an int64 array of 12-bit values would silently get an 8-bit
+        # SOF3 precision byte and clip on decode — reject instead
+        raise ValueError("expected uint8 or uint16 samples")
     if not 1 <= predictor <= 7:
         raise ValueError("predictor must be 1..7")
     default = 1 << (precision - 1)
@@ -625,17 +646,7 @@ def encode_jpeg_lossless(px: np.ndarray, predictor: int = 1) -> bytes:
         for x in range(w):
             for ci in range(nc):
                 pl = vals[:, :, ci]
-                if y == 0:
-                    pred = default if x == 0 else int(pl[0, x - 1])
-                elif x == 0:
-                    pred = int(pl[y - 1, 0])
-                else:
-                    pred = _predict(
-                        predictor,
-                        int(pl[y, x - 1]),
-                        int(pl[y - 1, x]),
-                        int(pl[y - 1, x - 1]),
-                    )
+                pred = _lossless_pred(pl, y, x, predictor, default)
                 diff = (int(pl[y, x]) - pred) & 0xFFFF
                 if diff > 32767:
                     diff -= 65536
@@ -1253,7 +1264,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
     decode bit-exactly via the predictive path."""
     process, precision, h, w, comps, qtables, scans = _parse(blob)
     if process == "lossless":
-        precision, pt, planes = decode_lossless_planes(blob)
+        precision, pt, planes = _decode_lossless_planes(
+            precision, h, w, comps, scans
+        )
         return _decode_lossless(precision, pt, planes)
     progressive = process == "progressive"
     hmax = max(c[1] for c in comps)

@@ -490,6 +490,19 @@ def test_jpeg_lossless_fixtures_bit_exact_to_ppm_recipe():
         assert np.array_equal(out, px), i
 
 
+def test_jpeg_lossless_rejects_non_rgb_component_counts():
+    """A 2-component lossless frame has no RGB interpretation; the
+    normalizer must raise (so the tolerant seam flags the row) rather
+    than emit a malformed (h, w, 2) stack."""
+    import numpy as np
+    import pytest
+
+    from hadoop_tools_spark.operators.jpeg import _decode_lossless
+
+    with pytest.raises(NotImplementedError):
+        _decode_lossless(8, 0, [np.zeros((2, 2), dtype=np.int64)] * 2)
+
+
 def test_jpeg12_rejects_baseline_frame():
     """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
     parser must reject the combination rather than mis-decode."""
