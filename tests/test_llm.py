@@ -503,6 +503,33 @@ def test_jpeg_lossless_rejects_non_rgb_component_counts():
         _decode_lossless(8, 0, [np.zeros((2, 2), dtype=np.int64)] * 2)
 
 
+def test_webdataset_shard_fixtures_are_valid_ustar():
+    """The hand-rolled shard_{i}.tar fixtures must be readable by the
+    stdlib tarfile module (independent USTAR conformance: names,
+    sizes, payloads, checksums), and carry the paired .txt/.ppm
+    members per webdataset stem."""
+    import io
+    import os
+    import tarfile
+
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+
+    for i in range(3):
+        with open(os.path.join(MEDIA_DIR, f"shard_{i}.tar"), "rb") as f:
+            blob = f.read()
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            names = tf.getnames()
+            assert len(names) == 2 * (2 + i)
+            stems = {n.split(".")[0] for n in names}
+            for stem in stems:
+                assert f"{stem}.txt" in names and f"{stem}.ppm" in names
+            for m in tf.getmembers():
+                payload = tf.extractfile(m).read()
+                assert len(payload) == m.size
+                if m.name.endswith(".ppm"):
+                    assert payload.startswith(b"P6\n")
+
+
 def test_jpeg12_rejects_baseline_frame():
     """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
     parser must reject the combination rather than mis-decode."""

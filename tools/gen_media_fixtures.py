@@ -123,6 +123,31 @@ def wav_bytes(n_samples: int, seed: int, rate: int = 8000) -> bytes:
     return hdr + bytes(data)
 
 
+def tar_bytes(members) -> bytes:
+    """[(name, payload)] → deterministic USTAR archive bytes (mtime 0,
+    uid/gid 0, mode 0644, correct checksum, two zero trailer blocks) —
+    the WebDataset shard container, written by hand so the fixture is
+    bit-reproducible with no library quirks."""
+    out = bytearray()
+    for name, data in members:
+        hdr = bytearray(512)
+        nb = name.encode()
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = ("%011o" % len(data)).encode() + b"\x00"
+        hdr[136:148] = b"00000000000\x00"
+        hdr[156] = 0x30  # typeflag '0': regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        hdr[148:156] = b" " * 8  # checksum field counts as spaces
+        hdr[148:156] = ("%06o" % sum(hdr)).encode() + b"\x00 "
+        out += hdr + data + b"\x00" * ((512 - len(data) % 512) % 512)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for i in range(8):
@@ -274,6 +299,20 @@ def main() -> None:
         ).astype(np.uint16)
         with open(os.path.join(OUT, f"jpg12_{i}.jpg"), "wb") as f:
             f.write(encode_jpeg_ext12(px, quality=92))
+    # WebDataset-style tar shards: each sample is a stem shared by a
+    # .txt caption and a .ppm image member (the standard multimodal
+    # training-data container). Sizes stay deterministic; captions
+    # are closed-form so the oracle can re-derive everything from the
+    # raw tar bytes.
+    for i in range(3):
+        members = []
+        for j in range(2 + i):
+            stem = f"sample{i}{j}"
+            caption = (f"caption {i}-{j} " * (j + 1) + "end").encode()
+            members.append((f"{stem}.txt", caption))
+            members.append((f"{stem}.ppm", ppm_bytes(6 + j, 4 + j, i * 10 + j)))
+        with open(os.path.join(OUT, f"shard_{i}.tar"), "wb") as f:
+            f.write(tar_bytes(members))
     # lossless JPEG (SOF3) twins of img_{i}.ppm — components coded
     # directly (no color transform), so decode is BIT-EXACT and the
     # graded key's oracle derives stats from the PPM bytes. The
