@@ -503,6 +503,40 @@ def test_jpeg_lossless_rejects_non_rgb_component_counts():
         _decode_lossless(8, 0, [np.zeros((2, 2), dtype=np.int64)] * 2)
 
 
+def test_decode_image_exception_surface_is_closed():
+    """Fuzz the decode seam: truncations and random bit-flips of every
+    committed media fixture must raise ONLY the three classes
+    extract_features_tolerant catches — any other class would kill an
+    executor task at corpus scale instead of flagging the row. (This
+    harness caught struct.error/KeyError/StopIteration/OverflowError
+    escaping before decode_image normalized them.)"""
+    import glob
+    import os
+    import random
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        decode_image,
+    )
+
+    rng = random.Random(99)
+    for f in sorted(glob.glob(os.path.join(MEDIA_DIR, "*"))):
+        with open(f, "rb") as fh:
+            blob = fh.read()
+        muts = [blob[: int(len(blob) * fr)] for fr in (0.2, 0.6, 0.9)]
+        for _ in range(12):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 4)):
+                p = rng.randrange(len(b))
+                b[p] ^= 1 << rng.randrange(8)
+            muts.append(bytes(b))
+        for m in muts:
+            try:
+                decode_image(m)
+            except (NotImplementedError, ValueError, IndexError):
+                pass  # the tolerant seam's catch list — allowed
+
+
 def test_webdataset_shard_fixtures_are_valid_ustar():
     """The hand-rolled shard_{i}.tar fixtures must be readable by the
     stdlib tarfile module (independent USTAR conformance: names,
