@@ -564,6 +564,37 @@ def test_webdataset_shard_fixtures_are_valid_ustar():
                     assert payload.startswith(b"P6\n")
 
 
+def test_webdataset_walk_survives_torn_shard(spark, tmp_path):
+    """A shard torn mid-header (non-octal size bytes) must yield the
+    members BEFORE the tear, not a task failure — the same
+    flag-don't-die contract as the tolerant image seam."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        webdataset_members,
+    )
+
+    with open(os.path.join(MEDIA_DIR, "shard_1.tar"), "rb") as f:
+        blob = bytearray(f.read())
+    # shard_1 has 6 members; corrupt the size field of the 3rd header
+    offs, off = [], 0
+    while off + 512 <= len(blob) and blob[off] != 0:
+        offs.append(off)
+        size = int(bytes(blob[off + 124 : off + 135]).decode(), 8)
+        off += 512 + (size + 511) // 512 * 512
+    assert len(offs) == 6
+    blob[offs[2] + 124 : offs[2] + 135] = b"XXXXXXXXXXX"
+    (tmp_path / "shard_torn.tar").write_bytes(bytes(blob))
+
+    out = webdataset_members(
+        read_assets(spark, str(tmp_path), glob="shard_*")
+    ).collect()
+    assert len(out) == 2  # the two members before the torn header
+    assert sorted(r.member for r in out) == ["sample10.ppm", "sample10.txt"]
+
+
 def test_jpeg12_rejects_baseline_frame():
     """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
     parser must reject the combination rather than mis-decode."""
