@@ -595,6 +595,33 @@ def test_webdataset_walk_survives_torn_shard(spark, tmp_path):
     assert sorted(r.member for r in out) == ["sample10.ppm", "sample10.txt"]
 
 
+def test_warc_walk_survives_torn_record(spark, tmp_path):
+    """An archive torn mid-record (header without its CRLFCRLF
+    terminator) must yield the records BEFORE the tear, not a task
+    failure."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        warc_records,
+    )
+
+    with open(os.path.join(MEDIA_DIR, "crawl_1.warc"), "rb") as f:
+        blob = f.read()
+    # crawl_1 has 4 records (warcinfo + 3 responses); cut inside the
+    # third record's header, before its blank line
+    third = blob.index(b"WARC/1.0", blob.index(b"WARC/1.0", 8) + 8)
+    torn = blob[: third + 40]
+    (tmp_path / "crawl_torn.warc").write_bytes(torn)
+
+    out = warc_records(
+        read_assets(spark, str(tmp_path), glob="crawl_*")
+    ).collect()
+    assert len(out) == 2
+    assert sorted(r.record_type for r in out) == ["response", "warcinfo"]
+
+
 def test_jpeg12_rejects_baseline_frame():
     """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
     parser must reject the combination rather than mis-decode."""

@@ -148,6 +148,28 @@ def tar_bytes(members) -> bytes:
     return bytes(out)
 
 
+def warc_bytes(records) -> bytes:
+    """[(warc_type, target_uri, payload)] → WARC/1.0 bytes (ISO 28500):
+    CRLF headers, Content-Length framing, two CRLFs between records.
+    Record IDs and dates are deterministic functions of the index so
+    the fixture is bit-reproducible."""
+    out = bytearray()
+    for k, (wtype, uri, payload) in enumerate(records):
+        hdr = [
+            "WARC/1.0",
+            f"WARC-Type: {wtype}",
+            f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-{k:012d}>",
+            "WARC-Date: 2024-01-01T00:00:00Z",
+        ]
+        if uri:
+            hdr.append(f"WARC-Target-URI: {uri}")
+        hdr.append(f"Content-Length: {len(payload)}")
+        out += ("\r\n".join(hdr) + "\r\n\r\n").encode()
+        out += payload
+        out += b"\r\n\r\n"
+    return bytes(out)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     for i in range(8):
@@ -313,6 +335,25 @@ def main() -> None:
             members.append((f"{stem}.ppm", ppm_bytes(6 + j, 4 + j, i * 10 + j)))
         with open(os.path.join(OUT, f"shard_{i}.tar"), "wb") as f:
             f.write(tar_bytes(members))
+    # WARC web-archive fixtures (the CommonCrawl container): each file
+    # opens with a warcinfo record and carries response records with
+    # deterministic HTML payloads (closed-form so the oracle can
+    # re-derive digests from raw bytes).
+    for i in range(3):
+        recs = [("warcinfo", "", f"software: fixture-gen/{i}\r\n".encode())]
+        for j in range(2 + i):
+            body = (
+                f"<html><head><title>page {i}-{j}</title></head>"
+                f"<body>" + f"paragraph {i}-{j} " * (3 + j) + "</body></html>"
+            ).encode()
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            )
+            recs.append(
+                ("response", f"http://example.com/{i}/page{j}", payload)
+            )
+        with open(os.path.join(OUT, f"crawl_{i}.warc"), "wb") as f:
+            f.write(warc_bytes(recs))
     # lossless JPEG (SOF3) twins of img_{i}.ppm — components coded
     # directly (no color transform), so decode is BIT-EXACT and the
     # graded key's oracle derives stats from the PPM bytes. The
