@@ -523,7 +523,10 @@ def test_decode_image_exception_surface_is_closed():
     for f in sorted(glob.glob(os.path.join(MEDIA_DIR, "*"))):
         with open(f, "rb") as fh:
             blob = fh.read()
-        muts = [blob[: int(len(blob) * fr)] for fr in (0.2, 0.6, 0.9)]
+        # tiny prefixes land INSIDE text headers (the PPM field scan
+        # hung forever on these before the EOF guards)
+        muts = [blob[:3], blob[:7], blob[:15]]
+        muts += [blob[: int(len(blob) * fr)] for fr in (0.2, 0.6, 0.9)]
         for _ in range(12):
             b = bytearray(blob)
             for _ in range(rng.randint(1, 4)):
@@ -562,6 +565,75 @@ def test_webdataset_shard_fixtures_are_valid_ustar():
                 assert len(payload) == m.size
                 if m.name.endswith(".ppm"):
                     assert payload.startswith(b"P6\n")
+
+
+def test_decode_ppm_truncated_header_raises_not_hangs():
+    """A PPM cut mid-header-field must raise ValueError immediately —
+    the unguarded field scan used to increment past EOF forever (a
+    permanently hung executor task, worse than any exception)."""
+    import pytest
+
+    from hadoop_tools_spark.operators.multimodal import decode_image
+
+    for blob in (b"P6\n123", b"P6\n", b"P6\n12 34", b"P6\n#comment"):
+        with pytest.raises(ValueError):
+            decode_image(blob)
+
+
+def test_webdataset_walk_drops_torn_payload(spark, tmp_path):
+    """A shard truncated INSIDE a member's payload must drop that
+    member (a digest over partial bytes under the full claimed size
+    would be a phantom row), keeping the intact members before it."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        webdataset_members,
+    )
+
+    with open(os.path.join(MEDIA_DIR, "shard_0.tar"), "rb") as f:
+        blob = f.read()
+    # shard_0: 4 members; cut inside the LAST member's payload
+    offs, off = [], 0
+    while off + 512 <= len(blob) and blob[off] != 0:
+        offs.append(off)
+        size = int(blob[off + 124 : off + 135].decode(), 8)
+        off += 512 + (size + 511) // 512 * 512
+    assert len(offs) == 4
+    (tmp_path / "shard_cut.tar").write_bytes(blob[: offs[3] + 512 + 10])
+
+    out = webdataset_members(
+        read_assets(spark, str(tmp_path), glob="shard_*")
+    ).collect()
+    assert len(out) == 3  # the three intact members
+
+
+def test_warc_walk_stops_on_corrupt_header_terminator(spark, tmp_path):
+    """Flipping a byte of a mid-file header's CRLFCRLF must stop the
+    walk at that record (fail closed) — not emit a garbage row whose
+    digest covers the wrong byte range."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        warc_records,
+    )
+
+    with open(os.path.join(MEDIA_DIR, "crawl_1.warc"), "rb") as f:
+        blob = bytearray(f.read())
+    # corrupt the CRLFCRLF terminating the SECOND record's header
+    second = blob.index(b"WARC/1.0", 8)
+    term = blob.index(b"\r\n\r\n", second)
+    blob[term] = 0x58  # 'X'
+    (tmp_path / "crawl_bad.warc").write_bytes(bytes(blob))
+
+    out = warc_records(
+        read_assets(spark, str(tmp_path), glob="crawl_*")
+    ).collect()
+    assert len(out) == 1  # only the leading warcinfo record
+    assert out[0].record_type == "warcinfo"
 
 
 def test_webdataset_walk_survives_torn_shard(spark, tmp_path):
