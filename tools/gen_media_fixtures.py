@@ -343,8 +343,12 @@ def main() -> None:
         recs = [("warcinfo", "", f"software: fixture-gen/{i}\r\n".encode())]
         for j in range(2 + i):
             body = (
-                f"<html><head><title>page {i}-{j}</title></head>"
-                f"<body>" + f"paragraph {i}-{j} " * (3 + j) + "</body></html>"
+                f"<html><head><title>page {i}-{j}</title>"
+                f"<style>body {{ color: #{i}{j}f; }}</style>"
+                f"<script>var x = {j} < 2 && {i} > 0;</script></head>"
+                f'<body><h1 class="t">Page {i}-{j}</h1>'
+                + f"<p>paragraph {i}-{j} &amp; more&nbsp;text</p>" * (3 + j)
+                + "</body></html>"
             ).encode()
             payload = (
                 b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
