@@ -348,6 +348,11 @@ def main() -> None:
                 f"<script>var x = {j} < 2 && {i} > 0;</script></head>"
                 f'<body><h1 class="t">Page {i}-{j}</h1>'
                 + f"<p>paragraph {i}-{j} &amp; more&nbsp;text</p>" * (3 + j)
+                + "".join(
+                    f'<a href="http://example.com/{i}/page{k}">next {k}</a>'
+                    for k in range(j + 2)
+                )
+                + f'<a href="https://other.org/{i}">out</a>'
                 + "</body></html>"
             ).encode()
             payload = (
