@@ -694,6 +694,88 @@ def test_warc_walk_survives_torn_record(spark, tmp_path):
     assert sorted(r.record_type for r in out) == ["response", "warcinfo"]
 
 
+def test_warc_gzip_members_match_plain_twin():
+    """Pure-Python invariant behind the llm_warc_gzip oracle: the
+    concatenated decompressed members of crawlgz_N reproduce the
+    plain crawl_N byte stream exactly."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        _gzip_members,
+    )
+
+    for i in range(3):
+        with open(os.path.join(MEDIA_DIR, f"crawlgz_{i}.warc.gz"), "rb") as f:
+            gz = f.read()
+        with open(os.path.join(MEDIA_DIR, f"crawl_{i}.warc"), "rb") as f:
+            plain = f.read()
+        members = list(_gzip_members(gz))
+        assert len(members) == 2 + i + 1  # warcinfo + responses
+        assert b"".join(members) == plain
+        # every member is exactly one record (the splittability
+        # property CommonCrawl relies on)
+        assert all(m.startswith(b"WARC/1.0") for m in members)
+
+
+def test_warc_gzip_walk_survives_torn_member(spark, tmp_path):
+    """An archive truncated inside its FINAL gzip member (trailer
+    never arrives) must yield the records before the tear, not a
+    task failure."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        warc_gzip_records,
+    )
+
+    with open(os.path.join(MEDIA_DIR, "crawlgz_1.warc.gz"), "rb") as f:
+        blob = f.read()
+    (tmp_path / "crawlgz_torn.warc.gz").write_bytes(blob[:-10])
+
+    out = warc_gzip_records(
+        read_assets(spark, str(tmp_path), glob="crawlgz_*")
+    ).collect()
+    assert len(out) == 3  # crawl_1 holds 4 records; the last is torn
+    assert sorted(r.record_type for r in out) == [
+        "response", "response", "warcinfo",
+    ]
+
+
+def test_warc_gzip_walk_stops_on_corrupt_magic(spark, tmp_path):
+    """Corrupting the SECOND member's gzip magic must stop the walk
+    there (fail closed) — mid-stream junk is never skipped over."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        _gzip_members,
+        read_assets,
+        warc_gzip_records,
+    )
+
+    with open(os.path.join(MEDIA_DIR, "crawlgz_1.warc.gz"), "rb") as f:
+        blob = bytearray(f.read())
+    first = list(_gzip_members(bytes(blob)))[0]
+    # locate member 2's start: re-walk consumed offsets via zlib
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    d.decompress(bytes(blob))
+    second_off = len(blob) - len(d.unused_data)
+    assert blob[second_off : second_off + 2] == b"\x1f\x8b"
+    blob[second_off] = 0x58
+    (tmp_path / "crawlgz_bad.warc.gz").write_bytes(bytes(blob))
+
+    out = warc_gzip_records(
+        read_assets(spark, str(tmp_path), glob="crawlgz_*")
+    ).collect()
+    assert len(out) == 1
+    assert out[0].record_type == "warcinfo"
+    assert out[0].content_length == len(first.split(b"\r\n\r\n", 1)[1]) - 4
+
+
 def test_jpeg12_rejects_baseline_frame():
     """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
     parser must reject the combination rather than mis-decode."""

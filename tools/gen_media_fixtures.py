@@ -18,6 +18,7 @@ engines (and tests) can recompute them independently.
 
 from __future__ import annotations
 
+import gzip
 import os
 import struct
 
@@ -148,13 +149,13 @@ def tar_bytes(members) -> bytes:
     return bytes(out)
 
 
-def warc_bytes(records) -> bytes:
+def warc_bytes(records, start: int = 0) -> bytes:
     """[(warc_type, target_uri, payload)] → WARC/1.0 bytes (ISO 28500):
     CRLF headers, Content-Length framing, two CRLFs between records.
     Record IDs and dates are deterministic functions of the index so
     the fixture is bit-reproducible."""
     out = bytearray()
-    for k, (wtype, uri, payload) in enumerate(records):
+    for k, (wtype, uri, payload) in enumerate(records, start):
         hdr = [
             "WARC/1.0",
             f"WARC-Type: {wtype}",
@@ -167,6 +168,19 @@ def warc_bytes(records) -> bytes:
         out += ("\r\n".join(hdr) + "\r\n\r\n").encode()
         out += payload
         out += b"\r\n\r\n"
+    return bytes(out)
+
+
+def warc_gz_bytes(records) -> bytes:
+    """The same records as :func:`warc_bytes`, but laid out as
+    CommonCrawl actually ships them: ONE gzip member per record,
+    members concatenated. Per-record members are what make a
+    ``.warc.gz`` splittable — a reader can start at any member
+    boundary without decompressing the prefix. ``mtime=0`` pins the
+    gzip header so the fixture is bit-reproducible."""
+    out = bytearray()
+    for k, rec in enumerate(records):
+        out += gzip.compress(warc_bytes([rec], start=k), mtime=0)
     return bytes(out)
 
 
@@ -363,6 +377,12 @@ def main() -> None:
             )
         with open(os.path.join(OUT, f"crawl_{i}.warc"), "wb") as f:
             f.write(warc_bytes(recs))
+        # gzip twin: identical records, one gzip member each — the
+        # exact bytes-on-disk layout of a CommonCrawl .warc.gz. The
+        # graded key decompresses these and must hash-match the plain
+        # twin's oracle walk record for record.
+        with open(os.path.join(OUT, f"crawlgz_{i}.warc.gz"), "wb") as f:
+            f.write(warc_gz_bytes(recs))
     # lossless JPEG (SOF3) twins of img_{i}.ppm — components coded
     # directly (no color transform), so decode is BIT-EXACT and the
     # graded key's oracle derives stats from the PPM bytes. The
