@@ -268,3 +268,43 @@ def test_semdedup_within_cluster_only(spark, sf_dir):
         assert labels[r.dropped] == r.label == labels[r.kept_by]
         assert r.kept_by < r.dropped
         assert r.max_cos > 0.3
+
+
+def test_ts_autocorr_moments_survive_int64_overflow(spark, tmp_path):
+    """The sf10 failure class: daily cent totals ~4e15 make every
+    quadratic moment product ~1.6e31 — far past int64 — so a plain
+    BIGINT sum would silently wrap (Spark is non-ANSI here). The
+    decimal(38,0) widening must instead reproduce the exact-integer
+    computation (mirrored in floats the same way the query does)."""
+    import datetime
+    import math
+
+    from hadoop_tools_spark.operators.timeseries import ts_autocorr
+
+    base = datetime.datetime(2024, 1, 1)
+    # whole-dollar values so cents = value*100 is float-exact (< 2^53)
+    dollars = [40_000_000_000_000 + d * 37_000_000_000 for d in range(9)]
+    spark.createDataFrame(
+        [(base + datetime.timedelta(days=d), float(v))
+         for d, v in enumerate(dollars)],
+        "ts timestamp, value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.k: r for r in ts_autocorr(spark, str(tmp_path)).collect()}
+
+    cents = [v * 100 for v in dollars]
+    for k in (1, 7):
+        xs, ys = cents[:-k], cents[k:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        assert max(sxy, sxx, syy) > 2**63, "fixture must exceed int64"
+        r = (float(n) * float(sxy) - float(sx) * float(sy)) / math.sqrt(
+            (float(n) * float(sxx) - float(sx) * float(sx))
+            * (float(n) * float(syy) - float(sy) * float(sy))
+        )
+        want = math.floor(r * 1_000_000 + 0.5) / 1_000_000
+        assert got[k].n_pairs == n
+        assert got[k].autocorr6 == want
