@@ -711,7 +711,8 @@ def test_warc_gzip_members_match_plain_twin():
         with open(os.path.join(MEDIA_DIR, f"crawl_{i}.warc"), "rb") as f:
             plain = f.read()
         members = list(_gzip_members(gz))
-        assert len(members) == 2 + i + 1  # warcinfo + responses
+        # warcinfo + responses (+ crawl_2's three hostile records)
+        assert len(members) == 2 + i + 1 + (3 if i == 2 else 0)
         assert b"".join(members) == plain
         # every member is exactly one record (the splittability
         # property CommonCrawl relies on)
@@ -774,6 +775,38 @@ def test_warc_gzip_walk_stops_on_corrupt_magic(spark, tmp_path):
     assert len(out) == 1
     assert out[0].record_type == "warcinfo"
     assert out[0].content_length == len(first.split(b"\r\n\r\n", 1)[1]) - 4
+
+
+def test_warc_hostile_records_framed_and_filtered(spark):
+    """crawl_2's three hostile-but-legal records must flow through
+    the walks exactly as the oracles do: the ~2 KB-header record is
+    framed (terminator window 8192 bytes), the folded-header
+    metadata record passes the line validator, and the bodyless
+    response appears in the record walk but NOT in the HTML walk."""
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        warc_html_bodies,
+        warc_records,
+    )
+
+    assets = read_assets(spark, MEDIA_DIR, glob="crawl_2.warc")
+    recs = warc_records(assets).collect()
+    by_uri = {r.target_uri: r for r in recs}
+    assert len(recs) == 8  # warcinfo + 4 pages + long-hdr + bodyless + meta
+
+    long = [u for u in by_uri if "/deep/" in u]
+    assert long and len(long[0]) > 1200  # header really exceeds 1200 B
+    assert by_uri[long[0]].record_type == "response"
+
+    assert by_uri["http://example.com/2/no-body"].content_length == 45
+    assert by_uri["http://example.com/2/meta"].record_type == "metadata"
+
+    html = warc_html_bodies(assets).collect()
+    uris = {r.target_uri for r in html}
+    assert long[0] in uris  # long header framed, body extracted
+    assert "http://example.com/2/no-body" not in uris  # bodyless skipped
+    assert "http://example.com/2/meta" not in uris  # non-response skipped
 
 
 def test_jpeg12_rejects_baseline_frame():

@@ -150,12 +150,14 @@ def tar_bytes(members) -> bytes:
 
 
 def warc_bytes(records, start: int = 0) -> bytes:
-    """[(warc_type, target_uri, payload)] → WARC/1.0 bytes (ISO 28500):
-    CRLF headers, Content-Length framing, two CRLFs between records.
-    Record IDs and dates are deterministic functions of the index so
-    the fixture is bit-reproducible."""
+    """[(warc_type, target_uri, payload[, extra_header_lines])] →
+    WARC/1.0 bytes (ISO 28500): CRLF headers, Content-Length framing,
+    two CRLFs between records. Record IDs and dates are deterministic
+    functions of the index so the fixture is bit-reproducible."""
     out = bytearray()
-    for k, (wtype, uri, payload) in enumerate(records, start):
+    for k, rec in enumerate(records, start):
+        wtype, uri, payload = rec[:3]
+        extra = rec[3] if len(rec) > 3 else []
         hdr = [
             "WARC/1.0",
             f"WARC-Type: {wtype}",
@@ -164,6 +166,7 @@ def warc_bytes(records, start: int = 0) -> bytes:
         ]
         if uri:
             hdr.append(f"WARC-Target-URI: {uri}")
+        hdr.extend(extra)
         hdr.append(f"Content-Length: {len(payload)}")
         out += ("\r\n".join(hdr) + "\r\n\r\n").encode()
         out += payload
@@ -375,6 +378,43 @@ def main() -> None:
             recs.append(
                 ("response", f"http://example.com/{i}/page{j}", payload)
             )
+        if i == 2:
+            # hostile-but-legal records pinning the framing rules the
+            # happy path never exercises — each must hash-match across
+            # BOTH engines' independent walks:
+            # (a) a ~2 KB header (long Target-URI): both walks scan an
+            #     8192-byte terminator window; a narrower oracle
+            #     window would mis-frame exactly this record class;
+            long_uri = "http://example.com/2/deep/" + "/".join(
+                f"seg{k:03d}" for k in range(260)
+            )
+            deep_body = (
+                "<html><body><h1>deep page</h1>"
+                '<a href="http://example.com/2/page0">up</a></body></html>'
+            ).encode()
+            recs.append((
+                "response",
+                long_uri,
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + deep_body,
+            ))
+            # (b) a bodyless response (payload with NO CRLFCRLF):
+            #     counted by the records keys, SKIPPED by the
+            #     html/links keys on both engines;
+            recs.append((
+                "response",
+                "http://example.com/2/no-body",
+                b"\x00\x01binary payload without an http header split",
+            ))
+            # (c) an ISO 28500 folded header line (continuation
+            #     starting with SP) — legal, must not trip the
+            #     fail-closed header-line validator.
+            recs.append((
+                "metadata",
+                "http://example.com/2/meta",
+                b"note: fixture metadata\r\n",
+                ["X-Fixture-Folded: first part", "  second part (folded)"],
+            ))
         with open(os.path.join(OUT, f"crawl_{i}.warc"), "wb") as f:
             f.write(warc_bytes(recs))
         # gzip twin: identical records, one gzip member each — the
