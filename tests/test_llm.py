@@ -809,6 +809,46 @@ def test_warc_hostile_records_framed_and_filtered(spark):
     assert "http://example.com/2/meta" not in uris  # non-response skipped
 
 
+def test_warc_cdx_offsets_support_random_access(spark):
+    """The property the CDX index exists for: for EVERY indexed row,
+    reading exactly bytes [offset, offset+length) out of the archive
+    yields one self-contained record whose re-framed identity matches
+    the indexed one — no scan of the surrounding archive needed."""
+    import os
+    import re
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        _warc_frames,
+        llm_warc_cdx,
+    )
+
+    rows = llm_warc_cdx(spark, None).collect()
+    # 3+4+8 records across crawl_0/1/2 (incl. the hostile three)
+    assert len(rows) == 15
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r.path, []).append(r)
+    for path, idx in by_path.items():
+        with open(path, "rb") as f:
+            blob = f.read()
+        # offsets tile the archive end to end, no gaps or overlap
+        spans = sorted((r.rec_offset, r.rec_length) for r in idx)
+        pos = 0
+        for off, n in spans:
+            assert off == pos
+            pos += n
+        assert pos == len(blob)
+        for r in idx:
+            rec = blob[r.rec_offset : r.rec_offset + r.rec_length]
+            frames = list(_warc_frames(rec))
+            assert len(frames) == 1  # self-contained: exactly 1 record
+            _off, n, hdr, _payload = frames[0]
+            assert n == r.rec_length
+            uri = re.search(r"WARC-Target-URI: ([^\r]+)", hdr)
+            assert (uri.group(1) if uri else "") == r.target_uri
+
+
 def test_jpeg12_rejects_baseline_frame():
     """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
     parser must reject the combination rather than mis-decode."""
