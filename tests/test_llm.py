@@ -849,6 +849,40 @@ def test_warc_cdx_offsets_support_random_access(spark):
             assert (uri.group(1) if uri else "") == r.target_uri
 
 
+def test_warc_walks_fail_closed_at_every_truncation():
+    """Exhaustive version of the targeted torn-record tests: for
+    EVERY prefix length of crawl_0 (and its gzip twin), the walks
+    must raise nothing and yield only records that are intact in the
+    prefix — i.e. a tear anywhere degrades output, never crashes a
+    task or emits a mis-framed row."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        _gzip_members,
+        _warc_frames,
+    )
+
+    with open(os.path.join(MEDIA_DIR, "crawl_0.warc"), "rb") as f:
+        plain = f.read()
+    full = list(_warc_frames(plain))
+    for cut in range(len(plain)):
+        got = list(_warc_frames(plain[:cut]))
+        # every yielded frame must be one of the true frames, fully
+        # inside the prefix, and they must be a prefix-run of them
+        assert got == [fr for fr in full[: len(got)]]
+        for off, n, _h, _p in got:
+            assert off + n <= cut + 4  # only the final CRLFCRLF may
+            # be what the cut removed (the walk doesn't require it)
+
+    with open(os.path.join(MEDIA_DIR, "crawlgz_0.warc.gz"), "rb") as f:
+        gz = f.read()
+    members = list(_gzip_members(gz))
+    for cut in range(len(gz)):
+        got = list(_gzip_members(gz[:cut]))
+        assert got == members[: len(got)]  # prefix-run, never garbage
+
+
 def test_jpeg12_rejects_baseline_frame():
     """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
     parser must reject the combination rather than mis-decode."""

@@ -1,0 +1,147 @@
+"""Scale rehearsal for the WARC/container ingestion family.
+
+The graded fixtures are ~2 KB archives — they prove cross-engine
+correctness, not scale. This rehearsal generates a corpus of N
+synthetic archives (default 192 x ~1 MB, both plain .warc and
+per-record-gzip .warc.gz twins) in /tmp, runs the SAME reusable walks
+the keys use (`warc_records`, `llm_warc_cdx`'s frame walk,
+`warc_gzip_records`, `warc_html_bodies`), and reports wall time at 1x
+and 2x corpus size plus driver RSS — the evidence SCALE.md records
+per the rehearse-before-claim rule.
+
+What scale-correct looks like here:
+- wall grows ~linearly with corpus bytes (the walks are one pass,
+  archives never co-shuffle);
+- the scan parallelizes across archives (binaryFile packs whole
+  files into input partitions);
+- driver RSS stays flat (rows returned are index-sized metadata,
+  payload bytes never reach the driver).
+
+Usage: python tools/rehearse_warc_scale.py [n_archives]
+"""
+
+from __future__ import annotations
+
+import os
+import resource
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.gen_media_fixtures import warc_bytes, warc_gz_bytes  # noqa: E402
+
+BASE = "/tmp/warc_scale"
+
+
+def gen_corpus(n_archives: int, recs_per_archive: int = 96) -> str:
+    out = os.path.join(BASE, f"n{n_archives}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for i in range(n_archives):
+        recs = [("warcinfo", "", f"software: rehearsal/{i}\r\n".encode())]
+        for j in range(recs_per_archive):
+            # ~20 KB of deterministic HTML per response => ~1 MB/archive
+            body = (
+                f"<html><body><h1>doc {i}-{j}</h1>"
+                + f"<p>filler {i}-{j} paragraph with words</p>" * 400
+                + "".join(
+                    f'<a href="http://ex.com/{i}/{j}/{k}">l{k}</a>'
+                    for k in range(8)
+                )
+                + "</body></html>"
+            ).encode()
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            )
+            recs.append(("response", f"http://ex.com/{i}/{j}", payload))
+        with open(os.path.join(out, f"crawl_{i:04d}.warc"), "wb") as f:
+            f.write(warc_bytes(recs))
+        with open(os.path.join(out, f"crawlgz_{i:04d}.warc.gz"), "wb") as f:
+            f.write(warc_gz_bytes(recs))
+    return out
+
+
+def run(spark, directory: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.operators.multimodal import (
+        read_assets,
+        warc_gzip_records,
+        warc_html_bodies,
+        warc_records,
+    )
+
+    def edges_df():
+        return warc_html_bodies(
+            read_assets(spark, directory, glob="crawl_*.warc")
+        ).select(
+            F.explode(
+                F.regexp_extract_all(
+                    "html", F.lit(r'href="([^"]+)"'), F.lit(1)
+                )
+            )
+        )
+
+    ops = {
+        "records": lambda: warc_records(
+            read_assets(spark, directory, glob="crawl_*.warc")
+        ),
+        "gzip": lambda: warc_gzip_records(
+            read_assets(spark, directory, glob="crawlgz_*")
+        ),
+        "links": edges_df,
+    }
+    t, rows = {}, {}
+    for name, mk in ops.items():
+        walls = []
+        for _ in range(2):  # min-of-2: absorbs stragglers/JIT noise
+            t0 = time.time()
+            rows[name] = mk().count()
+            walls.append(time.time() - t0)
+        t[name] = min(walls)
+    return {"rows": (rows["records"], rows["gzip"], rows["links"]),
+            "wall": t}
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    from hadoop_tools_spark.session import get_spark
+
+    spark = get_spark()
+    # warm the JVM + Python workers on the graded fixtures so the 1x
+    # measurement isn't charged for session startup
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+
+    run(spark, MEDIA_DIR)
+    results = {}
+    for scale in (n // 2, n):
+        d = gen_corpus(scale)
+        size_mb = sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+        ) / 1e6
+        # partition count of the binaryFile scan = the walk's parallelism
+        from hadoop_tools_spark.operators.multimodal import read_assets
+
+        parts = read_assets(spark, d, glob="crawl_*.warc").rdd.getNumPartitions()
+        results[scale] = run(spark, d)
+        results[scale]["size_mb"] = round(size_mb, 1)
+        results[scale]["scan_partitions"] = parts
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        print(
+            f"n={scale}: {size_mb:.0f} MB, {parts} scan partitions, "
+            f"rows={results[scale]['rows']}, "
+            f"wall={ {k: round(v, 2) for k, v in results[scale]['wall'].items()} }, "
+            f"driver_rss={rss_mb:.0f} MB"
+        )
+    lo, hi = results[n // 2], results[n]
+    for op in ("records", "gzip", "links"):
+        ratio = hi["wall"][op] / max(lo["wall"][op], 1e-9)
+        print(f"{op}: 2x data -> {ratio:.2f}x wall")
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
