@@ -883,6 +883,62 @@ def test_warc_walks_fail_closed_at_every_truncation():
         assert got == members[: len(got)]  # prefix-run, never garbage
 
 
+def test_warc_frames_roundtrip_random_records():
+    """Generative round-trip: random records — arbitrary binary
+    payloads (including CRLFCRLF-bearing and empty ones), URIs, and
+    folded header lines — serialized by an INDEPENDENT in-test
+    writer must be recovered by `_warc_frames` exactly: same count,
+    same headers, same payload bytes, offsets tiling the archive."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hadoop_tools_spark.operators.multimodal import _warc_frames
+
+    rec = st.tuples(
+        st.sampled_from(["response", "request", "metadata", "warcinfo"]),
+        st.text(
+            st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=0,
+            max_size=200,
+        ),
+        st.binary(min_size=0, max_size=300),
+        st.booleans(),  # include a folded header line?
+    )
+
+    def serialize(records) -> bytes:
+        out = bytearray()
+        for wtype, uri, payload, fold in records:
+            hdr = [b"WARC/1.0", b"WARC-Type: " + wtype.encode()]
+            if uri:
+                hdr.append(b"WARC-Target-URI: " + uri.encode())
+            if fold:
+                hdr.append(b"X-Fold: a")
+                hdr.append(b"\tcontinued")
+            hdr.append(b"Content-Length: " + str(len(payload)).encode())
+            out += b"\r\n".join(hdr) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        return bytes(out)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(rec, min_size=0, max_size=6))
+    def check(records):
+        blob = serialize(records)
+        frames = list(_warc_frames(blob))
+        assert len(frames) == len(records)
+        pos = 0
+        for (wtype, uri, payload, _fold), (off, n, hdr, got) in zip(
+            records, frames
+        ):
+            assert off == pos
+            pos += n
+            assert got == payload
+            assert f"WARC-Type: {wtype}" in hdr
+            if uri:
+                assert f"WARC-Target-URI: {uri}" in hdr
+        assert pos == len(blob)
+
+    check()
+
+
 def test_jpeg12_rejects_baseline_frame():
     """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
     parser must reject the combination rather than mis-decode."""
