@@ -939,6 +939,175 @@ def test_warc_frames_roundtrip_random_records():
     check()
 
 
+def test_flac_twins_bit_exact_vs_wav():
+    """Lossless twin invariant (the lossless-JPEG↔PPM pattern): every
+    flac_i.flac decodes to EXACTLY the PCM of snd_i.wav — same rate,
+    channel count, bit depth, and every sample bit-equal."""
+    import os
+
+    from hadoop_tools_spark.operators.flac import decode_flac
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        decode_wav,
+    )
+
+    for i in range(4):
+        with open(os.path.join(MEDIA_DIR, f"snd_{i}.wav"), "rb") as f:
+            wrate, wch, wsamples = decode_wav(f.read())
+        with open(os.path.join(MEDIA_DIR, f"flac_{i}.flac"), "rb") as f:
+            frate, fch, fbps, fsamples = decode_flac(f.read())
+        assert (frate, fch, fbps) == (wrate, wch, 16)
+        assert fsamples.reshape(-1).tolist() == wsamples.tolist()
+
+
+def test_flac_fail_closed_on_corruption_and_truncation():
+    """Any single flipped bit outside STREAMINFO's un-CRC'd hint
+    fields, and any truncation, must raise ValueError (CRC-8/CRC-16/
+    MD5 layers) — never decode garbage or hang."""
+    import os
+
+    from hadoop_tools_spark.operators.flac import decode_flac
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+
+    with open(os.path.join(MEDIA_DIR, "flac_0.flac"), "rb") as f:
+        blob = f.read()
+    # bytes 8-17 are STREAMINFO min-blocksize/framesize hints: the
+    # only region FLAC leaves without any integrity cover
+    for pos in list(range(4, 8)) + list(range(18, len(blob), 97)):
+        b2 = bytearray(blob)
+        b2[pos] ^= 0x40
+        with pytest.raises(ValueError):
+            decode_flac(bytes(b2))
+    for cut in range(0, len(blob), 23):
+        with pytest.raises(ValueError):
+            decode_flac(blob[:cut])
+
+
+def _flac_stream(ch_code, subframe_writers, n, n_ch, pcm_lr, bps=16):
+    """Hand-build a one-frame FLAC file for decoder branch tests:
+    STREAMINFO (with the true PCM MD5) + one frame whose subframes
+    are written by the given callbacks."""
+    import hashlib
+    import struct
+
+    from tools.gen_media_fixtures import (
+        _flac_crc8,
+        _flac_crc16,
+        _FlacBitW,
+    )
+
+    data = b"".join(
+        struct.pack("<h", v) for frame in pcm_lr for v in frame
+    )
+    out = bytearray(b"fLaC")
+    out.append(0x80)
+    out += (34).to_bytes(3, "big")
+    v = (n << 0) | (15 << 36) | ((n_ch - 1) << 41) | (8000 << 44)
+    v |= (n << 112) | (n << 128)  # min/max blocksize
+    out += v.to_bytes(18, "big") + hashlib.md5(data).digest()
+
+    w = _FlacBitW()
+    w.w(0x3FFE, 14)
+    w.w(0, 2)
+    w.w(6, 4)       # 8-bit blocksize follows
+    w.w(4, 4)       # 8 kHz
+    w.w(ch_code, 4)
+    w.w(4, 3)       # 16-bit
+    w.w(0, 1)
+    w.w(0, 8)       # frame number 0
+    w.w(n - 1, 8)
+    w.buf.append(_flac_crc8(w.buf))
+    for write_sub in subframe_writers:
+        write_sub(w)
+    w.align()
+    w.w(_flac_crc16(w.buf), 16)
+    return bytes(out + w.buf)
+
+
+def test_flac_decoder_stereo_wasted_escape_branches():
+    """Branches the fixture encoder never emits, each hand-built and
+    checked against closed-form expected PCM: the three stereo
+    decorrelation modes (left/side, right/side, mid/side with the odd
+    side bit), wasted-bits shifting, escape-coded partitions, the
+    5-bit rice2 method, and fixed orders 3-4."""
+    from hadoop_tools_spark.operators.flac import decode_flac
+
+    L = [100, -5, 777, -1024, 3, 3, 250, -999]
+    R = [90, 5, -777, 1023, 3, -3, -250, 500]
+    n = len(L)
+    side = [a - b for a, b in zip(L, R)]
+    mid = [(a + b) >> 1 for a, b in zip(L, R)]
+
+    def verbatim(vals, bits):
+        def wr(w):
+            w.w(0, 1)
+            w.w(1, 6)
+            w.w(0, 1)
+            for s in vals:
+                w.w(s, bits)
+        return wr
+
+    interleaved = [(a, b) for a, b in zip(L, R)]
+    for code, c0, b0, c1, b1 in (
+        (8, L, 16, side, 17),      # left/side
+        (9, side, 17, R, 16),      # right/side
+        (10, mid, 16, side, 17),   # mid/side
+    ):
+        blob = _flac_stream(
+            code, [verbatim(c0, b0), verbatim(c1, b1)], n, 2, interleaved
+        )
+        _, ch, _, out = decode_flac(blob)
+        assert ch == 2
+        assert out[:, 0].tolist() == L and out[:, 1].tolist() == R, code
+
+    # wasted bits: samples all multiples of 4, stored >>2 in 14 bits
+    vals = [v * 4 for v in (-200, 50, 0, 8000, -8000, 1, -1, 127)]
+
+    def wasted_sub(w):
+        w.w(0, 1)
+        w.w(1, 6)
+        w.w(1, 1)       # wasted flag
+        w.w(1, 2)       # unary 1 -> wasted = 2
+        for s in vals:
+            w.w(s >> 2, 14)
+
+    blob = _flac_stream(0, [wasted_sub], n, 1, [(v,) for v in vals])
+    assert decode_flac(blob)[3][:, 0].tolist() == vals
+
+    # escape partition (raw 5-bit residuals) + rice2 method + fixed
+    # orders 3 and 4, one frame each; samples are built FORWARD from
+    # small residuals so every residual fits the 5-bit escape width
+    for order, method in ((3, 0), (4, 1)):
+        coefs = {3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+        samples = [7, -3, 12, -14][:order]
+        for r in (2, -1, 0, 3, -4, 1, 2, -2)[: 8 - order]:
+            pred = sum(c * samples[-j - 1] for j, c in enumerate(coefs))
+            samples.append(r + pred)
+
+        def fixed_sub(w, order=order, method=method, coefs=coefs):
+            w.w(0, 1)
+            w.w(8 + order, 6)
+            w.w(0, 1)
+            for s in samples[:order]:
+                w.w(s, 16)
+            w.w(method, 2)
+            w.w(0, 4)   # partition order 0
+            pbits = 4 if method == 0 else 5
+            w.w((1 << pbits) - 1, pbits)  # escape code
+            w.w(5, 5)   # raw residual width
+            for i in range(order, len(samples)):
+                r = samples[i] - sum(
+                    c * samples[i - j - 1] for j, c in enumerate(coefs)
+                )
+                assert -16 <= r <= 15
+                w.w(r, 5)
+
+        blob = _flac_stream(
+            0, [fixed_sub], len(samples), 1, [(v,) for v in samples]
+        )
+        assert decode_flac(blob)[3][:, 0].tolist() == samples, (order, method)
+
+
 def test_jpeg12_rejects_baseline_frame():
     """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
     parser must reject the combination rather than mis-decode."""

@@ -124,6 +124,200 @@ def wav_bytes(n_samples: int, seed: int, rate: int = 8000) -> bytes:
     return hdr + bytes(data)
 
 
+class _FlacBitW:
+    """MSB-first bit writer for the FLAC encoder below."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.w(0, 8 - self.n)
+
+
+def _flac_crc8(data) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1)
+    return crc
+
+
+def _flac_crc16(data) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _flac_rice_partition(w: _FlacBitW, res, pbits: int) -> None:
+    """One rice partition: pick the cheapest 4/5-bit parameter
+    deterministically, then unary-quotient + low-bits encode."""
+    us = [(v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1 for v in res]
+    best, best_cost = 0, None
+    for p in range((1 << pbits) - 1):
+        cost = sum((u >> p) + 1 + p for u in us)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = p, cost
+    w.w(best, pbits)
+    for u in us:
+        w.w(1, (u >> best) + 1)  # q zeros then a 1
+        w.w(u & ((1 << best) - 1), best)
+
+
+def _flac_residual(w: _FlacBitW, res, blocksize: int, order: int,
+                   po: int) -> None:
+    w.w(0, 2)  # 4-bit rice method
+    w.w(po, 4)
+    nparts = 1 << po
+    assert blocksize % nparts == 0
+    start = 0
+    for p in range(nparts):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        _flac_rice_partition(w, res[start : start + n], 4)
+        start += n
+
+
+_FLAC_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1]}
+
+
+def _clamp_po(po: int, bs: int, order: int) -> int:
+    """Largest legal partition order for this frame: 2^po must divide
+    the blocksize and the first partition must fit the warmup."""
+    while po and (bs % (1 << po) or (bs >> po) < order):
+        po -= 1
+    if bs % (1 << po) or (bs >> po) < order:
+        po = 0
+    return po
+
+
+def flac_bytes(samples, style: str = "fixed2", po: int = 0,
+               rate: int = 8000, blocksize: int = 240) -> bytes:
+    """Deterministic mono 16-bit FLAC twin of a PCM sample list.
+
+    ``style`` selects the subframe family per frame so the four
+    graded twins jointly cover the decoder's branches: ``fixed2`` /
+    ``fixed1`` / ``fixed0`` (fixed predictors), ``lpc2`` (an LPC
+    subframe whose quantized coeffs [2,-1]@shift0 equal the order-2
+    fixed predictor — exact reconstruction), ``mixed`` (cycles
+    verbatim / fixed0 / fixed2 across frames). ``po`` is the rice
+    partition order (blocksize and every tail chunk here divide by
+    2^po). Frames use the 8-bit uncommon-blocksize header path; the
+    STREAMINFO MD5 is the real PCM digest so decoders can verify
+    end to end."""
+    import hashlib as _hl
+
+    data = bytearray()
+    for v in samples:
+        data += struct.pack("<h", v)
+    chunks = [
+        samples[i : i + blocksize] for i in range(0, len(samples), blocksize)
+    ]
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last metadata block, type 0 (STREAMINFO)
+    out += (34).to_bytes(3, "big")
+    sizes = [len(c) for c in chunks] or [0]
+    v = 0
+    v = (v << 16) | min(sizes)
+    v = (v << 16) | max(sizes)
+    v = (v << 24) | 0  # min framesize unknown
+    v = (v << 24) | 0  # max framesize unknown
+    v = (v << 20) | rate
+    v = (v << 3) | 0  # channels - 1
+    v = (v << 5) | 15  # bps - 1
+    v = (v << 36) | len(samples)
+    out += v.to_bytes(18, "big") + _hl.md5(bytes(data)).digest()
+
+    for fno, chunk in enumerate(chunks):
+        bs = len(chunk)
+        w = _FlacBitW()
+        w.w(0x3FFE, 14)  # sync
+        w.w(0, 1)  # reserved
+        w.w(0, 1)  # fixed-blocksize strategy
+        w.w(6, 4)  # blocksize: 8-bit value at header end
+        w.w(4, 4)  # sample rate: 8 kHz table entry
+        w.w(0, 4)  # channel assignment: mono
+        w.w(4, 3)  # sample size: 16-bit
+        w.w(0, 1)  # reserved
+        assert fno < 0x80  # coded frame number: single-byte range
+        w.w(fno, 8)
+        w.w(bs - 1, 8)
+        w.buf.append(_flac_crc8(w.buf))
+
+        frame_style = (
+            ("verbatim", "fixed0", "fixed2", "fixed2")[fno % 4]
+            if style == "mixed"
+            else style
+        )
+        # a predictor order can never exceed the frame length (tiny
+        # tail frames): clamp fixed orders, demote LPC below 2 samples
+        if frame_style.startswith("fixed"):
+            frame_style = f"fixed{min(int(frame_style[5]), bs)}"
+        elif frame_style == "lpc2" and bs < 2:
+            frame_style = f"fixed{bs}"
+        if bs and len(set(chunk)) == 1:
+            frame_style = "constant"
+        w.w(0, 1)  # subframe padding bit
+        if frame_style == "constant":
+            w.w(0, 6)
+            w.w(0, 1)  # no wasted bits
+            w.w(chunk[0], 16)
+        elif frame_style == "verbatim":
+            w.w(1, 6)
+            w.w(0, 1)  # no wasted bits
+            for s in chunk:
+                w.w(s, 16)
+        elif frame_style.startswith("fixed"):
+            order = int(frame_style[5])
+            w.w(8 + order, 6)
+            w.w(0, 1)
+            for s in chunk[:order]:
+                w.w(s, 16)
+            coefs = _FLAC_FIXED_COEFS[order]
+            res = [
+                chunk[i]
+                - sum(c * chunk[i - j - 1] for j, c in enumerate(coefs))
+                for i in range(order, bs)
+            ]
+            _flac_residual(w, res, bs, order, _clamp_po(po, bs, order))
+        else:  # lpc2
+            w.w(32 + 1, 6)  # LPC, order 2
+            w.w(0, 1)
+            for s in chunk[:2]:
+                w.w(s, 16)
+            w.w(3, 4)  # precision - 1 = 3 -> 4-bit coeffs
+            w.w(0, 5)  # shift 0
+            w.w(2, 4)  # qlp coeffs [2, -1]
+            w.w(-1, 4)
+            res = [
+                chunk[i] - (2 * chunk[i - 1] - chunk[i - 2])
+                for i in range(2, bs)
+            ]
+            _flac_residual(w, res, bs, 2, _clamp_po(po, bs, 2))
+        w.align()
+        crc = _flac_crc16(w.buf)
+        w.w(crc, 16)
+        out += w.buf
+    return bytes(out)
+
+
 def tar_bytes(members) -> bytes:
     """[(name, payload)] → deterministic USTAR archive bytes (mtime 0,
     uid/gid 0, mode 0644, correct checksum, two zero trailer blocks) —
@@ -277,6 +471,18 @@ def main() -> None:
     for i in range(4):  # 12-22 frames each at frame_len=160
         with open(os.path.join(OUT, f"snd_{i}.wav"), "wb") as f:
             f.write(wav_bytes(2048 + 512 * i, i))
+        # FLAC twin of the same PCM — lossless, so decode must be
+        # BIT-EXACT against the WAV twin's samples (the strongest
+        # oracle class, same pattern as the lossless-JPEG↔PPM pairs).
+        # Styles vary per file so the four twins jointly cover the
+        # decoder's subframe/partition branches.
+        flac_style, flac_po = (
+            ("fixed2", 0), ("fixed1", 2), ("mixed", 1), ("lpc2", 0)
+        )[i]
+        pcm = [((k * 31 + i * 97) % 2048) - 1024
+               for k in range(2048 + 512 * i)]
+        with open(os.path.join(OUT, f"flac_{i}.flac"), "wb") as f:
+            f.write(flac_bytes(pcm, style=flac_style, po=flac_po))
     # REAL progressive JPEGs (SOF2: spectral selection + successive
     # approximation, per-scan optimal Huffman tables). Same pixel
     # recipe family as jpg_* but distinct constants; .jpeg extension
