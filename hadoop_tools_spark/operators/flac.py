@@ -93,23 +93,39 @@ class _Bits:
 def _crc8(data: bytes) -> int:
     crc = 0
     for byte in data:
-        crc ^= byte
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1)
+        crc = _CRC8_TBL[crc ^ byte]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TBL[(crc >> 8) ^ byte]
     return crc
+
+
+def _mk_crc_tables():
+    """Table-driven CRC-8 (poly 0x07) and CRC-16 (poly 0x8005).
+
+    Deliberately a DIFFERENT construction from the fixture encoder's
+    bitwise loops (tools/gen_media_fixtures.py): the polynomials are
+    fixed by the spec, but an implementation bug here cannot be
+    mirrored on the encoder side, so the twins' CRC agreement is
+    evidence, not tautology."""
+    t8, t16 = [], []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1)
+        t8.append(c)
+        c = i << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1)
+        t16.append(c & 0xFFFF)
+    return t8, t16
+
+
+_CRC8_TBL, _CRC16_TBL = _mk_crc_tables()
 
 
 def _coded_number(bits: _Bits) -> int:
@@ -217,6 +233,7 @@ def decode_flac(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("flac: bad magic")
     pos = 4
     info = None
+    first_block = True
     while True:
         if pos + 4 > len(blob):
             raise ValueError("flac: truncated metadata")
@@ -226,7 +243,12 @@ def decode_flac(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         body = blob[pos + 4 : pos + 4 + blen]
         if len(body) != blen:
             raise ValueError("flac: truncated metadata block")
+        if first_block and btype != 0:
+            raise ValueError("flac: first metadata block must be STREAMINFO")
+        first_block = False
         if btype == 0:
+            if info is not None:
+                raise ValueError("flac: duplicate STREAMINFO")
             if blen != 34:
                 raise ValueError("flac: bad STREAMINFO length")
             # 144-bit layout: bs_min:16 bs_max:16 fs_min:24 fs_max:24
@@ -250,9 +272,14 @@ def decode_flac(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     if info["sample_rate"] == 0:
         raise ValueError("flac: zero sample rate")
 
-    channels = []
+    channels = [[] for _ in range(info["channels"])]
     n_done = 0
-    while pos < len(blob) and n_done < info["total"]:
+    n_frames = 0
+    # total == 0 is legal "unknown" (streaming captures): decode
+    # every frame present rather than stopping at a zero bound
+    while pos < len(blob) and (
+        info["total"] == 0 or n_done < info["total"]
+    ):
         frame_start = pos
         bits = _Bits(blob, pos * 8)
         sync = bits.read(14)
@@ -260,14 +287,20 @@ def decode_flac(blob: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError("flac: lost frame sync")
         if bits.read(1):
             raise ValueError("flac: reserved sync bit set")
-        bits.read(1)  # blocking strategy (frame numbering only)
+        variable_bs = bits.read(1)  # blocking strategy
         bs_code = bits.read(4)
         sr_code = bits.read(4)
         ch_code = bits.read(4)
         ss_code = bits.read(3)
         if bits.read(1):
             raise ValueError("flac: reserved header bit set")
-        _coded_number(bits)
+        # contiguity: the coded number is the only sequence guard
+        # when the MD5 is unknown — a reordered or duplicated frame
+        # must not decode silently
+        coded = _coded_number(bits)
+        expect = n_done if variable_bs else n_frames
+        if coded != expect:
+            raise ValueError("flac: frame out of sequence")
         if bs_code == 0:
             raise ValueError("flac: reserved blocksize code")
         elif bs_code == 6:
@@ -340,15 +373,23 @@ def decode_flac(blob: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError("flac: frame CRC-16 mismatch")
         pos = bits.pos // 8
 
-        if not channels:
-            channels = [[] for _ in range(n_ch)]
         for ch, sub in zip(channels, subs):
             ch.extend(sub)
         n_done += blocksize
+        n_frames += 1
 
     if info["total"] and n_done != info["total"]:
         raise ValueError("flac: sample count mismatch")
-    out = np.array(channels, dtype=np.int64).T.copy()
+    if pos != len(blob):
+        # fail-closed contract: trailing bytes after the last frame
+        # (appended junk, a second stream, torn-container padding)
+        # must not pass as a fully-verified file
+        raise ValueError("flac: trailing bytes after final frame")
+    out = (
+        np.array(channels, dtype=np.int64).T.copy()
+        if n_done
+        else np.zeros((0, info["channels"]), dtype=np.int64)
+    )
     lo, hi = -(1 << (info["bps"] - 1)), (1 << (info["bps"] - 1)) - 1
     if out.size and (out.min() < lo or out.max() > hi):
         raise ValueError("flac: sample out of range")

@@ -983,6 +983,51 @@ def test_flac_fail_closed_on_corruption_and_truncation():
             decode_flac(blob[:cut])
 
 
+def test_flac_sequence_and_stream_bound_guards():
+    """Review-pass regressions: (a) total-samples = 0 is legal
+    'unknown' — every present frame must still decode; (b) reordered
+    frames must be rejected via the coded frame number even when the
+    MD5 is unknown; (c) trailing bytes after the final frame must
+    fail closed."""
+    import os
+
+    from hadoop_tools_spark.operators.flac import decode_flac
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+
+    with open(os.path.join(MEDIA_DIR, "flac_0.flac"), "rb") as f:
+        blob = bytearray(f.read())
+    full = decode_flac(bytes(blob))[3]
+
+    unknown = bytearray(blob)
+    # STREAMINFO body = bytes 8..41; the 36-bit total is the low
+    # nibble of byte 21 plus bytes 22-25, the MD5 is bytes 26-41
+    unknown[21] &= 0xF0
+    unknown[22:26] = bytes(4)
+    unknown[26:42] = bytes(16)  # MD5 unknown
+    got = decode_flac(bytes(unknown))[3]
+    assert got.tolist() == full.tolist()  # all 2048 samples, not zero
+
+    # swap frames 2 and 3 (equal-size full blocks) in the MD5-unknown
+    # twin: per-frame CRCs still pass, only the sequence guard can act
+    start = 42
+    ends = [start]
+    pos = start
+    while len(ends) < 4:
+        pos = bytes(blob).index(b"\xff\xf8", pos + 2)
+        ends.append(pos)
+    f2, f3 = ends[1], ends[2]
+    swapped = bytearray(unknown)
+    swapped[f2:f3], swapped[f3 : ends[3]] = (
+        unknown[f3 : ends[3]],
+        unknown[f2:f3],
+    )
+    with pytest.raises(ValueError, match="sequence"):
+        decode_flac(bytes(swapped))
+
+    with pytest.raises(ValueError, match="trailing"):
+        decode_flac(bytes(blob) + b"\x00\x01\x02")
+
+
 def _flac_stream(ch_code, subframe_writers, n, n_ch, pcm_lr, bps=16):
     """Hand-build a one-frame FLAC file for decoder branch tests:
     STREAMINFO (with the true PCM MD5) + one frame whose subframes

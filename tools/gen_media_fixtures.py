@@ -170,7 +170,7 @@ def _flac_crc16(data) -> int:
 def _flac_rice_partition(w: _FlacBitW, res, pbits: int) -> None:
     """One rice partition: pick the cheapest 4/5-bit parameter
     deterministically, then unary-quotient + low-bits encode."""
-    us = [(v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1 for v in res]
+    us = [v << 1 if v >= 0 else ((-v) << 1) - 1 for v in res]
     best, best_cost = 0, None
     for p in range((1 << pbits) - 1):
         cost = sum((u >> p) + 1 + p for u in us)
@@ -203,8 +203,6 @@ def _clamp_po(po: int, bs: int, order: int) -> int:
     the blocksize and the first partition must fit the warmup."""
     while po and (bs % (1 << po) or (bs >> po) < order):
         po -= 1
-    if bs % (1 << po) or (bs >> po) < order:
-        po = 0
     return po
 
 
@@ -233,10 +231,13 @@ def flac_bytes(samples, style: str = "fixed2", po: int = 0,
     out = bytearray(b"fLaC")
     out.append(0x80)  # last metadata block, type 0 (STREAMINFO)
     out += (34).to_bytes(3, "big")
-    sizes = [len(c) for c in chunks] or [0]
+    # RFC 9639: min/max blocksize EXCLUDE the (possibly short) last
+    # block — a fixed-blocksize stream reports min == max
+    sizes = [len(c) for c in chunks]
+    full = sizes[:-1] or sizes or [0]
     v = 0
-    v = (v << 16) | min(sizes)
-    v = (v << 16) | max(sizes)
+    v = (v << 16) | min(full)
+    v = (v << 16) | max(full)
     v = (v << 24) | 0  # min framesize unknown
     v = (v << 24) | 0  # max framesize unknown
     v = (v << 20) | rate
