@@ -939,6 +939,102 @@ def test_warc_frames_roundtrip_random_records():
     check()
 
 
+def test_wikidump_bz2_streams_match_plain_twin():
+    """Multistream invariant the round-6 oracle will rely on: the
+    concatenated decompressed bz2 streams of wiki_N.xml.bz2 reproduce
+    the plain wiki_N.xml byte stream exactly, and every stream after
+    the header is page-aligned (the enwiki splittability property)."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        _bz2_streams,
+    )
+
+    for i in range(3):
+        with open(os.path.join(MEDIA_DIR, f"wiki_{i}.xml.bz2"), "rb") as f:
+            multi = f.read()
+        with open(os.path.join(MEDIA_DIR, f"wiki_{i}.xml"), "rb") as f:
+            plain = f.read()
+        streams = list(_bz2_streams(multi))
+        assert b"".join(streams) == plain
+        n_pages = 5 + 2 * i
+        # header + ceil(pages/2) page blocks + footer
+        assert len(streams) == 1 + (n_pages + 1) // 2 + 1
+        for s in streams[1:-1]:
+            assert s.lstrip().startswith(b"<page>")
+            assert s.rstrip().endswith(b"</page>")
+
+
+def test_wikidump_pages_walk_matches_direct_parse(spark):
+    """The Spark walk's rows must equal a direct single-process parse
+    of the plain twin: same page ids, namespaces, titles, text
+    digests, and char counts."""
+    import hashlib
+    import os
+    import re
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        wikidump_pages,
+    )
+
+    rows = wikidump_pages(
+        read_assets(spark, MEDIA_DIR, glob="wiki_*.xml.bz2")
+    ).collect()
+    assert len(rows) == (5 + 0) + (5 + 2) + (5 + 4)
+
+    got = {(r.page_id): r for r in rows}
+    for i in range(3):
+        with open(os.path.join(MEDIA_DIR, f"wiki_{i}.xml")) as f:
+            xml = f.read()
+        pages = re.findall(r"<page>.*?</page>", xml, re.S)
+        assert len(pages) == 5 + 2 * i
+        for p in pages:
+            pid = int(re.search(r"<id>(\d+)</id>", p).group(1))
+            body = re.search(r"<text[^>]*>(.*?)</text>", p, re.S).group(1)
+            r = got[pid]
+            assert r.ns == int(re.search(r"<ns>(\d+)</ns>", p).group(1))
+            assert r.title == re.search(
+                r"<title>([^<]*)</title>", p
+            ).group(1)
+            assert r.text_md5 == hashlib.md5(body.encode()).hexdigest()
+            assert r.n_text_chars == len(body)
+
+
+def test_wikidump_walk_fails_closed():
+    """Torn final stream drops only that stream; corrupt mid-file
+    magic stops the walk; every truncation degrades, never crashes."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        _bz2_streams,
+    )
+
+    with open(os.path.join(MEDIA_DIR, "wiki_1.xml.bz2"), "rb") as f:
+        multi = f.read()
+    full = list(_bz2_streams(multi))
+    torn = list(_bz2_streams(multi[:-5]))
+    assert torn == full[: len(torn)] and len(torn) < len(full)
+
+    # corrupt the second stream's magic: walk stops after stream 1
+    import bz2 as _bz2
+
+    d = _bz2.BZ2Decompressor()
+    d.decompress(multi)
+    second = len(multi) - len(d.unused_data)
+    assert multi[second : second + 3] == b"BZh"
+    bad = bytearray(multi)
+    bad[second] = 0x51
+    assert list(_bz2_streams(bytes(bad))) == full[:1]
+
+    for cut in range(0, len(multi), 7):
+        got = list(_bz2_streams(multi[:cut]))
+        assert got == full[: len(got)]
+
+
 def test_flac_twins_bit_exact_vs_wav():
     """Lossless twin invariant (the lossless-JPEG↔PPM pattern): every
     flac_i.flac decodes to EXACTLY the PCM of snd_i.wav — same rate,

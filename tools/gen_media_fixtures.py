@@ -369,6 +369,55 @@ def warc_bytes(records, start: int = 0) -> bytes:
     return bytes(out)
 
 
+def wiki_page_xml(dump_i: int, page_j: int) -> bytes:
+    """One deterministic MediaWiki-export ``<page>`` element (the
+    shape of enwiki ``pages-articles`` dumps), ASCII-only so string
+    digests agree across engines."""
+    pid = dump_i * 1000 + page_j
+    body = (
+        f"Article body {dump_i}-{page_j}. "
+        + f"Sentence {page_j} with [[Link {page_j}]] and text. "
+        * (2 + page_j % 3)
+        + "End."
+    )
+    return (
+        f"  <page>\n"
+        f"    <title>Page {dump_i}-{page_j}</title>\n"
+        f"    <ns>{0 if page_j % 4 else 14}</ns>\n"
+        f"    <id>{pid}</id>\n"
+        f"    <revision>\n"
+        f"      <id>{pid * 7}</id>\n"
+        f'      <text bytes="{len(body)}">{body}</text>\n'
+        f"    </revision>\n"
+        f"  </page>\n"
+    ).encode()
+
+
+def wiki_dump_bytes(dump_i: int, n_pages: int, per_stream: int = 2):
+    """(plain_xml, multistream_bz2) twins of a MediaWiki dump.
+
+    The bz2 twin is MULTISTREAM exactly as enwiki ships it: pages are
+    grouped into independent bz2 streams (enwiki uses 100 pages per
+    stream; here ``per_stream``) and the streams are concatenated —
+    which is WHY the 20+ GB dump is splittable: a reader can start at
+    any stream boundary without decompressing the prefix. The plain
+    twin concatenates the identical bytes, so a digest-level hash
+    match between the two proves stream splitting + decompression
+    reproduce the dump byte for byte."""
+    import bz2
+
+    header = f"<mediawiki>\n<dumpid>{dump_i}</dumpid>\n".encode()
+    footer = b"</mediawiki>\n"
+    pages = [wiki_page_xml(dump_i, j) for j in range(n_pages)]
+    blocks = [header] + [
+        b"".join(pages[k : k + per_stream])
+        for k in range(0, n_pages, per_stream)
+    ] + [footer]
+    plain = b"".join(blocks)
+    multi = b"".join(bz2.compress(b, compresslevel=1) for b in blocks)
+    return plain, multi
+
+
 def warc_gz_bytes(records) -> bytes:
     """The same records as :func:`warc_bytes`, but laid out as
     CommonCrawl actually ships them: ONE gzip member per record,
@@ -630,6 +679,15 @@ def main() -> None:
         # twin's oracle walk record for record.
         with open(os.path.join(OUT, f"crawlgz_{i}.warc.gz"), "wb") as f:
             f.write(warc_gz_bytes(recs))
+    # MediaWiki dump twins (plain XML + multistream bz2, enwiki's
+    # actual distribution layout): stream-per-page-block so the
+    # compressed dump splits without decompressing a prefix.
+    for i in range(3):
+        plain, multi = wiki_dump_bytes(i, n_pages=5 + 2 * i)
+        with open(os.path.join(OUT, f"wiki_{i}.xml"), "wb") as f:
+            f.write(plain)
+        with open(os.path.join(OUT, f"wiki_{i}.xml.bz2"), "wb") as f:
+            f.write(multi)
     # lossless JPEG (SOF3) twins of img_{i}.ppm — components coded
     # directly (no color transform), so decode is BIT-EXACT and the
     # graded key's oracle derives stats from the PPM bytes. The
