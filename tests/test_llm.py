@@ -1035,6 +1035,57 @@ def test_wikidump_walk_fails_closed():
         assert got == full[: len(got)]
 
 
+def test_warc_fetch_ranged_reads_match_full_scan(spark):
+    """The CDX consumer contract: fetching a filtered URI set through
+    the index (seek + bounded read per record) returns exactly the
+    identity tuples the full-scan walk produces for those URIs —
+    including the hostile long-header and bodyless records."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        llm_warc_cdx,
+        read_assets,
+        warc_fetch,
+        warc_records,
+    )
+
+    cdx = llm_warc_cdx(spark, None)
+    wanted = cdx.filter(F.length("target_uri") % 2 == 0)
+    fetched = {
+        (r.path, r.target_uri): r for r in warc_fetch(wanted).collect()
+    }
+    scan = {
+        (r.path, r.target_uri): r
+        for r in warc_records(
+            read_assets(spark, MEDIA_DIR, glob="crawl_*.warc")
+        ).collect()
+        if len(r.target_uri) % 2 == 0
+    }
+    assert fetched.keys() == scan.keys() and fetched
+    for uri, r in fetched.items():
+        assert r.fetch_ok
+        assert r.record_type == scan[uri].record_type
+        assert r.content_length == scan[uri].content_length
+        assert r.payload_md5 == scan[uri].payload_md5
+
+
+def test_warc_fetch_flags_stale_offsets(spark):
+    """A stale index entry (offset pointing mid-record) must yield
+    fetch_ok = false, never a crash or a silently mis-framed row."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.operators.multimodal import (
+        llm_warc_cdx,
+        warc_fetch,
+    )
+
+    cdx = llm_warc_cdx(spark, None).limit(3)
+    stale = cdx.withColumn("rec_offset", F.col("rec_offset") + 7)
+    rows = warc_fetch(stale).collect()
+    assert rows and all(not r.fetch_ok for r in rows)
+
+
 def test_flac_twins_bit_exact_vs_wav():
     """Lossless twin invariant (the lossless-JPEG↔PPM pattern): every
     flac_i.flac decodes to EXACTLY the PCM of snd_i.wav — same rate,
