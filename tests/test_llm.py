@@ -1086,6 +1086,94 @@ def test_warc_fetch_flags_stale_offsets(spark):
     assert rows and all(not r.fetch_ok for r in rows)
 
 
+def test_warc_fetch_wrong_record_and_bad_spans_flagged(spark):
+    """Review-pass regressions: a stale offset landing on a DIFFERENT
+    intact record must not return that record labeled with the
+    requested URI; a length off by +50 or -4 must fail the exact-span
+    check; negative offsets and a vanished archive flag rows instead
+    of crashing the task."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.operators.multimodal import (
+        llm_warc_cdx,
+        warc_fetch,
+    )
+
+    cdx = llm_warc_cdx(spark, None).filter(
+        F.col("target_uri").startswith("http://example.com/0/")
+    )
+    rows = cdx.collect()
+    assert len(rows) >= 2
+    # point row 0's URI at row 1's record span: intact record, wrong uri
+    crossed = cdx.limit(2).withColumn(
+        "rec_offset",
+        F.when(
+            F.col("target_uri") == rows[0].target_uri,
+            F.lit(rows[1].rec_offset),
+        ).otherwise(F.lit(rows[0].rec_offset)),
+    ).withColumn(
+        "rec_length",
+        F.when(
+            F.col("target_uri") == rows[0].target_uri,
+            F.lit(rows[1].rec_length),
+        ).otherwise(F.lit(rows[0].rec_length)),
+    )
+    assert all(not r.fetch_ok for r in warc_fetch(crossed).collect())
+
+    # +50 only asserts on MID-archive records: for the final record
+    # the read EOF-truncates back to exactly the right bytes, which
+    # is a genuinely correct fetch
+    mid = cdx.filter(F.col("target_uri").endswith("page0"))
+    long_len = warc_fetch(
+        mid.withColumn("rec_length", F.col("rec_length") + 50)
+    ).collect()
+    assert long_len and all(not r.fetch_ok for r in long_len)
+    short_len = warc_fetch(
+        cdx.withColumn("rec_length", F.col("rec_length") - 4)
+    ).collect()
+    assert short_len and all(not r.fetch_ok for r in short_len)
+
+    neg = warc_fetch(cdx.withColumn("rec_offset", F.lit(-9))).collect()
+    assert neg and all(not r.fetch_ok for r in neg)
+
+    gone = warc_fetch(
+        cdx.withColumn("path", F.lit("/nonexistent/archive.warc"))
+    ).collect()
+    assert gone and all(not r.fetch_ok for r in gone)
+
+
+def test_wikidump_walk_stops_on_page_spanning_streams(spark, tmp_path):
+    """Streams cut by BYTE count instead of page count (a page spans
+    two streams) must fail closed: complete pages before the split
+    are kept, the dangling fragment and everything after are dropped
+    — never a silently vanished page with rows continuing."""
+    import bz2
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        wikidump_pages,
+    )
+
+    with open(os.path.join(MEDIA_DIR, "wiki_1.xml"), "rb") as f:
+        plain = f.read()
+    # cut inside the FOURTH page: streams are [prefix incl. 3 whole
+    # pages + a fragment] and [rest]
+    fourth = [plain.index(b"<page>", 0)]
+    for _ in range(3):
+        fourth.append(plain.index(b"<page>", fourth[-1] + 1))
+    cut = fourth[-1] + 40
+    multi = bz2.compress(plain[:cut]) + bz2.compress(plain[cut:])
+    (tmp_path / "wiki_9.xml.bz2").write_bytes(multi)
+
+    rows = wikidump_pages(
+        read_assets(spark, str(tmp_path), glob="wiki_*.xml.bz2")
+    ).collect()
+    ids = sorted(r.page_id for r in rows)
+    assert ids == [1000, 1001, 1002]  # 3 complete pages, rest dropped
+
+
 def test_flac_twins_bit_exact_vs_wav():
     """Lossless twin invariant (the lossless-JPEG↔PPM pattern): every
     flac_i.flac decodes to EXACTLY the PCM of snd_i.wav — same rate,
