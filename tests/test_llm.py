@@ -1174,6 +1174,45 @@ def test_wikidump_walk_stops_on_page_spanning_streams(spark, tmp_path):
     assert ids == [1000, 1001, 1002]  # 3 complete pages, rest dropped
 
 
+def test_wikitext_clean_matches_python_reference(spark):
+    """The JVM transform chain must equal a Python re implementation
+    of the identical rules over every fixture page — and actually
+    strip the markup the fixtures carry (templates, piped and plain
+    wikilinks, bold/italic, headings)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        wikidump_text,
+        wikitext_clean,
+    )
+
+    df = wikidump_text(read_assets(spark, MEDIA_DIR, glob="wiki_*.xml.bz2"))
+    rows = df.select(
+        "page_id", "wikitext", wikitext_clean(F.col("wikitext")).alias("t")
+    ).collect()
+    assert len(rows) == 21
+
+    def ref(s):
+        s = re.sub(r"\{\{[^{}]*\}\}", " ", s)
+        s = re.sub(r"\{\{[^{}]*\}\}", " ", s)
+        s = re.sub(r"\[\[[^\[\]|]*\|([^\[\]|]*)\]\]", r"\1", s)
+        s = re.sub(r"\[\[([^\[\]|]*)\]\]", r"\1", s)
+        s = re.sub(r"'{2,}", "", s)
+        s = re.sub(r"={2,}", " ", s)
+        return re.sub(r"\s+", " ", s).strip()
+
+    for r in rows:
+        assert r.t == ref(r.wikitext), r.page_id
+        assert "{{" not in r.t and "[[" not in r.t
+        assert "''" not in r.t and "==" not in r.t
+        assert "the topic" in r.t  # piped link resolved to its label
+        assert "Section" in r.t  # heading text kept, markers gone
+
+
 def test_flac_twins_bit_exact_vs_wav():
     """Lossless twin invariant (the lossless-JPEG↔PPM pattern): every
     flac_i.flac decodes to EXACTLY the PCM of snd_i.wav — same rate,

@@ -375,10 +375,14 @@ def wiki_page_xml(dump_i: int, page_j: int) -> bytes:
     digests agree across engines."""
     pid = dump_i * 1000 + page_j
     body = (
-        f"Article body {dump_i}-{page_j}. "
+        f"{{{{Infobox thing|id={pid}|kind=fixture}}}}\n"
+        f"== Section {page_j} ==\n"
+        f"Article body {dump_i}-{page_j} about "
+        f"[[Topic {page_j}|the topic]] with '''bold''' "
+        f"and ''italic'' text. "
         + f"Sentence {page_j} with [[Link {page_j}]] and text. "
         * (2 + page_j % 3)
-        + "End."
+        + f"{{{{cite|ref={page_j}}}}} End."
     )
     return (
         f"  <page>\n"
