@@ -1213,6 +1213,28 @@ def test_wikitext_clean_matches_python_reference(spark):
         assert "Section" in r.t  # heading text kept, markers gone
 
 
+def test_staged_r6_keys_hash_match_their_oracles(spark):
+    """Pre-registration parity gate for the four staged round-6 keys:
+    each Spark DataFrame must pass the SAME comparator
+    tools/verify_local.py applies to registered keys against its
+    DuckDB oracle — so next round's registration is mechanical, not
+    exploratory."""
+    import duckdb
+
+    from hadoop_tools_spark.operators import staged_r6
+    from tools.verify_local import compare
+
+    con = duckdb.connect()
+    for key in ("llm_multimodal_flac", "llm_wikidump_bz2",
+                "llm_wikitext_clean", "llm_warc_fetch"):
+        fn = getattr(staged_r6, key)
+        sdf = fn(spark, None).toPandas()
+        odf = con.execute(staged_r6.ORACLES[key]).df()
+        errs = compare(key, sdf, odf)
+        assert not errs, (key, errs[:3])
+        assert len(sdf) > 0, key
+
+
 def test_flac_twins_bit_exact_vs_wav():
     """Lossless twin invariant (the lossless-JPEG↔PPM pattern): every
     flac_i.flac decodes to EXACTLY the PCM of snd_i.wav — same rate,
