@@ -17,6 +17,8 @@ Keys:
   oracle re-walks the plain-XML twin.
 - ``llm_wikitext_clean`` — wikitext→plain text, both engines run the
   identical RE2 ∩ Java regex chain.
+- ``llm_wikidump_links`` — wiki link-graph edges (the wiki family's
+  analogue of ``llm_warc_links``), broadcast cardinality pin.
 - ``llm_warc_fetch``     — CDX ranged-read fetch under a deterministic
   URI filter, oracle is the shared recursive-CTE record walk.
 """
@@ -130,6 +132,36 @@ def llm_wikitext_clean(spark, sf_dir) -> DataFrame:
         clean.alias("clean_text"),
         F.length(clean).cast("long").alias("n_chars"),
     )
+
+
+def llm_wikidump_links(spark, sf_dir) -> DataFrame:
+    """Wiki link-graph extraction — (source page title, wikilink
+    target) edges over the dump walk, completing the wiki family's
+    symmetry with the WARC one (ingest → text → link graph feeding
+    the `graph_*` keys). The link scan is `regexp_extract_all` +
+    `explode`, entirely JVM-side, on the piped-or-plain wikilink
+    pattern; `total_edges` is the engine's standard broadcast 1-row
+    cardinality pin. `raw` is materialized because the count and the
+    output share the Python walk's lineage (the `llm_warc_links`
+    lesson: uncached, the scalar branch re-runs the whole archive
+    walk)."""
+    from ..io import materialize
+
+    raw = materialize(
+        wikidump_text(read_assets(spark, MEDIA_DIR, glob="wiki_*.xml.bz2"))
+    )
+    edges = raw.select(
+        F.col("title").alias("src"),
+        F.explode(
+            F.regexp_extract_all(
+                "wikitext",
+                F.lit(r"\[\[([^\[\]|]+)(?:\|[^\[\]]*)?\]\]"),
+                F.lit(1),
+            )
+        ).alias("dst"),
+    )
+    total = edges.agg(F.count("*").cast("long").alias("total_edges"))
+    return edges.crossJoin(F.broadcast(total))
 
 
 def llm_warc_fetch(spark, sf_dir) -> DataFrame:
@@ -257,6 +289,32 @@ ORACLES = {
     SELECT wiki_id, page_id, title, clean_text,
            CAST(length(clean_text) AS BIGINT) AS n_chars
     FROM clean
+    """,
+    "llm_wikidump_links": f"""
+    WITH dump AS (
+        SELECT filename, decode(content) AS xml
+        FROM read_blob('{MEDIA_DIR}/wiki_*.xml')
+    ),
+    page AS (
+        SELECT filename,
+               unnest(regexp_extract_all(xml, '<page>.*?</page>', 0, 's'))
+                   AS p
+        FROM dump
+    ),
+    raw AS (
+        SELECT regexp_extract(p, '<title>([^<]*)</title>', 1) AS src,
+               regexp_extract(p, '<text[^>]*>(.*?)</text>', 1, 's') AS t
+        FROM page
+    )
+    SELECT src, dst, CAST(count(*) OVER () AS BIGINT) AS total_edges
+    FROM (
+        /* unnest FIRST, count after — a window count on raw would
+           count pages, not edges */
+        SELECT src,
+               unnest(regexp_extract_all(t,
+                   '\\[\\[([^\\[\\]|]+)(?:\\|[^\\[\\]]*)?\\]\\]', 1)) AS dst
+        FROM raw
+    ) e
     """,
     "llm_warc_fetch": _WARC_RECS_CTE + """
     SELECT * FROM (

@@ -1226,7 +1226,8 @@ def test_staged_r6_keys_hash_match_their_oracles(spark):
 
     con = duckdb.connect()
     for key in ("llm_multimodal_flac", "llm_wikidump_bz2",
-                "llm_wikitext_clean", "llm_warc_fetch"):
+                "llm_wikitext_clean", "llm_wikidump_links",
+                "llm_warc_fetch"):
         fn = getattr(staged_r6, key)
         sdf = fn(spark, None).toPandas()
         odf = con.execute(staged_r6.ORACLES[key]).df()
