@@ -64,6 +64,20 @@ def gen_corpus(n_archives: int, recs_per_archive: int = 96) -> str:
     return out
 
 
+def gen_wiki(n_dumps: int, pages_per_dump: int = 64) -> str:
+    out = os.path.join(BASE, f"wiki{n_dumps}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    from tools.gen_media_fixtures import wiki_dump_bytes
+
+    for i in range(n_dumps):
+        _plain, multi = wiki_dump_bytes(i, n_pages=pages_per_dump)
+        with open(os.path.join(out, f"wiki_{i:04d}.xml.bz2"), "wb") as f:
+            f.write(multi)
+    return out
+
+
 def run(spark, directory: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -140,6 +154,86 @@ def main() -> None:
     for op in ("records", "gzip", "links"):
         ratio = hi["wall"][op] / max(lo["wall"][op], 1e-9)
         print(f"{op}: 2x data -> {ratio:.2f}x wall")
+
+    # staged families: wiki multistream walk + CDX ranged fetch
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.operators.multimodal import (
+        read_assets,
+        warc_fetch,
+    )
+    from hadoop_tools_spark.operators.multimodal import wikidump_pages
+
+    for scale in (n // 2, n):
+        d = gen_wiki(scale)
+        size_mb = sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+        ) / 1e6
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            n_pages = wikidump_pages(
+                read_assets(spark, d, glob="wiki_*.xml.bz2")
+            ).count()
+            walls.append(time.time() - t0)
+        print(f"wiki n={scale}: {size_mb:.0f} MB bz2, {n_pages} pages, "
+              f"wall={min(walls):.2f}s")
+
+    # fetch: index the big WARC corpus once, then point-fetch ~10% of
+    # URIs via ranged reads; compare against the full-scan wall
+    d = gen_corpus(n)
+    from hadoop_tools_spark.operators.multimodal import warc_records as wr
+
+    cdx_df = None
+    from hadoop_tools_spark.operators.multimodal import read_assets as ra
+
+    def build_cdx():
+        # llm_warc_cdx is pinned to MEDIA_DIR; same walk, this corpus
+        import pandas as pd
+
+        from hadoop_tools_spark.operators.multimodal import _warc_frames
+
+        assets = ra(spark, d, glob="crawl_*.warc")
+
+        def walk(batches):
+            from hadoop_tools_spark.operators.multimodal import (
+                _rec_headers,
+            )
+            for pdf in batches:
+                out = {"path": [], "target_uri": [], "rec_offset": [],
+                       "rec_length": []}
+                for path, blob in zip(pdf["path"], pdf["content"]):
+                    for off, ln, hdr, _p in _warc_frames(bytes(blob)):
+                        _t, uri = _rec_headers(hdr)
+                        out["path"].append(path)
+                        out["target_uri"].append(uri)
+                        out["rec_offset"].append(off)
+                        out["rec_length"].append(ln)
+                yield pd.DataFrame(out)
+
+        from pyspark.sql import types as T
+        return assets.mapInPandas(walk, schema=T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("target_uri", T.StringType()),
+            T.StructField("rec_offset", T.LongType()),
+            T.StructField("rec_length", T.LongType()),
+        ]))
+
+    t0 = time.time()
+    cdx_df = build_cdx().cache()
+    n_idx = cdx_df.count()
+    t_index = time.time() - t0
+    t0 = time.time()
+    n_scan = wr(ra(spark, d, glob="crawl_*.warc")).count()
+    t_scan = time.time() - t0
+    line = f"fetch: index {n_idx} recs in {t_index:.2f}s; full scan {n_scan} in {t_scan:.2f}s"
+    for mod in (10, 1000):
+        wanted = cdx_df.filter(F.abs(F.hash("target_uri")) % mod == 0)
+        t0 = time.time()
+        n_hit = warc_fetch(wanted).filter("fetch_ok").count()
+        t_fetch = time.time() - t0
+        line += f"; ranged-fetch {n_hit} (1/{mod}) in {t_fetch:.2f}s"
+    print(line)
     shutil.rmtree(BASE, ignore_errors=True)
 
 
