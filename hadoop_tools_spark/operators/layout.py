@@ -158,8 +158,10 @@ _MV_SPLIT = "1997-01-01"
     oracle=f"""
     SELECT {_MV_GROUP},
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           ROUND(SUM(o_totalprice), 2) AS total,
-           ROUND(SUM(o_totalprice) / COUNT(*), 2) AS avg_price,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS total,
+           floor(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) / COUNT(*) + 0.5) / 100.0 AS avg_price,
            ROUND(MIN(o_totalprice), 2) AS min_price,
            ROUND(MAX(o_totalprice), 2) AS max_price
     FROM orders GROUP BY {_MV_GROUP}
@@ -175,15 +177,20 @@ def mv_incremental(spark, sf_dir):
     stored. The key deliberately computes base (< {_MV_SPLIT}) and
     delta (>= {_MV_SPLIT}) partials separately and merges them; the
     oracle is the direct full aggregate, so the merge algebra is
-    hash-verified.
+    hash-verified. The price sum is kept as exact integer CENTS
+    (engine determinism convention): a float sum associates
+    differently in the two-stage merge than in the oracle's single
+    pass, and a group near a .005 boundary would round apart —
+    integer addition is order-free, so merged == direct exactly.
     """
     orders = load(spark, sf_dir, "orders").select(_MV_GROUP, "o_totalprice",
                                                   "o_orderdate")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
 
     def partial(df):
         return df.groupBy(_MV_GROUP).agg(
             F.count("*").alias("cnt"),
-            F.sum("o_totalprice").alias("psum"),
+            F.sum(cents).alias("pcents"),
             F.min("o_totalprice").alias("pmin"),
             F.max("o_totalprice").alias("pmax"),
         )
@@ -195,7 +202,7 @@ def mv_incremental(spark, sf_dir):
         .groupBy(_MV_GROUP)
         .agg(
             F.sum("cnt").alias("cnt"),
-            F.sum("psum").alias("psum"),
+            F.sum("pcents").alias("pcents"),
             F.min("pmin").alias("pmin"),
             F.max("pmax").alias("pmax"),
         )
@@ -203,8 +210,10 @@ def mv_incremental(spark, sf_dir):
     return merged.select(
         _MV_GROUP,
         "cnt",
-        F.round("psum", 2).alias("total"),
-        F.round(F.col("psum") / F.col("cnt"), 2).alias("avg_price"),
+        (F.col("pcents") / 100.0).alias("total"),
+        (
+            F.floor(F.col("pcents") / F.col("cnt") + 0.5) / 100.0
+        ).alias("avg_price"),
         F.round("pmin", 2).alias("min_price"),
         F.round("pmax", 2).alias("max_price"),
     )

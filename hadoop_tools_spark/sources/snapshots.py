@@ -131,7 +131,11 @@ class SnapshotTable:
         return version
 
     def create(self, df: DataFrame) -> int:
-        files = self._stage(df, "00000")
+        # pid-unique staging dir, same as _commit_retry: two racing
+        # creators must never share (and mode('overwrite')-clobber)
+        # one directory — the CAS publish picks the v0 winner, but
+        # only if each candidate's staged files survive intact
+        files = self._stage(df, f"00000-{os.getpid()}")
         return self._publish(files, 0)
 
     def _commit_retry(self, df: DataFrame, keep_prev: bool,
@@ -166,10 +170,15 @@ class SnapshotTable:
         version: int | None = None,
         merge_schema: bool = False,
     ) -> DataFrame:
-        """``merge_schema`` unions column sets across the snapshot's
-        files (parquet mergeSchema): after an additive schema change,
-        files written before the new column surface it as NULL. Off by
-        default — merging pays a footer-read per file at planning."""
+        """After an additive schema change, files written before the
+        new column surface it as NULL — that cross-COMMIT widening is
+        unconditional here (the per-commit-group union below is
+        ``unionByName(allowMissingColumns=True)``). ``merge_schema``
+        only forwards parquet ``mergeSchema`` WITHIN a commit group,
+        which matters when a group's files are schema-heterogeneous
+        (externally produced data; ``_stage`` itself writes one
+        homogeneous DataFrame per group, where it is a no-op) — at
+        the cost of a footer-read per file at planning."""
         files = self.files(version)
         # Partition-spec evolution (Iceberg-style): each commit owns its
         # layout, so files are read PER COMMIT GROUP with that commit's
@@ -260,38 +269,67 @@ def compact(tbl: SnapshotTable, spark: SparkSession,
     return tbl._publish(files, v + 1, extra={"compaction_of": v})
 
 
-def vacuum(tbl: SnapshotTable, keep_last: int = 2) -> list[str]:
+def vacuum(
+    tbl: SnapshotTable, keep_last: int = 2, orphan_grace_s: float = 3600.0
+) -> list[str]:
     """Retention sweep: expire all but the last ``keep_last`` versions
-    and delete every data file no retained manifest references —
-    including crash-orphaned staged files that never made it into a
-    manifest. Returns the deleted table-relative paths.
+    and delete data files no retained manifest references — including
+    crash-orphaned staged files that never made it into a manifest.
+    Returns the deleted table-relative paths.
 
     Order matters for crash safety: expired MANIFESTS are removed
     first, so a sweep that dies mid-delete leaves only unreferenced
     data files (harmless, re-collectable) — never a manifest pointing
     at deleted data.
+
+    The walk is RECURSIVE (partitioned commits nest ``col=value``
+    dirs — a one-level scan once mistook a retained partitioned
+    commit for an orphan and deleted live data). Files referenced by
+    an EXPIRED manifest are deleted immediately (their manifests are
+    gone and rebasing writers re-derive only from the retained
+    latest); files referenced by NO manifest at all are deleted only
+    when older than ``orphan_grace_s`` — a concurrent writer between
+    ``_stage`` and ``_publish`` has staged files no manifest
+    references YET, the same reason Delta/Iceberg age-gate orphan
+    removal. Tests pass 0 to sweep orphans immediately.
     """
+    import shutil
+    import time
+
     versions = tbl.versions()
     retained = versions[-keep_last:] if keep_last > 0 else []
     expired = [v for v in versions if v not in retained]
     live: set[str] = set()
     for v in retained:
         live.update(tbl._manifest(v)["files"])
+    expired_refs: set[str] = set()
     for v in expired:
+        expired_refs.update(tbl._manifest(v)["files"])
         os.unlink(os.path.join(tbl.manifest_dir, f"v{v}.json"))
     deleted = []
+    now = time.time()
     for sub in sorted(os.listdir(tbl.path)):
         subdir = os.path.join(tbl.path, sub)
         if not (sub.startswith("data-") and os.path.isdir(subdir)):
             continue
-        for f in sorted(os.listdir(subdir)):
-            rel = os.path.join(sub, f)
-            if f.endswith(".parquet") and rel not in live:
-                os.unlink(os.path.join(subdir, f))
-                deleted.append(rel)
-        if not any(x.endswith(".parquet") for x in os.listdir(subdir)):
-            import shutil
-
+        kept = 0
+        for dirpath, _dirs, files in os.walk(subdir):
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, f)
+                rel = os.path.relpath(full, tbl.path)
+                if rel in live:
+                    kept += 1
+                elif rel in expired_refs or (
+                    now - os.path.getmtime(full) >= orphan_grace_s
+                ):
+                    os.unlink(full)
+                    deleted.append(rel)
+                else:
+                    kept += 1  # young true orphan: possibly a
+                    # mid-commit stage by a live writer — age-gated
+        if kept == 0:
             shutil.rmtree(subdir, ignore_errors=True)
     return deleted
 

@@ -126,11 +126,12 @@ def test_mv_incremental_merge_algebra(spark, sf_dir):
     from hadoop_tools_spark.operators.layout import mv_incremental
 
     got = {r.o_orderpriority: r for r in mv_incremental(spark, sf_dir).collect()}
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     direct = spark.read.parquet(f"{sf_dir}/orders.parquet").groupBy(
         "o_orderpriority"
     ).agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.sum(cents) / 100.0).alias("total"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -139,7 +140,9 @@ def test_mv_incremental_merge_algebra(spark, sf_dir):
         assert (g.cnt, g.min_price, g.max_price) == (
             r.cnt, r.min_price, r.max_price
         )
-        assert abs(g.total - r.total) < 0.02
+        # integer-cents partials: merged == direct EXACTLY (the old
+        # float-sum formulation drifted up to 0.02 between the two)
+        assert g.total == r.total
 
 
 def test_snapshot_concurrent_commit_no_lost_update(spark, sf_dir, tmp_path):
@@ -226,21 +229,63 @@ def test_snapshot_vacuum_retention(spark, sf_dir, tmp_path):
     tbl._stage(orders.limit(5), "orphan")  # crashed writer leftovers
     n_total = orders.count()
 
-    deleted = vacuum(tbl, keep_last=2)
-    assert deleted, "expired small files + orphans should be removed"
-    # retained versions still read in full
+    import os as _os
+
+    def on_disk():
+        return {
+            _os.path.relpath(_os.path.join(dirpath, f), tbl.path)
+            for sub in _os.listdir(tbl.path)
+            if sub.startswith("data-")
+            for dirpath, _dirs, files in _os.walk(
+                _os.path.join(tbl.path, sub)
+            )
+            for f in files
+            if f.endswith(".parquet")
+        }
+
+    # default grace: expired manifests go now, but the fresh
+    # never-referenced orphan is retained (it could be a concurrent
+    # writer mid-commit) — and v2's keep_prev chain still references
+    # the early small files, so they stay live too
+    vacuum(tbl, keep_last=2)
     assert tbl.versions() == [2, 3]
     assert tbl.read(spark, version=3).count() == n_total
     assert tbl.read(spark, version=2).count() == n_total
-    # every surviving parquet is referenced by a retained manifest
-    import os as _os
-
     live = set(tbl._manifest(2)["files"]) | set(tbl._manifest(3)["files"])
-    on_disk = {
-        _os.path.join(sub, f)
-        for sub in _os.listdir(tbl.path)
-        if sub.startswith("data-")
-        for f in _os.listdir(_os.path.join(tbl.path, sub))
-        if f.endswith(".parquet")
-    }
-    assert on_disk == live
+    survivors = on_disk()
+    assert live < survivors  # live kept, young orphan still present
+    assert all("orphan" in p for p in survivors - live)
+
+    # grace 0: the orphan sweep completes
+    vacuum(tbl, keep_last=2, orphan_grace_s=0)
+    assert on_disk() == live
+
+
+def test_snapshot_vacuum_keeps_live_partitioned_commits(
+    spark, sf_dir, tmp_path
+):
+    """Regression (review finding): a RETAINED partitioned commit
+    nests its parquet under col=value dirs; vacuum's walk must see
+    them (a one-level scan deleted the whole live commit dir)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable, vacuum
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderdate")
+        .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .drop("o_orderdate")
+        .limit(200)
+    )
+    tbl = SnapshotTable(str(tmp_path / "pvac"))
+    tbl.create(orders.filter("o_orderkey % 2 = 0"))
+    tbl.append(orders.filter("o_orderkey % 2 = 1"), partition_by=["o_month"])
+    tbl.append(orders.limit(7))
+    n_v1 = tbl.read(spark, version=1).count()
+
+    deleted = vacuum(tbl, keep_last=2, orphan_grace_s=0)
+    assert tbl.versions() == [1, 2]
+    # the partitioned commit's files survived and still read in full
+    assert tbl.read(spark, version=1).count() == n_v1
+    assert all("o_month=" not in p for p in deleted)
