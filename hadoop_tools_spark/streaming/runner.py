@@ -36,7 +36,7 @@ def stage_stream_files(
     # deterministic time-slice file assignment
     ranked = ev.withColumn(
         "bucket", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
-    )
+    ).cache()  # one global sort, not one per staged file
     for i in range(1, n_files + 1):
         (
             ranked.filter(F.col("bucket") == i)
@@ -45,6 +45,7 @@ def stage_stream_files(
             .write.mode("overwrite" if i == 1 else "append")
             .parquet(out_dir)
         )
+    ranked.unpersist()
     if late_df is not None:
         late_df.coalesce(1).write.mode("append").parquet(out_dir)
     return out_dir
@@ -62,6 +63,19 @@ def read_event_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
     )
 
 
+def _await_or_stop(q, timeout_s: int = 300) -> None:
+    """Wait for an availableNow query to finish; on timeout STOP it
+    before raising — a bare assert leaked the still-active query into
+    the shared session (it kept writing to the sink and corrupted
+    later tests), and asserts vanish under ``python -O``."""
+    finished = q.awaitTermination(timeout_s)
+    if not finished or q.isActive:
+        q.stop()
+        raise RuntimeError(
+            f"streaming query did not terminate within {timeout_s}s"
+        )
+
+
 def run_to_completion(
     stream_df: DataFrame, mode: str = "update", name: str | None = None
 ):
@@ -75,8 +89,7 @@ def run_to_completion(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    assert not q.isActive
+    _await_or_stop(q)
     return name
 
 
@@ -98,10 +111,11 @@ def run_foreach_batch_parquet(
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/batch_id={batch_id}")
+        # the hive-style dir name IS the batch_id column (partition
+        # discovery surfaces it on read) — also storing it as a data
+        # column wrote the same constant twice per row
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
         )
 
     q = (
@@ -111,6 +125,5 @@ def run_foreach_batch_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    assert not q.isActive
+    _await_or_stop(q)
     return out_dir

@@ -20,6 +20,34 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timest
 STATE_SCHEMA = "n long, total double, last_us long"
 
 
+def _fold(pdfs, n: int, total: float, last_us: int):
+    """Accumulate (count, value sum, max event-time µs) over the
+    Arrow batches of one key — the state-machine body shared by BOTH
+    engine paths (applyInPandasWithState and transformWithState), so
+    a fix to the fold can never reach only one of them."""
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        if pd.notna(batch_max):
+            last_us = max(last_us, int(batch_max.value // 1000))
+    return n, total, last_us
+
+
+def _emit(user_id, n: int, total: float, last_us: int) -> pd.DataFrame:
+    """One output row. ``last_us == 0`` means no non-null ts was EVER
+    observed for this key — emit NULL exactly like the batch
+    ``MAX(ts)`` would, not a fabricated 1970 epoch instant."""
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [pd.Timestamp(last_us * 1000) if last_us else pd.NaT],
+        }
+    )
+
+
 def _update(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -27,21 +55,9 @@ def _update(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     n, total, last_us = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
-        if pd.notna(batch_max):
-            last_us = max(last_us, int(batch_max.value // 1000))
+    n, total, last_us = _fold(pdfs, n, total, last_us)
     state.update((n, total, last_us))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "total_value": [total],
-            "last_ts": [pd.Timestamp(last_us * 1000)],
-        }
-    )
+    yield _emit(user_id, n, total, last_us)
 
 
 def running_user_stats(stream_events: DataFrame) -> DataFrame:
@@ -63,6 +79,29 @@ def running_user_stats(stream_events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _require_rocksdb(stream_events: DataFrame) -> None:
+    """transformWithStateInPandas precondition, stated once for all
+    three operators: it keeps each state variable in its own column
+    family, which only RocksDBStateStoreProvider supports. The
+    provider is a session-wide default (session.py _RUNTIME_CONFS)
+    set BEFORE any streaming query starts; it is deliberately not
+    mutated here — flipping it mid-session would break restore of
+    checkpoints created under the previous provider — so a session
+    built without it fails fast instead of silently reconfiguring
+    its sibling queries."""
+    provider = stream_events.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDBStateStoreProvider" not in provider:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the RocksDB state store; "
+            "set spark.sql.streaming.stateStore.providerClass to "
+            "RocksDBStateStoreProvider in the session builder (before "
+            "any streaming query starts), e.g. via "
+            "hadoop_tools_spark.session.get_spark/ensure_session_confs."
+        )
 
 
 class RunningUserStats:
@@ -92,21 +131,9 @@ class RunningUserStats:
                 n, total, last_us = (
                     self._agg.get() if self._agg.exists() else (0, 0.0, 0)
                 )
-                for pdf in rows:
-                    n += len(pdf)
-                    total += float(pdf["value"].sum())
-                    batch_max = pdf["ts"].max()
-                    if pd.notna(batch_max):
-                        last_us = max(last_us, int(batch_max.value // 1000))
+                n, total, last_us = _fold(rows, n, total, last_us)
                 self._agg.update((n, total, last_us))
-                yield pd.DataFrame(
-                    {
-                        "user_id": [user_id],
-                        "n_events": [n],
-                        "total_value": [total],
-                        "last_ts": [pd.Timestamp(last_us * 1000)],
-                    }
-                )
+                yield _emit(user_id, n, total, last_us)
 
             def close(self) -> None:
                 pass
@@ -134,18 +161,7 @@ def running_user_stats_tws(stream_events: DataFrame) -> DataFrame:
     previous provider — so a session built without it fails fast below
     instead of silently reconfiguring its sibling queries.
     """
-    spark = stream_events.sparkSession
-    provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", ""
-    )
-    if "RocksDBStateStoreProvider" not in provider:
-        raise RuntimeError(
-            "transformWithStateInPandas needs the RocksDB state store; "
-            "set spark.sql.streaming.stateStore.providerClass to "
-            "RocksDBStateStoreProvider in the session builder (before "
-            "any streaming query starts), e.g. via "
-            "hadoop_tools_spark.session.get_spark/ensure_session_confs."
-        )
+    _require_rocksdb(stream_events)
     return (
         stream_events.select("user_id", "ts", "value")
         .groupBy("user_id")
@@ -230,20 +246,25 @@ class InactivityAlert:
         return _P()
 
 
-def inactivity_alerts(stream_events: DataFrame, gap_s: int = 1800) -> DataFrame:
-    """Users silent for ``gap_s`` seconds of event time (timer-fired)."""
-    spark = stream_events.sparkSession
-    provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", ""
-    )
-    if "RocksDBStateStoreProvider" not in provider:
-        raise RuntimeError(
-            "transformWithStateInPandas needs the RocksDB state store "
-            "(see running_user_stats_tws)."
-        )
+def inactivity_alerts(
+    stream_events: DataFrame,
+    gap_s: int = 1800,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Users silent for ``gap_s`` seconds of event time (timer-fired).
+
+    ``delay`` is the watermark lateness allowance and belongs to the
+    CALLER's knowledge of source disorder, not hardcoded here: with
+    the ``0 seconds`` default any event whose ts trails a previous
+    micro-batch's max is dropped BEFORE the stateful operator (fine
+    for in-order replays like the staged-file tests; a real disordered
+    source should pass its out-of-orderness bound, e.g.
+    ``"30 seconds"``, at the cost of alerts firing that much later in
+    watermark time)."""
+    _require_rocksdb(stream_events)
     return (
         stream_events.select("user_id", "ts")
-        .withWatermark("ts", "0 seconds")
+        .withWatermark("ts", delay)
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=InactivityAlert(gap_s).build(),
@@ -285,15 +306,18 @@ class PerTypeCounts:
                 (user_id,) = key
                 for pdf in rows:
                     for et, cnt in pdf["event_type"].value_counts().items():
-                        prev = (
-                            self._counts.getValue((et,))[0]
-                            if self._counts.containsKey((et,))
-                            else 0
+                        # getValue returns None for a missing key: one
+                        # state-server round-trip per type instead of
+                        # the containsKey+getValue pair
+                        prev = self._counts.getValue((et,))
+                        self._counts.updateValue(
+                            (et,), ((prev[0] if prev else 0) + int(cnt),)
                         )
-                        self._counts.updateValue((et,), (prev + int(cnt),))
+                # iterator() streams (key, value) pairs in batched
+                # fetches — keys() + a getValue per key cost ~2x the
+                # proto chatter for the same emission
                 out = sorted(
-                    (k[0], self._counts.getValue(k)[0])
-                    for k in self._counts.keys()
+                    (k[0], v[0]) for k, v in self._counts.iterator()
                 )
                 yield pd.DataFrame(
                     {
@@ -311,15 +335,7 @@ class PerTypeCounts:
 
 def per_type_counts(stream_events: DataFrame) -> DataFrame:
     """Running per-(user, type) counts via MapState."""
-    spark = stream_events.sparkSession
-    provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", ""
-    )
-    if "RocksDBStateStoreProvider" not in provider:
-        raise RuntimeError(
-            "transformWithStateInPandas needs the RocksDB state store "
-            "(see running_user_stats_tws)."
-        )
+    _require_rocksdb(stream_events)
     return (
         stream_events.select("user_id", "event_type")
         .groupBy("user_id")
