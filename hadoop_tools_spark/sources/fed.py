@@ -40,16 +40,27 @@ class DuckFedReader(DataSourceReader):
     are evaluated remotely, only result rows cross into Spark.
     """
 
-    def __init__(self, options):
+    def __init__(self, options, schema_cols):
         self.db = options["path"]
-        self.table = options.get("table", "lineitem")
-        self.key = options.get("key", "l_orderkey")
-        self.cols = options.get(
-            "columns", "l_orderkey,l_returnflag,l_quantity,l_extendedprice"
-        )
+        self.table = self._ident(options.get("table", "lineitem"))
+        self.key = self._ident(options.get("key", "l_orderkey"))
+        # the SELECT list comes from the declared Spark schema, never
+        # a free-form option: row arity must match the schema Spark
+        # converts against, and identifier-validating every name that
+        # reaches the f-string keeps the remote SQL injection-free
+        # (range bounds stay parameter-bound)
+        self.cols = ", ".join(self._ident(c) for c in schema_cols)
         self.n_parts = int(options.get("partitions", 8))
         self.lo = int(options["lower"])
         self.hi = int(options["upper"]) + 1
+
+    @staticmethod
+    def _ident(name: str) -> str:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid SQL identifier: {name!r}")
+        return name
 
     def partitions(self):
         span = self.hi - self.lo
@@ -95,7 +106,7 @@ class DuckFedDataSource(DataSource):
         )
 
     def reader(self, schema):
-        return DuckFedReader(self.options)
+        return DuckFedReader(self.options, schema.fieldNames())
 
 
 @query(
@@ -118,21 +129,38 @@ def source_duckdb_fed(spark, sf_dir):
     connections, and that the partition union is exactly the table —
     the oracle aggregates the original rows.
     """
+    import hashlib
     import duckdb
 
     os.makedirs(SCRATCH, exist_ok=True)
-    db = os.path.join(SCRATCH, f"fed_{os.path.basename(sf_dir)}.duckdb")
+    # cache key = fixture identity, not just the dir's basename: the
+    # source parquet's absolute path + size + mtime. Regenerating a
+    # fixture in place (make_sf1 does, every round) or two roots
+    # sharing a basename must MISS — a stale hit silently aggregates
+    # old rows against an oracle reading the new parquet.
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    db = os.path.join(SCRATCH, f"fed_{fp}.duckdb")
     if not os.path.exists(db):
-        con = duckdb.connect(db)
+        # build at a temp path, then atomically rename into place:
+        # duckdb.connect creates the file instantly, so an interrupted
+        # CTAS would otherwise leave a lineitem-less db that the
+        # exists() check forever treats as complete
+        tmp = f"{db}.tmp-{os.getpid()}"
+        con = duckdb.connect(tmp)
         # the one-time landing step streams table creation under a
         # bounded buffer pool so driver RSS stays flat (sf1 rehearsal
         # showed 665 MB unbounded)
         con.execute("SET memory_limit='256MB'")
         con.execute(
             "CREATE TABLE lineitem AS SELECT l_orderkey, l_returnflag, "
-            f"l_quantity, l_extendedprice FROM read_parquet('{sf_dir}/lineitem.parquet')"
+            f"l_quantity, l_extendedprice FROM read_parquet('{src}')"
         )
         con.close()
+        os.replace(tmp, db)
     bounds = load(spark, sf_dir, "lineitem").agg(
         F.min("l_orderkey"), F.max("l_orderkey")
     ).collect()[0]

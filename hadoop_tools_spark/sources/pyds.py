@@ -56,13 +56,7 @@ class SynthLogReader(DataSourceReader):
 
     def read(self, partition):
         for i in range(partition.start, partition.end):
-            # closed-form row so any engine can re-derive it
-            yield (
-                i,
-                f"host{i % 7}",
-                LEVELS[i % 4],
-                (i * 37) % 1000,
-            )
+            yield _log_row(i)  # the SAME closed form as the stream path
 
 
 class SynthLogDataSource(DataSource):
@@ -99,10 +93,7 @@ def source_python_ds(spark, sf_dir):
     rows from the closed form, so the hash match proves schema,
     partition planning, and row iteration end-to-end.
     """
-    try:
-        spark.dataSource.register(SynthLogDataSource)
-    except Exception:
-        pass  # already registered in this session
+    spark.dataSource.register(SynthLogDataSource)
     logs = (
         spark.read.format("synthlog")
         .option("rows", 10000)
@@ -197,10 +188,14 @@ def source_python_stream(spark, sf_dir):
     import time
     import uuid
 
-    try:
-        spark.dataSource.register(SynthLogStreamDataSource)
-    except Exception:
-        pass  # already registered in this session
+    spark.dataSource.register(SynthLogStreamDataSource)
+    # drop sinks left by previous runs in this shared session — each
+    # memory sink holds its rows in driver memory for the session's
+    # lifetime otherwise (the catalog grew monotonically across
+    # repeated sweeps)
+    for t in spark.catalog.listTables():
+        if t.name.startswith("pystream_"):
+            spark.catalog.dropTempView(t.name)
     name = f"pystream_{uuid.uuid4().hex[:8]}"
     sdf = (
         spark.readStream.format("synthlog_stream")
@@ -216,13 +211,19 @@ def source_python_stream(spark, sf_dir):
     )
     try:
         deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= 400:
-                break
+        while spark.table(name).count() < 400:
+            if time.time() >= deadline:
+                # a partial aggregate would surface as a baffling
+                # oracle hash mismatch — fail loudly at the cause
+                raise RuntimeError(
+                    "synthlog stream delivered "
+                    f"{spark.table(name).count()}/400 rows in 120s"
+                )
             time.sleep(0.05)
     finally:
         q.stop()
-        q.awaitTermination(30)
+        if not q.awaitTermination(30):
+            raise RuntimeError("synthlog stream query did not stop in 30s")
     return (
         spark.table(name)
         .groupBy("level")
@@ -284,7 +285,12 @@ class JsonlWriter(DataSourceWriter):
     def abort(self, messages):
         import os as _os
 
+        # contract: a FAILED task's commit message is None — that is
+        # the case abort exists for; unlink the stages of the tasks
+        # that did succeed
         for m in messages:
+            if m is None:
+                continue
             try:
                 _os.unlink(m.path)
             except OSError:
