@@ -124,6 +124,10 @@ def llm_knn_exact(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     q_rows = _query_set(e).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, cosine double, rn long"
+        )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.emb for r in q_rows], dtype=np.float64)
     # sequential-sum norms: cumsum matches the oracle's fold order
@@ -206,6 +210,11 @@ def llm_knn_numpy(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     q_rows = _query_set(e).select("vec_id", "emb").collect()
+    if not q_rows:  # no ids hit the query filter: empty result, not
+        # a numpy AxisError on a (0,)-shaped array
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, cosine double, rn long"
+        )
     q_ids = np.array([r.vec_id for r in q_rows])
     q_mat = np.array([r.emb for r in q_rows])  # (Q, dim)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -235,9 +244,14 @@ def llm_knn_numpy(spark, sf_dir):
                         }
                     )
                 )
-            yield pd.concat(out, ignore_index=True)
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
-    partial = e.mapInPandas(block_knn, schema=_KNN_SCHEMA)
+    # single-row-group fixture -> one scan partition: spread so the
+    # BLAS scoring uses every core (the same fix llm_knn_exact carries
+    # -- without it the 'throughput path' ran single-threaded locally)
+    par = spark.sparkContext.defaultParallelism
+    partial = e.repartition(par).mapInPandas(block_knn, schema=_KNN_SCHEMA)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
         partial.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -281,16 +295,23 @@ def llm_knn_lsh(spark, sf_dir):
         seed=42,
     ).fit(e)
     pairs = lsh.approxSimilarityJoin(q, e, 6.0, distCol="euclid")
-    w = Window.partitionBy("q_id").orderBy("euclid", "neighbor_id")
+    # rank on the RAW distance (the exact keys' rule): ranking on the
+    # rounded value let sub-1e-6 ties break by id and put a farther
+    # neighbor ahead of a nearer one at the k cutoff
+    w = Window.partitionBy("q_id").orderBy("euclid_raw", "neighbor_id")
     return (
         pairs.select(
             F.col("datasetA.vec_id").alias("q_id"),
             F.col("datasetB.vec_id").alias("neighbor_id"),
-            F.round("euclid", 6).alias("euclid"),
+            F.col("euclid").alias("euclid_raw"),
         )
         .filter(F.col("q_id") != F.col("neighbor_id"))
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _K)
+        .select(
+            "q_id", "neighbor_id",
+            F.round("euclid_raw", 6).alias("euclid"), "rn",
+        )
     )
 
 
@@ -529,6 +550,10 @@ def llm_knn_ivf(spark, sf_dir):
 
     # probe driver-side: queries are the small side by design (bounded)
     q_rows = _query_set(e).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, cosine double, rn long"
+        )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.u for r in q_rows])
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -606,7 +631,9 @@ def llm_knn_ivf(spark, sf_dir):
         FROM embeddings
     )
     SELECT label, CAST(pos AS BIGINT) AS pos,
-           ROUND(AVG(val), 6) AS mean_val, COUNT(*) AS n
+           floor(CAST(SUM(CAST(floor(val * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) / COUNT(*) + 0.5) / 1000000.0 AS mean_val,
+           COUNT(*) AS n
     FROM flat GROUP BY label, pos
     """,
 )
@@ -619,16 +646,28 @@ def llm_embed_centroid(spark, sf_dir):
     refresh runs at corpus scale; keeping the output exploded (rather
     than re-assembling arrays) is deliberate: it stays SQL-comparable
     and feeds the next matmul directly.
+
+    The mean is a BIGINT-scaled fixed-point sum (engine determinism
+    convention): a plain AVG over doubles associates differently
+    across Spark's partition combine order than DuckDB's sequential
+    scan, and a dimension mean within an ulp of a rounding boundary
+    would hash-flip the moment the corpus spans >1 partition.
     """
     e = load(spark, sf_dir, "embeddings").select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     )
+    v6 = F.floor(F.col("col") * 1_000_000 + 0.5).cast("long")
     return (
         e.select("label", (F.col("pos") + 1).cast("long").alias("pos"), "col")
         .groupBy("label", "pos")
-        .agg(
-            F.round(F.avg("col"), 6).alias("mean_val"),
-            F.count("*").alias("n"),
+        .agg(F.sum(v6).alias("s6"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "pos",
+            (
+                F.floor(F.col("s6") / F.col("n") + 0.5) / 1_000_000.0
+            ).alias("mean_val"),
+            "n",
         )
     )
 
@@ -822,7 +861,7 @@ def llm_embed_neardup_lsh(spark, sf_dir):
     )
     SELECT CAST(label AS BIGINT) AS label, dropped,
            MIN(keep_candidate) AS kept_by,
-           ROUND(MAX(cos), 6) AS max_cos
+           floor(MAX(cos) * 1000000 + 0.5) / 1000000.0 AS max_cos
     FROM p GROUP BY label, dropped
     """,
 )
@@ -846,9 +885,12 @@ def llm_semdedup(spark, sf_dir):
     """
     import numpy as np
 
+    # no explicit repartition: groupBy(label).applyInPandas below
+    # already hash-partitions by the grouping key — an extra
+    # repartition("label") doubled the shuffle volume for no effect
     e = load(spark, sf_dir, "embeddings").select(
         "label", "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).repartition("label")
+    )
 
     schema = T.StructType(
         [
@@ -860,6 +902,8 @@ def llm_semdedup(spark, sf_dir):
     )
 
     def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["emb"].to_numpy())
@@ -884,8 +928,12 @@ def llm_semdedup(spark, sf_dir):
                 else:
                     out[d] = (min(prev[0], int(ids[i])), max(prev[1], c))
         lab = int(pdf["label"].iloc[0]) if n else 0
+        # floor-pin (engine convention): Python round() is decimal-
+        # exact ties-to-even, DuckDB ROUND is half-away-from-zero —
+        # a third semantics in one hash-matched column
         rows = [
-            (lab, int(d), kb, round(mc, 6)) for d, (kb, mc) in out.items()
+            (lab, int(d), kb, math.floor(mc * 1_000_000 + 0.5) / 1_000_000)
+            for d, (kb, mc) in out.items()
         ]
         return pd.DataFrame(
             rows, columns=["label", "dropped", "kept_by", "max_cos"]
@@ -927,17 +975,25 @@ def _km_assign_sql(cent: str, out: str) -> str:
     )"""
 
 
-def _km_update_sql(assign: str, out: str) -> str:
+def _km_update_sql(assign: str, prev: str, out: str) -> str:
+    """Centroid update CTE. LEFT JOIN from the PREVIOUS centroid set:
+    an empty cluster keeps its centroid (exactly what the Spark loop
+    does) — aggregating the assignment alone would silently drop the
+    cluster and run later rounds with k-1 centroids, a latent
+    cross-engine divergence the fixture never happens to trigger."""
     return f"""
     {out} AS (
-      SELECT cl, list(m ORDER BY i) AS c FROM (
-        SELECT cl, i,
-               FLOOR(CAST(SUM(CAST(FLOOR(u[i] * {_KM_SCALE}) AS BIGINT))
-                          AS BIGINT)
-                     * 1.0 / COUNT(*) / {_KM_SCALE} * 1000000 + 0.5)
-               / 1000000 AS m
-        FROM {assign} CROSS JOIN range(1, 65) r(i)
-        GROUP BY cl, i) GROUP BY cl
+      SELECT p.cl, COALESCE(n.c, p.c) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT cl, list(m ORDER BY i) AS c FROM (
+          SELECT cl, i,
+                 FLOOR(CAST(SUM(CAST(FLOOR(u[i] * {_KM_SCALE}) AS BIGINT))
+                            AS BIGINT)
+                       * 1.0 / COUNT(*) / {_KM_SCALE} * 1000000 + 0.5)
+                 / 1000000 AS m
+          FROM {assign} CROSS JOIN range(1, 65) r(i)
+          GROUP BY cl, i) GROUP BY cl
+      ) n USING (cl)
     )"""
 
 
@@ -955,9 +1011,9 @@ def _km_update_sql(assign: str, out: str) -> str:
         FROM e) WHERE cl < {_KM_K}
     ),
     {_km_assign_sql("init", "a1")},
-    {_km_update_sql("a1", "cent1")},
+    {_km_update_sql("a1", "init", "cent1")},
     {_km_assign_sql("cent1", "a2")},
-    {_km_update_sql("a2", "cent2")},
+    {_km_update_sql("a2", "cent1", "cent2")},
     {_km_assign_sql("cent2", "a3")}
     SELECT CAST(cl AS BIGINT) AS cluster, COUNT(*) AS n_points,
            CAST(SUM(CAST(FLOOR(dist * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
@@ -967,7 +1023,7 @@ def _km_update_sql(assign: str, out: str) -> str:
 )
 def llm_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means over the embedding corpus
-    ({_KM_K} clusters, {_KM_ITERS} rounds, deterministic init = the
+    (_KM_K=4 clusters, _KM_ITERS=2 rounds, deterministic init = the
     vectors of the k smallest vec_ids) — the clustering step behind
     corpus curation (topic balance, SemDeDup's cluster stage, IVF
     coarse quantizers), here as a hash-matched exact key rather than
@@ -1187,7 +1243,6 @@ def llm_embed_pca(spark, sf_dir, k: int = 2):
 
     dim = 64
     g = llm_embed_gram(spark, sf_dir).collect()  # dim(dim+1)/2 rows
-    n = g[0].n
     M2 = np.zeros((dim, dim))
     for r in g:
         M2[r.i - 1, r.j - 1] = M2[r.j - 1, r.i - 1] = r.gram
