@@ -47,6 +47,24 @@ def llm_wordcount(spark, sf_dir):
     )
 
 
+def _bigrams_expr(words):
+    """Guarded word-bigram array — shared by llm_ngram and
+    llm_repetition_quality so the builder (and its load-bearing
+    guard placement) can never drift between them. The <2-word guard
+    lives INSIDE the projection (empty array → explode drops the
+    row): a row-level filter on size(split(..)) would be pushed below
+    the projection and re-split every text."""
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    return F.when(F.size(words) >= 2, bigrams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 @query(
     "llm_ngram",
     oracle="""
@@ -68,20 +86,8 @@ def llm_ngram(spark, sf_dir):
     n-gram generator used by shingling and language modeling."""
     d = load_spread(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1)
-        ),
-    )
-    # the <2-word guard lives INSIDE the projection (empty array →
-    # explode drops the row): a row-level filter on size(split(..))
-    # would be pushed below the projection and re-split every text
-    guarded = F.when(F.size(words) >= 2, bigrams).otherwise(
-        F.array().cast("array<string>")
-    )
     return (
-        d.select(F.explode(guarded).alias("bigram"))
+        d.select(F.explode(_bigrams_expr(words)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
     )
@@ -108,13 +114,18 @@ def llm_ngram(spark, sf_dir):
         JOIN df ON df.word = tf.word
         CROSS JOIN n
     ),
-    ranked AS (
-        SELECT doc_id, word, tfidf,
-               ROW_NUMBER() OVER (PARTITION BY doc_id
-                                  ORDER BY tfidf DESC, word) AS rn
+    pinned AS (
+        SELECT doc_id, word,
+               CAST(floor(tfidf * 1000000 + 0.5) AS BIGINT) AS t6
         FROM scored
+    ),
+    ranked AS (
+        SELECT doc_id, word, t6,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY t6 DESC, word) AS rn
+        FROM pinned
     )
-    SELECT doc_id, word, ROUND(tfidf, 6) AS tfidf, CAST(rn AS BIGINT) AS rn
+    SELECT doc_id, word, t6 / 1000000.0 AS tfidf, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= 3
     """,
 )
@@ -173,11 +184,23 @@ def llm_tfidf(spark, sf_dir):
             ).alias("tfidf"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    # RANK on the floor-pinned integer, not the raw LN product: the
+    # top-3 MEMBERSHIP must not hinge on sub-ulp agreement between
+    # JVM Math.log and DuckDB's libm (the hazard llm_sample_weighted's
+    # docstring names); both engines order identical BIGINTs
+    pinned = scored.select(
+        "doc_id",
+        "word",
+        F.floor(F.col("tfidf") * 1_000_000 + 0.5).cast("long").alias("t6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("t6").desc(), "word")
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        pinned.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "word", F.round("tfidf", 6).alias("tfidf"), "rn")
+        .select(
+            "doc_id", "word",
+            (F.col("t6") / 1_000_000.0).alias("tfidf"), "rn",
+        )
     )
 
 
@@ -474,10 +497,13 @@ def llm_simhash(spark, sf_dir):
 
 def hamming64(a, b):
     """Hamming distance between two 64-bit simhash columns (JVM-side
-    bit_count of xor)."""
-    return F.bit_count(
-        F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b)
-    )
+    bit_count of xor). Each argument is coerced INDEPENDENTLY — the
+    old single isinstance(a, ...) check treated a str ``b`` as a
+    string LITERAL when ``a`` was a Column (every distance NULL) and
+    crashed on the converse mix."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
 
 
 @query(
@@ -529,10 +555,12 @@ def llm_token_stats(spark, sf_dir):
 @query(
     "llm_pipeline_e2e",
     oracle="""
-    WITH doubled AS (
+    WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+    doubled AS (
         SELECT doc_id, text, lang FROM documents
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+        SELECT doc_id + (SELECT o FROM off) AS doc_id, text, lang
+        FROM documents
     ),
     keep AS (
         SELECT MIN(doc_id) AS doc_id FROM doubled GROUP BY sha256(text)
@@ -552,7 +580,9 @@ def llm_token_stats(spark, sf_dir):
     )
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_words) AS BIGINT) AS total_tokens,
-           ROUND(AVG(CAST(n_distinct AS DOUBLE) / n_words), 6) AS avg_uniq
+           floor(CAST(SUM(CAST(floor(CAST(n_distinct AS DOUBLE) / n_words
+                                     * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                 * 1.0 / COUNT(*) + 0.5) / 1000000.0 AS avg_uniq
     FROM feats
     WHERE n_words BETWEEN 5 AND 10000
       AND CAST(n_distinct AS DOUBLE) / n_words > 0.2
@@ -576,8 +606,12 @@ def llm_pipeline_e2e(spark, sf_dir):
     is the initial scan.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # clone-id offset derived from the corpus, not a constant: at
+    # >= 1M documents a fixed +1000000 would alias clone ids with
+    # real ones and silently corrupt the dedup semi-join
+    off = d.agg(F.max("doc_id") + 1).collect()[0][0]
     doubled = d.unionByName(
-        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+        d.select((F.col("doc_id") + off).alias("doc_id"), "text", "lang")
     )
     keep = (
         doubled.withColumn("h", F.sha2(F.col("text").cast("binary"), 256))
@@ -606,7 +640,22 @@ def llm_pipeline_e2e(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_words").alias("total_tokens"),
-            F.round(F.avg(uniq), 6).alias("avg_uniq"),
+            # fixed-point mean (engine convention): AVG of doubles
+            # sums in partition-dependent order; each ratio is one
+            # IEEE division (identical both engines), pinned to 1e-6
+            # integers whose sum is order-free
+            F.sum(
+                F.floor(uniq * 1_000_000 + 0.5).cast("long")
+            ).alias("u6"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            (
+                F.floor(F.col("u6") * 1.0 / F.col("n_docs") + 0.5)
+                / 1_000_000.0
+            ).alias("avg_uniq"),
         )
         .orderBy("lang")
     )
@@ -662,8 +711,13 @@ def llm_simhash_neardup(spark, sf_dir):
                 F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
             ).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_dist)
+        # dedup AFTER the hamming filter: distinct() is a full shuffle
+        # of every blocked pair (the Σ|bucket|² quantity the docstring
+        # flags), while near-dup survivors are orders of magnitude
+        # fewer — hamming is a pure row function, so the reorder is
+        # semantics-free
+        .distinct()
     )
 
 
@@ -681,7 +735,10 @@ def llm_simhash_neardup(spark, sf_dir):
                LN((cnt.n + 1.0) / (tot.n_total + v.n_vocab)) AS lp
         FROM w JOIN cnt USING (word) CROSS JOIN tot CROSS JOIN v
     )
-    SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(lp), 6) AS avg_logprob
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           floor(CAST(SUM(CAST(floor(lp * 1000000 + 0.5) AS BIGINT))
+                      AS BIGINT) * 1.0 / COUNT(*) + 0.5) / 1000000.0
+               AS avg_logprob
     FROM scored GROUP BY doc_id
     """,
 )
@@ -713,7 +770,21 @@ def llm_unigram_logprob(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            # fixed-point mean (engine convention): each lp is one
+            # libm LN both engines compute identically, but AVG sums
+            # them in partition-dependent order — pin to 1e-6 BIGINTs
+            # whose sum is order-free, then floor-pin the mean
+            F.sum(
+                F.floor(F.col("lp") * 1_000_000 + 0.5).cast("long")
+            ).alias("lp6"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.floor(F.col("lp6") * 1.0 / F.col("n_tokens") + 0.5)
+                / 1_000_000.0
+            ).alias("avg_logprob"),
         )
     )
 
@@ -737,7 +808,10 @@ def llm_unigram_logprob(spark, sf_dir):
     c2 AS (SELECT w2, COUNT(*) AS n2 FROM bb GROUP BY w2),
     nb AS (SELECT COUNT(*) AS nbg FROM bb)
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(AVG(LN(0.7 * n12 / n1 + 0.3 * n2 / nbg)), 6) AS avg_logprob
+           floor(CAST(SUM(CAST(floor(
+                     LN(0.7 * n12 / n1 + 0.3 * n2 / nbg) * 1000000 + 0.5)
+                 AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*) + 0.5) / 1000000.0
+               AS avg_logprob
     FROM bb JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN c2 USING (w2)
             CROSS JOIN nb
     GROUP BY doc_id
@@ -791,7 +865,21 @@ def llm_bigram_lm(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            # fixed-point mean (engine convention): each lp is one
+            # libm LN both engines compute identically, but AVG sums
+            # them in partition-dependent order — pin to 1e-6 BIGINTs
+            # whose sum is order-free, then floor-pin the mean
+            F.sum(
+                F.floor(F.col("lp") * 1_000_000 + 0.5).cast("long")
+            ).alias("lp6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.floor(F.col("lp6") * 1.0 / F.col("n_bigrams") + 0.5)
+                / 1_000_000.0
+            ).alias("avg_logprob"),
         )
     )
 
@@ -838,7 +926,7 @@ def llm_sample_stratified(spark, sf_dir):
     WITH p AS (
       SELECT doc_id, lang, n_chars,
              ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-               * 1.0 / n_chars AS priority
+               * 1.0 / GREATEST(n_chars, 1) AS priority
       FROM documents
     )
     SELECT doc_id, lang, n_chars, priority FROM (
@@ -871,7 +959,10 @@ def llm_sample_weighted(spark, sf_dir):
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
         ).cast("long")
         * 1.0
-        / F.col("n_chars")
+        # GREATEST guard: an empty document (n_chars = 0) must not
+        # throw DIVIDE_BY_ZERO under ANSI mode (or NULL-sort apart
+        # across engines without it) — weight 1 keeps it deterministic
+        / F.greatest(F.col("n_chars"), F.lit(1))
     )
     p = d.select("doc_id", "lang", "n_chars", pri.alias("priority"))
     w = Window.partitionBy("lang").orderBy("priority", "doc_id")
@@ -951,17 +1042,8 @@ def llm_repetition_quality(spark, sf_dir):
         F.max("n").alias("top_n"),
     )
 
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1)
-        ),
-    )
-    guarded = F.when(F.size(words) >= 2, bigrams).otherwise(
-        F.array().cast("array<string>")
-    )
     gc = (
-        d.select("doc_id", F.explode(guarded).alias("bg"))
+        d.select("doc_id", F.explode(_bigrams_expr(words)).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("n"))
     )
@@ -1243,6 +1325,33 @@ def llm_dataset_card(spark, sf_dir):
     )
 
 
+def split_expr():
+    """THE train/valid/test assignment — salted md5 bucket of doc_id,
+    <80 train / <90 valid / else test — stated ONCE: the leakage
+    audit must audit the SAME split llm_split_assign hands out, so a
+    threshold or salt tweak can never reach one and miss the other
+    (the one pairing where copy-drift is a correctness hazard, not
+    just duplication). The oracles restate it in SQL; tests compare
+    the two engines' assignments row for row."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+    )
+
+
 @query(
     "llm_split_assign",
     oracle="""
@@ -1275,26 +1384,7 @@ def llm_split_assign(spark, sf_dir):
     beyond the reporting groupBy.
     """
     d = load_spread(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/split"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    assigned = d.select(
-        "doc_id",
-        "lang",
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "valid")
-        .otherwise("test")
-        .alias("split"),
-    )
+    assigned = d.select("doc_id", "lang", split_expr().alias("split"))
     return assigned.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
@@ -1375,10 +1465,17 @@ def llm_pack_sequences(spark, sf_dir):
         "doc_id",
         "shard",
         "n_tokens",
-        (F.col("start_tok") / _PACK_SEQ).cast("long").alias("seq_first"),
-        ((F.col("start_tok") + F.col("n_tokens") - 1) / _PACK_SEQ)
-        .cast("long")
-        .alias("seq_last"),
+        # TRUE integer division (`div`), matching the oracle's `//`:
+        # float-divide-then-cast only agreed because 256 is a power
+        # of two (exact in binary below 2^53) — a non-power-of-two
+        # sequence length or huge shard offsets would shift a doc's
+        # sequence assignment off the oracle
+        F.expr(f"CAST(start_tok div {_PACK_SEQ} AS BIGINT)").alias(
+            "seq_first"
+        ),
+        F.expr(
+            f"CAST((start_tok + n_tokens - 1) div {_PACK_SEQ} AS BIGINT)"
+        ).alias("seq_last"),
         (F.col("start_tok") % _PACK_SEQ).alias("offset_in_seq"),
     )
 
@@ -1490,25 +1587,10 @@ def llm_leakage_check(spark, sf_dir):
     concrete offending train doc (min id) for triage.
     """
     d = load_spread(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/split"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
     assigned = d.select(
         "doc_id",
         F.substring("text", 1, 40).alias("pfx"),
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "valid")
-        .otherwise("test")
-        .alias("split"),
+        split_expr().alias("split"),
     )
     tr = assigned.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "pfx"
