@@ -44,6 +44,19 @@ def _doubled(spark, sf_dir):
     )
 
 
+def _content_hash_min(df):
+    """THE exact-dedup rule — sha256(text) → keep min doc_id — stated
+    once: llm_dedup_exact, build_dedup_index, and dedup_incremental
+    must all apply the SAME digest and keep-rule, and the incremental
+    index has no oracle of its own (pytest-only), so a drifted copy
+    there would silently desynchronize the register from the key."""
+    return (
+        df.withColumn("h", F.sha2(F.col("text").cast("binary"), 256))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+
 @query(
     "llm_dedup_exact",
     oracle=f"""
@@ -58,13 +71,7 @@ def llm_dedup_exact(spark, sf_dir):
     crosses the shuffle (only the 32-byte digest + id), and partial
     aggregation collapses per-partition duplicates before the exchange.
     """
-    return (
-        _doubled(spark, sf_dir)
-        .withColumn("h", F.sha2(F.col("text").cast("binary"), 256))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    return _content_hash_min(_doubled(spark, sf_dir)).select("doc_id")
 
 
 @query(
@@ -269,19 +276,11 @@ def llm_jaccard_ngram(spark, sf_dir):
     the set-intersection cost — the candidate→verify split that keeps
     near-dup detection linear-ish at corpus scale.
     """
-    d = load(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    gram_expr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-            ),
-        )
-    )
+    # _trigram_expr carries the <3-word guard: the unguarded copy
+    # this key once inlined crashed with INVALID_ARRAY_INDEX on any
+    # short doc in a multi-member block (sequence(1, size-2) descends
+    # when size < 3), where the oracle just yields an empty gram list
+    gram_expr = _trigram_expr()
     # gram SETS stay as per-doc arrays: the blocked self-join carries
     # them and array_intersect computes |A∩B| JVM-side per candidate
     # pair. No gram-level explode/shuffle — the exploded formulation
@@ -293,8 +292,7 @@ def llm_jaccard_ngram(spark, sf_dir):
     # doc is such a singleton, so the semi-join against multi-member
     # prefixes removes ~99% of the shingling work. (The oracle shingles
     # everything, but its inner join discards the same rows.)
-    par = spark.sparkContext.defaultParallelism
-    keyed = d.repartition(par).select(
+    keyed = load_spread(spark, sf_dir, "documents").select(
         "doc_id", "text", F.substring("text", 1, 40).alias("pfx")
     )
     multi = (
@@ -449,6 +447,12 @@ def connected_components(vertices_df, edges_df, id_col="doc_id", max_rounds=30):
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+            # materialize BEFORE the self-join below (the repo's
+            # cached-self-join rule): uncached, hop's whole lineage
+            # (propagation join + union + groupBy) evaluated twice
+            # per round — once per join side — doubling the
+            # propagation phase's shuffle work
+            .localCheckpoint()
         )
         # pointer jump: follow the label one step through the mapping
         # itself; every label is a vertex id so the self-join is total
@@ -587,7 +591,12 @@ def build_neardup_index(docs_df, index_path: str) -> None:
     """
     g = docs_df.select("doc_id", _trigram_expr().alias("grams"))
     bands = _band_keys(_with_minhash_sig(g).drop("grams"))
-    bands.write.mode("overwrite").parquet(index_path)
+    # <3-word docs yield NULL band keys; a NULL key can never satisfy
+    # the equi-join, so persisting those rows is pure index bloat
+    # that grows with the corpus (real crawls have many short docs)
+    bands.filter(F.col("key").isNotNull()).write.mode(
+        "overwrite"
+    ).parquet(index_path)
 
 
 def neardup_incremental(spark, new_docs_df, index_path: str):
@@ -602,7 +611,11 @@ def neardup_incremental(spark, new_docs_df, index_path: str):
     in tests/test_llm.py).
     """
     g = new_docs_df.select("doc_id", _trigram_expr().alias("grams"))
-    new_bands = materialize(_band_keys(_with_minhash_sig(g).drop("grams")))
+    new_bands = materialize(
+        _band_keys(_with_minhash_sig(g).drop("grams")).filter(
+            F.col("key").isNotNull()  # same no-dead-rows rule as build
+        )
+    )
     old_bands = spark.read.parquet(index_path)
     all_bands = old_bands.unionByName(new_bands)
     a, b = new_bands.alias("a"), all_bands.alias("b")
@@ -632,13 +645,7 @@ def build_dedup_index(docs_df, index_path: str) -> None:
     """Persist the exact-dedup content index: one (h, doc_id) row per
     distinct sha256(text), keeping the min doc_id — the canonical-
     document register a production corpus maintains."""
-    (
-        docs_df.withColumn("h", F.sha2(F.col("text").cast("binary"), 256))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .write.mode("overwrite")
-        .parquet(index_path)
-    )
+    _content_hash_min(docs_df).write.mode("overwrite").parquet(index_path)
 
 
 def dedup_incremental(spark, new_docs_df, index_path: str):
@@ -651,13 +658,7 @@ def dedup_incremental(spark, new_docs_df, index_path: str):
     this is the streaming-corpus ingestion path — neither ever
     rescans history.
     """
-    hashed = (
-        new_docs_df.withColumn(
-            "h", F.sha2(F.col("text").cast("binary"), 256)
-        )
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
+    hashed = _content_hash_min(new_docs_df)
     old = spark.read.parquet(index_path)
     # localCheckpoint, NOT cache: the append below writes to the same
     # path the plan reads, and Spark's post-write refresh invalidates
@@ -756,18 +757,11 @@ def llm_dedup_substring(spark, sf_dir):
         .select("g")
     )
     flagged = grams.join(dup, "g", "left_semi").select("doc_id", "p")
-    w = Window.partitionBy("doc_id").orderBy("p")
-    isl = flagged.withColumn(
-        "island",
-        F.sum(
-            F.when(F.col("p") - F.lag("p").over(w) == 1, 0).otherwise(1)
-        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return isl.groupBy("doc_id", "island").agg(
-        F.min("p").cast("long").alias("span_start"),
-        (F.max("p") + _SUB_K - 1).cast("long").alias("span_end"),
-        (F.max("p") - F.min("p") + _SUB_K).cast("long").alias("span_len"),
-    ).drop("island")
+    # the gap-and-island merge lives ONCE in _merge_islands — the
+    # hashed twin shares it, and the shared _SUBSTRING_ORACLE asserts
+    # both produce identical spans, so a drifted copy here would
+    # break exactly that invariant
+    return _merge_islands(flagged)
 
 
 def _merge_islands(flagged):
@@ -1195,7 +1189,12 @@ def llm_minhash_estimate(spark, sf_dir):
                path,
                array_to_string(
                  list_sort(list_filter(string_split(qs, '&'),
-                     p -> p <> '' AND NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))),
+                     /* starts_with, NOT LIKE: in LIKE the '_' is a
+                        single-char wildcard, so 'utm_%' also matched
+                        'utmx=..' — a different predicate than the
+                        Spark side's literal startswith('utm_') */
+                     p -> p <> '' AND NOT (starts_with(p, 'utm_')
+                                           OR starts_with(p, 'ref=')))),
                  '&') AS params
         FROM canon
     ),

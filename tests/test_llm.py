@@ -1450,6 +1450,27 @@ def test_flac_decoder_stereo_wasted_escape_branches():
         assert decode_flac(blob)[3][:, 0].tolist() == samples, (order, method)
 
 
+def test_jaccard_ngram_short_docs_in_block_no_crash(spark, tmp_path):
+    """Review regression: two <3-word docs sharing a 40-char prefix
+    land in a multi-member block; the gram expression must yield an
+    empty array (no pair), not INVALID_ARRAY_INDEX — the unguarded
+    trigram copy this key once inlined crashed here."""
+    from hadoop_tools_spark.operators.llm_dedup import llm_jaccard_ngram
+
+    long_word = "x" * 45
+    spark.createDataFrame(
+        [
+            (1, long_word, len(long_word)),
+            (2, long_word + " tail", len(long_word) + 5),
+            (3, "three words here totally unrelated", 34),
+        ],
+        "doc_id long, text string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = llm_jaccard_ngram(spark, str(tmp_path)).collect()
+    assert rows == []  # no crash, and no gram-less pair emitted
+
+
 def test_jpeg12_rejects_baseline_frame():
     """T.81 forbids 12-bit samples in a baseline (SOF0) frame — the
     parser must reject the combination rather than mis-decode."""
