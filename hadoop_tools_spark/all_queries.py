@@ -21,6 +21,7 @@ from .operators import (  # noqa: F401
     relational_ext,
     setops,
     sqlsurface,
+    staged_r6,
     timeseries,
     windows,
 )

@@ -58,6 +58,32 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a fixture table, 0 if it cannot be stat'ed.
+
+    Spread gates use this to skip the round-robin shuffle when the
+    input is too small for parallelism to pay for the exchange
+    (measured: llm_knn_numpy's spread costs 1.62× at sf0.1 / 0.8 MB
+    but is required at sf1 / 5.9 MB, where the single row group would
+    otherwise run one-threaded). Non-local / multi-file tables return
+    0 → no spread: a real multi-file scan is already parallel and an
+    extra full shuffle would only add cost at scale.
+    """
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -31,6 +31,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..io import load, materialize
+from ..io import table_bytes as io_table_bytes
+
+#: below this input size the round-robin spread before BLAS scoring
+#: costs more than the parallelism it buys (sf0.1 = 0.8 MB regressed
+#: 1.62x with the spread; sf1 = 5.9 MB needs it).
+_SPREAD_MIN_BYTES = 3 << 20
 from ..registry import query
 
 _K = 5
@@ -248,10 +254,13 @@ def llm_knn_numpy(spark, sf_dir):
                 yield pd.concat(out, ignore_index=True)
 
     # single-row-group fixture -> one scan partition: spread so the
-    # BLAS scoring uses every core (the same fix llm_knn_exact carries
-    # -- without it the 'throughput path' ran single-threaded locally)
+    # BLAS scoring uses every core. Gated on input size: below
+    # _SPREAD_MIN_BYTES the exchange costs more than the parallel
+    # BLAS saves (measured 1.62x at sf0.1; required at sf1+).
     par = spark.sparkContext.defaultParallelism
-    partial = e.repartition(par).mapInPandas(block_knn, schema=_KNN_SCHEMA)
+    if io_table_bytes(sf_dir, "embeddings") >= _SPREAD_MIN_BYTES:
+        e = e.repartition(par)
+    partial = e.mapInPandas(block_knn, schema=_KNN_SCHEMA)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
         partial.withColumn("rn", F.row_number().over(w).cast("long"))

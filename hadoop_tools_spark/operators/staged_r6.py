@@ -1,14 +1,11 @@
-"""Round-6 staging: four ready-to-register keys, held back only by
-round 5's ≤10-new-keys cap (VERDICT r4 item 4).
+"""Wiki-dump / FLAC / WARC-fetch keys, staged in round 5 and
+REGISTERED in round 6 (VERDICT r5 item 1).
 
-This module is deliberately NOT imported by ``all_queries`` — nothing
-here reaches the driver's ``queries()``/``oracle_sql()`` surface yet.
 Each function has the registered-key signature ``(spark, sf_dir)`` and
-a DuckDB oracle in ``ORACLES``; ``tests/test_llm.py`` already runs
-every pair through the SAME comparator as ``tools/verify_local.py``,
-so registration next round is mechanical: move the functions into
-their home modules under ``@query(key, oracle=...)`` (or import this
-module from ``all_queries``) and regenerate KEYS.md/PLANS.md.
+a DuckDB oracle in ``ORACLES``; the module registers every pair at
+import time (bottom of file) and is imported by ``all_queries``.
+``tests/test_llm.py`` additionally runs every pair through the SAME
+comparator as ``tools/verify_local.py``.
 
 Keys:
 - ``llm_multimodal_flac`` — lossless FLAC decode, cross-format oracle
@@ -324,3 +321,19 @@ ORACLES = {
     ) WHERE length(target_uri) % 2 = 0
     """,
 }
+
+
+# Registration (round 6): every staged pair goes live on the driver
+# surface. ``query`` is applied post-hoc because ORACLES is defined
+# after the functions.
+from ..registry import query  # noqa: E402
+
+for _key, _fn in (
+    ("llm_multimodal_flac", llm_multimodal_flac),
+    ("llm_wikidump_bz2", llm_wikidump_bz2),
+    ("llm_wikitext_clean", llm_wikitext_clean),
+    ("llm_wikidump_links", llm_wikidump_links),
+    ("llm_warc_fetch", llm_warc_fetch),
+):
+    query(_key, oracle=ORACLES[_key])(_fn)
+del _key, _fn

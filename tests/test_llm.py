@@ -1214,11 +1214,10 @@ def test_wikitext_clean_matches_python_reference(spark):
 
 
 def test_staged_r6_keys_hash_match_their_oracles(spark):
-    """Pre-registration parity gate for the four staged round-6 keys:
+    """Parity gate for the five staged_r6 keys (registered round 6):
     each Spark DataFrame must pass the SAME comparator
     tools/verify_local.py applies to registered keys against its
-    DuckDB oracle — so next round's registration is mechanical, not
-    exploratory."""
+    DuckDB oracle."""
     import duckdb
 
     from hadoop_tools_spark.operators import staged_r6
