@@ -57,7 +57,8 @@ _GAP_S = 1800  # session gap threshold (seconds)
            COUNT(*) AS n_events,
            MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
            MAX(ts_sec) - MIN(ts_sec) AS duration_sec,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_value
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -91,7 +92,11 @@ def sessionize_batch(spark, sf_dir):
         F.min("ts_sec").alias("start_sec"),
         F.max("ts_sec").alias("end_sec"),
         (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # order-free: per-row cents pin -> BIGINT sum -> one IEEE
+        # division (the repo's SUM(value) convention, timeseries.py)
+        (
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0
+        ).alias("total_value"),
     )
 
 
@@ -210,7 +215,8 @@ def retention_cohort(spark, sf_dir):
            CAST(floor(o_totalprice / 30000) AS BIGINT) * 30000.0 AS lo,
            (CAST(floor(o_totalprice / 30000) AS BIGINT) + 1) * 30000.0 AS hi,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           ROUND(AVG(o_totalprice), 2) AS avg_price
+           floor(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) / COUNT(*) + 0.5) / 100.0 AS avg_price
     FROM orders GROUP BY 1
     """,
 )
@@ -235,7 +241,18 @@ def agg_histogram(spark, sf_dir):
         .groupBy("bucket", "lo", "hi")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            # order-free mean: integer cents sum, floor-pinned to 2dp
+            # (AVG of doubles is never safe cross-engine)
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                    )
+                    / F.count("*")
+                    + 0.5
+                )
+                / 100.0
+            ).alias("avg_price"),
         )
     )
 
@@ -311,7 +328,8 @@ def profile_columns(spark, sf_dir):
     oracle="""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS revenue
+           CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) / 100.0 AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
@@ -340,7 +358,11 @@ def join_bloom_runtime(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # order-free cents-scaled sum (layout.py convention)
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+                / 100.0
+            ).alias("revenue"),
         )
     )
 
@@ -511,13 +533,25 @@ def parquet_meta(spark, sf_dir):
     row-group x column count. Oracle: DuckDB's parquet_metadata() over
     the same files (both read the identical footer bytes).
     """
+    import os
+
     sc = spark.sparkContext
     listed = sorted(
-        p for p in __import__("glob").glob(f"{sf_dir}/*.parquet")
+        p
+        for p in __import__("glob").glob(f"{sf_dir}/*.parquet")
+        if os.path.isfile(p)  # directory-style tables hold the files
+    ) + sorted(
+        os.path.join(d, f)
+        for d in __import__("glob").glob(f"{sf_dir}/*.parquet")
+        if os.path.isdir(d)
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
     )
-    paths_df = spark.createDataFrame([(p,) for p in listed], ["path"]).repartition(
-        min(len(listed), sc.defaultParallelism)
-    )
+    if not listed:  # empty dir: empty result, not an infer-schema crash
+        return spark.createDataFrame([], _META_SCHEMA)
+    paths_df = spark.createDataFrame(
+        [(p,) for p in listed], "path string"
+    ).repartition(min(len(listed), sc.defaultParallelism))
 
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
@@ -625,7 +659,9 @@ def skyline_pareto(spark, sf_dir):
             ).to_numpy()
             yield pdf[mask]
 
-    survivors = agg.mapInPandas(local_skyline, schema=agg.schema)
+    # materialize before the self anti-join: both sides would
+    # otherwise re-run the Python skyline stage (io.materialize rule)
+    survivors = materialize(agg.mapInPandas(local_skyline, schema=agg.schema))
     s = survivors.alias("s")
     d = F.broadcast(survivors).alias("d")
     dominated = (
@@ -713,7 +749,7 @@ _CN_MIN = 3
 )
 def graph_common_neighbors(spark, sf_dir):
     """Common-neighbor similarity (link prediction): customer pairs
-    sharing >= {_CN_MIN} distinct purchased parts, scored with the
+    sharing >= _CN_MIN (3) distinct purchased parts, scored with the
     neighborhood Jaccard — the co-purchase "customers also bought"
     primitive.
 
@@ -945,17 +981,21 @@ def agg_count_min(spark, sf_dir):
     li = load_spread(spark, sf_dir, "lineitem")
     js = F.array(*[F.lit(j) for j in range(_CMS_D)])
 
-    def bucket(j, key):
+    def slice_bucket(h, j):
+        # slice row j's 32-bit window out of the already-computed digest
         return (
-            F.conv(
-                F.substr(F.md5(key.cast("string")), j * 8 + 1, F.lit(8)), 16, 10
-            ).cast("long")
+            F.conv(F.substr(h, j * 8 + 1, F.lit(8)), 16, 10).cast("long")
             % _CMS_W
         )
 
-    inc = li.select("l_partkey", F.explode(js).alias("j")).select(
-        "j", bucket(F.col("j"), F.col("l_partkey")).alias("bucket")
-    )
+    # md5 BEFORE the explode: Generate replicates the digest column d
+    # times instead of re-hashing per exploded row (the "one md5 per
+    # key, not d" promise — an expression above the Generate is
+    # evaluated d times, Catalyst never hoists it below)
+    inc = li.select(
+        F.md5(F.col("l_partkey").cast("string")).alias("h"),
+        F.explode(js).alias("j"),
+    ).select("j", slice_bucket(F.col("h"), F.col("j")).alias("bucket"))
     sketch = inc.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
     probes = (
         li.filter(F.col("l_partkey") % 100 == 7)
@@ -963,12 +1003,15 @@ def agg_count_min(spark, sf_dir):
         .agg(F.count("*").alias("true_cnt"))
     )
     probe_cells = probes.select(
-        "part_key", "true_cnt", F.explode(js).alias("j")
+        "part_key",
+        "true_cnt",
+        F.md5(F.col("part_key").cast("string")).alias("h"),
+        F.explode(js).alias("j"),
     ).select(
         "part_key",
         "true_cnt",
         "j",
-        bucket(F.col("j"), F.col("part_key")).alias("bucket"),
+        slice_bucket(F.col("h"), F.col("j")).alias("bucket"),
     )
     return (
         probe_cells.join(F.broadcast(sketch), ["j", "bucket"])
