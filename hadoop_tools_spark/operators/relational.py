@@ -20,6 +20,28 @@ from ..io import load
 from ..registry import query
 
 
+def revenue_dec():
+    """Per-row revenue fixed-pointed to DECIMAL(18,4) — the q9 pattern.
+
+    ``l_extendedprice`` is on a 2-dp grid and ``(1 - l_discount)`` on a
+    2-dp grid, so the product lies exactly on the 1e-4 grid; the double
+    product's error (~1e-11) is far from any decimal midpoint, so the
+    per-row cast rounds identically in Spark and DuckDB, and decimal
+    SUM is associative — the aggregate is order-free and bit-identical
+    cross-engine (ROUND-on-double-SUM was the flake class: Spark
+    shortest-repr HALF_UP vs DuckDB scaled-binary round diverge at .5
+    boundaries, and a 4-dp-grid sum hits a 2-dp .5 boundary ~1/100
+    groups).
+    """
+    return (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+
+
+#: the same expression for oracle SQL (prefix table alias per query).
+REV_DEC_SQL = "CAST({l}l_extendedprice * (1 - {l}l_discount) AS DECIMAL(18,4))"
+
+
 # --------------------------------------------------------------------------
 # Flagship (M1): TPC-H-Q1-style pricing summary.
 # Exercises scan → pushed filter → partial+final hash agg → sort.
@@ -35,13 +57,17 @@ from ..registry import query
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)       AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)  AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                                           AS sum_charge,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                                           AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 6)       AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)  AS avg_price,
-           ROUND(AVG(l_discount), 6)       AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6)            AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6)            AS avg_disc,
            COUNT(*)                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -50,19 +76,34 @@ from ..registry import query
     """,
 )
 def q1_pricing_summary(spark, sf_dir):
+    # Determinism: every float SUM/AVG is fixed-pointed per row to the
+    # column's exact decimal grid and summed as DECIMAL (associative →
+    # order-free, identical cross-engine), then emitted as double; the
+    # avg divisions are single IEEE ops on identical operands. Only
+    # l_quantity (integer-valued → exact double sum) keeps plain SUM.
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(18,2)")
+    charge_dec = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.sum(price_dec).cast("double").alias("sum_base_price"),
+            F.sum(revenue_dec()).cast("double").alias("sum_disc_price"),
+            F.sum(charge_dec).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(price_dec).cast("double") / F.count("*"), 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(disc_dec).cast("double") / F.count("*"), 6
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -73,7 +114,8 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -112,11 +154,7 @@ def q3_shipping_priority(spark, sf_dir):
         o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.sum(revenue_dec()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -126,7 +164,8 @@ def q3_shipping_priority(spark, sf_dir):
 @query(
     "q6_revenue_change",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta,
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue_delta,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -150,9 +189,13 @@ def q6_revenue_change(spark, sf_dir):
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue_delta"
-        ),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue_delta"),
         F.count("*").alias("n"),
     )
 
@@ -204,7 +247,8 @@ def q4_order_priority(spark, sf_dir):
     "q5_local_supplier",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -249,11 +293,7 @@ def q5_local_supplier(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.sum(revenue_dec()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -261,7 +301,8 @@ def q5_local_supplier(spark, sf_dir):
 @query(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly,
            COUNT(*) AS n
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -277,33 +318,39 @@ def q17_small_qty_revenue(spark, sf_dir):
     """TPC-H Q17 shape: correlated scalar subquery (per-part average
     quantity threshold).
 
-    The DataFrame form is the decorrelated plan: pre-aggregate
-    avg(l_quantity) per partkey once and filter the fact against its
-    own group's threshold. At 100 TB the pre-aggregate is a
-    map-side-combined shuffle of (partkey, sum, count) — tiny next to
-    re-evaluating the subquery per row. part and the per-part
-    threshold both scale with SF (200k parts per SF), so neither is
-    statically broadcast — AQE decides at runtime; restricting the
-    fact to the brand's parts first (semi-join) keeps both sides
-    small when the brand is selective.
+    The DataFrame form is the decorrelated plan: the per-part average
+    is a window over the brand-filtered fact partitioned by partkey —
+    ONE scan and one shuffle on l_partkey (the earlier agg +
+    join-back formulation scanned and semi-joined the brand-filtered
+    fact twice; same rewrite as q2's window-min). At 100 TB the
+    window's partition key is the high-cardinality partkey, so no
+    global sort appears. part scales with SF (200k parts per SF) so
+    the semi join carries no static broadcast hint — AQE decides at
+    runtime; restricting the fact to the brand's parts first keeps
+    the window input small when the brand is selective.
     """
+    from pyspark.sql import Window
+
     p = load(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#13"
     ).select("p_partkey")
     li = load(spark, sf_dir, "lineitem")
     # threshold only needed for the brand's parts: semi-join first
     li_brand = li.join(p, li.l_partkey == p.p_partkey, "left_semi")
-    thresh = li_brand.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_limit")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li_brand.join(
-            thresh.withColumnRenamed("l_partkey", "t_partkey"),
-            F.col("l_partkey") == F.col("t_partkey"),
+        li_brand.withColumn(
+            "qty_limit", F.avg("l_quantity").over(w) * 0.2
         )
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
             F.count("*").alias("n"),
         )
     )

@@ -47,15 +47,28 @@ def _revenue():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _revenue_dec():
+    """Shared per-row DECIMAL(18,4) revenue (see relational.revenue_dec)."""
+    from .relational import revenue_dec
+
+    return revenue_dec()
+
+
+def _sum_rev():
+    """Order-free revenue sum: exact decimal reduction emitted as double."""
+    return F.sum(_revenue_dec()).cast("double")
+
+
 @query(
     "q7_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(SUM(volume), 2) AS revenue
+           CAST(SUM(volume) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4)) AS volume
         FROM supplier s
         JOIN lineitem l ON s.s_suppkey = l.l_suppkey
         JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -115,10 +128,10 @@ def q7_volume_shipping(spark, sf_dir):
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
-            _revenue().alias("volume"),
+            _revenue_dec().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(F.sum("volume").cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -127,11 +140,13 @@ def q7_volume_shipping(spark, sf_dir):
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
         SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4)) AS volume,
                n2.n_name AS nation
         FROM part p
         JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -185,7 +200,7 @@ def q8_market_share(spark, sf_dir):
     return (
         df.select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            _revenue().alias("volume"),
+            _revenue_dec().alias("volume"),
             "nation",
         )
         .groupBy("o_year")
@@ -193,9 +208,9 @@ def q8_market_share(spark, sf_dir):
             F.round(
                 F.sum(
                     F.when(F.col("nation") == "NATION_3", F.col("volume"))
-                    .otherwise(F.lit(0.0))
-                )
-                / F.sum("volume"),
+                    .otherwise(F.lit(0).cast("decimal(18,4)"))
+                ).cast("double")
+                / F.sum("volume").cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -207,7 +222,8 @@ def q8_market_share(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -240,7 +256,7 @@ def q10_returned_items(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_sum_rev().alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -250,12 +266,14 @@ def q10_returned_items(spark, sf_dir):
     "q11_important_parts",
     oracle="""
     WITH pv AS (
-        SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * l_quantity
+                             AS DECIMAL(18,2))) AS DOUBLE) AS value
         FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey AS p_partkey, ROUND(value, 2) AS part_value
     FROM pv
-    WHERE value > (SELECT AVG(value) * 1.5 FROM pv)
+    WHERE value > (SELECT CAST(SUM(value) AS DOUBLE) / COUNT(*) * 1.5 FROM pv)
     ORDER BY part_value DESC, p_partkey
     """,
 )
@@ -272,10 +290,19 @@ def q11_important_parts(spark, sf_dir):
     """
     li = load(spark, sf_dir, "lineitem")
     pv = materialize(
-        li.groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        li.groupBy("l_partkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(18,2)"
+                )
+            )
+            .cast("double")
+            .alias("value")
+        )
     )
-    total = pv.agg((F.avg("value") * 1.5).alias("threshold"))
+    total = pv.agg(
+        (F.sum("value").cast("double") / F.count("*") * 1.5).alias("threshold")
+    )
     return (
         pv.crossJoin(F.broadcast(total))
         .filter(F.col("value") > F.col("threshold"))
@@ -372,10 +399,12 @@ def q13_order_distribution(spark, sf_dir):
     "q14_promo_revenue",
     oracle="""
     SELECT ROUND(
-        100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                    THEN l.l_extendedprice * (1 - l.l_discount)
-                    ELSE 0 END)
-        / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+        100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_pct,
         COUNT(*) AS n
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -396,12 +425,16 @@ def q14_promo_revenue(spark, sf_dir):
         (F.col("l_shipdate") >= "1997-01-01")
         & (F.col("l_shipdate") < "1997-03-01")
     )
-    rev = _revenue()
+    rev = _revenue_dec()
     return li.join(p, li.l_partkey == p.p_partkey).agg(
         F.round(
             100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-            / F.sum(rev),
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
             6,
         ).alias("promo_pct"),
         F.count("*").alias("n"),
@@ -413,7 +446,8 @@ def q14_promo_revenue(spark, sf_dir):
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE)
                    AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -444,7 +478,7 @@ def q15_top_supplier(spark, sf_dir):
     s = load(spark, sf_dir, "supplier")
     rev = materialize(
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+        .agg(_sum_rev().alias("total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -547,8 +581,8 @@ def q18_large_orders(spark, sf_dir):
 @query(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
-               AS revenue,
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -595,7 +629,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            _sum_rev().alias("revenue"),
             F.count("*").alias("n"),
         )
     )
@@ -605,10 +639,13 @@ def q19_disjunctive_revenue(spark, sf_dir):
     "q22_dormant_customers",
     oracle="""
     SELECT c.c_nationkey, COUNT(*) AS numcust,
-           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (
-        SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0
     )
     AND NOT EXISTS (
         SELECT 1 FROM orders o
@@ -624,17 +661,23 @@ def q22_dormant_customers(spark, sf_dir):
     every fixture customer has some order): wealthy customers with no
     recent orders, by nation.
 
-    Global-average scalar broadcasts into the filter; NOT EXISTS is a
-    left-anti join against the date-pruned orders scan. Both
-    exchanges are broadcasts — the only shuffle is the final tiny
-    group-by-nation agg.
+    Global-average scalar broadcasts into the filter (1 row, constant
+    at any SF). The NOT EXISTS left-anti side is the date-pruned
+    orders scan, which SCALES with SF — it carries no static hint and
+    AQE decides broadcast-vs-shuffle at runtime (at 100 TB it is a
+    shuffled anti join on custkey; only the fixture scale makes it a
+    broadcast). The avg threshold is pinned as exact-decimal sum over
+    count (one IEEE division) so membership is engine-exact.
     """
     c = load(spark, sf_dir, "customer")
     o_recent = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "1999-01-01"
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -643,7 +686,9 @@ def q22_dormant_customers(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -669,7 +714,7 @@ def q22_dormant_customers(spark, sf_dir):
         SELECT MIN(c2.s_acctbal) FROM costs c2
         WHERE c2.l_partkey = c.l_partkey
     )
-    ORDER BY c.s_acctbal, p_partkey, c.s_name
+    ORDER BY s_acctbal, p_partkey, c.s_name
     """,
 )
 def q2_min_cost_supplier(spark, sf_dir):
@@ -791,32 +836,45 @@ def q9_product_profit(spark, sf_dir):
 @query(
     "q20_excess_shippers",
     oracle="""
-    SELECT s.s_name, s.s_suppkey
-    FROM supplier s
-    WHERE s.s_suppkey IN (
-        SELECT l.l_suppkey FROM lineitem l
+    WITH ship AS (
+        SELECT l.l_suppkey, SUM(l.l_quantity) AS qty
+        FROM lineitem l
         WHERE l.l_partkey IN (
             SELECT p_partkey FROM part WHERE p_type = 'SMALL'
         )
         AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY l.l_suppkey
-        HAVING SUM(l.l_quantity) > 100
+    )
+    SELECT s.s_name, s.s_suppkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM ship
+        WHERE qty > (SELECT CAST(SUM(qty) AS DOUBLE) / COUNT(*) * 1.5
+                     FROM ship)
     )
     ORDER BY s.s_suppkey
     """,
 )
 def q20_excess_shippers(spark, sf_dir):
-    """TPC-H Q20 shape: nested IN chains — suppliers who shipped a
-    large volume of a part class in a year.
+    """TPC-H Q20 shape: nested IN chains — suppliers who shipped an
+    excess volume (>1.5x the average per-supplier volume) of a part
+    class in a year.
 
-    Both INs become semi joins: part's filter feeds a semi join that
-    prunes the fact before the per-supplier aggregation, and the
-    HAVING output semi-joins supplier. Both semi-join build sides
-    scale with SF (part subset, qualifying suppliers), so neither is
-    statically broadcast — AQE converts at runtime when they fit. The
-    fact is scanned once, aggregated once, and never joined
-    row-to-row with supplier.
+    The threshold is AVG-RELATIVE, not absolute: per-supplier volume
+    grows linearly with SF, so a fixed cut (the earlier ``> 100``)
+    saturated to 100% of suppliers at sf0.1+ and the semi join
+    filtered nothing — the inverse of the absolute-band bug class.
+    The relative cut keeps selectivity scale-free. Both INs become
+    semi joins: part's filter feeds a semi join that prunes the fact
+    before the per-supplier aggregation, and the threshold output
+    semi-joins supplier. Both semi-join build sides scale with SF
+    (part subset, qualifying suppliers), so neither is statically
+    broadcast — AQE converts at runtime when they fit; the threshold
+    itself is a 1-row broadcast scalar. The fact is scanned once,
+    aggregated once, and never joined row-to-row with supplier.
+    Quantities are integer-valued, so the sums are exact in double
+    and the single avg division is engine-identical.
     """
     s = load(spark, sf_dir, "supplier")
     p_small = (
@@ -828,11 +886,17 @@ def q20_excess_shippers(spark, sf_dir):
         (F.col("l_shipdate") >= "1997-01-01")
         & (F.col("l_shipdate") < "1998-01-01")
     )
-    big_shippers = (
+    ship = materialize(
         li.join(p_small, li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 100)
+    )
+    thr = ship.agg(
+        (F.sum("qty").cast("double") / F.count("*") * 1.5).alias("thr")
+    )
+    big_shippers = (
+        ship.crossJoin(F.broadcast(thr))
+        .filter(F.col("qty") > F.col("thr"))
         .select("l_suppkey")
     )
     return (
