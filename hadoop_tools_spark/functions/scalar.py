@@ -98,9 +98,12 @@ def fn_datetime(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            ROUND(ABS(l_extendedprice - 50000), 2)    AS abs_diff,
            ROUND(POW(l_quantity, 2), 2)              AS qty_sq,
-           ROUND(SQRT(l_extendedprice), 6)           AS price_sqrt,
-           ROUND(LN(l_extendedprice), 6)             AS price_ln,
-           ROUND(EXP(l_discount), 6)                 AS disc_exp,
+           floor(SQRT(l_extendedprice) * 1000000 + 0.5) / 1000000
+                                                     AS price_sqrt,
+           floor(LN(l_extendedprice) * 1000000 + 0.5) / 1000000
+                                                     AS price_ln,
+           floor(EXP(l_discount) * 1000000 + 0.5) / 1000000
+                                                     AS disc_exp,
            CAST(l_partkey % 7 AS BIGINT)             AS key_mod7,
            CAST(FLOOR(l_extendedprice) AS BIGINT)    AS price_floor,
            CAST(CEIL(l_extendedprice) AS BIGINT)     AS price_ceil,
@@ -115,9 +118,15 @@ def fn_math(spark, sf_dir):
         "l_linenumber",
         F.round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("abs_diff"),
         F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
-        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        # transcendentals floor-pinned at 1e-6 (engine-native ROUND
+        # diverges at .5 boundaries even on identical doubles)
+        (F.floor(F.sqrt("l_extendedprice") * 1e6 + 0.5) / 1e6).alias(
+            "price_sqrt"
+        ),
+        (F.floor(F.log("l_extendedprice") * 1e6 + 0.5) / 1e6).alias(
+            "price_ln"
+        ),
+        (F.floor(F.exp("l_discount") * 1e6 + 0.5) / 1e6).alias("disc_exp"),
         F.pmod(F.col("l_partkey"), F.lit(7)).cast("long").alias("key_mod7"),
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
         F.ceil("l_extendedprice").cast("long").alias("price_ceil"),

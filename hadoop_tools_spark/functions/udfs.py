@@ -24,7 +24,9 @@ from ..sources.listing import glob_to_regex
 
 _GLOB = "{s,p}*"  # part names starting with s or p
 _GLOB_RX = glob_to_regex(_GLOB)  # == ^(?:s|p)[^/]*$
-_GLOB_RX_SQL = _GLOB_RX.replace("\\", "\\\\")
+# DuckDB string literals do NOT process backslash escapes: pass the
+# regex through verbatim (doubling would corrupt any \\ in it).
+_GLOB_RX_SQL = _GLOB_RX
 
 
 @query(
@@ -45,6 +47,8 @@ def udf_scalar(spark, sf_dir):
     # eval type from hints and warns; the returnType arg is the contract
     @F.udf("boolean", useArrow=True)
     def glob_match(name):
+        if name is None:  # match regexp_matches(NULL, ...) -> NULL
+            return None
         return rx.match(name) is not None
 
     p = load(spark, sf_dir, "part")
@@ -92,9 +96,13 @@ def udf_pandas(spark, sf_dir):
     "udaf_grouped",
     oracle="""
     SELECT o_orderpriority,
-           ROUND((SUM(o_totalprice) - MIN(o_totalprice) - MAX(o_totalprice))
-                 / (COUNT(*) - 2), 2) AS olympic_avg
-    FROM orders
+           CAST(SUM(c) - MIN(c) - MAX(c) AS BIGINT)
+               / (100.0 * (COUNT(*) - 2)) AS olympic_avg
+    FROM (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    )
     GROUP BY o_orderpriority
     """,
 )
@@ -102,15 +110,25 @@ def udaf_grouped(spark, sf_dir):
     """Grouped-aggregate pandas UDF: olympic average (mean excluding
     one min and one max) — a custom UDAF whose exact SQL twin keeps
     the oracle honest. Planned as partial-less grouped agg: each
-    group's values stream to one Python worker as an Arrow batch."""
+    group's values stream to one Python worker as an Arrow batch.
+
+    Determinism: the group's prices are pinned to integer CENTS inside
+    the UDF (floor(x*100+0.5)) and reduced exactly — a raw double sum
+    is accumulation-order-dependent (pandas pairwise vs DuckDB
+    sequential) and a ROUND on it flakes at .005 boundaries. The one
+    division is a single IEEE op on identical operands both engines."""
+    import numpy as np
 
     @pandas_udf("double")
     def olympic(v: pd.Series) -> float:
-        return float((v.sum() - v.min() - v.max()) / (len(v) - 2))
+        c = np.floor(v.to_numpy() * 100 + 0.5).astype("int64")
+        return float(
+            int(c.sum() - c.min() - c.max()) / (100.0 * (len(c) - 2))
+        )
 
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(olympic("o_totalprice"), 2).alias("olympic_avg")
+        olympic("o_totalprice").alias("olympic_avg")
     )
 
 
@@ -136,6 +154,8 @@ def udtf_shingles(spark, sf_dir):
     @udtf(returnType="shingle: string")
     class ShingleUDTF:
         def eval(self, text: str):
+            if text is None:  # oracle: unnest over NULL yields no rows
+                return
             words = text.split(" ")
             for i in range(len(words) - 4):
                 yield (" ".join(words[i : i + 5]),)
@@ -184,7 +204,10 @@ def udtf_analyze(spark, sf_dir):
             return AnalyzeResult(schema=schema)
 
         def eval(self, text: str, n: int):
-            words = (text or "").split(" ")
+            if text is None:  # oracle: string_split(NULL,' ')[i] -> NULL
+                yield tuple(None for _ in range(n))
+                return
+            words = text.split(" ")
             yield tuple(
                 words[i] if i < len(words) else None for i in range(n)
             )
