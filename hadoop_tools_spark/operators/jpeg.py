@@ -321,6 +321,8 @@ def encode_jpeg(
     MCUs with DC-predictor resets (what camera firmware emits so a
     corrupted byte only loses one restart segment, not the image).
     """
+    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8 RGB")
     h, w = px.shape[:2]
     coefs, hv, (qy, qc), (mcux, mcuy) = _component_coefs(px, quality, subsample)
 
@@ -1069,6 +1071,11 @@ def _parse(blob: bytes):
             pos += 1
             continue
         marker = blob[pos + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the
+            # stream before a marker code — skip one and re-anchor
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -1268,6 +1275,14 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
             precision, h, w, comps, scans
         )
         return _decode_lossless(precision, pt, planes)
+    if len(comps) not in (1, 3):
+        # 2-component frames have no color interpretation; 4-component
+        # (Adobe CMYK/YCCK) would decode "successfully" to garbage RGB
+        # if the 4th plane were silently ignored — raise so the
+        # tolerant seam FLAGS the row (same rule as the lossless path)
+        raise NotImplementedError(
+            "%d-component DCT frame" % len(comps)
+        )
     progressive = process == "progressive"
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -1375,7 +1390,10 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
         bh, bw = zz.shape[:2]
         qt = qtables[qid]
         nat = np.zeros((bh, bw, 64), dtype=np.float64)
-        nat[:, :, ZIGZAG] = zz * qt[ZIGZAG]
+        # widen before the multiply: int32 coefficients × 16-bit DQT
+        # entries (12-bit streams) can exceed 2^31 on hostile input and
+        # would wrap silently instead of raising/clipping
+        nat[:, :, ZIGZAG] = zz.astype(np.int64) * qt[ZIGZAG]
         blocks = nat.reshape(bh, bw, 8, 8)
         sp = np.einsum("ij,abik,kl->abjl", _C, blocks, _C)
         plane = sp.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
@@ -1395,7 +1413,10 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
     shift = precision - 8
     if len(comps) == 1:
         y = np.clip(planes[0] + level, 0, maxv)
-        y = (y.astype(np.int32) >> shift).astype(np.uint8)
+        # round half-up like the color path below (+0.5 before the
+        # int cast) — truncating made grayscale up to 1 LSB darker
+        # than the module's own 3-component convention
+        y = ((y + 0.5).astype(np.int32) >> shift).astype(np.uint8)
         return w, h, np.repeat(y[:, :, None], 3, axis=2)
     y = planes[0] + level
     cb = planes[1]

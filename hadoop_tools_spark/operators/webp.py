@@ -760,6 +760,10 @@ def encode_webp_lossless(
     mutually exclusive with the pixel-domain transforms.
     """
     h, w, _ = rgb.shape
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        # VP8L stores dim-1 in 14-bit fields; _BitWriter would silently
+        # truncate larger values into a corrupt-but-parseable stream
+        raise ValueError("VP8L dimensions must be in 1..16384")
     argb = (
         (np.uint32(0xFF) << 24)
         | (rgb[:, :, 0].astype(np.uint32) << 16)

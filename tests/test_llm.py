@@ -1508,6 +1508,109 @@ def test_jpeg_rejects_unsupported_profiles():
         decode_jpeg(arith + b"\xff\xd9")
 
 
+def _minimal_dct_headers(n_comp):
+    """SOI..SOS header bytes for an 8x8 SOF0 frame with ``n_comp``
+    components (no entropy data — callers append it + EOI)."""
+    import struct as _s
+
+    soi = b"\xff\xd8"
+    dqt = b"\xff\xdb" + _s.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    sof = (
+        b"\xff\xc0"
+        + _s.pack(">H", 8 + 3 * n_comp)
+        + bytes([8])
+        + _s.pack(">HH", 8, 8)
+        + bytes([n_comp])
+        + bytes(b for i in range(n_comp) for b in (i + 1, 0x11, 0))
+    )
+    sos = (
+        b"\xff\xda"
+        + _s.pack(">H", 6 + 2 * n_comp)
+        + bytes([n_comp])
+        + bytes(b for i in range(n_comp) for b in (i + 1, 0x00))
+        + bytes([0, 63, 0])
+    )
+    return soi + dqt + sof + sos
+
+
+def test_jpeg_rejects_cmyk_and_two_component_dct_frames():
+    """4-component (Adobe CMYK/YCCK) and 2-component DCT frames must
+    raise NotImplementedError — ignoring the extra plane would emit
+    decode_ok=true with garbage RGB through the tolerant seam."""
+    import pytest
+
+    from hadoop_tools_spark.operators.jpeg import decode_jpeg
+
+    for n_comp in (2, 4):
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(_minimal_dct_headers(n_comp) + b"\xff\xd9")
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker (camera
+    firmware emits them); the parser must not read them as a marker
+    code and swallow a bogus 64 KB 'segment'."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = (np.arange(16 * 16 * 3, dtype=np.uint8) % 251).reshape(16, 16, 3)
+    blob = encode_jpeg(px, quality=90)
+    # insert a fill byte before DQT and two before EOI
+    stuffed = blob.replace(b"\xff\xdb", b"\xff\xff\xdb", 1)
+    assert stuffed.endswith(b"\xff\xd9")
+    stuffed = stuffed[:-2] + b"\xff\xff\xff\xd9"
+    w0, h0, base = decode_jpeg(blob)
+    w1, h1, out = decode_jpeg(stuffed)
+    assert (w0, h0) == (w1, h1) == (16, 16)
+    assert np.array_equal(base, out)
+
+
+def test_jpeg_grayscale_rounds_like_color_path():
+    """1-component DC-only block whose IDCT output is 128.75 must
+    round to 129 (half-up, the 3-component convention), not truncate
+    to 128."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import decode_jpeg
+
+    # hand-coded single 8x8 grayscale block: DC tree {0: SSSS=3},
+    # AC tree {0: EOB}; entropy bits = DC code '0' + '110' (diff=6)
+    # + EOB '0' -> 01100 padded with 1s = 0x67. Dequant q=1 ->
+    # constant plane 6/8 = 0.75, +128 level shift = 128.75.
+    dht = (
+        b"\xff\xc4" + bytes([0, 20, 0x00])
+        + bytes([1] + [0] * 15) + bytes([3])
+        + b"\xff\xc4" + bytes([0, 20, 0x10])
+        + bytes([1] + [0] * 15) + bytes([0x00])
+    )
+    headers = _minimal_dct_headers(1)
+    sos_at = headers.index(b"\xff\xda")
+    blob = headers[:sos_at] + dht + headers[sos_at:] + b"\x67" + b"\xff\xd9"
+    w, h, out = decode_jpeg(blob)
+    assert (w, h) == (8, 8)
+    assert out[0, 0, 0] == 129, int(out[0, 0, 0])
+    assert np.unique(out).tolist() == [129]
+
+
+def test_codec_encoders_validate_input():
+    """encode_jpeg rejects non-uint8 input (its 12-bit sibling exists
+    for uint16); encode_webp_lossless rejects dimensions outside the
+    14-bit VP8L field instead of silently truncating them."""
+    import numpy as np
+    import pytest
+
+    from hadoop_tools_spark.operators.jpeg import encode_jpeg
+    from hadoop_tools_spark.operators.webp import encode_webp_lossless
+
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint16))
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_webp_lossless(np.zeros((1, 16385, 3), dtype=np.uint8))
+
+
 def test_jpeg_progressive_matches_baseline_exactly():
     """Progressive (SOF2) and baseline (SOF0) encodings of the same
     source quantize to identical coefficients, so the two decodes must
