@@ -121,7 +121,13 @@ def run(spark, directory: str) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    # one arg = legacy 2x mode (n//2 and n); several args = explicit
+    # archive counts, e.g. `128 1024` for the 8x-bytes sweep
+    argv = [int(a) for a in sys.argv[1:]]
+    scales = tuple(argv) if len(argv) > 1 else (
+        ((argv[0] // 2, argv[0]) if argv else (96, 192))
+    )
+    n = scales[-1]
     from hadoop_tools_spark.session import get_spark
 
     spark = get_spark()
@@ -131,7 +137,7 @@ def main() -> None:
 
     run(spark, MEDIA_DIR)
     results = {}
-    for scale in (n // 2, n):
+    for scale in scales:
         d = gen_corpus(scale)
         size_mb = sum(
             os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
@@ -150,10 +156,11 @@ def main() -> None:
             f"wall={ {k: round(v, 2) for k, v in results[scale]['wall'].items()} }, "
             f"driver_rss={rss_mb:.0f} MB"
         )
-    lo, hi = results[n // 2], results[n]
+    lo, hi = results[scales[0]], results[scales[-1]]
+    factor = hi["size_mb"] / max(lo["size_mb"], 1e-9)
     for op in ("records", "gzip", "links"):
         ratio = hi["wall"][op] / max(lo["wall"][op], 1e-9)
-        print(f"{op}: 2x data -> {ratio:.2f}x wall")
+        print(f"{op}: {factor:.1f}x data -> {ratio:.2f}x wall")
 
     # staged families: wiki multistream walk + CDX ranged fetch
     from pyspark.sql import functions as F
@@ -164,7 +171,9 @@ def main() -> None:
     )
     from hadoop_tools_spark.operators.multimodal import wikidump_pages
 
-    for scale in (n // 2, n):
+    # the wiki walk's scale story is covered at <=256 dumps; don't pay
+    # a 1024-dump XML generation when sweeping the WARC corpus higher
+    for scale in [s for s in scales if s <= 256][:2]:
         d = gen_wiki(scale)
         size_mb = sum(
             os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
