@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, table_bytes
 from ..registry import query
 
 
@@ -21,21 +21,31 @@ from ..registry import query
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price,
-           ROUND(AVG(o_totalprice), 6) AS avg_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price,
            MIN(o_orderdate) AS first_order,
            MAX(o_orderdate) AS last_order
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def agg_basic(spark, sf_dir):
+    # o_totalprice sits on a 4-dp grid (probed: 0/15000 off-grid):
+    # fixed-point per row and SUM as DECIMAL (associative → order-free
+    # cross-engine), then one IEEE division for the mean — SUM/AVG
+    # over raw doubles then ROUND was the partition-merge-order flake
+    # class (q1's proven pattern).
+    price_dec = F.col("o_totalprice").cast("decimal(18,4)")
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.sum(price_dec).cast("double").alias("sum_price"),
+            F.round(
+                F.sum(price_dec).cast("double") / F.count("*"), 6
+            ).alias("avg_price"),
             F.min("o_orderdate").alias("first_order"),
             F.max("o_orderdate").alias("last_order"),
         )
@@ -102,31 +112,128 @@ def agg_approx_median(spark, sf_dir):
     )
 
 
+def _qty_price_sums(li):
+    """Exact per-returnflag sufficient statistics for (l_quantity,
+    l_extendedprice): quantity in units (integer-valued), price in
+    cents (2-dp grid → ``floor(x*100+0.5)`` is exact). Every sum is an
+    order-free integer/DECIMAL reduction, so the variance /
+    correlation / regression identities downstream run ONCE per group
+    on bit-identical operands in both engines — Spark's and DuckDB's
+    merged-moment aggregates (stddev/corr/regr_*) differ in last ulps
+    with partition order, which was the ROUND flake class."""
+    q = F.col("l_quantity").cast("long")
+    c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    cd = c.cast("decimal(38,0)")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sq2"),
+        # cents sums widen past int64 around 1e12 rows; DECIMAL(38,0)
+        # keeps the reduction exact (and order-free) at any SF
+        F.sum(cd).alias("sp"),
+        F.sum(cd * c).alias("sp2"),
+        F.sum(cd * q).alias("spq"),
+    )
+
+
+#: the same sufficient-statistics CTE for oracle SQL. DuckDB SUM over
+#: BIGINT returns HUGEINT, so the squared-cents sums stay exact too.
+_QTY_PRICE_SUMS_SQL = """
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sq,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                 AS sq2,
+             SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sp,
+             SUM(CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)
+                 * CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sp2,
+             SUM(CAST(floor(l_extendedprice*100 + 0.5) AS HUGEINT)
+                 * CAST(l_quantity AS BIGINT)) AS spq
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+      SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) AS dn,
+             CAST(n*sq2 - sq*sq AS DOUBLE) AS vqn,
+             CAST(n*sp2 - sp*sp AS DOUBLE) AS vpn,
+             CAST(n*spq - sq*sp AS DOUBLE) AS cvn,
+             CAST(sq AS DOUBLE) AS dsq,
+             CAST(sp AS DOUBLE) AS dsp
+      FROM s
+    )
+"""
+
+
 @query(
     "agg_stats",
     oracle="""
+    WITH """ + _QTY_PRICE_SUMS_SQL + """
     SELECT l_returnflag,
-           ROUND(STDDEV_SAMP(l_quantity), 6)  AS std_qty,
-           ROUND(VAR_SAMP(l_quantity), 6)     AS var_qty,
-           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price
-    FROM lineitem GROUP BY l_returnflag
+           CASE WHEN n > 1 AND vqn > 0
+                THEN floor(sqrt(vqn / (dn*(dn-1))) * 1000000 + 0.5)/1000000
+           END AS std_qty,
+           CASE WHEN n > 1
+                THEN floor(vqn / (dn*(dn-1)) * 1000000 + 0.5)/1000000
+           END AS var_qty,
+           CASE WHEN vqn > 0 AND vpn > 0
+                THEN floor(cvn / sqrt(vqn*vpn) * 1000000 + 0.5)/1000000
+           END AS corr_qty_price,
+           CASE WHEN n > 1
+                THEN floor(cvn / (dn*(dn-1)) / 100 * 10000 + 0.5)/10000
+           END AS covar_qty_price
+    FROM d
     """,
 )
 def agg_stats(spark, sf_dir):
-    return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
-            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-                "corr_qty_price"
-            ),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-                "covar_qty_price"
-            ),
-        )
+    """Sample stddev/variance, correlation, and covariance from EXACT
+    sufficient statistics (see ``_qty_price_sums``); the identities
+    are fixed IEEE expressions over identical operands, floor-pinned.
+    Zero-variance / single-row groups yield NULL on both engines (the
+    raw division would be an ANSI DIVIDE_BY_ZERO job kill in Spark
+    but a silent NULL in DuckDB)."""
+    s = _qty_price_sums(load(spark, sf_dir, "lineitem"))
+    dn = F.col("n").cast("double")
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    d = s.select(
+        "l_returnflag",
+        "n",
+        dn.alias("dn"),
+        (dec("n") * F.col("sq2") - dec("sq") * F.col("sq"))
+        .cast("double")
+        .alias("vqn"),
+        (dec("n") * F.col("sp2") - F.col("sp") * F.col("sp"))
+        .cast("double")
+        .alias("vpn"),
+        (dec("n") * F.col("spq") - dec("sq") * F.col("sp"))
+        .cast("double")
+        .alias("cvn"),
+    )
+    denom = F.col("dn") * (F.col("dn") - 1)
+    return d.select(
+        "l_returnflag",
+        F.when(
+            (F.col("n") > 1) & (F.col("vqn") > 0),
+            F.floor(F.sqrt(F.col("vqn") / denom) * 1_000_000 + 0.5)
+            / 1_000_000,
+        ).alias("std_qty"),
+        F.when(
+            F.col("n") > 1,
+            F.floor(F.col("vqn") / denom * 1_000_000 + 0.5) / 1_000_000,
+        ).alias("var_qty"),
+        F.when(
+            (F.col("vqn") > 0) & (F.col("vpn") > 0),
+            F.floor(
+                F.col("cvn") / F.sqrt(F.col("vqn") * F.col("vpn"))
+                * 1_000_000
+                + 0.5
+            )
+            / 1_000_000,
+        ).alias("corr_qty_price"),
+        F.when(
+            F.col("n") > 1,
+            F.floor(F.col("cvn") / denom / 100 * 10_000 + 0.5) / 10_000,
+        ).alias("covar_qty_price"),
     )
 
 
@@ -151,10 +258,16 @@ def agg_median(spark, sf_dir):
     shuffle carries 2 columns, not 16 (the general rule for any
     full-buffering aggregate: cut width before the exchange).
     """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    # spread only when the single-row-group fixture is big enough for
+    # the exchange to pay (same gate + threshold as llm_knn_numpy:
+    # measured 1.62x overhead at sf0.1 when applied unconditionally)
+    if table_bytes(sf_dir, "lineitem") >= 3 << 20:
+        li = li.repartition(spark.sparkContext.defaultParallelism)
     return (
-        load(spark, sf_dir, "lineitem")
-        .select("l_returnflag", "l_extendedprice")
-        .repartition(spark.sparkContext.defaultParallelism)
+        li
         .groupBy("l_returnflag")
         .agg(
             F.round(F.median("l_extendedprice"), 4).alias("median_price"),
@@ -288,18 +401,30 @@ def agg_rollup(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment, c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_cust,
-           ROUND(AVG(c_acctbal), 6) AS avg_bal
+           floor(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5)/1000000 AS avg_bal
     FROM customer
     GROUP BY CUBE (c_mktsegment, c_nationkey)
     """,
 )
 def agg_cube(spark, sf_dir):
+    # c_acctbal is on a 2-dp grid: exact decimal sum, one IEEE
+    # division, floor-pinned mean (AVG of doubles is order-dependent
+    # cross-engine — the flake class)
+    bal_dec = F.col("c_acctbal").cast("decimal(18,2)")
     return (
         load(spark, sf_dir, "customer")
         .cube("c_mktsegment", "c_nationkey")
         .agg(
             F.count("*").alias("n_cust"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            (
+                F.floor(
+                    F.sum(bal_dec).cast("double") / F.count("*")
+                    * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
+            ).alias("avg_bal"),
         )
     )
 
@@ -333,12 +458,14 @@ def agg_pivot(spark, sf_dir):
 @query(
     "agg_unpivot",
     oracle="""
-    SELECT o_orderpriority, measure, ROUND(val, 2) AS val
+    SELECT o_orderpriority, measure, val
     FROM (
       SELECT o_orderpriority,
-             ROUND(SUM(o_totalprice), 2) AS total_price,
-             ROUND(AVG(o_totalprice), 2) AS avg_price,
-             ROUND(MAX(o_totalprice), 2) AS max_price
+             floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   * 100 + 0.5)/100 AS total_price,
+             floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*) * 100 + 0.5)/100 AS avg_price,
+             floor(MAX(o_totalprice) * 100 + 0.5)/100 AS max_price
       FROM orders GROUP BY o_orderpriority
     )
     UNPIVOT (val FOR measure IN (total_price, avg_price, max_price))
@@ -353,13 +480,21 @@ def agg_unpivot(spark, sf_dir):
     would triple the shuffle volume instead. Expand-based, stays in
     codegen, no extra exchange.
     """
+    # o_totalprice is on a 4-dp grid: exact decimal sums; every
+    # 2-dp emission is floor-pinned because a 4-dp quantity lands on
+    # an exact 2-dp .5 boundary ~1/100 of the time and Spark/DuckDB
+    # ROUND diverge there (shortest-repr HALF_UP vs scaled binary)
+    price_dec = F.col("o_totalprice").cast("decimal(18,4)")
+    pin2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
     wide = (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            pin2(F.sum(price_dec).cast("double")).alias("total_price"),
+            pin2(F.sum(price_dec).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
+            pin2(F.max("o_totalprice")).alias("max_price"),
         )
     )
     return wide.unpivot(
@@ -367,7 +502,7 @@ def agg_unpivot(spark, sf_dir):
         values=["total_price", "avg_price", "max_price"],
         variableColumnName="measure",
         valueColumnName="val",
-    ).select("o_orderpriority", "measure", F.round("val", 2).alias("val"))
+    )
 
 
 @query(
@@ -376,16 +511,21 @@ def agg_unpivot(spark, sf_dir):
     WITH c AS (
       SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM lineitem GROUP BY l_partkey
-    ), n AS (SELECT COUNT(*) AS total FROM lineitem)
+    ), n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                    CAST(COUNT(*) AS BIGINT) AS nk FROM c)
     SELECT l_partkey, cnt,
-           ROUND(cnt * 10000.0 / (SELECT total FROM n), 4) AS per_10k
-    FROM c WHERE cnt * 1250 >= (SELECT total FROM n)
+           floor(cnt * 10000.0 / (SELECT total FROM n) * 10000 + 0.5)/10000
+               AS per_10k
+    FROM c
+    WHERE CAST(cnt AS HUGEINT) * (SELECT nk FROM n) * 2
+          >= 3 * (SELECT total FROM n)
     """,
 )
 def agg_heavy_hitters(spark, sf_dir):
-    """Exact frequent-item detection: part keys covering >= 0.08% of
-    lineitem (tuned to the fixture's near-uniform key distribution so
-    every SF yields a non-trivial answer set), with per-10k share.
+    """Exact frequent-item detection: part keys appearing >= 1.5x as
+    often as the mean key (scale-free selectivity: 16 keys at sf0.01,
+    138 at sf0.1, 1380 at sf1 — an absolute share cut empties as the
+    key count grows with SF), with per-10k share.
 
     Scan + map-side-combined count + a 1-row total broadcast: the
     exact anchor for frequency estimation. The bounded-memory twin for
@@ -396,43 +536,132 @@ def agg_heavy_hitters(spark, sf_dir):
     partition at any scale.
     """
     li = load(spark, sf_dir, "lineitem").select("l_partkey")
-    total = li.count()
     counts = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
-    return counts.filter(F.col("cnt") * 1250 >= total).select(
-        "l_partkey",
-        "cnt",
-        F.round(F.col("cnt") * 10000.0 / total, 4).alias("per_10k"),
+    # total derived FROM the counts (Σcnt == COUNT(*)) so the fact
+    # table is scanned once: the driver-side li.count() this replaces
+    # was a second full pass; the identical partial-agg exchange is
+    # reused by Catalyst (ReusedExchange) and the 1-row total rides a
+    # broadcast nested-loop join — the declared scalar-broadcast shape
+    total = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("nk")
+    )
+    # threshold is RELATIVE to the mean count per key (>= 1.5x, as an
+    # integer-exact 2*cnt*nk >= 3*total test): the old absolute-share
+    # cut (cnt/total >= 0.08%) emptied as the key count grew with SF
+    # (0 rows at sf1) — scale-degenerate, the q20 class. DECIMAL keeps
+    # the product exact past int64 at extreme cnt x nk.
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cnt").cast("decimal(38,0)") * F.col("nk") * 2
+            >= 3 * F.col("total").cast("decimal(38,0)")
+        )
+        .select(
+            "l_partkey",
+            "cnt",
+            (
+                F.floor(
+                    F.col("cnt") * 10000.0 / F.col("total") * 10_000 + 0.5
+                )
+                / 10_000
+            ).alias("per_10k"),
+        )
     )
 
 
 @query(
     "agg_linreg",
     oracle="""
-    SELECT l_returnflag,
-           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
-           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-           ROUND(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
-           ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
-    FROM lineitem GROUP BY l_returnflag
+    WITH """ + _QTY_PRICE_SUMS_SQL + """,
+    r AS (
+      SELECT l_returnflag, n, dn, dsq, dsp, vqn, vpn, cvn,
+             CASE WHEN vqn > 0 THEN cvn / vqn / 100 END AS slope_raw
+      FROM d
+    )
+    SELECT l_returnflag, n,
+           CASE WHEN vqn > 0
+                THEN floor(slope_raw * 10000 + 0.5)/10000
+           END AS slope,
+           CASE WHEN vqn > 0
+                THEN floor((dsp / dn / 100 - slope_raw * (dsq / dn))
+                           * 10000 + 0.5)/10000
+           END AS intercept,
+           CASE WHEN vqn > 0 AND vpn > 0
+                THEN floor(cvn * cvn / (vqn * vpn) * 1000000 + 0.5)/1000000
+           END AS r2,
+           floor(dsq / dn * 10000 + 0.5)/10000 AS avg_x,
+           floor(dsp / dn / 100 * 10000 + 0.5)/10000 AS avg_y
+    FROM r
     """,
 )
 def agg_linreg(spark, sf_dir):
-    """SQL:2003 linear-regression aggregates (regr_*): price-vs-
-    quantity fit per return flag. Single-pass mergeable moment
-    statistics (the same partial-aggregate algebra as var/covar), so
-    map-side combine works and the exchange moves 6 doubles per
-    group — regression over 100 TB is one scan."""
-    li = load(spark, sf_dir, "lineitem")
-    y, x = F.col("l_extendedprice"), F.col("l_quantity")
-    return li.groupBy("l_returnflag").agg(
-        F.regr_count(y, x).cast("long").alias("n"),
-        F.round(F.regr_slope(y, x), 4).alias("slope"),
-        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
-        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
-        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    """SQL:2003 linear-regression surface (regr_count/slope/intercept/
+    r2/avgx/avgy semantics): price-vs-quantity fit per return flag,
+    computed from the SAME exact sufficient statistics as ``agg_stats``
+    — Spark's built-in ``regr_*`` merge central-moment streams whose
+    last ulps depend on partition order, the cross-engine flake class.
+    One scan, map-side-combined integer sums, identities evaluated
+    once per group and floor-pinned; degenerate groups (zero x- or
+    y-variance) yield NULL on both engines."""
+    s = _qty_price_sums(load(spark, sf_dir, "lineitem"))
+    dn = F.col("n").cast("double")
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    d = s.select(
+        "l_returnflag",
+        "n",
+        dn.alias("dn"),
+        F.col("sq").cast("double").alias("dsq"),
+        F.col("sp").cast("double").alias("dsp"),
+        (dec("n") * F.col("sq2") - dec("sq") * F.col("sq"))
+        .cast("double")
+        .alias("vqn"),
+        (dec("n") * F.col("sp2") - F.col("sp") * F.col("sp"))
+        .cast("double")
+        .alias("vpn"),
+        (dec("n") * F.col("spq") - dec("sq") * F.col("sp"))
+        .cast("double")
+        .alias("cvn"),
+    ).withColumn(
+        "slope_raw",
+        F.when(F.col("vqn") > 0, F.col("cvn") / F.col("vqn") / 100),
+    )
+    return d.select(
+        "l_returnflag",
+        "n",
+        F.when(
+            F.col("vqn") > 0,
+            F.floor(F.col("slope_raw") * 10_000 + 0.5) / 10_000,
+        ).alias("slope"),
+        F.when(
+            F.col("vqn") > 0,
+            F.floor(
+                (
+                    F.col("dsp") / F.col("dn") / 100
+                    - F.col("slope_raw") * (F.col("dsq") / F.col("dn"))
+                )
+                * 10_000
+                + 0.5
+            )
+            / 10_000,
+        ).alias("intercept"),
+        F.when(
+            (F.col("vqn") > 0) & (F.col("vpn") > 0),
+            F.floor(
+                F.col("cvn")
+                * F.col("cvn")
+                / (F.col("vqn") * F.col("vpn"))
+                * 1_000_000
+                + 0.5
+            )
+            / 1_000_000,
+        ).alias("r2"),
+        (F.floor(F.col("dsq") / F.col("dn") * 10_000 + 0.5) / 10_000).alias(
+            "avg_x"
+        ),
+        (
+            F.floor(F.col("dsp") / F.col("dn") / 100 * 10_000 + 0.5)
+            / 10_000
+        ).alias("avg_y"),
     )
 
 
@@ -637,31 +866,29 @@ def agg_argminmax(spark, sf_dir):
                CAST(SUM(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
                CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
         FROM c GROUP BY event_type
+    ),
+    m2 AS (
+        SELECT event_type, n,
+               CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS v,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n AS r2m,
+               CAST(s3 AS DOUBLE) / n AS r3m,
+               CAST(s4 AS DOUBLE) / n AS r4m
+        FROM m
     )
     SELECT event_type, n,
-           floor((CAST(s2 AS DOUBLE) / n
-                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                 * 10000 + 0.5) / 10000 AS var_pop4,
-           floor((CAST(s3 AS DOUBLE) / n
-                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
-                  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
-                    * (CAST(s1 AS DOUBLE) / n))
-                 / pow(CAST(s2 AS DOUBLE) / n
-                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
-                       1.5)
-                 * 1000000 + 0.5) / 1000000 AS skewness6,
-           floor((CAST(s4 AS DOUBLE) / n
-                  - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
-                  + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
-                    * (CAST(s2 AS DOUBLE) / n)
-                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
-                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                 / ((CAST(s2 AS DOUBLE) / n
-                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                    * (CAST(s2 AS DOUBLE) / n
-                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
-                 * 1000000 + 0.5) / 1000000 AS kurtosis6
-    FROM m
+           floor(v * 10000 + 0.5) / 10000 AS var_pop4,
+           CASE WHEN v > 0 THEN
+             floor((r3m - 3 * mu * r2m + 2 * mu * mu * mu)
+                   / pow(v, 1.5) * 1000000 + 0.5) / 1000000
+           END AS skewness6,
+           CASE WHEN v > 0 THEN
+             floor((r4m - 4 * mu * r3m + 6 * mu * mu * r2m
+                    - 3 * mu * mu * mu * mu)
+                   / (v * v) * 1000000 + 0.5) / 1000000
+           END AS kurtosis6
+    FROM m2
     """,
 )
 def agg_moments(spark, sf_dir):
@@ -686,7 +913,11 @@ def agg_moments(spark, sf_dir):
     m = c.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s1"),
-        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        # s2 widened too: x² ≈ 3.1e9 at the value maxima, so a BIGINT
+        # partial sum overflows (an ANSI job kill) past ~3e9 rows per
+        # group — real at the module's own 100 TB framing. s1 stays
+        # BIGINT (safe to ~1.6e14 rows).
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s2"),
         # widen BEFORE multiplying: cents^4 for a 560.21 value is
         # 9.85e18 > int64 max — the sf0.1 bench caught the per-row
         # overflow that sf0.01's smaller maxima never hit
@@ -713,14 +944,19 @@ def agg_moments(spark, sf_dir):
         + 6 * mu * mu * (F.col("s2").cast("double") / F.col("n"))
         - 3 * mu * mu * mu * mu
     )
+    # zero-variance groups (single row / constant value): the skew and
+    # kurtosis divisions would be an ANSI DIVIDE_BY_ZERO job kill in
+    # Spark but a silent NULL in DuckDB — guard both engines to NULL
     return m.select(
         "event_type",
         "n",
         (F.floor(m2 * 10_000 + 0.5) / 10_000).alias("var_pop4"),
-        (F.floor(m3 / F.pow(m2, 1.5) * 1_000_000 + 0.5) / 1_000_000).alias(
-            "skewness6"
-        ),
-        (F.floor(m4 / (m2 * m2) * 1_000_000 + 0.5) / 1_000_000).alias(
-            "kurtosis6"
-        ),
+        F.when(
+            m2 > 0,
+            F.floor(m3 / F.pow(m2, 1.5) * 1_000_000 + 0.5) / 1_000_000,
+        ).alias("skewness6"),
+        F.when(
+            m2 > 0,
+            F.floor(m4 / (m2 * m2) * 1_000_000 + 0.5) / 1_000_000,
+        ).alias("kurtosis6"),
     )

@@ -40,6 +40,16 @@ def global_row_number(
     Every stage is parallel in the partition count; the only driver
     data is one (pid, count) pair per partition. The ORDER BY must
     include a unique tie-breaker for a deterministic total order.
+
+    The ``materialize`` cache is CORRECTNESS-load-bearing, not an
+    optimization, and is deliberately not unpersisted here:
+    ``repartitionByRange`` draws sampled boundaries, so a recompute of
+    the lineage could place rows in different partitions than the ones
+    the collected offsets were derived from, corrupting every rank.
+    The cost is one cached dataset per invocation for the session's
+    lifetime (MEMORY_AND_DISK, LRU-evictable); callers that invoke
+    this in a loop should cap input width first, as ``sort_multi``
+    does by selecting 3 columns.
     """
     if n_parts is None:
         n_parts = df.sparkSession.sparkContext.defaultParallelism
@@ -185,11 +195,20 @@ def sort_multi(spark, sf_dir):
     through topk_global's TakeOrderedAndProject — cheaper when only k
     rows are wanted.)
     """
+    # rank on the RAW balance exactly as the oracle's ROW_NUMBER does
+    # (ranking on a rounded copy would order different keys the moment
+    # the fixture carries >2-dp values); only the emitted column is
+    # rounded — a no-op on the current 2-dp grid, pinned either way
     s = load(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+        "s_suppkey", "s_name", "s_acctbal"
     )
     return global_row_number(
-        s, [F.col("acctbal").desc(), F.col("s_suppkey")], out_col="pos"
+        s, [F.col("s_acctbal").desc(), F.col("s_suppkey")], out_col="pos"
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        "pos",
     )
 
 
@@ -293,12 +312,20 @@ def win_running_distinct(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # partition-start is detected by row_number (same window spec →
+    # same exchange+sort), NOT by lag IS NULL: a NULL previous VALUE
+    # and "no previous row" are different states, and conflating them
+    # over-counts NULL event_types (NULLs sort first, so every
+    # consecutive NULL-type row would flag first_seen=1). The value
+    # comparison is null-safe for the same reason.
     return (
         ev.withColumn(
             "first_seen",
             F.when(
-                F.lag("event_type").over(w_first).isNull()
-                | (F.lag("event_type").over(w_first) != F.col("event_type")),
+                (F.row_number().over(w_first) == 1)
+                | ~F.lag("event_type")
+                .over(w_first)
+                .eqNullSafe(F.col("event_type")),
                 1,
             ).otherwise(0),
         )

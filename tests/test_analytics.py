@@ -254,6 +254,37 @@ def test_running_distinct_matches_bruteforce(spark, sf_dir):
         assert got[r.event_id] == len(seen), r.event_id
 
 
+def test_running_distinct_counts_null_type_once(spark, tmp_path):
+    """NULL event_type is ONE distinct value, counted once: the
+    first-seen flag must not conflate 'no previous row' (partition
+    start) with 'previous value was NULL' — lag IS NULL alone flagged
+    every consecutive NULL-type row as first-seen."""
+    import datetime
+
+    from hadoop_tools_spark.operators.windows import win_running_distinct
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + datetime.timedelta(seconds=s), eid, et)
+        for s, eid, et in [
+            (1, 10, None),
+            (2, 11, None),   # second NULL: still 1 distinct type
+            (3, 12, "a"),
+            (4, 13, None),   # NULL again: no new type
+            (5, 14, "b"),
+        ]
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_id: r.distinct_types_so_far
+        for r in win_running_distinct(spark, str(tmp_path)).collect()
+    }
+    assert got == {10: 1, 11: 1, 12: 2, 13: 2, 14: 3}, got
+
+
 def test_semdedup_within_cluster_only(spark, sf_dir):
     from hadoop_tools_spark.operators.llm_knn import llm_semdedup
 
