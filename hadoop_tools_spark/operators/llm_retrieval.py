@@ -65,13 +65,18 @@ def llm_inverted_index(spark, sf_dir):
     convention, aggregates.py) so both harness canonicalizers hash a
     scalar cell — raw array columns crash the driver's comparator.
 
-    Two partial-aggregated reductions — words collapse to (term, doc)
-    counts map-side before the one hash exchange on ``term``; the
-    posting array materializes only for the df-banded survivors, so no
-    stopword ever becomes a giant list on one executor. At 100 TB the
-    same plan shards naturally: the term exchange IS the index
-    partitioning (term-range bucketed postings), and the df cap is the
-    skew guard a web-scale vocabulary needs anyway.
+    Postings materialize ONLY for df-banded survivors: df/total_tf
+    aggregate first (fixed-width state, map-side combinable), the
+    band filters out stopwords and noise terms, and the (term, doc)
+    pairs semi-join back before the collect_list — a stopword present
+    in ~every document therefore never builds an N-element array in a
+    single aggregation buffer (collecting before filtering was
+    exactly the executor-OOM skew this key's contract forbids). The
+    final group-by rides the term partitioning the join established
+    (term ⊆ grouping keys → no extra exchange). At 100 TB the term
+    exchange IS the index partitioning (term-range bucketed
+    postings), and the df cap is the skew guard a web-scale
+    vocabulary needs anyway.
     """
     d = load_spread(spark, sf_dir, "documents")
     n_total = d.agg(F.count("*").alias("n_total"))
@@ -80,18 +85,11 @@ def llm_inverted_index(spark, sf_dir):
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
-    return (
+    banded = (
         per.groupBy("term")
         .agg(
             F.count("*").alias("df"),
             F.sum("tf").alias("total_tf"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("postings"),
         )
         .join(F.broadcast(n_total))
         .filter(
@@ -99,6 +97,20 @@ def llm_inverted_index(spark, sf_dir):
             & (F.col("df") * 5 <= F.col("n_total") * 4)
         )
         .drop("n_total")
+    )
+    return (
+        per.join(banded, "term")
+        .groupBy("term", "df", "total_tf")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+        .select("term", "df", "total_tf", "postings")
     )
 
 

@@ -26,7 +26,8 @@ from ..registry import query
     )
     SELECT CAST(m AS VARCHAR) AS month_start,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS revenue
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+                AS DOUBLE) AS revenue
     FROM months LEFT JOIN orders
       ON date_trunc('month', o_orderdate) = m
     GROUP BY m
@@ -55,7 +56,8 @@ def sql_recursive_cte(spark, sf_dir):
         )
         SELECT CAST(m AS STRING) AS month_start,
                CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-               ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS revenue
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+                AS DOUBLE) AS revenue
         FROM months LEFT JOIN _rc_orders
           ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
         GROUP BY m
@@ -105,8 +107,8 @@ def join_lateral(spark, sf_dir):
     SELECT l_returnflag,
            CASE WHEN l_extendedprice > 50000 THEN 'hi' ELSE 'lo' END AS band,
            COUNT(*) AS n,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-             AS disc_revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS disc_revenue
     FROM lineitem
     GROUP BY l_returnflag,
              CASE WHEN l_extendedprice > 50000 THEN 'hi' ELSE 'lo' END
@@ -135,8 +137,8 @@ def sql_udf(spark, sf_dir):
         """
         SELECT l_returnflag, price_band(l_extendedprice) AS band,
                COUNT(*) AS n,
-               ROUND(SUM(disc_price(l_extendedprice, l_discount)), 2)
-                 AS disc_revenue
+               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS disc_revenue
         FROM _udf_lineitem
         GROUP BY l_returnflag, price_band(l_extendedprice)
         """
@@ -150,11 +152,14 @@ def sql_udf(spark, sf_dir):
            CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
            CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
            CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
-           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2)
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                         FILTER (o_orderstatus = 'F'), 0) AS DOUBLE)
                AS rev_f,
-           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2)
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                         FILTER (o_orderstatus = 'O'), 0) AS DOUBLE)
                AS rev_o,
-           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2)
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                         FILTER (o_orderstatus = 'P'), 0) AS DOUBLE)
                AS rev_p
     FROM orders
     GROUP BY o_orderpriority
@@ -177,11 +182,12 @@ def sql_pivot(spark, sf_dir):
                COALESCE(F_n, 0)  AS n_f,
                COALESCE(O_n, 0)  AS n_o,
                COALESCE(P_n, 0)  AS n_p,
-               ROUND(COALESCE(F_rev, 0), 2) AS rev_f,
-               ROUND(COALESCE(O_rev, 0), 2) AS rev_o,
-               ROUND(COALESCE(P_rev, 0), 2) AS rev_p
+               CAST(COALESCE(F_rev, 0) AS DOUBLE) AS rev_f,
+               CAST(COALESCE(O_rev, 0) AS DOUBLE) AS rev_o,
+               CAST(COALESCE(P_rev, 0) AS DOUBLE) AS rev_p
         FROM (
-            SELECT o_orderpriority, o_orderstatus, o_totalprice
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,4)) AS o_totalprice
             FROM orders_pivot_src
         )
         PIVOT (
@@ -196,7 +202,8 @@ def sql_pivot(spark, sf_dir):
     "sql_params",
     oracle="""
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
     FROM orders
     WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
     GROUP BY o_orderpriority
@@ -214,7 +221,8 @@ def sql_params(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS n,
-               ROUND(SUM(o_totalprice), 2) AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
         FROM orders_param_src
         WHERE o_totalprice > :threshold AND o_orderstatus = :status
         GROUP BY o_orderpriority

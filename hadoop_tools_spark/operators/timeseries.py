@@ -110,8 +110,11 @@ def ts_gapfill(spark, sf_dir):
     bounds = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
+    # user set derived from the already-aggregated daily frame — the
+    # raw-events distinct was a second full fact scan + a shuffle over
+    # fact cardinality for the identical set
     spine = (
-        ev.select("user_id")
+        daily.select("user_id")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -314,7 +317,8 @@ _RESAMPLE_S = 21600
            MAX(value) AS high,
            MIN(value) AS low,
            MIN(CASE WHEN rrn = 1 THEN value END) AS close,
-           ROUND(SUM(value), 2) AS total
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100 AS total
     FROM b GROUP BY user_id, bucket_start
     """,
 )
@@ -359,7 +363,14 @@ def ts_resample(spark, sf_dir):
         F.max("value").alias("high"),
         F.min("value").alias("low"),
         F.min(F.when(F.col("rrn") == 1, F.col("value"))).alias("close"),
-        F.round(F.sum("value"), 2).alias("total"),
+        # order-free integer-cents sum (value is on a 2-dp grid), one
+        # IEEE division — SUM over raw doubles then ROUND was the
+        # partition-order flake class this file pins everywhere else
+        (
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("double")
+            / 100
+        ).alias("total"),
     )
 
 
@@ -368,20 +379,34 @@ def ts_resample(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
-             FLOOR(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-                        AS BIGINT) * 100.0 / COUNT(*) + 0.5) / 10000 AS obs
+             CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                             AS BIGINT) * 100.0 / COUNT(*) + 0.5) AS BIGINT)
+                 AS obs_i
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ),
-    z AS (
-      SELECT user_id, day, obs,
-             AVG(obs) OVER (PARTITION BY user_id) AS mu,
-             STDDEV_SAMP(obs) OVER (PARTITION BY user_id) AS sd
+    m AS (
+      SELECT user_id, day, obs_i,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             SUM(obs_i) OVER (PARTITION BY user_id) AS s1,
+             SUM(CAST(obs_i AS HUGEINT) * obs_i)
+                 OVER (PARTITION BY user_id) AS s2
       FROM daily
+    ),
+    z AS (
+      SELECT user_id, day, obs_i,
+             CAST(n AS DOUBLE) AS dn,
+             CAST(n*s2 - s1*s1 AS DOUBLE) AS vn,
+             CAST(s1 AS DOUBLE) AS ds1
+      FROM m WHERE n > 1
     )
-    SELECT user_id, CAST(day AS TIMESTAMP) AS day, obs,
-           ROUND((obs - mu) / sd, 4) AS zscore
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           CAST(obs_i AS DOUBLE) / 10000 AS obs,
+           floor((CAST(obs_i AS DOUBLE) - ds1 / dn)
+                 / sqrt(vn / (dn*(dn-1))) * 10000 + 0.5) / 10000 AS zscore
     FROM z
-    WHERE sd > 0 AND ABS(ROUND((obs - mu) / sd, 4)) > 2
+    WHERE vn > 0
+      AND ABS(floor((CAST(obs_i AS DOUBLE) - ds1 / dn)
+                    / sqrt(vn / (dn*(dn-1))) * 10000 + 0.5) / 10000) > 2
     """,
 )
 def ts_anomaly(spark, sf_dir):
@@ -389,41 +414,67 @@ def ts_anomaly(spark, sf_dir):
     cheap first-line anomaly screen on regularized telemetry (flag
     days more than 2 sigma from the user's own mean).
 
-    One exchange: the per-user mean/stddev ride an unordered window
+    One exchange: the per-user moment sums ride unordered windows
     over the same user_id partitioning the daily rollup shuffled to.
-    The filter compares the ROUNDED z on both engines so the 2-sigma
-    cut can't flicker on last-ulp stddev differences, and the daily
-    mean reuses the integer-cents exact form from ``ts_gapfill``.
+    Mean and stddev come from EXACT integer moment sums over the
+    1e-4-pinned daily values (AVG/STDDEV over raw doubles merge in
+    partition order — the cross-engine flake class), so the z
+    expression runs once per row on bit-identical operands in both
+    engines; floor-pinned, with the 2-sigma cut applied to the pinned
+    value so it cannot flicker.
     """
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day"), "value"
     )
     daily = ev.groupBy("user_id", "day").agg(
-        (
-            F.floor(
-                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
-                * 100.0
-                / F.count("*")
-                + 0.5
-            )
-            / 10000
-        ).alias("obs")
+        F.floor(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            * 100.0
+            / F.count("*")
+            + 0.5
+        )
+        .cast("long")
+        .alias("obs_i")
     )
     wu = Window.partitionBy("user_id")
-    z = daily.select(
+    m = daily.select(
         "user_id",
         "day",
-        "obs",
-        F.avg("obs").over(wu).alias("mu"),
-        F.stddev_samp("obs").over(wu).alias("sd"),
+        "obs_i",
+        F.count("*").over(wu).alias("n"),
+        F.sum("obs_i").over(wu).alias("s1"),
+        F.sum(F.col("obs_i").cast("decimal(38,0)") * F.col("obs_i"))
+        .over(wu)
+        .alias("s2"),
     )
-    zscore = F.round((F.col("obs") - F.col("mu")) / F.col("sd"), 4)
+    z = m.filter(F.col("n") > 1).select(
+        "user_id",
+        "day",
+        "obs_i",
+        F.col("n").cast("double").alias("dn"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        )
+        .cast("double")
+        .alias("vn"),
+        F.col("s1").cast("double").alias("ds1"),
+    )
+    zscore = (
+        F.floor(
+            (F.col("obs_i").cast("double") - F.col("ds1") / F.col("dn"))
+            / F.sqrt(F.col("vn") / (F.col("dn") * (F.col("dn") - 1)))
+            * 10_000
+            + 0.5
+        )
+        / 10_000
+    )
     return (
-        z.filter(F.col("sd") > 0)
+        z.filter(F.col("vn") > 0)
         .select(
             "user_id",
             F.col("day").cast("timestamp").alias("day"),
-            "obs",
+            (F.col("obs_i").cast("double") / 10_000).alias("obs"),
             zscore.alias("zscore"),
         )
         .filter(F.abs(F.col("zscore")) > 2)
