@@ -40,6 +40,22 @@ def _spark(spark=None):
     return get_spark("hh")
 
 
+def _norm_root(root: str) -> tuple[str, str]:
+    """(display root, scheme-less URI path) for du/count grouping.
+
+    Strips the trailing slash WITHOUT emptying the filesystem root
+    (``'/'.rstrip('/')`` is ``''``, and ``Path('')`` throws), and
+    returns the scheme-less path because the listing DataFrame's
+    ``path`` column is ``toUri().getPath()`` — offsets computed from a
+    scheme-qualified root would overrun every row.
+    """
+    from urllib.parse import urlparse
+
+    stripped = root.rstrip("/") or "/"
+    upath = urlparse(stripped).path or "/"
+    return stripped, upath
+
+
 def _glob_status(spark, pattern: str):
     """Expand an HDFS glob via FileSystem.globStatus (native
     component-wise semantics); returns a list of Java FileStatus."""
@@ -101,29 +117,58 @@ def cmd_find(args, spark=None, out=sys.stdout):
 
     Filters run in the engine (same predicates as the ``fs_find``
     query key), and the sorted result streams to the terminal via
-    ``toLocalIterator`` — the driver holds one partition of matches at
-    a time, never the whole namespace, so a 10^8-file tree renders in
-    bounded memory."""
+    ``toLocalIterator``. For local/file schemes the listing itself is
+    the distributed BFS walk (``list_files_distributed``), so neither
+    the walk nor the render ever holds the whole namespace on the
+    driver — a 10^8-file tree runs in bounded memory; other schemes
+    fall back to the driver-JVM walk (``list_status_df``), whose rows
+    DO accumulate driver-side before the DataFrame exists."""
+    from urllib.parse import urlparse
+
     from pyspark.sql import functions as F
 
-    from .sources.listing import glob_to_regex, list_status_df
+    from .sources.listing import (
+        glob_to_regex,
+        list_files_distributed,
+        list_status_df,
+    )
 
     spark = _spark(spark)
     root = session_state.resolve(args[0] if args else ".")
     name_glob = type_flag = None
     if "-name" in args:
+        if args.index("-name") + 1 >= len(args):
+            print("hh find: -name: missing operand", file=sys.stderr)
+            return 2
         name_glob = args[args.index("-name") + 1]
     if "-type" in args:
+        if args.index("-type") + 1 >= len(args):
+            print("hh find: -type: missing operand", file=sys.stderr)
+            return 2
         type_flag = args[args.index("-type") + 1]
-    df = list_status_df(spark, root, recursive=True)
+    parsed = urlparse(root)
+    if parsed.scheme in ("", "file"):
+        listing = list_files_distributed(
+            spark, parsed.path or root, include_dirs=True
+        )
+    else:
+        listing = list_status_df(spark, root, recursive=True)
+    df = listing
     if name_glob is not None:
         df = df.filter(F.col("name").rlike(glob_to_regex(name_glob)))
     if type_flag == "f":
         df = df.filter(~F.col("is_dir"))
     elif type_flag == "d":
         df = df.filter(F.col("is_dir"))
-    for r in df.select("path").orderBy("path").toLocalIterator():
-        print(r.path, file=out)
+    try:
+        for r in df.select("path").orderBy("path").toLocalIterator():
+            print(r.path, file=out)
+    finally:
+        # the distributed walk returns a persisted listing; release the
+        # ROOT frame once rendered (unpersist on a filtered child is a
+        # no-op for the parent's cache entry), blocking so repeated
+        # invocations cannot stack pending frees
+        listing.unpersist(True)
     return 0
 
 
@@ -142,11 +187,16 @@ def cmd_du(args, spark=None, out=sys.stdout):
     spark = _spark(spark)
     human = "-h" in args
     args = [a for a in args if a != "-h"]
-    root = session_state.resolve(args[0] if args else ".").rstrip("/")
+    root, upath = _norm_root(session_state.resolve(args[0] if args else "."))
     df = list_status_df(spark, root, recursive=True).filter(~F.col("is_dir"))
-    # child = root/<first path component below root>
-    rel = F.expr(f"substring(path, {len(root) + 2})")
-    child = F.concat(F.lit(root + "/"), F.split_part(rel, F.lit("/"), F.lit(1)))
+    # child = root/<first path component below root>. The listing's
+    # `path` column is the SCHEME-LESS URI path, so the offset comes
+    # from the scheme-less root (an hdfs:// root's length would
+    # overrun every path and collapse all files into one group).
+    offset = 2 if upath == "/" else len(upath) + 2
+    rel = F.expr(f"substring(path, {offset})")
+    prefix = root if root.endswith("/") else root + "/"
+    child = F.concat(F.lit(prefix), F.split_part(rel, F.lit("/"), F.lit(1)))
     agg = (
         df.groupBy(child.alias("child"))
         .agg(F.sum("size").alias("bytes"), F.count("*").alias("files"))
@@ -170,7 +220,7 @@ def cmd_count(args, spark=None, out=sys.stdout):
 
     spark = _spark(spark)
     for arg in args or ["."]:
-        root = session_state.resolve(arg).rstrip("/")
+        root, _ = _norm_root(session_state.resolve(arg))
         df = list_status_df(spark, root, recursive=True)
         row = df.agg(
             F.sum(F.when(F.col("is_dir"), 1).otherwise(0)).alias("dirs"),
@@ -179,8 +229,12 @@ def cmd_count(args, spark=None, out=sys.stdout):
                 "bytes"
             ),
         ).collect()[0]
+        # ContentSummary counts the target itself as a directory only
+        # when it IS one (`hadoop fs -count FILE` prints 0 dirs)
+        target = _glob_status(spark, root) or []
+        self_dir = 1 if any(st.isDirectory() for st in target) else 0
         print(
-            f"{int(row.dirs or 0) + 1:>12} {int(row.files or 0):>12} "
+            f"{int(row.dirs or 0) + self_dir:>12} {int(row.files or 0):>12} "
             f"{int(row.bytes or 0):>15} {root}",
             file=out,
         )
@@ -201,7 +255,13 @@ def cmd_cat(args, spark=None, out=None):
     rc = 0
     for arg in args:
         path = session_state.resolve(arg)
-        for st in _glob_status(spark, path) or []:
+        matches = _glob_status(spark, path) or []
+        if not matches:
+            # match `hadoop fs -cat`: a missing path is an error, not
+            # silent empty output with rc 0
+            print(f"cat: {arg}: No such file or directory", file=sys.stderr)
+            rc = 1
+        for st in matches:
             if st.isDirectory():
                 # match `hadoop fs -cat` semantics: directories are an
                 # error, not a crash (fs.open on a dir raises a raw
@@ -234,6 +294,9 @@ def cmd_tail(args, spark=None, out=None):
     n = 1024
     if "-c" in args:
         i = args.index("-c")
+        if i + 1 >= len(args):
+            print("hh tail: -c: missing operand", file=sys.stderr)
+            return 2
         n = int(args[i + 1])
         args = args[:i] + args[i + 2:]
     jvm = spark._jvm
@@ -316,7 +379,9 @@ def cmd_stat(args, spark=None, out=sys.stdout):
 
     spark = _spark(spark)
     fmt = "%y"
-    if len(args) >= 2 and args[0].startswith("%"):
+    # a format like 'size=%b' need not START with '%' — any first arg
+    # containing a specifier (and followed by >=1 path) is the format
+    if len(args) >= 2 and "%" in args[0]:
         fmt, args = args[0], args[1:]
     rc = 0
     for arg in args:
@@ -409,10 +474,13 @@ def cmd_chgrp(args, spark=None, **_):
 
 def cmd_test(args, spark=None, **_):
     """``hh test -e|-d|-f PATH``: predicate via exit code."""
+    preds = {"-e": fsops.exists, "-d": fsops.is_dir, "-f": fsops.is_file}
+    if len(args) < 2 or args[0] not in preds:
+        print("hh test: expected -e|-d|-f PATH", file=sys.stderr)
+        return 2
     flag, path = args[0], session_state.resolve(args[1])
     spark = _spark(spark)
-    pred = {"-e": fsops.exists, "-d": fsops.is_dir, "-f": fsops.is_file}[flag]
-    return 0 if pred(spark, path) else 1
+    return 0 if preds[flag](spark, path) else 1
 
 
 def cmd_cd(args, **_):
@@ -456,6 +524,28 @@ COMMANDS = {
 }
 
 
+#: minimum operand count per command — validated up front so a
+#: genuine IndexError inside a handler surfaces as the bug it is
+#: (the old blanket `except IndexError` relabeled ANY internal
+#: IndexError as "missing operand" and threw the traceback away).
+MIN_OPERANDS = {
+    "cat": 1,
+    "tail": 1,
+    "stat": 1,
+    "checksum": 1,
+    "get": 1,
+    "put": 2,
+    "mkdir": 1,
+    "mv": 2,
+    "rm": 1,
+    "chmod": 2,
+    "chown": 2,
+    "chgrp": 2,
+    "test": 1,  # the flag (-e/-d/-f/-z) is an option, not an operand
+    "cd": 1,
+}
+
+
 def main(argv=None, spark=None, out=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help") or argv[0] not in COMMANDS:
@@ -465,16 +555,16 @@ def main(argv=None, spark=None, out=None) -> int:
             file=out or sys.stderr,
         )
         return 0 if argv and argv[0] in ("-h", "--help") else 2
+    operands = [a for a in argv[1:] if not a.startswith("-")]
+    if len(operands) < MIN_OPERANDS.get(argv[0], 0):
+        print(f"hh {argv[0]}: missing operand", file=out or sys.stderr)
+        return 2
     kwargs = {}
     if spark is not None:
         kwargs["spark"] = spark
     if out is not None:
         kwargs["out"] = out
-    try:
-        return COMMANDS[argv[0]](argv[1:], **kwargs)
-    except IndexError:
-        print(f"hh {argv[0]}: missing operand", file=out or sys.stderr)
-        return 2
+    return COMMANDS[argv[0]](argv[1:], **kwargs)
 
 
 if __name__ == "__main__":

@@ -104,6 +104,8 @@ def fs_du(spark, sf_dir):
     oracle="""
     SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_text_chars
     FROM documents
+    WHERE text IS NOT NULL
+      AND instr(text, chr(10)) = 0 AND instr(text, chr(13)) = 0
     """,
 )
 def fs_cat_text(spark, sf_dir):
@@ -115,12 +117,23 @@ def fs_cat_text(spark, sf_dir):
     line-structured data is the text source, whose scan distributes
     across line-split ranges. The oracle (lengths from the original
     table) proves the byte stream survived the roundtrip intact.
+
+    Only LINE-SAFE rows ride the text source, and both engines state
+    the precondition: a NULL text would lose its tab under concat_ws
+    (mis-measuring doc_id length as text length) and an embedded
+    newline/CR would split one row into two — the filter is a no-op on
+    the fixture but turns silent latent corruption into a declared
+    contract. Binary-safe cat is ``cmd_cat`` / ``fs_checksum``.
     """
     import os
 
     scratch = os.environ.get("HTS_SCRATCH", "/tmp/hts_scratch")
     path = f"{scratch}/cat_text"
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.instr("text", "\n") == 0)
+        & (F.instr("text", "\r") == 0)
+    )
     d.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value")
     ).write.mode("overwrite").text(path)

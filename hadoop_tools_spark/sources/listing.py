@@ -142,18 +142,30 @@ def list_status_df(
 
 
 def _scan_local_dirs(paths):
-    """Executor-side scandir over local paths: yields ('d'|'f') rows."""
+    """Executor-side scandir over local paths: yields ('d'|'f') rows.
+
+    Errors are handled PER ENTRY: a broken symlink or permission-
+    denied stat() mid-directory skips that entry only — a directory-
+    granular except silently dropped every remaining sibling and
+    child subtree of the directory (namespace undercount, no error).
+    """
     for d in paths:
         try:
-            with os.scandir(d) as it:
-                for e in it:
+            it = os.scandir(d)
+        except OSError:
+            continue
+        with it:
+            for e in it:
+                try:
                     if e.is_dir(follow_symlinks=False):
                         yield ("d", e.path, 0, 0)
                     else:
                         s = e.stat()
-                        yield ("f", e.path, s.st_size, int(s.st_mtime * 1000))
-        except OSError:
-            continue
+                        yield (
+                            "f", e.path, s.st_size, int(s.st_mtime * 1000)
+                        )
+                except OSError:
+                    continue
 
 
 class _SpillFrontier:
@@ -224,6 +236,7 @@ def list_files_distributed(
     root: str,
     max_rounds: int = 100_000,
     frontier_cap: int = 100_000,
+    include_dirs: bool = False,
 ) -> DataFrame:
     """Distributed BFS namespace walk (the 10^8-file path).
 
@@ -239,10 +252,13 @@ def list_files_distributed(
     deployment swaps the scan function for a WebHDFS/libhdfs call —
     the orchestration is scheme-agnostic.
     """
+    from pyspark import StorageLevel
+
     sc = spark.sparkContext
     frontier = _SpillFrontier(cap=frontier_cap)
     frontier.push(root)
     file_rdds = []
+    round_rdds = []
     rounds = 0
     try:
         while frontier and rounds < max_rounds:
@@ -251,7 +267,11 @@ def list_files_distributed(
             rdd = sc.parallelize(chunk, max(1, min(len(chunk), 64))).mapPartitions(
                 _scan_local_dirs
             )
-            rdd = rdd.cache()
+            # MEMORY_AND_DISK, not the MEMORY_ONLY default: a wide
+            # level's rows must spill, not evict-and-RESCAN (a second
+            # scandir could see a changed filesystem)
+            rdd = rdd.persist(StorageLevel.MEMORY_AND_DISK)
+            round_rdds.append(rdd)
             # coalesce the (paths-only) dirs pull so toLocalIterator
             # costs a handful of jobs per round, not one per scan
             # partition. The Python driver never holds more than the
@@ -265,15 +285,40 @@ def list_files_distributed(
             )
             for p in dirs.toLocalIterator():
                 frontier.push(p)
-            file_rdds.append(rdd.filter(lambda r: r[0] == "f"))
+            if include_dirs:
+                file_rdds.append(rdd)
+            else:
+                file_rdds.append(rdd.filter(lambda r: r[0] == "f"))
     finally:
         frontier.close()
     if not file_rdds:
         return spark.createDataFrame([], FILE_STATUS_SCHEMA)
     union = sc.union(file_rdds).map(
-        lambda r: (r[1], r[1].rsplit("/", 1)[-1], False, r[2], None, None, None, r[3], 1, 0)
+        lambda r: (
+            r[1],
+            r[1].rsplit("/", 1)[-1],
+            r[0] == "d",
+            r[2],
+            None,
+            None,
+            None,
+            r[3],
+            1,
+            0,
+        )
     )
-    return spark.createDataFrame(union, FILE_STATUS_SCHEMA)
+    # materialize the final listing to DISK_ONLY, then release every
+    # round's cache deterministically — the per-round RDDs previously
+    # stayed pinned in executor memory for the session's lifetime.
+    # DISK_ONLY keeps a 10^8-row namespace out of executor heap; the
+    # caller streams it once (find/ls) or aggregates it (du).
+    out = spark.createDataFrame(union, FILE_STATUS_SCHEMA).persist(
+        StorageLevel.DISK_ONLY
+    )
+    out.count()
+    for rdd in round_rdds:
+        rdd.unpersist(True)
+    return out
 
 
 def human_size(n: int) -> str:

@@ -206,3 +206,70 @@ def test_checksum_matches_hashlib(spark, ns):
     rc = cli.main(["checksum", f"{ns}/logs/*.log"], spark=spark, out=out)
     assert rc == 0 and len(out.getvalue().strip().splitlines()) >= 2
     assert cli.main(["checksum", f"{ns}/nope"], spark=spark) == 1
+
+
+def test_du_trailing_slash_and_count_file(spark, ns):
+    """`du dir/` must not strip the root to '' (Path('') throws), and
+    `count FILE` reports 0 directories like `hadoop fs -count`."""
+    rc, txt = run(spark, "du", ns + "/")
+    assert rc == 0
+    children = {l.split()[-1].rsplit("/", 1)[-1] for l in txt.strip().splitlines()}
+    assert children == {"data", "logs"}
+    rc, txt = run(spark, "count", f"{ns}/logs/a.log")
+    assert rc == 0
+    dirs, files, _bytes, _path = txt.split()
+    assert (dirs, files) == ("0", "1")
+
+
+def test_cat_missing_path_is_an_error(spark, ns):
+    rc, _ = run(spark, "cat", f"{ns}/no/such/file")
+    assert rc == 1
+
+
+def test_stat_format_with_literal_prefix(spark, ns):
+    rc, txt = run(spark, "stat", "size=%b", f"{ns}/logs/a.log")
+    assert rc == 0
+    assert txt.strip() == "size=6"
+
+
+def test_missing_operand_rc2(spark):
+    assert run(spark, "put", "onearg")[0] == 2
+    assert run(spark, "mv", "only")[0] == 2
+    assert run(spark, "test")[0] == 2
+    rc, _ = run(spark, "find", "/tmp", "-name")
+    assert rc == 2
+
+
+def test_scan_local_dirs_skips_broken_entry_not_siblings(tmp_path):
+    """One broken symlink must not hide its siblings or subtrees."""
+    from hadoop_tools_spark.sources.listing import _scan_local_dirs
+
+    d = tmp_path / "walk"
+    d.mkdir()
+    # scandir order is arbitrary; name the symlink to sort first in
+    # most filesystems and rely on per-entry handling either way
+    (d / "0broken").symlink_to(d / "missing-target")
+    (d / "real.dat").write_bytes(b"x" * 7)
+    (d / "sub").mkdir()
+    rows = list(_scan_local_dirs([str(d)]))
+    kinds = {(k, p.rsplit("/", 1)[-1]) for k, p, *_ in rows}
+    assert ("f", "real.dat") in kinds
+    assert ("d", "sub") in kinds
+
+
+def test_distributed_walk_include_dirs_and_cache_release(spark, ns):
+    from hadoop_tools_spark.sources.listing import list_files_distributed
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = list_files_distributed(spark, ns, include_dirs=True)
+    rows = {(r.name, r.is_dir) for r in df.collect()}
+    assert ("a.log", False) in rows and ("logs", True) in rows
+    # every per-round RDD was released; only the final DISK_ONLY
+    # listing remains cached beyond the baseline
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    df.unpersist(True)
+    # cmd_find releases its walk once rendered: no net new cache
+    rc, _ = run(spark, "find", ns, "-name", "*.log")
+    assert rc == 0
+    assert jsc.getPersistentRDDs().size() <= max(before, 1)
