@@ -99,15 +99,16 @@ def merge_upsert(spark, sf_dir):
         FROM events
     ),
     chg AS (
-        SELECT user_id, event_type, ts AS valid_from
+        SELECT user_id, event_type, ts AS valid_from, event_id
         FROM e
         WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id, event_type, valid_from,
            LEAD(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) AS valid_to,
+                                  ORDER BY valid_from, event_id) AS valid_to,
            LEAD(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) IS NULL AS is_current
+                                  ORDER BY valid_from, event_id) IS NULL
+               AS is_current
     FROM chg
     """,
 )
@@ -132,9 +133,17 @@ def scd2_intervals(spark, sf_dir):
             F.col("prev_type").isNull()
             | (F.col("prev_type") != F.col("event_type"))
         )
-        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # the event_id tie-breaker must reach the SECOND window too: two
+    # changes at one timestamp would otherwise give LEAD an ambiguous
+    # order (engines could emit swapped intervals)
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     valid_to = F.lead("valid_from").over(w2)
     return chg.select(
         "user_id",

@@ -28,7 +28,10 @@ def project_basic(spark, sf_dir):
         F.col("c_custkey").alias("custkey"),
         F.upper("c_name").alias("name_upper"),
         (F.col("c_custkey") + 100000).alias("shifted_key"),
-        F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+        # F.concat (NULL-propagating) matches the oracle's '||'; the
+        # NULL-skipping concat_ws would emit the surviving field alone
+        # if a regenerated fixture ever carried a NULL segment/name
+        F.concat("c_mktsegment", F.lit(":"), "c_name").alias("tagged"),
     )
 
 

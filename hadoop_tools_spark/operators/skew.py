@@ -60,18 +60,30 @@ def salted_join(
             "small side duplicates its unmatched rows under right/full "
             "outer joins. Rewrite as a left-form join from the other side."
         )
+    if n_salts < 1:
+        # range(n<=0) is empty: a left join would return every big row
+        # unmatched — plausible-looking but silently wrong — and
+        # pmod(x, 0) dies mid-job under ANSI, far from the call site
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    # collision-proof working column: silently replacing a user column
+    # named '_salt' would drop it from the result (and corrupt the
+    # salt); an existing column on the small side would make the join
+    # condition ambiguous
+    sc = "_salt"
+    while sc in big.columns or sc in small.columns:
+        sc = "_" + sc
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
-    big_s = big.withColumn("_salt", salt.cast("int"))
+    big_s = big.withColumn(sc, salt.cast("int"))
     small_s = small.join(
         F.broadcast(
             big.sparkSession.range(n_salts).select(
-                F.col("id").cast("int").alias("_salt")
+                F.col("id").cast("int").alias(sc)
             )
         )
     )
     out = big_s.join(
         small_s,
-        (big_s[big_key] == small_s[small_key]) & (big_s["_salt"] == small_s["_salt"]),
+        (big_s[big_key] == small_s[small_key]) & (big_s[sc] == small_s[sc]),
         how,
     )
-    return out.drop("_salt")
+    return out.drop(sc)

@@ -27,9 +27,17 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # clear an orphaned managed location (e.g. from a killed run) —
-    # saveAsTable refuses to adopt a pre-existing directory
+    # saveAsTable refuses to adopt a pre-existing directory. The
+    # managed layout is <warehouse>[/<db>.db]/<table>: a qualified
+    # name or non-default current database lives under a .db dir, so
+    # naive '<warehouse>/<table>' would miss the orphan entirely
     wh = spark.conf.get("spark.sql.warehouse.dir")
-    loc = f"{wh.removeprefix('file:')}/{table.lower()}"
+    if "." in table:
+        db, tbl = table.lower().rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase().lower(), table.lower()
+    base = wh.removeprefix("file:")
+    loc = f"{base}/{tbl}" if db == "default" else f"{base}/{db}.db/{tbl}"
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(loc)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -31,7 +31,8 @@ SCRATCH = os.environ.get("HTS_SCRATCH", "/tmp/hts_scratch")
     "scan_csv_roundtrip",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -58,7 +59,9 @@ def scan_csv_roundtrip(spark, sf_dir):
     back = spark.read.schema(schema).option("header", True).csv(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -66,7 +69,8 @@ def scan_csv_roundtrip(spark, sf_dir):
     "scan_json_roundtrip",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -85,7 +89,9 @@ def scan_json_roundtrip(spark, sf_dir):
     back = spark.read.schema(schema).json(path)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
     )
 
 
@@ -93,7 +99,8 @@ def scan_json_roundtrip(spark, sf_dir):
     "sink_parquet_roundtrip",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority
     """,
@@ -111,7 +118,9 @@ def sink_parquet_roundtrip(spark, sf_dir):
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -119,7 +128,8 @@ def sink_parquet_roundtrip(spark, sf_dir):
     "sink_orc_roundtrip",
     oracle="""
     SELECT l_linestatus, COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
     FROM lineitem GROUP BY l_linestatus
     """,
 )
@@ -138,7 +148,9 @@ def sink_orc_roundtrip(spark, sf_dir):
     back = spark.read.orc(path)
     return back.groupBy("l_linestatus").agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -148,10 +160,12 @@ def sink_orc_roundtrip(spark, sf_dir):
     WITH dim AS (
         SELECT o_orderpriority
         FROM orders GROUP BY o_orderpriority
-        HAVING AVG(o_totalprice) > 250000
+        HAVING SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+               > 2500000000 * COUNT(*)
     )
     SELECT o.o_orderpriority, COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS sum_price
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
     FROM orders o JOIN dim USING (o_orderpriority)
     GROUP BY o.o_orderpriority
     """,
@@ -174,16 +188,25 @@ def sink_dpp_join(spark, sf_dir):
     dim_path = f"{SCRATCH}/dpp_dim"
     o = load(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(fact_path)
+    # integer-exact membership test (Σ price_4dp > 250000·10⁴·n):
+    # gating set membership on a raw double AVG flips whole partitions
+    # in/out when the two engines' last-ulp means straddle the
+    # threshold — fixture margins measured as thin as 0.015%
     (
         o.groupBy("o_orderpriority")
-        .agg(F.avg("o_totalprice").alias("avg_price"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")
+            ).alias("sum_p4"),
+            F.count("*").alias("n"),
+        )
         .write.mode("overwrite")
         .parquet(dim_path)
     )
     fact = spark.read.parquet(fact_path)
     dim = (
         spark.read.parquet(dim_path)
-        .filter(F.col("avg_price") > 250000)
+        .filter(F.col("sum_p4") > 2_500_000_000 * F.col("n"))
         .select("o_orderpriority")
     )
     return (
@@ -191,7 +214,9 @@ def sink_dpp_join(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
         )
     )
 
@@ -200,7 +225,8 @@ def sink_dpp_join(spark, sf_dir):
     "scan_xml_roundtrip",
     oracle="""
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS sum_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -240,7 +266,9 @@ def scan_xml_roundtrip(spark, sf_dir):
     )
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_bal"),
     )
 
 
@@ -252,8 +280,9 @@ def scan_xml_roundtrip(spark, sf_dir):
            CAST(COUNT(*) FILTER (o_orderkey % 10 = 0) AS BIGINT) AS n_bad,
            CAST(COUNT(*) FILTER (o_orderkey % 10 = 0) AS BIGINT)
              AS n_salvaged,
-           ROUND(SUM(CASE WHEN o_orderkey % 10 <> 0
-                          THEN o_totalprice END), 2) AS good_revenue
+           CAST(SUM(CASE WHEN o_orderkey % 10 <> 0
+                         THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+                AS DOUBLE) AS good_revenue
     FROM orders
     """,
 )
@@ -301,7 +330,9 @@ def scan_csv_malformed(spark, sf_dir):
         F.sum(
             F.when(salvaged_key != "", 1).otherwise(0)
         ).cast("long").alias("n_salvaged"),
-        F.round(F.sum("price"), 2).alias("good_revenue"),
+        F.sum(F.col("price").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("good_revenue"),
     )
 
 
@@ -332,15 +363,14 @@ def sink_rolling_files(spark, sf_dir):
         .option("maxRecordsPerFile", 4096)
         .parquet(path)
     )
-    import os as _os
 
     import pyarrow.parquet as _pq
 
     # footer-only row counts (the parquet_meta pattern): no data pages
     # read, no per-file Spark job
     sizes = sorted(
-        _pq.ParquetFile(_os.path.join(path, f)).metadata.num_rows
-        for f in _os.listdir(path)
+        _pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in os.listdir(path)
         if f.endswith(".parquet")
     )
     return spark.createDataFrame(
@@ -358,14 +388,15 @@ def sink_rolling_files(spark, sf_dir):
     ),
     new AS (
         SELECT o_orderkey, o_orderstatus,
-               ROUND(o_totalprice * 0.01, 4) AS o_discount
+               floor(o_totalprice * 100 + 0.5) / 10000 AS o_discount
         FROM orders WHERE o_orderkey % 2 = 1
     ),
     unified AS (SELECT * FROM old UNION ALL SELECT * FROM new)
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
            CAST(COUNT(o_discount) AS BIGINT) AS n_with_discount,
-           ROUND(SUM(COALESCE(o_discount, 0)), 4) AS sum_discount
+           CAST(SUM(CAST(COALESCE(o_discount, 0) AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_discount
     FROM unified GROUP BY o_orderstatus
     """,
 )
@@ -397,7 +428,12 @@ def scan_parquet_schema_merge(spark, sf_dir):
         .select(
             "o_orderkey",
             "o_orderstatus",
-            F.round(F.col("o_totalprice") * 0.01, 4).alias("o_discount"),
+            # floor-pinned 1% derivation: ROUND(x*0.01, 4) lands on an
+            # exact 4-dp midpoint whenever the 4-dp price ends in 50
+            # (1/100 rows) and the two engines' ROUND diverge there
+            (F.floor(F.col("o_totalprice") * 100 + 0.5) / 10000).alias(
+                "o_discount"
+            ),
         )
         .write.mode("append")
         .parquet(path)
@@ -408,9 +444,11 @@ def scan_parquet_schema_merge(spark, sf_dir):
         .agg(
             F.count("*").alias("n_rows"),
             F.count("o_discount").alias("n_with_discount"),
-            F.round(F.sum(F.coalesce("o_discount", F.lit(0.0))), 4).alias(
-                "sum_discount"
-            ),
+            F.sum(
+                F.coalesce("o_discount", F.lit(0.0)).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("sum_discount"),
         )
     )
 

@@ -144,3 +144,49 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_bad_salt_count_and_survives_salt_column(spark):
+    import pytest
+
+    from hadoop_tools_spark.operators.skew import salted_join
+
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(
+            spark.range(2).select(F.col("id").alias("k")),
+            spark.range(2).select(F.col("id").alias("k2")),
+            "k",
+            "k2",
+            n_salts=0,
+        )
+    # a user column named _salt must survive the join untouched
+    big = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("_salt")
+    )
+    small = spark.range(4).select(F.col("id").alias("k2"))
+    out = salted_join(big, small, "k", "k2", n_salts=4)
+    rows = {(r.k, r._salt) for r in out.collect()}
+    assert rows == {(i, i * 10) for i in range(4)}
+
+
+def test_write_bucketed_cleans_qualified_table_orphan(spark, tmp_path):
+    """Orphan cleanup must find the managed location of a db-qualified
+    table (<warehouse>/<db>.db/<table>), not '<warehouse>/<db>.<table>'."""
+    import os
+
+    from hadoop_tools_spark.sources.bucketing import write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS hts_bkt_db")
+    try:
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        orphan = os.path.join(wh, "hts_bkt_db.db", "torphan")
+        os.makedirs(orphan, exist_ok=True)
+        open(os.path.join(orphan, "junk"), "w").write("x")
+        df = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        write_bucketed(df, "hts_bkt_db.torphan", "k", n_buckets=2)
+        assert spark.table("hts_bkt_db.torphan").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hts_bkt_db.torphan")
+        spark.sql("DROP DATABASE IF EXISTS hts_bkt_db CASCADE")
