@@ -38,7 +38,8 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10, quality: int = 90) -> by
         1_000_000 // fps,  # dwMicroSecPerFrame
         max_sz * fps,      # dwMaxBytesPerSec
         0,                 # dwPaddingGranularity
-        0x10,              # dwFlags (AVIF_HASINDEX off, interleaved-ish)
+        0x100,             # dwFlags AVIF_ISINTERLEAVED (0x10 would be
+                           # AVIF_HASINDEX — a lie with no idx1 chunk)
         len(jpegs),        # dwTotalFrames
         0,                 # dwInitialFrames
         1,                 # dwStreams
@@ -93,7 +94,10 @@ def parse_avi(blob: bytes) -> tuple[int, int, int, list[bytes]]:
                     w_, h_,
                 ) = struct.unpack_from("<10I", blob, payload_start)
                 w, h, total = w_, h_, total_
-            elif fourcc[2:4] == b"dc":
+            elif fourcc == b"00dc":
+                # stream 0 only: a '??dc' wildcard would interleave a
+                # second video track's frames into this list, breaking
+                # frame_id indexing and the n_frames contract
                 frames.append(blob[payload_start : payload_start + size])
             pos = payload_start + size + (size % 2)
 

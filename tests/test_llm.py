@@ -2014,3 +2014,66 @@ def test_substring_hashed_twin_matches_exact_anchor(spark, sf_dir):
     a = {tuple(r) for r in llm_dedup_substring(spark, sf_dir).collect()}
     b = {tuple(r) for r in llm_substring_dedup_hashed(spark, sf_dir).collect()}
     assert a == b and a
+
+
+def test_hostile_media_stays_inside_tolerant_seam():
+    """A LIST chunk between fmt and data (real recorders emit these)
+    and a bit-flipped PNG height must surface as catchable ValueError
+    rows — AssertionError/MemoryError escape the tolerant contract
+    (dead executor task) and `python -O` strips asserts entirely."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from hadoop_tools_spark.operators.multimodal import (
+        decode_image,
+        decode_wav,
+    )
+    from tools.gen_media_fixtures import png_bytes, wav_bytes
+
+    wav = bytearray(wav_bytes(50, 3))
+    info = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    hostile = bytes(wav[:36]) + info + bytes(wav[36:])
+    with pytest.raises(ValueError):
+        decode_wav(hostile)
+
+    png = bytearray(png_bytes(8, 8, 0))
+    # IHDR height lives at bytes 20..23; inflate it absurdly and
+    # re-stamp the chunk CRC so only the dimension is wrong
+    png[20:24] = struct.pack(">I", 0x40000000)
+    png[29:33] = struct.pack(">I", zlib.crc32(bytes(png[12:29])))
+    with pytest.raises(ValueError):
+        decode_image(bytes(png))
+
+
+def test_avi_flags_and_second_stream_isolation():
+    """dwFlags must not claim AVIF_HASINDEX (0x10) when no idx1 chunk
+    exists, and parse_avi must collect stream 0 only — a second
+    stream's '01dc' chunks would corrupt frame_id indexing."""
+    import struct
+
+    import numpy as np
+
+    from hadoop_tools_spark.operators.avi import encode_avi, parse_avi
+
+    frames = [
+        np.full((8, 8, 3), 40 * i, dtype=np.uint8) for i in range(3)
+    ]
+    blob = encode_avi(frames)
+    avih_at = blob.index(b"avih") + 8
+    flags = struct.unpack_from("<I", blob, avih_at + 12)[0]
+    assert not flags & 0x10, hex(flags)  # no index -> no HASINDEX
+    assert flags & 0x100, hex(flags)  # interleaved
+    # splice a fake second-stream chunk into the movi list
+    movi_at = blob.index(b"movi")
+    payload = b"\xff\xd8fake\xff\xd9"
+    fake = b"01dc" + struct.pack("<I", len(payload)) + payload
+    riff_len = struct.unpack_from("<I", blob, 4)[0]
+    list_at = movi_at - 8
+    list_len = struct.unpack_from("<I", blob, list_at + 4)[0]
+    spliced = bytearray(blob[: movi_at + 4] + fake + blob[movi_at + 4 :])
+    struct.pack_into("<I", spliced, 4, riff_len + len(fake))
+    struct.pack_into("<I", spliced, list_at + 4, list_len + len(fake))
+    w, h, total, got = parse_avi(bytes(spliced))
+    assert len(got) == 3, len(got)  # the 01dc chunk is NOT stream 0
