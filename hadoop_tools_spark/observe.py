@@ -27,8 +27,12 @@ def with_quality_metrics(
     cols = columns or df.columns
     metrics = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
+        # coalesce: SUM over zero rows is NULL — a quality dashboard
+        # reading "nulls: None" for an empty stage is itself a bug
         metrics.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"n_null_{c}")
         )
     obs = Observation(name)
     return df.observe(obs, *metrics), obs

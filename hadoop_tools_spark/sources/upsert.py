@@ -16,8 +16,26 @@ indexes in operators/llm_dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _partition_filter(col: Column, parts: list) -> Column:
+    """Membership test for partition values that is NULL-correct.
+
+    ``col.isin(parts)`` evaluates to NULL (→ row filtered out) when the
+    row's value is NULL, even if ``None`` is in ``parts`` — so a source
+    batch carrying a null partition value would silently skip the
+    target's ``__HIVE_DEFAULT_PARTITION__`` rows: matched keys would be
+    duplicated by the union instead of replaced, and compaction would
+    silently never rewrite the null partition. Spell the NULL branch
+    explicitly instead.
+    """
+    non_null = [p for p in parts if p is not None]
+    cond = col.isin(non_null) if non_null else F.lit(False)
+    if len(non_null) != len(parts):
+        cond = cond | col.isNull()
+    return cond
 
 
 def merge_upsert(
@@ -43,13 +61,17 @@ def merge_upsert(
     Callers with partition-mobile keys must route deletes explicitly
     (emit a tombstone row in the old partition) or use a table format
     with a transaction log (Delta/Iceberg) instead.
+
+    Source batches must carry at most ONE row per key (the usual
+    CDC-compaction contract): with duplicates, the anti-join removes
+    the target row once but the union inserts every source version.
     """
     parts = [
         r[0]
         for r in source_df.select(partition_col).distinct().collect()
     ]
     target = spark.read.parquet(target_path).filter(
-        F.col(partition_col).isin(parts)
+        _partition_filter(F.col(partition_col), parts)
     )
     merged = (
         target.join(
@@ -104,7 +126,7 @@ def compact_partitions(
         F.lit(files_per_partition),
     )
     subset = (
-        df.filter(F.col(partition_col).isin(partitions))
+        df.filter(_partition_filter(F.col(partition_col), partitions))
         .repartition(
             files_per_partition * len(partitions),
             F.col(partition_col),

@@ -21,6 +21,17 @@ def test_quality_metrics_single_pass(spark):
     assert got["n_null_v"] == 2
 
 
+def test_quality_metrics_empty_frame_reports_zero(spark):
+    """Zero input rows → null counts report 0, not None (SUM over an
+    empty group is NULL without the coalesce)."""
+    df = spark.createDataFrame([], "id long, v string")
+    observed, obs = with_quality_metrics(df)
+    assert observed.count() == 0
+    got = obs.get
+    assert got["n_rows"] == 0
+    assert got["n_null_id"] == 0 and got["n_null_v"] == 0
+
+
 def test_quality_metrics_on_fixture(spark, sf_dir):
     from hadoop_tools_spark.io import load
 

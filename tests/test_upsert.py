@@ -157,6 +157,50 @@ def test_compact_partitions_honors_files_per_partition(spark, sf_dir, tmp_path):
     assert back.count() == orders.count()
 
 
+def test_merge_upsert_null_partition_value(spark, tmp_path):
+    """A NULL partition value in the source must REPLACE the matching
+    key in the target's null partition, not duplicate it (plain
+    ``isin`` evaluates NULL for NULL values and silently dropped the
+    target's __HIVE_DEFAULT_PARTITION__ rows from the merge read)."""
+    target = str(tmp_path / "null_lake")
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "F", 30.0)],
+        "k long, p string, v double",
+    )
+    base.write.partitionBy("p").parquet(target)
+
+    src = spark.createDataFrame(
+        [(1, None, 99.0)], "k long, p string, v double"
+    )
+    n = merge_upsert(spark, target, src, ["k"], "p")
+    assert n == 1
+    back = spark.read.parquet(target)
+    assert back.count() == 3  # replaced, not appended
+    assert {
+        r.k: r.v for r in back.collect()
+    } == {1: 99.0, 2: 20.0, 3: 30.0}
+
+
+def test_compact_partitions_includes_null_partition(spark, tmp_path):
+    """Full-table compaction must also rewrite the null partition —
+    the distinct() list contains None and plain ``isin`` silently
+    skipped those rows."""
+    from hadoop_tools_spark.sources.upsert import compact_partitions
+
+    target = str(tmp_path / "null_compact")
+    rows = [(i, None if i % 2 else "F", float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, p string, v double")
+    df.repartition(6).write.partitionBy("p").parquet(target)
+    null_dir = f"{target}/p=__HIVE_DEFAULT_PARTITION__"
+    assert len(glob.glob(f"{null_dir}/*.parquet")) > 1
+
+    compact_partitions(spark, target, "p")
+    assert len(glob.glob(f"{null_dir}/*.parquet")) == 1
+    back = spark.read.parquet(target)
+    assert back.count() == 40
+    assert back.filter(F.col("p").isNull()).count() == 20
+
+
 def test_cmd_cat_directory_is_clean_error(spark, sf_dir, tmp_path, capsys):
     """`hh cat DIR` reports 'Is a directory' and rc=1 — not a py4j
     stack trace."""
