@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..exact import sum_exact, sum_pinned
 from ..io import load, table_bytes
 from ..registry import query
 
@@ -36,15 +37,15 @@ def agg_basic(spark, sf_dir):
     # cross-engine), then one IEEE division for the mean — SUM/AVG
     # over raw doubles then ROUND was the partition-merge-order flake
     # class (q1's proven pattern).
-    price_dec = F.col("o_totalprice").cast("decimal(18,4)")
+    sum_price = sum_pinned(F.col("o_totalprice"), 4)
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(price_dec).cast("double").alias("sum_price"),
+            sum_price.cast("double").alias("sum_price"),
             F.round(
-                F.sum(price_dec).cast("double") / F.count("*"), 6
+                sum_price.cast("double") / F.count("*"), 6
             ).alias("avg_price"),
             F.min("o_orderdate").alias("first_order"),
             F.max("o_orderdate").alias("last_order"),
@@ -123,16 +124,18 @@ def _qty_price_sums(li):
     with partition order, which was the ROUND flake class."""
     q = F.col("l_quantity").cast("long")
     c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    cd = c.cast("decimal(38,0)")
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(q).alias("sq"),
         F.sum(q * q).alias("sq2"),
-        # cents sums widen past int64 around 1e12 rows; DECIMAL(38,0)
-        # keeps the reduction exact (and order-free) at any SF
-        F.sum(cd).alias("sp"),
-        F.sum(cd * c).alias("sp2"),
-        F.sum(cd * q).alias("spq"),
+        # cents sums widen past int64 around 1e12 rows; limb sums
+        # (exact.py) keep the reduction exact at any SF with primitive
+        # long buffers (a DECIMAL(38,0) SUM measured ~3x slower here).
+        # Per-row products stay inside int64: cents^2 <= ~1.2e14 and
+        # cents*qty <= ~5.5e8, so only the REDUCTION needs widening.
+        sum_exact(c).cast("decimal(38,0)").alias("sp"),
+        sum_exact(c * c, limbs=3).cast("decimal(38,0)").alias("sp2"),
+        sum_exact(c * q, limbs=2).cast("decimal(38,0)").alias("spq"),
     )
 
 
@@ -411,7 +414,7 @@ def agg_cube(spark, sf_dir):
     # c_acctbal is on a 2-dp grid: exact decimal sum, one IEEE
     # division, floor-pinned mean (AVG of doubles is order-dependent
     # cross-engine — the flake class)
-    bal_dec = F.col("c_acctbal").cast("decimal(18,2)")
+    sum_bal = sum_pinned(F.col("c_acctbal"), 2)
     return (
         load(spark, sf_dir, "customer")
         .cube("c_mktsegment", "c_nationkey")
@@ -419,7 +422,7 @@ def agg_cube(spark, sf_dir):
             F.count("*").alias("n_cust"),
             (
                 F.floor(
-                    F.sum(bal_dec).cast("double") / F.count("*")
+                    sum_bal.cast("double") / F.count("*")
                     * 1_000_000
                     + 0.5
                 )
@@ -484,14 +487,14 @@ def agg_unpivot(spark, sf_dir):
     # 2-dp emission is floor-pinned because a 4-dp quantity lands on
     # an exact 2-dp .5 boundary ~1/100 of the time and Spark/DuckDB
     # ROUND diverge there (shortest-repr HALF_UP vs scaled binary)
-    price_dec = F.col("o_totalprice").cast("decimal(18,4)")
+    sum_price = sum_pinned(F.col("o_totalprice"), 4)
     pin2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
     wide = (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            pin2(F.sum(price_dec).cast("double")).alias("total_price"),
-            pin2(F.sum(price_dec).cast("double") / F.count("*")).alias(
+            pin2(sum_price.cast("double")).alias("total_price"),
+            pin2(sum_price.cast("double") / F.count("*")).alias(
                 "avg_price"
             ),
             pin2(F.max("o_totalprice")).alias("max_price"),

@@ -16,26 +16,30 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..exact import sum_pinned
 from ..io import load
 from ..registry import query
 
 
-def revenue_dec():
-    """Per-row revenue fixed-pointed to DECIMAL(18,4) — the q9 pattern.
+def sum_revenue():
+    """Order-free exact revenue SUM — the q9 pattern, limb-summed.
 
     ``l_extendedprice`` is on a 2-dp grid and ``(1 - l_discount)`` on a
     2-dp grid, so the product lies exactly on the 1e-4 grid; the double
-    product's error (~1e-11) is far from any decimal midpoint, so the
-    per-row cast rounds identically in Spark and DuckDB, and decimal
-    SUM is associative — the aggregate is order-free and bit-identical
-    cross-engine (ROUND-on-double-SUM was the flake class: Spark
-    shortest-repr HALF_UP vs DuckDB scaled-binary round diverge at .5
-    boundaries, and a 4-dp-grid sum hits a 2-dp .5 boundary ~1/100
-    groups).
+    product's error (~1e-11) is far from any 1e-4 midpoint, so the
+    per-row pin rounds identically in Spark and DuckDB, and the
+    integer-limb SUM (exact.py) is associative — the aggregate is
+    order-free and bit-identical cross-engine (ROUND-on-double-SUM was
+    the flake class: Spark shortest-repr HALF_UP vs DuckDB
+    scaled-binary round diverge at .5 boundaries, and a 4-dp-grid sum
+    hits a 2-dp .5 boundary ~1/100 groups). Same exact value as
+    ``SUM(CAST(.. AS DECIMAL(18,4)))`` — the oracle form — but with
+    primitive long aggregation buffers (the decimal-sum form measured
+    ~6× slower; see exact.py).
     """
-    return (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    ).cast("decimal(18,4)")
+    return sum_pinned(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    )
 
 
 #: the same expression for oracle SQL (prefix table alias per query).
@@ -77,32 +81,34 @@ REV_DEC_SQL = "CAST({l}l_extendedprice * (1 - {l}l_discount) AS DECIMAL(18,4))"
 )
 def q1_pricing_summary(spark, sf_dir):
     # Determinism: every float SUM/AVG is fixed-pointed per row to the
-    # column's exact decimal grid and summed as DECIMAL (associative →
-    # order-free, identical cross-engine), then emitted as double; the
-    # avg divisions are single IEEE ops on identical operands. Only
-    # l_quantity (integer-valued → exact double sum) keeps plain SUM.
+    # column's exact decimal grid and limb-summed exactly (exact.py:
+    # associative → order-free, identical cross-engine, primitive
+    # buffers), then emitted as double; the avg divisions are single
+    # IEEE ops on identical operands. Only l_quantity (integer-valued
+    # → exact double sum) keeps plain SUM.
     li = load(spark, sf_dir, "lineitem")
-    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_dec = F.col("l_discount").cast("decimal(18,2)")
-    charge_dec = (
+    sum_price = sum_pinned(F.col("l_extendedprice"), 2)
+    sum_disc = sum_pinned(F.col("l_discount"), 2)
+    sum_charge = sum_pinned(
         F.col("l_extendedprice")
         * (1 - F.col("l_discount"))
-        * (1 + F.col("l_tax"))
-    ).cast("decimal(18,6)")
+        * (1 + F.col("l_tax")),
+        6,
+    )
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.sum(price_dec).cast("double").alias("sum_base_price"),
-            F.sum(revenue_dec()).cast("double").alias("sum_disc_price"),
-            F.sum(charge_dec).cast("double").alias("sum_charge"),
+            sum_price.cast("double").alias("sum_base_price"),
+            sum_revenue().cast("double").alias("sum_disc_price"),
+            sum_charge.cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(
-                F.sum(price_dec).cast("double") / F.count("*"), 6
+                sum_price.cast("double") / F.count("*"), 6
             ).alias("avg_price"),
             F.round(
-                F.sum(disc_dec).cast("double") / F.count("*"), 6
+                sum_disc.cast("double") / F.count("*"), 6
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -154,7 +160,7 @@ def q3_shipping_priority(spark, sf_dir):
         o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue_dec()).cast("double").alias("revenue"))
+        .agg(sum_revenue().cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -189,11 +195,7 @@ def q6_revenue_change(spark, sf_dir):
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(
-            (F.col("l_extendedprice") * F.col("l_discount")).cast(
-                "decimal(18,4)"
-            )
-        )
+        sum_pinned(F.col("l_extendedprice") * F.col("l_discount"), 4)
         .cast("double")
         .alias("revenue_delta"),
         F.count("*").alias("n"),
@@ -293,7 +295,7 @@ def q5_local_supplier(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue_dec()).cast("double").alias("revenue"))
+        .agg(sum_revenue().cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -345,9 +347,7 @@ def q17_small_qty_revenue(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                    "double"
-                )
+                sum_pinned(F.col("l_extendedprice"), 2).cast("double")
                 / 7.0,
                 2,
             ).alias("avg_yearly"),

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..exact import sum_pinned
 from ..io import load, materialize
 from ..registry import query
 
@@ -47,16 +48,12 @@ def _revenue():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
-def _revenue_dec():
-    """Shared per-row DECIMAL(18,4) revenue (see relational.revenue_dec)."""
-    from .relational import revenue_dec
-
-    return revenue_dec()
-
-
 def _sum_rev():
-    """Order-free revenue sum: exact decimal reduction emitted as double."""
-    return F.sum(_revenue_dec()).cast("double")
+    """Order-free revenue sum: exact limb-summed reduction emitted as
+    double (see relational.sum_revenue / exact.py)."""
+    from .relational import sum_revenue
+
+    return sum_revenue().cast("double")
 
 
 @query(
@@ -128,10 +125,10 @@ def q7_volume_shipping(spark, sf_dir):
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
-            _revenue_dec().alias("volume"),
+            _revenue().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .agg(sum_pinned(F.col("volume"), 4).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -200,17 +197,18 @@ def q8_market_share(spark, sf_dir):
     return (
         df.select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            _revenue_dec().alias("volume"),
+            _revenue().alias("volume"),
             "nation",
         )
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(
+                sum_pinned(
                     F.when(F.col("nation") == "NATION_3", F.col("volume"))
-                    .otherwise(F.lit(0).cast("decimal(18,4)"))
+                    .otherwise(F.lit(0.0)),
+                    4,
                 ).cast("double")
-                / F.sum("volume").cast("double"),
+                / sum_pinned(F.col("volume"), 4).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -291,10 +289,8 @@ def q11_important_parts(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     pv = materialize(
         li.groupBy("l_partkey").agg(
-            F.sum(
-                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
-                    "decimal(18,2)"
-                )
+            sum_pinned(
+                F.col("l_extendedprice") * F.col("l_quantity"), 2
             )
             .cast("double")
             .alias("value")
@@ -425,16 +421,17 @@ def q14_promo_revenue(spark, sf_dir):
         (F.col("l_shipdate") >= "1997-01-01")
         & (F.col("l_shipdate") < "1997-03-01")
     )
-    rev = _revenue_dec()
+    rev = _revenue()
     return li.join(p, li.l_partkey == p.p_partkey).agg(
         F.round(
             100.0
-            * F.sum(
+            * sum_pinned(
                 F.when(F.col("p_type") == "PROMO", rev).otherwise(
-                    F.lit(0).cast("decimal(18,4)")
-                )
+                    F.lit(0.0)
+                ),
+                4,
             ).cast("double")
-            / F.sum(rev).cast("double"),
+            / sum_pinned(rev, 4).cast("double"),
             6,
         ).alias("promo_pct"),
         F.count("*").alias("n"),
@@ -675,7 +672,7 @@ def q22_dormant_customers(spark, sf_dir):
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
         (
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            sum_pinned(F.col("c_acctbal"), 2).cast("double")
             / F.count("*")
         ).alias("avg_bal")
     )
@@ -686,7 +683,7 @@ def q22_dormant_customers(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            sum_pinned(F.col("c_acctbal"), 2)
             .cast("double")
             .alias("totacctbal"),
         )
@@ -825,10 +822,14 @@ def q9_product_profit(spark, sf_dir):
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            profit.cast("decimal(18,4)").alias("profit_item"),
+            profit.alias("profit_item"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("profit_item").cast("double").alias("profit"))
+        .agg(
+            sum_pinned(F.col("profit_item"), 4)
+            .cast("double")
+            .alias("profit")
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 

@@ -11,8 +11,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..exact import sum_pinned_sql
 from ..io import load
 from ..registry import query
+
+#: limb-summed exact revenue fragments (see exact.py): same value as
+#: SUM(CAST(expr AS DECIMAL(18,4))) with primitive long agg buffers.
+_SUM_PRICE_4 = sum_pinned_sql("o_totalprice", 4)
 
 
 @query(
@@ -47,7 +52,7 @@ def sql_recursive_cte(spark, sf_dir):
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("_rc_orders")
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE months(m) AS (
           SELECT DATE '1995-01-01'
           UNION ALL
@@ -56,7 +61,7 @@ def sql_recursive_cte(spark, sf_dir):
         )
         SELECT CAST(m AS STRING) AS month_start,
                CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+               CAST(COALESCE({_SUM_PRICE_4}, 0)
                 AS DOUBLE) AS revenue
         FROM months LEFT JOIN _rc_orders
           ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
@@ -133,12 +138,12 @@ def sql_udf(spark, sf_dir):
         " RETURNS STRING"
         " RETURN CASE WHEN p > 50000 THEN 'hi' ELSE 'lo' END"
     )
+    sum_disc = sum_pinned_sql("disc_price(l_extendedprice, l_discount)", 4)
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, price_band(l_extendedprice) AS band,
                COUNT(*) AS n,
-               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS disc_revenue
+               CAST({sum_disc} AS DOUBLE) AS disc_revenue
         FROM _udf_lineitem
         GROUP BY l_returnflag, price_band(l_extendedprice)
         """
@@ -176,22 +181,34 @@ def sql_pivot(spark, sf_dir):
     your columns).
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pivot_src")
+    # the PIVOT aggregates must be plain column aggs, so the limb
+    # decomposition (exact.py) happens in the subquery: pivot SUMs the
+    # two primitive limb columns, the outer SELECT recombines them in
+    # DECIMAL once per group — same exact value as SUM(DECIMAL(18,4)),
+    # primitive long buffers in the pivot itself.
+    rec = (
+        "CAST(COALESCE((CAST({p}_rhi AS DECIMAL(38,0)) * 2097152"
+        " + {p}_rlo) * CAST(0.0001 AS DECIMAL(4,4)), 0) AS DOUBLE)"
+    )
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority,
                COALESCE(F_n, 0)  AS n_f,
                COALESCE(O_n, 0)  AS n_o,
                COALESCE(P_n, 0)  AS n_p,
-               CAST(COALESCE(F_rev, 0) AS DOUBLE) AS rev_f,
-               CAST(COALESCE(O_rev, 0) AS DOUBLE) AS rev_o,
-               CAST(COALESCE(P_rev, 0) AS DOUBLE) AS rev_p
+               {rec.format(p='F')} AS rev_f,
+               {rec.format(p='O')} AS rev_o,
+               {rec.format(p='P')} AS rev_p
         FROM (
             SELECT o_orderpriority, o_orderstatus,
-                   CAST(o_totalprice AS DECIMAL(18,4)) AS o_totalprice
+                   PMOD(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT),
+                        2097152) AS u_lo,
+                   SHIFTRIGHT(CAST(FLOOR(o_totalprice * 10000 + 0.5)
+                                   AS BIGINT), 21) AS u_hi
             FROM orders_pivot_src
         )
         PIVOT (
-            COUNT(*) AS n, SUM(o_totalprice) AS rev
+            COUNT(*) AS n, SUM(u_lo) AS rlo, SUM(u_hi) AS rhi
             FOR o_orderstatus IN ('F', 'O', 'P')
         )
         """
@@ -219,9 +236,9 @@ def sql_params(spark, sf_dir):
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_src")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               CAST({_SUM_PRICE_4} AS DOUBLE)
                AS revenue
         FROM orders_param_src
         WHERE o_totalprice > :threshold AND o_orderstatus = :status

@@ -21,6 +21,7 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..exact import sum_pinned
 from ..io import load
 from ..registry import query
 
@@ -59,7 +60,7 @@ def scan_csv_roundtrip(spark, sf_dir):
     back = spark.read.schema(schema).option("header", True).csv(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        sum_pinned(F.col("o_totalprice"), 4)
         .cast("double")
         .alias("sum_price"),
     )
@@ -89,7 +90,7 @@ def scan_json_roundtrip(spark, sf_dir):
     back = spark.read.schema(schema).json(path)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
+        sum_pinned(F.col("value"), 2)
         .cast("double")
         .alias("sum_value"),
     )
@@ -118,7 +119,7 @@ def sink_parquet_roundtrip(spark, sf_dir):
     back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        sum_pinned(F.col("o_totalprice"), 4)
         .cast("double")
         .alias("sum_price"),
     )
@@ -148,7 +149,7 @@ def sink_orc_roundtrip(spark, sf_dir):
     back = spark.read.orc(path)
     return back.groupBy("l_linestatus").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        sum_pinned(F.col("l_extendedprice"), 2)
         .cast("double")
         .alias("sum_price"),
     )
@@ -214,7 +215,7 @@ def sink_dpp_join(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            sum_pinned(F.col("o_totalprice"), 4)
             .cast("double")
             .alias("sum_price"),
         )
@@ -266,7 +267,7 @@ def scan_xml_roundtrip(spark, sf_dir):
     )
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        sum_pinned(F.col("c_acctbal"), 2)
         .cast("double")
         .alias("sum_bal"),
     )
@@ -330,7 +331,7 @@ def scan_csv_malformed(spark, sf_dir):
         F.sum(
             F.when(salvaged_key != "", 1).otherwise(0)
         ).cast("long").alias("n_salvaged"),
-        F.sum(F.col("price").cast("decimal(18,4)"))
+        sum_pinned(F.col("price"), 4)
         .cast("double")
         .alias("good_revenue"),
     )
@@ -444,8 +445,8 @@ def scan_parquet_schema_merge(spark, sf_dir):
         .agg(
             F.count("*").alias("n_rows"),
             F.count("o_discount").alias("n_with_discount"),
-            F.sum(
-                F.coalesce("o_discount", F.lit(0.0)).cast("decimal(18,4)")
+            sum_pinned(
+                F.coalesce("o_discount", F.lit(0.0)), 4
             )
             .cast("double")
             .alias("sum_discount"),
