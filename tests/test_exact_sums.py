@@ -112,6 +112,46 @@ def test_sum_exact_null_semantics(spark):
     assert rows[2].s is None and rows[2].ref is None
 
 
+def test_sum_exact_property_random_longs(spark):
+    """Property: sum_exact == Python big-int sum for random longs
+    across the full int64 range, at 2 and 3 limbs, per group."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    lo, hi = -(1 << 62), (1 << 62) - 1
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.integers(min_value=lo, max_value=hi),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def run(rows):
+        df = spark.createDataFrame(rows, "g int, u long")
+        for limbs in (2, 3):
+            got = {
+                r.g: int(r.s)
+                for r in df.groupBy("g")
+                .agg(sum_exact(F.col("u"), limbs=limbs).alias("s"))
+                .collect()
+            }
+            want = {}
+            for g, u in rows:
+                want[g] = want.get(g, 0) + u
+            assert got == want, limbs
+
+    run()
+
+
 def test_sum_exact_large_per_row_products(spark):
     """limbs=3 stays exact for per-row values near 2^47 (squared-cents
     scale) summed over many rows — the agg_stats sufficient-statistic
