@@ -913,26 +913,33 @@ def agg_moments(spark, sf_dir):
     c = ev.select(
         "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x")
     )
+    # All four moment sums reduce with primitive long buffers
+    # (exact.py limb sums — the decimal(38,0) SUM form pays the heap
+    # buffer tax). Per-row bounds, ANSI-guarded (overflow THROWS, it
+    # cannot silently wrap — the sf0.1 bench once caught a silent
+    # per-row x⁴ wrap at 560.21 maxima, hence the care here):
+    #   x²,x³ as long products: exact for |x| < 2^21 cents ($20 971
+    #   per event value — 37× the fixture maxima);
+    #   x⁴ NEVER fits int64 at real maxima (9.85e18 > 2^63), so it is
+    #   square-split: p₂ = x² = a·2^21 + b ⇒ x⁴ = a²·2^42 + ab·2^22
+    #   + b², three long-product sums recombined in DECIMAL per group.
+    # Row bounds: every limb sum safe past 4e12 rows/group (exact.py).
+    x = F.col("x")
+    p2 = x * x
+    a = F.shiftright(p2, 21)
+    b = F.pmod(p2, F.lit(1 << 21))
     m = c.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s1"),
-        # s2 widened too: x² ≈ 3.1e9 at the value maxima, so a BIGINT
-        # partial sum overflows (an ANSI job kill) past ~3e9 rows per
-        # group — real at the module's own 100 TB framing. s1 stays
-        # BIGINT (safe to ~1.6e14 rows).
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s2"),
-        # widen BEFORE multiplying: cents^4 for a 560.21 value is
-        # 9.85e18 > int64 max — the sf0.1 bench caught the per-row
-        # overflow that sf0.01's smaller maxima never hit
-        F.sum(
-            F.col("x").cast("decimal(38,0)") * F.col("x") * F.col("x")
-        ).alias("s3"),
-        F.sum(
-            F.col("x").cast("decimal(38,0)")
-            * F.col("x")
-            * F.col("x")
-            * F.col("x")
-        ).alias("s4"),
+        sum_exact(p2, limbs=2).alias("s2"),
+        sum_exact(p2 * x, limbs=3).alias("s3"),
+        (
+            sum_exact(a * a, limbs=2) * F.lit(1 << 42)
+            + sum_exact(a * b, limbs=3) * F.lit(1 << 22)
+            + sum_exact(b * b, limbs=3)
+        )
+        .cast("decimal(38,0)")
+        .alias("s4"),
     )
     mu = F.col("s1").cast("double") / F.col("n")
     m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
