@@ -7,7 +7,10 @@ value hash) the Spark result against the oracle at sf0.01, so:
 
 - every computed/aggregate column is aliased identically on both sides;
 - float aggregates are rounded to a fixed precision (sum of doubles is
-  order-sensitive in the last ulps; rounding pins the hash);
+  order-sensitive in the last ulps; rounding pins the hash); exact
+  pinned SUMs use the limb primitives in ``exact.py`` — never
+  ``SUM(CAST(x AS DECIMAL))`` on the Spark side (heap-decimal buffer
+  tax) and never raw BIGINT sums where 100 TB group sizes overflow;
 - randomized/approximate ops register *without* an oracle (rows-only).
 """
 
