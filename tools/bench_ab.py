@@ -1,0 +1,111 @@
+"""Same-box A/B timing of registered keys: working tree vs a git rev.
+
+Round-6 lesson (SURVEY §8 r6.13, BASELINE admission rule): a bench
+total is only comparable same-box-same-day. When a key looks
+regressed vs a recorded board, time it under BOTH code states on the
+box AS IT IS NOW before concluding anything — a 36 s apparent r6
+regression decomposed into ~24 s real (decimal-sum tax) and ~12 s
+shared-box noise exactly this way.
+
+Usage: python tools/bench_ab.py <git-rev> key [key ...]
+
+Creates a throwaway worktree for <git-rev> under /tmp, runs each side
+in its own process (old first, then new — each with warmup and
+min-of-2, cache-isolated), prints a per-key table and removes the
+worktree. Keys missing on either side are reported, not fatal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUNNER = r"""
+import sys, time, json, os
+sys.path.insert(0, sys.argv[1])
+os.chdir(sys.argv[1])
+from hadoop_tools_spark import all_queries, registry
+from hadoop_tools_spark.session import get_spark
+keys = [k for k in sys.argv[2:] if k in registry.QUERIES]
+missing = [k for k in sys.argv[2:] if k not in registry.QUERIES]
+spark = get_spark("bench_ab")
+spark.range(1).collect()
+sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+for k in keys:  # warm pass at the smallest SF
+    try:
+        registry.QUERIES[k](spark, "/root/testdata/sf0.001").write.format(
+            "noop").mode("overwrite").save()
+    except Exception:
+        pass
+spark.catalog.clearCache()
+best = {}
+for _ in range(2):
+    for k in keys:
+        t0 = time.time()
+        try:
+            registry.QUERIES[k](spark, sf).write.format("noop").mode(
+                "overwrite").save()
+            best[k] = min(best.get(k, 9e9), time.time() - t0)
+        except Exception as e:
+            best[k] = -1.0
+            print(f"ab error {k}: {e}", file=sys.stderr)
+        spark.catalog.clearCache()
+print("ABJSON:" + json.dumps({"best": best, "missing": missing}))
+spark.stop()
+"""
+
+
+def _run_side(tree: str, keys: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _RUNNER, tree, *keys],
+        capture_output=True,
+        text=True,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("ABJSON:"):
+            return json.loads(line[len("ABJSON:"):])
+    raise RuntimeError(
+        f"runner produced no result for {tree}:\n{out.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
+    rev, keys = sys.argv[1], sys.argv[2:]
+    old_tree = f"/tmp/bench_ab_{rev.replace('/', '_')}"
+    subprocess.run(
+        ["git", "-C", REPO, "worktree", "add", "--force", old_tree, rev],
+        check=True,
+        capture_output=True,
+    )
+    try:
+        old = _run_side(old_tree, keys)
+        new = _run_side(REPO, keys)
+    finally:
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "remove", "--force", old_tree],
+            capture_output=True,
+        )
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "prune"], capture_output=True
+        )
+    print(f"{'key':40s} {rev[:12]:>12s} {'worktree':>10s} {'ratio':>7s}")
+    for k in keys:
+        o, n = old["best"].get(k), new["best"].get(k)
+        if o is None or n is None:
+            print(f"{k:40s} {'—':>12s} {'—':>10s}   (missing on a side)")
+            continue
+        ratio = f"{n / o:6.2f}x" if o and o > 0 else "    —"
+        print(f"{k:40s} {o:12.3f} {n:10.3f} {ratio:>7s}")
+    if old["missing"] or new["missing"]:
+        print(f"missing old={old['missing']} new={new['missing']}")
+
+
+if __name__ == "__main__":
+    main()
