@@ -80,7 +80,14 @@ def llm_inverted_index(spark, sf_dir):
     """
     d = load_spread(spark, sf_dir, "documents")
     n_total = d.agg(F.count("*").alias("n_total"))
-    per = (
+    # materialize: `per` feeds BOTH the df-band aggregation and the
+    # semi-join back — without the cache the scan+explode+tf pipeline
+    # runs twice (plan-verified: ReuseExchange does not fire across
+    # these branches; Generate appeared twice, 1.38× wall). The cache
+    # is the (term, doc, tf) pair table, MEMORY_AND_DISK → spills, and
+    # at 100 TB it is exactly the intermediate a real index build
+    # would persist between the stats pass and the posting pass.
+    per = materialize(
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
