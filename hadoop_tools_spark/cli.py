@@ -545,6 +545,14 @@ MIN_OPERANDS = {
     "cd": 1,
 }
 
+#: options that consume the NEXT argv token as their value — the
+#: value must not count as an operand, or `hh tail -c 100` (no path)
+#: passes the MIN_OPERANDS gate and silently exits 0 instead of rc 2.
+OPT_VALUES = {
+    "tail": {"-c"},
+    "find": {"-name", "-type"},
+}
+
 
 def main(argv=None, spark=None, out=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
@@ -555,7 +563,15 @@ def main(argv=None, spark=None, out=None) -> int:
             file=out or sys.stderr,
         )
         return 0 if argv and argv[0] in ("-h", "--help") else 2
-    operands = [a for a in argv[1:] if not a.startswith("-")]
+    value_opts = OPT_VALUES.get(argv[0], set())
+    operands, skip = [], False
+    for a in argv[1:]:
+        if skip:
+            skip = False
+        elif a in value_opts:
+            skip = True
+        elif not a.startswith("-"):
+            operands.append(a)
     if len(operands) < MIN_OPERANDS.get(argv[0], 0):
         print(f"hh {argv[0]}: missing operand", file=out or sys.stderr)
         return 2

@@ -24,8 +24,8 @@ from ..registry import query
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                AS sum_price,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_price,
+           floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5)/1000000 AS avg_price,
            MIN(o_orderdate) AS first_order,
            MAX(o_orderdate) AS last_order
     FROM orders GROUP BY o_orderpriority
@@ -36,7 +36,10 @@ def agg_basic(spark, sf_dir):
     # fixed-point per row and SUM as DECIMAL (associative → order-free
     # cross-engine), then one IEEE division for the mean — SUM/AVG
     # over raw doubles then ROUND was the partition-merge-order flake
-    # class (q1's proven pattern).
+    # class (q1's proven pattern). The mean is floor-pinned
+    # (floor(x·1e6+0.5)/1e6) like agg_cube/agg_unpivot: ROUND on a
+    # double diverges between Spark HALF_UP and DuckDB scaled-binary
+    # at exact .5 boundaries, so the registry uses one convention.
     sum_price = sum_pinned(F.col("o_totalprice"), 4)
     return (
         load(spark, sf_dir, "orders")
@@ -44,8 +47,12 @@ def agg_basic(spark, sf_dir):
         .agg(
             F.count("*").alias("n_orders"),
             sum_price.cast("double").alias("sum_price"),
-            F.round(
-                sum_price.cast("double") / F.count("*"), 6
+            (
+                F.floor(
+                    sum_price.cast("double") / F.count("*") * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
             ).alias("avg_price"),
             F.min("o_orderdate").alias("first_order"),
             F.max("o_orderdate").alias("last_order"),

@@ -258,7 +258,15 @@ def fs_checksum(spark, sf_dir):
     instead (an oracle stronger than SQL for this op).
     """
     ensure_session_confs(spark)
-    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    # pathGlobFilter, not a glob in the path: a glob path makes
+    # FileStreamSink.hasMetadata log a harmless-but-noisy WARN with a
+    # full java stack (it stat()s the literal "*.parquet" name) on
+    # every invocation — the r6 verdict flagged the interleaved trace
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
     return (
         files.select(
             F.regexp_extract(F.col("path"), "([^/]+)$", 1).alias("file"),

@@ -67,11 +67,11 @@ REV_DEC_SQL = "CAST({l}l_extendedprice * (1 - {l}l_discount) AS DECIMAL(18,4))"
                          AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                          AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           ROUND(AVG(l_quantity), 6)       AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 6)            AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 6)            AS avg_disc,
+           floor(AVG(l_quantity) * 1000000 + 0.5)/1000000 AS avg_qty,
+           floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5)/1000000 AS avg_price,
+           floor(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5)/1000000 AS avg_disc,
            COUNT(*)                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -103,12 +103,22 @@ def q1_pricing_summary(spark, sf_dir):
             sum_price.cast("double").alias("sum_base_price"),
             sum_revenue().cast("double").alias("sum_disc_price"),
             sum_charge.cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(
-                sum_price.cast("double") / F.count("*"), 6
+            (
+                F.floor(F.avg("l_quantity") * 1_000_000 + 0.5) / 1_000_000
+            ).alias("avg_qty"),
+            (
+                F.floor(
+                    sum_price.cast("double") / F.count("*") * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
             ).alias("avg_price"),
-            F.round(
-                sum_disc.cast("double") / F.count("*"), 6
+            (
+                F.floor(
+                    sum_disc.cast("double") / F.count("*") * 1_000_000
+                    + 0.5
+                )
+                / 1_000_000
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..exact import sum_pinned
+from ..exact import sum_exact, sum_pinned, to_units
 from ..io import load, materialize
 from ..registry import query
 
@@ -265,13 +265,15 @@ def q10_returned_items(spark, sf_dir):
     oracle="""
     WITH pv AS (
         SELECT l_partkey,
-               CAST(SUM(CAST(l_extendedprice * l_quantity
-                             AS DECIMAL(18,2))) AS DOUBLE) AS value
+               SUM(CAST(FLOOR(l_extendedprice * l_quantity * 100 + 0.5)
+                        AS BIGINT)) AS value_units
         FROM lineitem GROUP BY l_partkey
-    )
-    SELECT l_partkey AS p_partkey, ROUND(value, 2) AS part_value
-    FROM pv
-    WHERE value > (SELECT CAST(SUM(value) AS DOUBLE) / COUNT(*) * 1.5 FROM pv)
+    ),
+    tot AS (SELECT SUM(value_units) AS sum_units, COUNT(*) AS n FROM pv)
+    SELECT l_partkey AS p_partkey,
+           CAST(value_units AS DOUBLE) / 100 AS part_value
+    FROM pv, tot
+    WHERE CAST(value_units AS HUGEINT) * 2 * n > sum_units * 3
     ORDER BY part_value DESC, p_partkey
     """,
 )
@@ -285,26 +287,37 @@ def q11_important_parts(spark, sf_dir):
     is computed once and cached, the global total reduces it to one
     row, and a broadcast cross join applies the threshold without
     re-aggregating — one fact shuffle total.
+
+    The membership test is integer-exact: per-part cents stay DECIMAL
+    until the comparison, and ``value > sum/n · 1.5`` is evaluated as
+    ``value_units · 2n > sum_units · 3`` — no double reduction feeds
+    the threshold, so membership can't flip on an ulp cross-engine
+    (the agg_heavy_hitters convention). The displayed value is a
+    single IEEE division of an exactly-representable integer.
     """
     li = load(spark, sf_dir, "lineitem")
     pv = materialize(
         li.groupBy("l_partkey").agg(
-            sum_pinned(
-                F.col("l_extendedprice") * F.col("l_quantity"), 2
-            )
-            .cast("double")
-            .alias("value")
+            sum_exact(
+                to_units(
+                    F.col("l_extendedprice") * F.col("l_quantity"), 2
+                )
+            ).alias("value_units")
         )
     )
     total = pv.agg(
-        (F.sum("value").cast("double") / F.count("*") * 1.5).alias("threshold")
+        F.sum("value_units").cast("decimal(38,0)").alias("sum_units"),
+        F.count("*").alias("n"),
     )
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
+        .filter(
+            F.col("value_units") * 2 * F.col("n")
+            > F.col("sum_units") * 3
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("value", 2).alias("part_value"),
+            (F.col("value_units").cast("double") / 100).alias("part_value"),
         )
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )

@@ -238,6 +238,10 @@ def test_missing_operand_rc2(spark):
     assert run(spark, "test")[0] == 2
     rc, _ = run(spark, "find", "/tmp", "-name")
     assert rc == 2
+    # an option VALUE must not satisfy the operand count: `tail -c 100`
+    # has no path and must be rc 2, not a silent rc-0 no-op
+    assert run(spark, "tail", "-c", "100")[0] == 2
+    assert run(spark, "cat")[0] == 2
 
 
 def test_scan_local_dirs_skips_broken_entry_not_siblings(tmp_path):

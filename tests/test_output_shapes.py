@@ -46,3 +46,26 @@ def test_queries_and_oracles_consistent():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     orphan = sorted(set(oracles) - set(qs))
     assert not orphan, f"oracle_sql keys with no queries() entry: {orphan}"
+
+
+def test_ordered_keys_stale_green_tier():
+    """Stale greens (module changed since last driver sample) must rank
+    ahead of untouched greens (r6 verdict ask #8): the order is a
+    permutation of the registry, failures-first, and any stale key sits
+    before every fresh-green key."""
+    import __spark_entry__ as entry_mod
+    from hadoop_tools_spark import registry
+
+    keys = entry_mod._ordered_keys()
+    assert sorted(keys) == sorted(registry.QUERIES)
+    verdicts = entry_mod._driver_verdicts()
+    stale = entry_mod._stale_green_keys()
+    pos = {k: i for i, k in enumerate(keys)}
+    fresh_green = [
+        k for k in keys
+        if verdicts.get(k) and k not in stale and k in registry.ORACLES
+    ]
+    if stale and fresh_green:
+        assert max(pos[k] for k in stale if verdicts.get(k)) < min(
+            pos[k] for k in fresh_green
+        ), "a stale-green key ranked after an untouched green"

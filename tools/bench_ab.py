@@ -43,17 +43,24 @@ for k in keys:  # warm pass at the smallest SF
         pass
 spark.catalog.clearCache()
 best = {}
+errors = set()
 for _ in range(2):
     for k in keys:
         t0 = time.time()
         try:
             registry.QUERIES[k](spark, sf).write.format("noop").mode(
                 "overwrite").save()
-            best[k] = min(best.get(k, 9e9), time.time() - t0)
+            t = time.time() - t0
+            if k not in best or t < best[k]:
+                best[k] = t
         except Exception as e:
-            best[k] = -1.0
+            errors.add(k)
             print(f"ab error {k}: {e}", file=sys.stderr)
         spark.catalog.clearCache()
+# a key is errored only if NO attempt succeeded; one flaky attempt
+# must not poison (or overwrite) a valid measurement
+for k in errors - set(best):
+    best[k] = -1.0
 print("ABJSON:" + json.dumps({"best": best, "missing": missing}))
 spark.stop()
 """
