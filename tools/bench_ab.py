@@ -8,11 +8,22 @@ regression decomposed into ~24 s real (decimal-sum tax) and ~12 s
 shared-box noise exactly this way.
 
 Usage: python tools/bench_ab.py <git-rev> key [key ...]
+       python tools/bench_ab.py <git-rev> --all [--json]
 
 Creates a throwaway worktree for <git-rev> under /tmp, runs each side
 in its own process (old first, then new — each with warmup and
 min-of-2, cache-isolated), prints a per-key table and removes the
 worktree. Keys missing on either side are reported, not fatal.
+
+``--all`` runs the FULL registered board on both sides — the
+box-independent round-close measurement (r6 verdict ask #1: recorded
+boards from different days differ by a 1.2–1.4× box factor; only a
+same-box-same-day A/B yields trustworthy per-key ratios). ``--json``
+additionally writes ``BENCH_AB.json`` at the repo root
+(``{"rev": ..., "ab": {key: {"old": s, "new": s, "ratio": r}}}``);
+``bench.py`` folds that table into ``BENCH_FULL.json`` and its stdout
+line, so the driver-recorded ``BENCH_r{N}.json`` carries per-key
+ratios vs the previous round close alongside the raw walls.
 """
 
 from __future__ import annotations
@@ -81,10 +92,19 @@ def _run_side(tree: str, keys: list[str]) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) < 3:
+    args = sys.argv[1:]
+    write_json = "--json" in args
+    run_all = "--all" in args
+    args = [a for a in args if a not in ("--json", "--all")]
+    if not args or (not run_all and len(args) < 2):
         print(__doc__)
         sys.exit(2)
-    rev, keys = sys.argv[1], sys.argv[2:]
+    rev, keys = args[0], args[1:]
+    if run_all:
+        sys.path.insert(0, REPO)
+        from hadoop_tools_spark import all_queries, registry  # noqa: F401
+
+        keys = sorted(registry.QUERIES)
     old_tree = f"/tmp/bench_ab_{rev.replace('/', '_')}"
     subprocess.run(
         ["git", "-C", REPO, "worktree", "add", "--force", old_tree, rev],
@@ -103,6 +123,7 @@ def main() -> None:
             ["git", "-C", REPO, "worktree", "prune"], capture_output=True
         )
     print(f"{'key':40s} {rev[:12]:>12s} {'worktree':>10s} {'ratio':>7s}")
+    ab: dict[str, dict] = {}
     for k in keys:
         o, n = old["best"].get(k), new["best"].get(k)
         if o is None or n is None:
@@ -110,8 +131,32 @@ def main() -> None:
             continue
         ratio = f"{n / o:6.2f}x" if o and o > 0 else "    —"
         print(f"{k:40s} {o:12.3f} {n:10.3f} {ratio:>7s}")
+        ab[k] = {
+            "old": round(o, 3),
+            "new": round(n, 3),
+            "ratio": round(n / o, 3) if o and o > 0 and n > 0 else None,
+        }
     if old["missing"] or new["missing"]:
         print(f"missing old={old['missing']} new={new['missing']}")
+    ok = [v["ratio"] for v in ab.values() if v["ratio"]]
+    if ok:
+        tot_o = sum(v["old"] for v in ab.values() if v["ratio"])
+        tot_n = sum(v["new"] for v in ab.values() if v["ratio"])
+        print(
+            f"\n{len(ok)} keys A/B'd: total {tot_o:.1f} -> {tot_n:.1f} s "
+            f"({tot_n / tot_o:.3f}x), worst {max(ok):.2f}x, "
+            f">1.25x count {sum(1 for r in ok if r > 1.25)}"
+        )
+    if write_json:
+        head = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        out_path = os.path.join(REPO, "BENCH_AB.json")
+        with open(out_path, "w") as fh:
+            json.dump({"rev": rev, "head": head, "ab": ab}, fh, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
