@@ -94,6 +94,31 @@ def sum_pinned(col: Column, scale: int) -> Column:
     )
 
 
+def sum_exact_sql(expr: str, limbs: int = 2) -> str:
+    """SQL-text twin of :func:`sum_exact`: exact Σ``expr`` (a BIGINT
+    SQL expression) as DECIMAL(38,0) with primitive limb buffers.
+
+    Why text and not Columns: a Column tree is built one py4j round
+    trip per operator, and the limb machinery is ~10 operators per
+    sum — measured 0.3–0.4 s of driver-side plan-build per migrated
+    aggregate key at bench time (r7: agg_stats spent 0.40 s building
+    vs 0.34 s executing). One ``F.expr`` call ships the whole tree as
+    a string parsed JVM-side, collapsing that fixed cost; the
+    resulting plan (and therefore the result) is identical.
+    """
+    total = []
+    t = expr
+    for i in range(limbs - 1):
+        total.append(
+            f"CAST(SUM(PMOD({t}, {_M})) AS DECIMAL(38,0)) * {_M**i}"
+        )
+        t = f"SHIFTRIGHT({t}, {_SHIFT})"
+    total.append(
+        f"CAST(SUM({t}) AS DECIMAL(38,0)) * {_M ** (limbs - 1)}"
+    )
+    return "CAST(" + " + ".join(total) + " AS DECIMAL(38,0))"
+
+
 def sum_pinned_sql(expr: str, scale: int) -> str:
     """SQL-text twin of :func:`sum_pinned` for ``spark.sql`` queries.
 

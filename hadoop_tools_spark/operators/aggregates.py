@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..exact import sum_exact, sum_pinned
+from ..exact import sum_exact, sum_exact_sql, sum_pinned
 from ..io import load, table_bytes
 from ..registry import query
 
@@ -128,23 +128,51 @@ def _qty_price_sums(li):
     correlation / regression identities downstream run ONCE per group
     on bit-identical operands in both engines — Spark's and DuckDB's
     merged-moment aggregates (stddev/corr/regr_*) differ in last ulps
-    with partition order, which was the ROUND flake class."""
-    q = F.col("l_quantity").cast("long")
-    c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    return li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum(q).alias("sq"),
-        F.sum(q * q).alias("sq2"),
-        # cents sums widen past int64 around 1e12 rows; limb sums
-        # (exact.py) keep the reduction exact at any SF with primitive
-        # long buffers (a DECIMAL(38,0) SUM measured ~3x slower here).
-        # Per-row products stay inside int64: cents^2 <= ~1.2e14 and
-        # cents*qty <= ~5.5e8, so only the REDUCTION needs widening.
-        sum_exact(c).cast("decimal(38,0)").alias("sp"),
-        sum_exact(c * c, limbs=3).cast("decimal(38,0)").alias("sp2"),
-        sum_exact(c * q, limbs=2).cast("decimal(38,0)").alias("spq"),
+    with partition order, which was the ROUND flake class.
+
+    Shape notes (r7 profile): unit columns and their products are
+    projected ONCE before the aggregate (the scan-stage projection
+    names them, so no aggregate input re-derives the floor pin), and
+    the limb sums ship as SQL text (``sum_exact_sql``) — the Column
+    form cost ~0.3 s of py4j/analysis plan-build per key at bench
+    time, pure driver-side fixed cost."""
+    pre = li.selectExpr(
+        "l_returnflag",
+        "CAST(l_quantity AS BIGINT) AS q",
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c",
+    ).selectExpr("l_returnflag", "q", "c", "q*q AS qq", "c*c AS cc",
+                 "c*q AS cq")
+    # cents sums widen past int64 around 1e12 rows; limb sums
+    # (exact.py) keep the reduction exact at any SF with primitive
+    # long buffers (a DECIMAL(38,0) SUM measured ~3x slower here).
+    # Per-row products stay inside int64: cents^2 <= ~1.2e14 and
+    # cents*qty <= ~5.5e8, so only the REDUCTION needs widening.
+    return pre.groupBy("l_returnflag").agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr("SUM(q)").alias("sq"),
+        F.expr("SUM(qq)").alias("sq2"),
+        F.expr(sum_exact_sql("c")).alias("sp"),
+        F.expr(sum_exact_sql("cc", limbs=3)).alias("sp2"),
+        F.expr(sum_exact_sql("cq", limbs=2)).alias("spq"),
     )
 
+
+#: Spark-side twin of the oracle's `d` CTE: double-cast discriminants
+#: from the exact sufficient statistics, evaluated once per group.
+#: DECIMAL(38,0) products match the oracle's HUGEINT arithmetic up to
+#: ~1e12 rows/group (ANSI: overflow throws, never silently wraps).
+_D_EXPRS = (
+    "l_returnflag",
+    "n",
+    "CAST(n AS DOUBLE) AS dn",
+    "CAST(CAST(n AS DECIMAL(38,0)) * sq2 - CAST(sq AS DECIMAL(38,0)) * sq"
+    " AS DOUBLE) AS vqn",
+    "CAST(CAST(n AS DECIMAL(38,0)) * sp2 - sp * sp AS DOUBLE) AS vpn",
+    "CAST(CAST(n AS DECIMAL(38,0)) * spq - CAST(sq AS DECIMAL(38,0)) * sp"
+    " AS DOUBLE) AS cvn",
+    "CAST(sq AS DOUBLE) AS dsq",
+    "CAST(sp AS DOUBLE) AS dsp",
+)
 
 #: the same sufficient-statistics CTE for oracle SQL. DuckDB SUM over
 #: BIGINT returns HUGEINT, so the squared-cents sums stay exact too.
@@ -203,47 +231,24 @@ def agg_stats(spark, sf_dir):
     raw division would be an ANSI DIVIDE_BY_ZERO job kill in Spark
     but a silent NULL in DuckDB)."""
     s = _qty_price_sums(load(spark, sf_dir, "lineitem"))
-    dn = F.col("n").cast("double")
-    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
-    d = s.select(
+    # identity projections as SQL text — the SAME text as the oracle's
+    # `d` CTE / final select, and one py4j call per projection instead
+    # of one per operator (the r7 plan-build profile)
+    d = s.selectExpr(*_D_EXPRS)
+    return d.selectExpr(
         "l_returnflag",
-        "n",
-        dn.alias("dn"),
-        (dec("n") * F.col("sq2") - dec("sq") * F.col("sq"))
-        .cast("double")
-        .alias("vqn"),
-        (dec("n") * F.col("sp2") - F.col("sp") * F.col("sp"))
-        .cast("double")
-        .alias("vpn"),
-        (dec("n") * F.col("spq") - dec("sq") * F.col("sp"))
-        .cast("double")
-        .alias("cvn"),
-    )
-    denom = F.col("dn") * (F.col("dn") - 1)
-    return d.select(
-        "l_returnflag",
-        F.when(
-            (F.col("n") > 1) & (F.col("vqn") > 0),
-            F.floor(F.sqrt(F.col("vqn") / denom) * 1_000_000 + 0.5)
-            / 1_000_000,
-        ).alias("std_qty"),
-        F.when(
-            F.col("n") > 1,
-            F.floor(F.col("vqn") / denom * 1_000_000 + 0.5) / 1_000_000,
-        ).alias("var_qty"),
-        F.when(
-            (F.col("vqn") > 0) & (F.col("vpn") > 0),
-            F.floor(
-                F.col("cvn") / F.sqrt(F.col("vqn") * F.col("vpn"))
-                * 1_000_000
-                + 0.5
-            )
-            / 1_000_000,
-        ).alias("corr_qty_price"),
-        F.when(
-            F.col("n") > 1,
-            F.floor(F.col("cvn") / denom / 100 * 10_000 + 0.5) / 10_000,
-        ).alias("covar_qty_price"),
+        "CASE WHEN n > 1 AND vqn > 0"
+        " THEN floor(sqrt(vqn / (dn*(dn-1))) * 1000000 + 0.5)/1000000"
+        " END AS std_qty",
+        "CASE WHEN n > 1"
+        " THEN floor(vqn / (dn*(dn-1)) * 1000000 + 0.5)/1000000"
+        " END AS var_qty",
+        "CASE WHEN vqn > 0 AND vpn > 0"
+        " THEN floor(cvn / sqrt(vqn*vpn) * 1000000 + 0.5)/1000000"
+        " END AS corr_qty_price",
+        "CASE WHEN n > 1"
+        " THEN floor(cvn / (dn*(dn-1)) / 100 * 10000 + 0.5)/10000"
+        " END AS covar_qty_price",
     )
 
 
@@ -614,64 +619,27 @@ def agg_linreg(spark, sf_dir):
     once per group and floor-pinned; degenerate groups (zero x- or
     y-variance) yield NULL on both engines."""
     s = _qty_price_sums(load(spark, sf_dir, "lineitem"))
-    dn = F.col("n").cast("double")
-    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
-    d = s.select(
-        "l_returnflag",
-        "n",
-        dn.alias("dn"),
-        F.col("sq").cast("double").alias("dsq"),
-        F.col("sp").cast("double").alias("dsp"),
-        (dec("n") * F.col("sq2") - dec("sq") * F.col("sq"))
-        .cast("double")
-        .alias("vqn"),
-        (dec("n") * F.col("sp2") - F.col("sp") * F.col("sp"))
-        .cast("double")
-        .alias("vpn"),
-        (dec("n") * F.col("spq") - dec("sq") * F.col("sp"))
-        .cast("double")
-        .alias("cvn"),
-    ).withColumn(
-        "slope_raw",
-        F.when(F.col("vqn") > 0, F.col("cvn") / F.col("vqn") / 100),
+    # SQL-text identity projections: same text as the oracle's `r` CTE
+    # and final select (plan-build cost, r7 profile — see agg_stats)
+    r = s.selectExpr(*_D_EXPRS).selectExpr(
+        "*",
+        "CASE WHEN vqn > 0 THEN cvn / vqn / 100 END AS slope_raw",
     )
-    return d.select(
+    return r.selectExpr(
         "l_returnflag",
         "n",
-        F.when(
-            F.col("vqn") > 0,
-            F.floor(F.col("slope_raw") * 10_000 + 0.5) / 10_000,
-        ).alias("slope"),
-        F.when(
-            F.col("vqn") > 0,
-            F.floor(
-                (
-                    F.col("dsp") / F.col("dn") / 100
-                    - F.col("slope_raw") * (F.col("dsq") / F.col("dn"))
-                )
-                * 10_000
-                + 0.5
-            )
-            / 10_000,
-        ).alias("intercept"),
-        F.when(
-            (F.col("vqn") > 0) & (F.col("vpn") > 0),
-            F.floor(
-                F.col("cvn")
-                * F.col("cvn")
-                / (F.col("vqn") * F.col("vpn"))
-                * 1_000_000
-                + 0.5
-            )
-            / 1_000_000,
-        ).alias("r2"),
-        (F.floor(F.col("dsq") / F.col("dn") * 10_000 + 0.5) / 10_000).alias(
-            "avg_x"
-        ),
-        (
-            F.floor(F.col("dsp") / F.col("dn") / 100 * 10_000 + 0.5)
-            / 10_000
-        ).alias("avg_y"),
+        "CASE WHEN vqn > 0"
+        " THEN floor(slope_raw * 10000 + 0.5)/10000"
+        " END AS slope",
+        "CASE WHEN vqn > 0"
+        " THEN floor((dsp / dn / 100 - slope_raw * (dsq / dn))"
+        " * 10000 + 0.5)/10000"
+        " END AS intercept",
+        "CASE WHEN vqn > 0 AND vpn > 0"
+        " THEN floor(cvn * cvn / (vqn * vpn) * 1000000 + 0.5)/1000000"
+        " END AS r2",
+        "floor(dsq / dn * 10000 + 0.5)/10000 AS avg_x",
+        "floor(dsp / dn / 100 * 10000 + 0.5)/10000 AS avg_y",
     )
 
 
@@ -917,8 +885,8 @@ def agg_moments(spark, sf_dir):
     pattern (same family as agg_linreg).
     """
     ev = load(spark, sf_dir, "events")
-    c = ev.select(
-        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x")
+    c = ev.selectExpr(
+        "event_type", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS x"
     )
     # All four moment sums reduce with primitive long buffers
     # (exact.py limb sums — the decimal(38,0) SUM form pays the heap
@@ -931,49 +899,56 @@ def agg_moments(spark, sf_dir):
     #   square-split: p₂ = x² = a·2^21 + b ⇒ x⁴ = a²·2^42 + ab·2^22
     #   + b², three long-product sums recombined in DECIMAL per group.
     # Row bounds: every limb sum safe past 4e12 rows/group (exact.py).
-    x = F.col("x")
-    p2 = x * x
-    a = F.shiftright(p2, 21)
-    b = F.pmod(p2, F.lit(1 << 21))
-    m = c.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("s1"),
-        sum_exact(p2, limbs=2).alias("s2"),
-        sum_exact(p2 * x, limbs=3).alias("s3"),
-        (
-            sum_exact(a * a, limbs=2) * F.lit(1 << 42)
-            + sum_exact(a * b, limbs=3) * F.lit(1 << 22)
-            + sum_exact(b * b, limbs=3)
-        )
-        .cast("decimal(38,0)")
-        .alias("s4"),
+    # Products projected once before the agg; limb sums and identity
+    # projections ship as SQL text (r7 plan-build profile — one py4j
+    # call per expression instead of one per operator).
+    pre = c.selectExpr("event_type", "x", "x*x AS p2").selectExpr(
+        "event_type",
+        "x",
+        "p2",
+        "p2 * x AS p3",
+        "SHIFTRIGHT(p2, 21) AS a4",
+        f"PMOD(p2, {1 << 21}) AS b4",
+    ).selectExpr(
+        "event_type", "x", "p2", "p3",
+        "a4*a4 AS aa", "a4*b4 AS ab", "b4*b4 AS bb",
     )
-    mu = F.col("s1").cast("double") / F.col("n")
-    m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
-    m3 = (
-        F.col("s3").cast("double") / F.col("n")
-        - 3 * mu * (F.col("s2").cast("double") / F.col("n"))
-        + 2 * mu * mu * mu
-    )
-    m4 = (
-        F.col("s4").cast("double") / F.col("n")
-        - 4 * mu * (F.col("s3").cast("double") / F.col("n"))
-        + 6 * mu * mu * (F.col("s2").cast("double") / F.col("n"))
-        - 3 * mu * mu * mu * mu
+    m = pre.groupBy("event_type").agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr("SUM(x)").alias("s1"),
+        F.expr(sum_exact_sql("p2", limbs=2)).alias("s2"),
+        F.expr(sum_exact_sql("p3", limbs=3)).alias("s3"),
+        F.expr(
+            f"CAST({sum_exact_sql('aa', limbs=2)} * {1 << 42}"
+            f" + {sum_exact_sql('ab', limbs=3)} * {1 << 22}"
+            f" + {sum_exact_sql('bb', limbs=3)} AS DECIMAL(38,0))"
+        ).alias("s4"),
     )
     # zero-variance groups (single row / constant value): the skew and
     # kurtosis divisions would be an ANSI DIVIDE_BY_ZERO job kill in
-    # Spark but a silent NULL in DuckDB — guard both engines to NULL
-    return m.select(
+    # Spark but a silent NULL in DuckDB — guard both engines to NULL.
+    # Identity text mirrors the oracle's m2 CTE / final select exactly.
+    m2 = m.selectExpr(
         "event_type",
         "n",
-        (F.floor(m2 * 10_000 + 0.5) / 10_000).alias("var_pop4"),
-        F.when(
-            m2 > 0,
-            F.floor(m3 / F.pow(m2, 1.5) * 1_000_000 + 0.5) / 1_000_000,
-        ).alias("skewness6"),
-        F.when(
-            m2 > 0,
-            F.floor(m4 / (m2 * m2) * 1_000_000 + 0.5) / 1_000_000,
-        ).alias("kurtosis6"),
+        "CAST(s2 AS DOUBLE) / n"
+        " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS v",
+        "CAST(s1 AS DOUBLE) / n AS mu",
+        "CAST(s2 AS DOUBLE) / n AS r2m",
+        "CAST(s3 AS DOUBLE) / n AS r3m",
+        "CAST(s4 AS DOUBLE) / n AS r4m",
+    )
+    return m2.selectExpr(
+        "event_type",
+        "n",
+        "floor(v * 10000 + 0.5) / 10000 AS var_pop4",
+        "CASE WHEN v > 0 THEN"
+        " floor((r3m - 3 * mu * r2m + 2 * mu * mu * mu)"
+        " / pow(v, 1.5) * 1000000 + 0.5) / 1000000"
+        " END AS skewness6",
+        "CASE WHEN v > 0 THEN"
+        " floor((r4m - 4 * mu * r3m + 6 * mu * mu * r2m"
+        " - 3 * mu * mu * mu * mu)"
+        " / (v * v) * 1000000 + 0.5) / 1000000"
+        " END AS kurtosis6",
     )

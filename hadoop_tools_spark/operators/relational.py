@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..exact import sum_pinned
+from ..exact import sum_pinned, sum_pinned_sql
 from ..io import load
 from ..registry import query
 
@@ -37,8 +37,8 @@ def sum_revenue():
     primitive long aggregation buffers (the decimal-sum form measured
     ~6× slower; see exact.py).
     """
-    return sum_pinned(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    return F.expr(
+        sum_pinned_sql("l_extendedprice * (1 - l_discount)", 4)
     )
 
 
@@ -87,13 +87,15 @@ def q1_pricing_summary(spark, sf_dir):
     # IEEE ops on identical operands. Only l_quantity (integer-valued
     # → exact double sum) keeps plain SUM.
     li = load(spark, sf_dir, "lineitem")
-    sum_price = sum_pinned(F.col("l_extendedprice"), 2)
-    sum_disc = sum_pinned(F.col("l_discount"), 2)
-    sum_charge = sum_pinned(
-        F.col("l_extendedprice")
-        * (1 - F.col("l_discount"))
-        * (1 + F.col("l_tax")),
-        6,
+    # limb sums as SQL text (one py4j call each — r7 plan-build
+    # profile); identical trees dedupe in the physical aggregation,
+    # so sum_price appearing twice still aggregates once
+    sum_price = F.expr(sum_pinned_sql("l_extendedprice", 2))
+    sum_disc = F.expr(sum_pinned_sql("l_discount", 2))
+    sum_charge = F.expr(
+        sum_pinned_sql(
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6
+        )
     )
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
