@@ -48,6 +48,12 @@ _QUERY_MOD = 50  # vec_id % 50 == 0 → deterministic query subset
 #: the cap is invisible to the hash check.
 _MAX_QUERIES = 100
 
+#: llm_embed_neardup (the exact O(n²) oracle anchor) refuses corpora
+#: larger than this — a permanent seam (SURVEY §2.E, r7): the exact
+#: key grounds the LSH twin's recall tests on samples; the corpus-
+#: scale path is llm_embed_neardup_lsh.
+EMBED_NEARDUP_MAX_ROWS = 1_000_000
+
 
 def _query_set(e):
     """Deterministic, scale-bounded query subset (shared by all kNN ops)."""
@@ -343,8 +349,20 @@ def llm_knn_lsh(spark, sf_dir):
     FROM s WHERE cos > 0.4
     """,
 )
-def llm_embed_neardup(spark, sf_dir, n_blocks: int = 8):
+def llm_embed_neardup(
+    spark, sf_dir, n_blocks: int = 8, max_rows: int = EMBED_NEARDUP_MAX_ROWS
+):
     """Embedding-cosine near-duplicate pairs (cos > 0.4), exact.
+
+    PERMANENT ORACLE-ANCHOR SEAM (r7, SURVEY §2.E; the lossy-codec
+    precedent): exact all-pairs is O(n²) by definition — there is no
+    sublinear exact algorithm for an arbitrary cosine threshold — and
+    this key exists to ground `llm_embed_neardup_lsh`'s recall tests
+    with bit-exact oracle-matched cosines. It REFUSES corpora larger
+    than ``max_rows`` (default 1e6: ~5·10¹¹ pairs across tasks is the
+    far edge of a justifiable verification batch) with a ValueError
+    naming the LSH twin. The production path at any scale is
+    `llm_embed_neardup_lsh`; this anchor is for sampled verification.
 
     Distributed block-pair all-pairs — NO driver-side corpus collect:
     each vector lands in one of ``n_blocks`` id-hash blocks, fans out
@@ -366,6 +384,13 @@ def llm_embed_neardup(spark, sf_dir, n_blocks: int = 8):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"llm_embed_neardup is the exact O(n²) oracle anchor and "
+            f"refuses {n} rows (> {max_rows}): run it on a sample, or "
+            f"use llm_embed_neardup_lsh — the declared scale path"
+        )
     blocked = e.withColumn(
         "blk",
         F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(n_blocks)).cast(

@@ -266,3 +266,15 @@ def test_embed_pca_matches_numpy(spark, sf_dir):
         assert err < 5e-3, (comp, err)
     assert ref[1].var() >= ref[2].var()
     spark.catalog.clearCache()
+
+
+def test_embed_neardup_refuses_above_size_gate(spark, sf_dir):
+    """The exact O(n²) anchor is a declared permanent seam (r7): above
+    max_rows it must refuse with a pointer at the LSH scale path, not
+    silently schedule an unbounded all-pairs job."""
+    import pytest as _pytest
+
+    from hadoop_tools_spark.operators.llm_knn import llm_embed_neardup
+
+    with _pytest.raises(ValueError, match="llm_embed_neardup_lsh"):
+        llm_embed_neardup(spark, sf_dir, max_rows=3)
