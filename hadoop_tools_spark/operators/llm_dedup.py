@@ -835,9 +835,20 @@ def llm_substring_dedup_hashed(spark, sf_dir):
         .filter(F.col("dmin") != F.col("dmax"))
         .select("h")
     )
-    cand_pos = hashed.join(cand_h, "h", "left_semi").select("doc_id", "p")
+    # the candidate-hash set scales with DUPLICATE MASS, not with any
+    # fixed dimension — it may never ride a broadcast (the r7 2 GiB
+    # memory rehearsal killed exactly this plan: Catalyst estimated the
+    # post-agg side small, tried to build the broadcast on the driver,
+    # and died with BuildAndBroadcastTableError at sf1). merge hints
+    # pin the spill-safe sort-merge strategy for every join whose
+    # build side grows with the corpus.
+    cand_pos = hashed.join(
+        cand_h.hint("merge"), "h", "left_semi"
+    ).select("doc_id", "p")
     # exactness repair: re-extract true gram bytes for candidates only
-    cand_g = cand_pos.join(d.select("doc_id", "text"), "doc_id").select(
+    cand_g = cand_pos.join(
+        d.select("doc_id", "text").hint("merge"), "doc_id"
+    ).select(
         "doc_id", "p", F.expr(f"substr(text, p, {_SUB_K})").alias("g")
     )
     true_g = (
@@ -846,7 +857,9 @@ def llm_substring_dedup_hashed(spark, sf_dir):
         .filter(F.col("dmin") != F.col("dmax"))
         .select("g")
     )
-    flagged = cand_g.join(true_g, "g", "left_semi").select("doc_id", "p")
+    flagged = cand_g.join(
+        true_g.hint("merge"), "g", "left_semi"
+    ).select("doc_id", "p")
     return _merge_islands(flagged)
 
 
