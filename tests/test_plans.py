@@ -147,7 +147,9 @@ def test_q6_fully_pushed_scan(spark, sf_dir):
 FIXED_DIM_TOKENS = (
     "n_nationkey", "r_regionkey", "nk1", "nk2", "cnk", "snk", "crk",
 )
-SCALAR_TOKENS = ("avg_bal", "max_revenue", "threshold", "n_total", "thr")
+SCALAR_TOKENS = (
+    "avg_bal", "max_revenue", "threshold", "n_total", "thr", "sum_units",
+)
 
 
 def test_no_static_broadcast_of_scaling_tables(spark, sf_dir):
