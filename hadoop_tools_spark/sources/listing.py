@@ -186,6 +186,10 @@ class _SpillFrontier:
         self.mem: "collections.deque[str]" = collections.deque()
         self.peak_mem = 0
         self.spilled = 0
+        #: high-water mark of on-disk frontier lines — unlike
+        #: ``spilled`` (which resets on refill) this is monotonic, so
+        #: rehearsals can assert "the walk really did spill".
+        self.peak_spilled = 0
         self._spill = None  # lazily-created tempfile (append handle)
 
     def push(self, path: str) -> None:
@@ -201,6 +205,7 @@ class _SpillFrontier:
                 )
             self._spill.write(path + "\n")
             self.spilled += 1
+            self.peak_spilled = max(self.peak_spilled, self.spilled)
 
     def _refill(self) -> None:
         if self.mem or not self.spilled:
@@ -237,6 +242,7 @@ def list_files_distributed(
     max_rounds: int = 100_000,
     frontier_cap: int = 100_000,
     include_dirs: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed BFS namespace walk (the 10^8-file path).
 
@@ -251,6 +257,12 @@ def list_files_distributed(
     implementation uses ``os.scandir`` on executors; an ``hdfs://``
     deployment swaps the scan function for a WebHDFS/libhdfs call —
     the orchestration is scheme-agnostic.
+
+    ``stats``, if given, receives the walk's observability counters
+    (``rounds``, ``frontier_peak_mem``, ``frontier_spilled``,
+    ``rows``) — the namespace-scale rehearsal
+    (tools/rehearse_listing.py) asserts bounded-driver behavior
+    through these rather than by monkeypatching internals.
     """
     from pyspark import StorageLevel
 
@@ -290,8 +302,14 @@ def list_files_distributed(
             else:
                 file_rdds.append(rdd.filter(lambda r: r[0] == "f"))
     finally:
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["frontier_peak_mem"] = frontier.peak_mem
+            stats["frontier_spilled"] = frontier.peak_spilled
         frontier.close()
     if not file_rdds:
+        if stats is not None:
+            stats["rows"] = 0
         return spark.createDataFrame([], FILE_STATUS_SCHEMA)
     union = sc.union(file_rdds).map(
         lambda r: (
@@ -315,7 +333,9 @@ def list_files_distributed(
     out = spark.createDataFrame(union, FILE_STATUS_SCHEMA).persist(
         StorageLevel.DISK_ONLY
     )
-    out.count()
+    n = out.count()
+    if stats is not None:
+        stats["rows"] = n
     for rdd in round_rdds:
         rdd.unpersist(True)
     return out

@@ -139,3 +139,23 @@ def test_fs_checksum_key_matches_hashlib(spark):
         raw = open(p, "rb").read()
         name = p.rsplit("/", 1)[-1]
         assert got[name] == (hashlib.md5(raw).hexdigest(), len(raw)), name
+
+
+@pytest.mark.slow
+def test_distributed_walker_namespace_scale(spark, tmp_path):
+    """Namespace-scale rehearsal (VERDICT r6 ask #6), pytest edition:
+    walk a generated 10^5-entry tree through the SAME assertions the
+    10^6 tool run makes — exact row count, flat driver RSS, frontier
+    spill under a forced-small cap, DISK_ONLY listing, and zero
+    persistent RDDs after release. The full-size run is
+    tools/rehearse_listing.py (SCALE.md records its numbers)."""
+    from tools.rehearse_listing import make_namespace_tree, rehearse
+
+    root = str(tmp_path / "ns")
+    expected = make_namespace_tree(root, 100_000)
+    # cap 500 < the 1 000-dir L2 level, so the frontier must spill
+    out = rehearse(spark, root, expected, cap=500)
+    # rehearse() already asserts the invariants; pin the headline math
+    assert out["rows"] == 99_001
+    assert out["frontier_spilled"] > 0
+    assert out["persistent_rdds_after_release"] == 0
