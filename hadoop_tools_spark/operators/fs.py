@@ -275,3 +275,73 @@ def fs_checksum(spark, sf_dir):
         )
         .orderBy("file")
     )
+
+
+@query(
+    "fs_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
+               CAST(size AS BIGINT) AS sz
+        FROM read_blob('/root/testdata/sf0.001/*.parquet')
+    ),
+    b AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
+               CAST(size AS BIGINT) AS sz
+        FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    )
+    SELECT COALESCE(a.name, b.name) AS name,
+           CASE WHEN a.name IS NULL THEN 'ADDED'
+                WHEN b.name IS NULL THEN 'DELETED'
+                WHEN a.sz <> b.sz THEN 'MODIFIED'
+                ELSE 'UNCHANGED' END AS change,
+           a.sz AS size_before,
+           b.sz AS size_after
+    FROM a FULL JOIN b ON a.name = b.name
+    """,
+)
+def fs_snapshot_diff(spark, sf_dir):
+    """``hdfs snapshotDiff`` analogue: classify every entry of two
+    namespace snapshots as ADDED / DELETED / MODIFIED / UNCHANGED with
+    before/after sizes — the report HDFS computes between ``.snapshot``
+    directories, re-expressed as a full-outer join of two listing
+    DataFrames on entry name. The fixture "snapshots" are the sf0.001
+    and sf0.01 testdata dirs (same table names, different sizes →
+    MODIFIED rows); the ADDED/DELETED branches are pinned by a
+    tmp-tree pytest (test_fsops.py) since the read-only fixture tree
+    cannot lose files.
+
+    Scale shape: two distributed listings feeding one equi-join on
+    path — a diff of two 10^8-entry namespaces is a single sort-merge
+    join, no driver materialization.
+    """
+    return snapshot_diff_df(
+        spark, f"{TESTDATA_ROOT}/sf0.001", f"{TESTDATA_ROOT}/sf0.01",
+        glob="*.parquet",
+    )
+
+
+def snapshot_diff_df(spark, before_dir, after_dir, glob=None):
+    """The reusable diff behind :func:`fs_snapshot_diff` — also driven
+    against mutable tmp trees by the ADDED/DELETED pytest."""
+    a = (
+        list_status_df(spark, before_dir, glob=glob)
+        .filter(~F.col("is_dir"))
+        .select("name", F.col("size").alias("size_before"))
+    )
+    b = (
+        list_status_df(spark, after_dir, glob=glob)
+        .filter(~F.col("is_dir"))
+        .select(F.col("name").alias("name_b"), F.col("size").alias("size_after"))
+    )
+    j = a.join(b, a["name"] == b["name_b"], "full_outer")
+    return j.select(
+        F.coalesce("name", "name_b").alias("name"),
+        F.when(F.col("name").isNull(), "ADDED")
+        .when(F.col("name_b").isNull(), "DELETED")
+        .when(F.col("size_before") != F.col("size_after"), "MODIFIED")
+        .otherwise("UNCHANGED")
+        .alias("change"),
+        "size_before",
+        "size_after",
+    )

@@ -1817,3 +1817,160 @@ def llm_tokenize_apply(spark, sf_dir):
             ).alias("chars_per_token4"),
         )
     )
+
+
+@query(
+    "llm_quality_gopher",
+    oracle=f"""
+    WITH feats AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT)
+                   AS n_alpha,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                        x -> length(x))) AS BIGINT) AS sum_len,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct,
+               CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                        x -> list_contains({list(STOPWORDS)}, x))))
+                   AS BIGINT) AS n_stop_distinct
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN n_words NOT BETWEEN 40 AND 1000 THEN 'words'
+                WHEN sum_len < 4 * n_words
+                     OR sum_len > 10 * n_words THEN 'mean_len'
+                WHEN n_alpha * 5 < n_words * 4 THEN 'alpha'
+                WHEN n_stop_distinct < 1 THEN 'stop'
+                WHEN n_distinct * 10 <= n_words * 3 THEN 'uniq'
+                ELSE 'pass' END AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM feats
+    GROUP BY 1, 2
+    """,
+)
+def llm_quality_gopher(spark, sf_dir):
+    """Gopher-style rule-funnel report (Rae et al. 2021, Table A1
+    shape): each document is tested against an ORDERED cascade of
+    quality rules — word-count bounds, mean-word-length band, alphabetic
+    word fraction, minimum distinct stopwords, lexical diversity — and
+    attributed to the FIRST rule it fails ('pass' if none), then the
+    funnel is aggregated per (lang, rule). This is the report corpus
+    curators actually read: not "which docs survive" (llm_quality_filter)
+    but "which rule removes how much, per language".
+
+    Every comparison is integer-exact (sum_len·1 vs k·n_words etc.), so
+    rule attribution can never flip on a floating-point ulp cross-engine.
+    Scale shape: scan-side codegen feature extraction + one partial-
+    aggregated groupBy on a (lang, rule) key space of ≤ 6·|langs| —
+    the shuffle is constant-width regardless of corpus size.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = d.select(
+        "lang",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.filter(words, lambda x: x.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_len"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        F.size(
+            F.array_distinct(
+                F.filter(words, lambda x: F.array_contains(stop_arr, x))
+            )
+        )
+        .cast("long")
+        .alias("n_stop_distinct"),
+    )
+    nw = F.col("n_words")
+    rule = (
+        F.when(~nw.between(40, 1000), "words")
+        .when(
+            (F.col("sum_len") < 4 * nw) | (F.col("sum_len") > 10 * nw),
+            "mean_len",
+        )
+        .when(F.col("n_alpha") * 5 < nw * 4, "alpha")
+        .when(F.col("n_stop_distinct") < 1, "stop")
+        .when(F.col("n_distinct") * 10 <= nw * 3, "uniq")
+        .otherwise("pass")
+    )
+    return (
+        feats.withColumn("rule", rule)
+        .groupBy("lang", "rule")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+    )
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM toks
+        GROUP BY word
+        ORDER BY COUNT(*) DESC, word
+        LIMIT 20
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.word = v.word
+    GROUP BY t.lang
+    """,
+)
+def llm_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage report: learn a frequency-ranked
+    top-K vocabulary from the corpus (deterministic tie-break on the
+    word itself), then measure per-language token coverage and OOV
+    rate against it — the report that decides whether a tokenizer's
+    vocab budget fits a corpus before training starts.
+
+    Scale shape: the vocab is a TakeOrderedAndProject (per-partition
+    top-K, no single-partition window, K rows to the driver) broadcast
+    back against the token stream — the coverage join is map-side, and
+    the per-lang aggregate is partial-combined. n_tokens/n_oov are
+    exact BIGINTs; oov_rate is a single IEEE division of small ints
+    (safe to ROUND cross-engine per the registry convention).
+    """
+    toks = (
+        load_spread(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("word"))
+    )
+    vocab = (
+        toks.groupBy("word")
+        .count()
+        .orderBy(F.col("count").desc(), "word")
+        .limit(20)
+        .select("word")
+    )
+    oov = F.when(F.col("v_word").isNull(), 1).otherwise(0)
+    return (
+        toks.join(
+            F.broadcast(vocab.withColumnRenamed("word", "v_word")),
+            toks["word"] == F.col("v_word"),
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(
+                F.sum(oov).cast("double") / F.count("*"), 6
+            ).alias("oov_rate"),
+        )
+    )

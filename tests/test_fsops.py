@@ -159,3 +159,29 @@ def test_distributed_walker_namespace_scale(spark, tmp_path):
     assert out["rows"] == 99_001
     assert out["frontier_spilled"] > 0
     assert out["persistent_rdds_after_release"] == 0
+
+
+def test_snapshot_diff_added_deleted_branches(spark, tmp_path):
+    """The fixture snapshots (sf0.001 vs sf0.01) only produce MODIFIED
+    rows — pin ADDED/DELETED/UNCHANGED on a mutable tmp pair."""
+    from hadoop_tools_spark.operators.fs import snapshot_diff_df
+
+    before, after = tmp_path / "s0", tmp_path / "s1"
+    before.mkdir(), after.mkdir()
+    (before / "kept.txt").write_text("same")
+    (after / "kept.txt").write_text("same")
+    (before / "grown.txt").write_text("a")
+    (after / "grown.txt").write_text("abc")
+    (before / "gone.txt").write_text("x")
+    (after / "new.txt").write_text("y")
+
+    rows = {
+        r.name: (r.change, r.size_before, r.size_after)
+        for r in snapshot_diff_df(spark, str(before), str(after)).collect()
+    }
+    assert rows == {
+        "kept.txt": ("UNCHANGED", 4, 4),
+        "grown.txt": ("MODIFIED", 1, 3),
+        "gone.txt": ("DELETED", 1, None),
+        "new.txt": ("ADDED", None, 1),
+    }
