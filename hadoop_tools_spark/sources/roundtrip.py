@@ -512,3 +512,50 @@ def sink_csv_hostile(spark, sf_dir):
             ).cast("binary")
         ).alias("content_md5"),
     )
+
+
+@query(
+    "scan_arrow_ipc",
+    oracle="""
+    SELECT replace(replace(regexp_extract(filename, '([^/]+)$', 1),
+                           'tblpq_', 'tbl_'),
+                   '.parquet', '.arrow') AS shard,
+           id, name, value
+    FROM read_parquet(
+        '/root/repo/assets/media/tblpq_*.parquet', filename=true)
+    """,
+)
+def scan_arrow_ipc(spark, sf_dir):
+    """Arrow IPC (Feather v2) file scan — the interchange format the
+    Python data-ecosystem loaders hand around (datasets, polars, arrow
+    flight dumps). Spark has no built-in Arrow-IPC source, so the scan
+    is a ``binaryFile`` read (one task per shard, payloads never
+    shuffle) + ``mapInPandas`` opening each shard with
+    ``pyarrow.ipc.open_file`` and streaming its record batches out —
+    the Arrow batches ARE the mapInPandas transport format, so the
+    decode is a zero-copy handoff, not a row loop.
+
+    Oracle: cross-format twins — tblpq_{i}.parquet is written from the
+    SAME pyarrow Table as tbl_{i}.arrow (tools/gen_media_fixtures.py
+    ``write_arrow_fixtures``), so every id/name/value (incl. NULL
+    names, negative doubles) must match bit-for-bit.
+    """
+    from ..operators.multimodal import MEDIA_DIR, read_assets
+
+    def read_shards(batches):
+        import pyarrow as pa
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                shard = row["path"].rsplit("/", 1)[-1]
+                with pa.ipc.open_file(pa.BufferReader(row["content"])) as r:
+                    for bi in range(r.num_record_batches):
+                        out = r.get_batch(bi).to_pandas()
+                        out.insert(0, "shard", shard)
+                        yield out
+
+    assets = read_assets(spark, MEDIA_DIR, glob="tbl_*.arrow")
+    return assets.select("path", "content").mapInPandas(
+        read_shards,
+        schema="shard string, id long, name string, value double",
+    )

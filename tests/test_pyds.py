@@ -32,3 +32,35 @@ def test_fed_reader_rejects_malformed_identifiers():
         DuckFedReader({**opts, "table": "t; DROP TABLE x"}, ["a"])
     with pytest.raises(ValueError, match="identifier"):
         DuckFedReader(opts, ["a", "b) FROM secrets --"])
+
+
+def test_scan_arrow_ipc_matches_pyarrow_direct(spark):
+    """Every row the distributed Arrow-IPC scan emits must equal a
+    driver-local pyarrow read of the same shard — including NULL names
+    (id % 17) and negative values (id % 29)."""
+    import glob
+
+    import pyarrow as pa
+
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+    from hadoop_tools_spark.sources.roundtrip import scan_arrow_ipc
+
+    got = {
+        (r.shard, r.id): (r.name, r.value)
+        for r in scan_arrow_ipc(spark, "/root/testdata/sf0.001").collect()
+    }
+    expect = {}
+    shards = sorted(glob.glob(f"{MEDIA_DIR}/tbl_*.arrow"))
+    assert len(shards) == 3
+    for p in shards:
+        shard = p.rsplit("/", 1)[-1]
+        with pa.ipc.open_file(p) as r:
+            t = r.read_all()
+            for rid, name, val in zip(
+                t["id"].to_pylist(), t["name"].to_pylist(),
+                t["value"].to_pylist(),
+            ):
+                expect[(shard, rid)] = (name, val)
+    assert got == expect
+    assert any(n is None for n, _ in expect.values())
+    assert any(v < 0 for _, v in expect.values())
