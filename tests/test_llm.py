@@ -2077,3 +2077,76 @@ def test_avi_flags_and_second_stream_isolation():
     struct.pack_into("<I", spliced, list_at + 4, list_len + len(fake))
     w, h, total, got = parse_avi(bytes(spliced))
     assert len(got) == 3, len(got)  # the 01dc chunk is NOT stream 0
+
+
+def test_zip_walk_fail_closed_branches(spark, tmp_path):
+    """The ZIP walk's fail-closed contracts: (a) a torn payload drops
+    the shard's remaining members but keeps intact earlier ones is
+    impossible for ZIP (the central directory sits at EOF — truncation
+    kills the EOCD), so truncation must yield ZERO rows, not garbage;
+    (b) a corrupted central-directory signature stops the walk at that
+    entry; (c) an unsupported compression method drops only that
+    member; (d) an undecodable deflate stream drops only that member."""
+    import os
+    import struct
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        zip_members,
+    )
+
+    with open(os.path.join(MEDIA_DIR, "zipds_0.zip"), "rb") as f:
+        blob = f.read()
+
+    def walk(d):
+        return zip_members(read_assets(spark, str(d), glob="*.zip")).collect()
+
+    # (a) truncated shard: EOCD gone -> zero rows
+    d = tmp_path / "a"; d.mkdir()
+    (d / "cut.zip").write_bytes(blob[:-30])
+    assert walk(d) == []
+
+    # locate the central directory
+    n = len(blob)
+    cd_off = struct.unpack("<I", blob[n - 6 : n - 2])[0]
+    assert blob[cd_off : cd_off + 4] == b"PK\x01\x02"
+
+    # (b) corrupt the SECOND CD entry's signature: only entry 1 survives
+    nl, xl, cl = struct.unpack("<HHH", blob[cd_off + 28 : cd_off + 34])
+    e2 = cd_off + 46 + nl + xl + cl
+    bad = bytearray(blob); bad[e2] = 0x00
+    d = tmp_path / "b"; d.mkdir()
+    (d / "badsig.zip").write_bytes(bytes(bad))
+    assert len(walk(d)) == 1
+
+    # (c) entry 1 claims method 99: dropped, the other 5 survive
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, cd_off + 10, 99)
+    d = tmp_path / "c"; d.mkdir()
+    (d / "meth.zip").write_bytes(bytes(bad))
+    out = walk(d)
+    assert len(out) == 5
+    assert all(r.method in (0, 8) for r in out)
+
+    # (d) corrupt a deflated member's payload bytes: that member drops
+    # find the deflated entry (doc_0_a) in the CD to get its local off
+    off, target_lho, target_comp = cd_off, None, None
+    while blob[off : off + 4] == b"PK\x01\x02":
+        meth, = struct.unpack("<H", blob[off + 10 : off + 12])
+        comp, = struct.unpack("<I", blob[off + 20 : off + 24])
+        lho, = struct.unpack("<I", blob[off + 42 : off + 46])
+        enl, exl, ecl = struct.unpack("<HHH", blob[off + 28 : off + 34])
+        if meth == 8 and target_lho is None:
+            target_lho, target_comp = lho, comp
+        off += 46 + enl + exl + ecl
+    lnl, lxl = struct.unpack("<HH", blob[target_lho + 26 : target_lho + 30])
+    p0 = target_lho + 30 + lnl + lxl
+    bad = bytearray(blob)
+    for i in range(p0, p0 + target_comp):
+        bad[i] = 0xFF  # not a valid deflate stream
+    d = tmp_path / "d"; d.mkdir()
+    (d / "zlib.zip").write_bytes(bytes(bad))
+    out = walk(d)
+    assert len(out) == 5
+    assert "docs/doc_0_a.txt" not in {r.member for r in out}

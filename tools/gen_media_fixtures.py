@@ -757,7 +757,106 @@ def main() -> None:
     vp8 = b"VP8 " + struct.pack("<I", len(payload)) + payload
     with open(os.path.join(OUT, "lossy_0.webp"), "wb") as f:
         f.write(b"RIFF" + struct.pack("<I", 4 + len(vp8)) + b"WEBP" + vp8)
+
+    write_arrow_fixtures()
+    write_zip_fixtures()
     print(f"wrote fixtures to {OUT}")
+
+
+def arrow_shard_rows(i: int):
+    """Deterministic rows for Arrow-IPC shard i — the cross-format-twin
+    content shared by tbl_{i}.arrow and tblpq_{i}.parquet. NULL names
+    every 17th row and negative values every 29th keep the scan's
+    null/sign paths honest."""
+    rows = []
+    for j in range(150 + 40 * i):
+        rid = i * 1000 + j
+        rows.append(
+            (
+                rid,
+                None if rid % 17 == 0 else f"row_{rid:05d}_{(rid * 7) % 13}",
+                ((rid * 31) % 997) / 100.0 * (-1 if rid % 29 == 0 else 1),
+            )
+        )
+    return rows
+
+
+def write_arrow_fixtures() -> None:
+    """Arrow IPC shards + value-identical parquet twins: the .arrow
+    files are the scan_arrow_ipc key's input; the parquet twins are its
+    DuckDB oracle's input (cross-format-twin pattern — same doubles
+    written from the same Python floats, so values are bit-identical)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("id", pa.int64(), nullable=False),
+            pa.field("name", pa.string()),
+            pa.field("value", pa.float64(), nullable=False),
+        ]
+    )
+    for i in range(3):
+        rows = arrow_shard_rows(i)
+        table = pa.table(
+            {
+                "id": [r[0] for r in rows],
+                "name": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+            },
+            schema=schema,
+        )
+        with pa.ipc.new_file(
+            os.path.join(OUT, f"tbl_{i}.arrow"), schema
+        ) as w:
+            # two batches per shard so the reader's batch loop is real
+            half = len(rows) // 2
+            for piece in (table.slice(0, half), table.slice(half)):
+                for b in piece.combine_chunks().to_batches():
+                    w.write_batch(b)
+        pq.write_table(table, os.path.join(OUT, f"tblpq_{i}.parquet"))
+
+
+
+
+def zip_member_plan(i: int):
+    """Deterministic member plan for zipds_{i}.zip: (name, data,
+    method) with stored+deflated members, an empty file, a directory
+    entry, and nested member paths — the shapes a real dataset zip has."""
+    import zipfile
+
+    return [
+        (f"meta/manifest_{i}.txt", f"shard {i} manifest\n".encode() * (3 + i),
+         zipfile.ZIP_STORED),
+        (f"docs/doc_{i}_a.txt",
+         b"".join(bytes([(j * 7 + i * 31) % 256]) for j in range(400 + 60 * i)),
+         zipfile.ZIP_DEFLATED),
+        (f"docs/doc_{i}_b.txt",
+         (f"token{i} " * (50 + 10 * i)).encode(), zipfile.ZIP_DEFLATED),
+        (f"empty_{i}.bin", b"", zipfile.ZIP_STORED),
+        (f"dir_{i}/", b"", zipfile.ZIP_STORED),
+        (f"blob_{i}.raw", bytes(range(256)) * (2 + i), zipfile.ZIP_STORED),
+    ]
+
+
+def write_zip_fixtures() -> None:
+    """ZIP dataset shards for llm_zip_members: written by the STDLIB
+    zipfile module (a third, independent implementation — neither the
+    Spark walk nor the SQL oracle), with pinned timestamps/attrs so
+    regeneration is byte-stable. No archive comments (EOCD sits at
+    EOF-22) and no zip64 — classic central directories."""
+    import zipfile
+
+    for i in range(3):
+        path = os.path.join(OUT, f"zipds_{i}.zip")
+        with zipfile.ZipFile(path, "w") as zf:
+            for name, data, method in zip_member_plan(i):
+                zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                zi.compress_type = method
+                zi.create_system = 3
+                zi.external_attr = (0o40755 if name.endswith("/")
+                                    else 0o644) << 16
+                zf.writestr(zi, data)
 
 
 if __name__ == "__main__":
