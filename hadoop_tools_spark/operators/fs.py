@@ -311,9 +311,12 @@ def fs_snapshot_diff(spark, sf_dir):
     tmp-tree pytest (test_fsops.py) since the read-only fixture tree
     cannot lose files.
 
-    Scale shape: two distributed listings feeding one equi-join on
-    path — a diff of two 10^8-entry namespaces is a single sort-merge
-    join, no driver materialization.
+    Scale shape: the key itself lists two 10-file fixture dirs through
+    the driver-JVM walk (appropriate at that size); the diff join is
+    the scale path — ``snapshot_diff_df(..., distributed=True)`` swaps
+    in ``list_files_distributed`` so a diff of two 10^8-entry
+    namespaces is two bounded-driver BFS walks feeding one sort-merge
+    join (pytest-driven in test_fsops.py).
     """
     return snapshot_diff_df(
         spark, f"{TESTDATA_ROOT}/sf0.001", f"{TESTDATA_ROOT}/sf0.01",
@@ -321,18 +324,33 @@ def fs_snapshot_diff(spark, sf_dir):
     )
 
 
-def snapshot_diff_df(spark, before_dir, after_dir, glob=None):
+def snapshot_diff_df(spark, before_dir, after_dir, glob=None,
+                     distributed=False):
     """The reusable diff behind :func:`fs_snapshot_diff` — also driven
-    against mutable tmp trees by the ADDED/DELETED pytest."""
-    a = (
-        list_status_df(spark, before_dir, glob=glob)
-        .filter(~F.col("is_dir"))
-        .select("name", F.col("size").alias("size_before"))
+    against mutable tmp trees by the ADDED/DELETED pytest.
+
+    ``distributed=True`` lists both snapshots with the bounded-driver
+    BFS walk (sources/listing.py) instead of the driver-JVM loop — the
+    namespace-scale path; the caller owns unpersisting the result's
+    lineage (the walk caches DISK_ONLY)."""
+    if distributed:
+        from ..sources.listing import list_files_distributed
+
+        rx = glob_to_regex(glob) if glob else None
+
+        def _listing(d):
+            df = list_files_distributed(spark, d)
+            return df.filter(F.col("name").rlike(rx)) if rx else df
+    else:
+        def _listing(d):
+            return list_status_df(spark, d, glob=glob).filter(
+                ~F.col("is_dir")
+            )
+    a = _listing(before_dir).select(
+        "name", F.col("size").alias("size_before")
     )
-    b = (
-        list_status_df(spark, after_dir, glob=glob)
-        .filter(~F.col("is_dir"))
-        .select(F.col("name").alias("name_b"), F.col("size").alias("size_after"))
+    b = _listing(after_dir).select(
+        F.col("name").alias("name_b"), F.col("size").alias("size_after")
     )
     j = a.join(b, a["name"] == b["name_b"], "full_outer")
     return j.select(

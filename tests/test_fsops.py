@@ -185,3 +185,14 @@ def test_snapshot_diff_added_deleted_branches(spark, tmp_path):
         "gone.txt": ("DELETED", 1, None),
         "new.txt": ("ADDED", None, 1),
     }
+
+    # the namespace-scale path: same diff through the bounded-driver
+    # distributed walk (review finding r7 — the scale claim must be
+    # exercised, not asserted)
+    dist = {
+        r.name: (r.change, r.size_before, r.size_after)
+        for r in snapshot_diff_df(
+            spark, str(before), str(after), distributed=True
+        ).collect()
+    }
+    assert dist == rows

@@ -2150,3 +2150,65 @@ def test_zip_walk_fail_closed_branches(spark, tmp_path):
     out = walk(d)
     assert len(out) == 5
     assert "docs/doc_0_a.txt" not in {r.member for r in out}
+
+    # (e) corrupt lho pointing at a stray PK\x03\x04 near EOF: the
+    # short local-header slice must fail closed (no struct.error
+    # escaping the task — review finding r7)
+    bad = bytearray(blob)
+    struct.pack_into("<I", bad, cd_off + 42, n - 10)
+    bad[n - 10 : n - 6] = b"PK\x03\x04"
+    d = tmp_path / "e"; d.mkdir()
+    (d / "lho.zip").write_bytes(bytes(bad))
+    assert walk(d) == []  # first entry's local header is garbage
+
+
+def test_gopher_funnel_all_rules_fire_and_match_oracle(spark, tmp_path):
+    """The fixture corpus only ever fires words/stop/uniq/pass — the
+    mean_len and alpha branches were cross-engine-unverified (review
+    finding r7). Build a synthetic corpus where EVERY rule fires and
+    run the full verify_local comparator on it."""
+    import duckdb
+    import pandas as pd
+
+    from hadoop_tools_spark.operators.llm_text import llm_quality_gopher
+    from hadoop_tools_spark.registry import ORACLES
+    from tools.verify_local import compare
+
+    docs = [
+        ("words", "tiny doc " * 5),                      # 10 words
+        ("mean_len_low", "ab " * 49 + "ab"),             # mean 2 < 4
+        ("mean_len_high", "abcdefghijkl " * 49 + "abcdefghijkl"),
+        ("alpha", ("abc123 " * 30 + "the word " + "ok " * 18).strip()),
+        ("stop", ("alpha beta gamma delta epsilon " * 10).strip()),
+        ("uniq", "the " + "samey " * 59 + "samey"),
+        ("pass", ("these quick brown foxes jumped over that lazy doggy "
+                  "and rushed farther into winner bigly " * 3).strip()),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [t for _, t in docs],
+            "lang": [name for name, _ in docs],  # lang == expected rule
+            "source": ["synth"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/documents.parquet")
+
+    sdf = llm_quality_gopher(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    odf = con.execute(ORACLES["llm_quality_gopher"]).df()
+    errs = compare("llm_quality_gopher", sdf, odf)
+    assert not errs, errs[:3]
+    # every doc must be attributed to the rule its lang names
+    got = {r.lang: r.rule for r in sdf.itertuples()}
+    assert got == {
+        "words": "words", "mean_len_low": "mean_len",
+        "mean_len_high": "mean_len", "alpha": "alpha", "stop": "stop",
+        "uniq": "uniq", "pass": "pass",
+    }
