@@ -1974,3 +1974,103 @@ def llm_vocab_coverage(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "llm_robots_filter",
+    oracle="""
+    WITH hosts AS (
+        SELECT DISTINCT lower(replace(c_mktsegment, ' ', ''))
+               || '.example.com' AS host
+        FROM customer
+    ),
+    rules AS (
+        SELECT host, '/' AS rule_prefix, 'allow' AS decision FROM hosts
+        UNION ALL
+        SELECT host, '/cust/', 'disallow' FROM hosts
+        UNION ALL
+        SELECT host, '/cust/' || d,
+               CASE WHEN (d + length(host)) % 2 = 0
+                    THEN 'allow' ELSE 'disallow' END
+        FROM hosts, (SELECT unnest(range(0, 5)) AS d)
+    ),
+    urls AS (
+        SELECT c_custkey,
+               lower(replace(c_mktsegment, ' ', '')) || '.example.com'
+                   AS host,
+               '/cust/' || c_custkey AS path
+        FROM customer
+    ),
+    matched AS (
+        SELECT u.c_custkey, u.host, u.path, r.rule_prefix, r.decision,
+               row_number() OVER (
+                   PARTITION BY u.c_custkey
+                   ORDER BY length(r.rule_prefix) DESC, r.decision
+               ) AS rn
+        FROM urls u JOIN rules r
+          ON u.host = r.host
+         AND substr(u.path, 1, length(r.rule_prefix)) = r.rule_prefix
+    )
+    SELECT c_custkey, 'https://' || host || path AS url,
+           rule_prefix, decision
+    FROM matched WHERE rn = 1
+    """,
+)
+def llm_robots_filter(spark, sf_dir):
+    """robots.txt politeness gate — the crawl-pipeline step between
+    CDX lookup and fetch: every URL is matched against its host's rule
+    set with REAL robots semantics (RFC 9309): the LONGEST matching
+    path prefix decides, allow wins a length tie. The rule table is
+    synthesized deterministically from the fixture (per-host disallow
+    of '/cust/' with digit-carve-out allows, so '/cust/3' genuinely
+    prefix-matches '/cust/35' — the aliasing that makes longest-match
+    order matter).
+
+    Scale shape: rule sets are tiny per host (real robots.txt is KBs)
+    → broadcast join against the URL stream; the winner-pick is a
+    row_number window over ≤|rules| candidate rows per URL, partitioned
+    by the URL key — no global ordering, no skew (rules fan out
+    per-host but match per-URL).
+    """
+    c = load_spread(spark, sf_dir, "customer")
+    host = F.concat(
+        F.lower(F.regexp_replace("c_mktsegment", " ", "")),
+        F.lit(".example.com"),
+    )
+    hosts = c.select(host.alias("host")).distinct()
+    base = hosts.select("host", F.lit("/").alias("rule_prefix"),
+                        F.lit("allow").alias("decision"))
+    block = hosts.select("host", F.lit("/cust/").alias("rule_prefix"),
+                         F.lit("disallow").alias("decision"))
+    carve = (
+        hosts.select("host", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("d"))
+        .select(
+            "host",
+            F.concat(F.lit("/cust/"), F.col("d")).alias("rule_prefix"),
+            F.when((F.col("d") + F.length("host")) % 2 == 0, "allow")
+            .otherwise("disallow")
+            .alias("decision"),
+        )
+    )
+    rules = base.unionByName(block).unionByName(carve)
+    urls = c.select(
+        "c_custkey",
+        host.alias("host"),
+        F.concat(F.lit("/cust/"), F.col("c_custkey")).alias("path"),
+    )
+    cand = urls.join(F.broadcast(rules), "host").filter(
+        F.col("path").startswith(F.col("rule_prefix"))
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.length("rule_prefix").desc(), "decision"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("https://"), "host", "path").alias("url"),
+            "rule_prefix",
+            "decision",
+        )
+    )

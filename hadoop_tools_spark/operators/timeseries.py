@@ -907,3 +907,126 @@ def ts_autocorr(spark, sf_dir):
             / 1_000_000
         ).alias("autocorr6"),
     )
+
+
+_LTTB_S = 172_800  # 2-day buckets over the 30-day fixture window
+_LTTB_BASE = 1_704_067_200  # epoch of 2024-01-01, the fixture origin
+
+
+@query(
+    "ts_lttb",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) - {_LTTB_BASE} AS t,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ),
+    p AS (SELECT *, t // {_LTTB_S} AS bucket FROM e),
+    s AS (
+      SELECT user_id, bucket,
+             SUM(t) AS st, SUM(c) AS sc, COUNT(*) AS n
+      FROM p GROUP BY user_id, bucket
+    ),
+    nb AS (
+      SELECT user_id, bucket,
+             lag(st)  OVER w AS pt, lag(sc)  OVER w AS pc,
+             lag(n)   OVER w AS pn,
+             lead(st) OVER w AS nt, lead(sc) OVER w AS nc,
+             lead(n)  OVER w AS nn
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+    ),
+    cand AS (
+      SELECT p.user_id, p.bucket, p.t, p.c, p.event_id,
+             COALESCE(abs(
+               (pt::HUGEINT * nn - nt::HUGEINT * pn)
+                 * (p.c::HUGEINT * nn - nc)
+               - (pc::HUGEINT * nn - nc::HUGEINT * pn)
+                 * (p.t::HUGEINT * nn - nt)
+             ), -1::HUGEINT) AS area
+      FROM p JOIN nb USING (user_id, bucket)
+    )
+    SELECT user_id,
+           bucket * {_LTTB_S} + {_LTTB_BASE} AS bucket_start,
+           t + {_LTTB_BASE} AS ts_sec, event_id,
+           CAST(c AS DOUBLE) / 100 AS value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, bucket
+        ORDER BY area DESC, t, event_id) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def ts_lttb(spark, sf_dir):
+    """Largest-Triangle downsampling (Steinarsson's LTTB, the Grafana/
+    monitoring decimation standard) in its bucket-mean-anchor form:
+    per (series, bucket) keep the ONE point maximizing the triangle
+    area spanned with the previous and next buckets' mean points — the
+    envelope-preserving alternative to OHLC resampling (`ts_resample`
+    keeps aggregates; this keeps actual points).
+
+    Determinism: the area argmax is the trap — areas are products of
+    coordinates, and a double-precision argmax can flip on an ulp
+    cross-engine. Every coordinate is pinned to integers (ts seconds
+    rebased to the fixture origin, values to cents) and the
+    mean-anchor area is multiplied through by the neighbor counts, so
+    the comparison is |(ΣTp·n₂ − ΣTn·n₁)(c·n₂ − ΣCn) − (ΣCp·n₂ −
+    ΣCn·n₁)(t·n₂ − ΣTn)| — exact DECIMAL(38,0) on the Spark side,
+    HUGEINT in DuckDB, bit-identical ordering. Edge buckets (no prev
+    or next) take the earliest point (area −1 ties broken on t,
+    event_id). Rebased t is non-negative for the fixture window, so
+    Spark's truncating `div` equals DuckDB's floor `//`.
+
+    Scale shape: bucket stats partial-aggregate on (user, bucket); the
+    lag/lead window and the argmax window both run on user-keyed
+    partitionings; the stats join is co-partitioned. Nothing global,
+    nothing driver-side.
+    """
+    e = load(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        f"CAST(unix_timestamp(ts) AS BIGINT) - {_LTTB_BASE} AS t",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c",
+    )
+    p = e.selectExpr("*", f"t div {_LTTB_S} AS bucket")
+    s = p.groupBy("user_id", "bucket").agg(
+        F.sum("t").alias("st"), F.sum("c").alias("sc"),
+        F.count("*").alias("n"),
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    nb = s.select(
+        "user_id",
+        "bucket",
+        F.lag("st").over(w).alias("pt"),
+        F.lag("sc").over(w).alias("pc"),
+        F.lag("n").over(w).alias("pn"),
+        F.lead("st").over(w).alias("nt"),
+        F.lead("sc").over(w).alias("nc"),
+        F.lead("n").over(w).alias("nn"),
+    )
+    dec = "CAST({} AS DECIMAL(19,0))"
+    d = dec.format
+    cand = p.join(nb, ["user_id", "bucket"]).selectExpr(
+        "user_id", "bucket", "t", "c", "event_id",
+        f"""COALESCE(abs(
+              ({d('pt')} * nn - {d('nt')} * pn)
+                * ({d('c')} * nn - nc)
+              - ({d('pc')} * nn - {d('nc')} * pn)
+                * ({d('t')} * nn - nt)),
+            CAST(-1 AS DECIMAL(38,0))) AS area""",
+    )
+    wr = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("area").desc(), "t", "event_id"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wr))
+        .filter("rn = 1")
+        .selectExpr(
+            "user_id",
+            f"bucket * {_LTTB_S} + {_LTTB_BASE} AS bucket_start",
+            f"t + {_LTTB_BASE} AS ts_sec",
+            "event_id",
+            "CAST(c AS DOUBLE) / 100 AS value",
+        )
+    )
