@@ -122,7 +122,14 @@ def run(spark, directory: str) -> dict:
 
 def main() -> None:
     # one arg = legacy 2x mode (n//2 and n); several args = explicit
-    # archive counts, e.g. `128 1024` for the 8x-bytes sweep
+    # archive counts, e.g. `128 1024` for the 8x-bytes sweep;
+    # `zip N M` runs only the ZIP leg (llm_zip_members at scale)
+    if sys.argv[1:2] == ["zip"]:
+        from hadoop_tools_spark.session import get_spark
+
+        scales = tuple(int(a) for a in sys.argv[2:]) or (96, 192)
+        run_zip(get_spark(), scales)
+        return
     argv = [int(a) for a in sys.argv[1:]]
     scales = tuple(argv) if len(argv) > 1 else (
         ((argv[0] // 2, argv[0]) if argv else (96, 192))
@@ -244,6 +251,69 @@ def main() -> None:
         line += f"; ranged-fetch {n_hit} (1/{mod}) in {t_fetch:.2f}s"
     print(line)
     shutil.rmtree(BASE, ignore_errors=True)
+
+
+
+
+def gen_zip_corpus(n_archives: int, members_per_zip: int = 64) -> str:
+    """~1 MB ZIP shards: mixed stored/deflated members (~16 KB each,
+    deterministic bytes), the llm_zip_members scale fixture."""
+    import zipfile
+
+    out = os.path.join(BASE, f"zip{n_archives}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for i in range(n_archives):
+        path = os.path.join(out, f"zipds_{i:04d}.zip")
+        with zipfile.ZipFile(path, "w") as zf:
+            for j in range(members_per_zip):
+                data = bytes(
+                    (j * 7 + i * 31 + k) % 256 for k in range(4096)
+                ) + (f"doc {i}-{j} " * 1200).encode()
+                zi = zipfile.ZipInfo(
+                    f"docs/d{j:04d}.bin", date_time=(1980, 1, 1, 0, 0, 0)
+                )
+                zi.compress_type = (
+                    zipfile.ZIP_DEFLATED if j % 2 else zipfile.ZIP_STORED
+                )
+                zi.create_system = 3
+                zf.writestr(zi, data)
+    return out
+
+
+def run_zip(spark, scales) -> None:
+    """ZIP leg of the container-family rehearsal: same linear-wall /
+    flat-RSS expectations as the WARC walks, plus the decode cost
+    (every deflated member is inflated and CRC'd in the task)."""
+    from hadoop_tools_spark.operators.multimodal import (
+        read_assets,
+        zip_members,
+    )
+
+    results = {}
+    for scale in scales:
+        d = gen_zip_corpus(scale)
+        size_mb = sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+        ) / 1e6
+        walls, n_rows = [], 0
+        for _ in range(2):
+            t0 = time.time()
+            n_rows = zip_members(
+                read_assets(spark, d, glob="zipds_*.zip")
+            ).count()
+            walls.append(time.time() - t0)
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        results[scale] = {"size_mb": size_mb, "wall": min(walls)}
+        print(
+            f"zip n={scale}: {size_mb:.0f} MB, {n_rows} members, "
+            f"wall={min(walls):.2f}s, driver_rss={rss_mb:.0f} MB"
+        )
+    lo, hi = results[scales[0]], results[scales[-1]]
+    factor = hi["size_mb"] / max(lo["size_mb"], 1e-9)
+    print(f"zip: {factor:.1f}x data -> "
+          f"{hi['wall'] / max(lo['wall'], 1e-9):.2f}x wall")
 
 
 if __name__ == "__main__":
