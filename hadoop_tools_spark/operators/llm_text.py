@@ -2074,3 +2074,85 @@ def llm_robots_filter(spark, sf_dir):
             "decision",
         )
     )
+
+
+@query(
+    "llm_ccnet_buckets",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    cnt AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    tot AS (SELECT COUNT(*) AS n_total FROM w),
+    v AS (SELECT COUNT(*) AS n_vocab FROM cnt),
+    scored AS (
+        SELECT w.doc_id,
+               CAST(SUM(CAST(floor(
+                   LN((cnt.n + 1.0) / (tot.n_total + v.n_vocab))
+                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_units,
+               COUNT(*) AS n_tokens
+        FROM w JOIN cnt USING (word) CROSS JOIN tot CROSS JOIN v
+        GROUP BY w.doc_id
+    )
+    SELECT s.doc_id, d.lang,
+           CASE ntile(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY CAST(s.sum_units AS DOUBLE) / s.n_tokens DESC,
+                        s.doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored s JOIN documents d USING (doc_id)
+    """,
+)
+def llm_ccnet_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing (Wenzek et al. 2020): rank every
+    document within its language by LM score (the add-one unigram
+    logprob proxy, pinned to 1e-6 integer units per token before the
+    per-doc mean) and split into head/middle/tail terciles — the
+    partition CCNet feeds to downstream sampling (train mostly on
+    head, audit tail).
+
+    Determinism: per-doc scores are integer-unit sums (order-free);
+    the tercile order is (single-IEEE-division mean DESC, doc_id), so
+    rank and bucket can never flip on summation order or an ulp tie.
+    Scale: the per-lang NTILE is an exact global sort per language —
+    right at report sizes; at 100 TB the same split ships as two
+    per-lang score THRESHOLDS (exact rank statistics computed once,
+    broadcast, applied scan-side), which this key's terciles define.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    cnt = w.groupBy("word").agg(F.count("*").alias("n"))
+    tot = w.agg(F.count("*").alias("n_total"))
+    v = cnt.agg(F.count("*").alias("n_vocab"))
+    lp_units = F.floor(
+        F.log((F.col("n") + 1.0) / (F.col("n_total") + F.col("n_vocab")))
+        * 1_000_000 + 0.5
+    ).cast("long")
+    scored = (
+        w.join(F.broadcast(cnt), "word")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(lp_units).alias("sum_units"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(
+        (F.col("sum_units").cast("double") / F.col("n_tokens")).desc(),
+        "doc_id",
+    )
+    buck = F.ntile(3).over(win)
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(buck == 1, "head")
+            .when(buck == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

@@ -2212,3 +2212,28 @@ def test_gopher_funnel_all_rules_fire_and_match_oracle(spark, tmp_path):
         "mean_len_high": "mean_len", "alpha": "alpha", "stop": "stop",
         "uniq": "uniq", "pass": "pass",
     }
+
+
+def test_image_phash_png_twins_collide_at_zero(spark):
+    """The perceptual-dedup claim in its sharpest form: every
+    png_i.png (a real PNG decode) must land at Hamming 0 from its
+    pixel-identical img_i.ppm source, and the refuse gate must name
+    the banded scale path."""
+    import pytest as _pytest
+
+    from hadoop_tools_spark.operators import multimodal as mm
+
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in mm.llm_image_phash(spark, None).collect()
+    }
+    for i in range(8):
+        assert pairs.get((f"img_{i}.ppm", f"png_{i}.png")) == 0, i
+
+    orig = mm.IMAGE_PHASH_MAX_ROWS
+    mm.IMAGE_PHASH_MAX_ROWS = 3
+    try:
+        with _pytest.raises(ValueError, match="banding"):
+            mm.llm_image_phash(spark, None)
+    finally:
+        mm.IMAGE_PHASH_MAX_ROWS = orig
