@@ -2237,3 +2237,88 @@ def test_image_phash_png_twins_collide_at_zero(spark):
             mm.llm_image_phash(spark, None)
     finally:
         mm.IMAGE_PHASH_MAX_ROWS = orig
+
+
+def test_tiff_roundtrip_matrix():
+    """Encoder→decoder exactness over both byte orders, four strip
+    heights, and PackBits on/off — every decoder branch, including the
+    inline-vs-offset IFD rule flipping with strip count."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(7)
+    for h, w in [(12, 16), (26, 37), (1, 1), (5, 7)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for bo in "<>":
+            for rps in (None, 1, 3, h):
+                for pb in (False, True):
+                    blob = encode_tiff(
+                        px, byteorder=bo, rows_per_strip=rps, packbits=pb
+                    )
+                    w2, h2, out = decode_tiff(blob)
+                    assert (w2, h2) == (w, h) and (out == px).all(), (
+                        h, w, bo, rps, pb,
+                    )
+    # constant image: maximal PackBits runs incl. the 128-run split
+    const = np.full((9, 131, 3), 77, np.uint8)
+    _, _, out = decode_tiff(encode_tiff(const, packbits=True))
+    assert (out == const).all()
+
+
+def test_tiff_twins_bit_exact_vs_ppm():
+    """Every tif_i.tif fixture decodes to EXACTLY img_i.ppm's pixels
+    (the lossless-twin invariant behind the llm_multimodal_tiff
+    oracle), through the decode_image dispatch."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        decode_image,
+        decode_ppm,
+    )
+
+    for i in range(8):
+        with open(os.path.join(MEDIA_DIR, f"tif_{i}.tif"), "rb") as f:
+            w, h, tp = decode_image(f.read())
+        with open(os.path.join(MEDIA_DIR, f"img_{i}.ppm"), "rb") as f:
+            w2, h2, pp = decode_ppm(f.read())
+        assert (w, h) == (w2, h2) and (tp == pp).all(), i
+
+
+def test_tiff_unsupported_profiles_fail_loudly():
+    """Out-of-profile TIFFs (planar 2, 16-bit, LZW, tiled-by-missing-
+    strips) must raise the tolerant-seam classes, never decode to a
+    silently wrong image."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_tools_spark.operators.tiff import decode_tiff, encode_tiff
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    blob = bytearray(encode_tiff(px))
+
+    def tag_pos(b, tag):
+        (ifd,) = struct.unpack_from("<I", b, 4)
+        (n,) = struct.unpack_from("<H", b, ifd)
+        for i in range(n):
+            base = ifd + 2 + 12 * i
+            if struct.unpack_from("<H", b, base)[0] == tag:
+                return base
+        raise AssertionError(tag)
+
+    lzw = bytearray(blob)
+    struct.pack_into("<H", lzw, tag_pos(lzw, 259) + 8, 5)  # LZW
+    with _pytest.raises(NotImplementedError):
+        decode_tiff(bytes(lzw))
+
+    planar = bytearray(blob)
+    struct.pack_into("<H", planar, tag_pos(planar, 284) + 8, 2)
+    with _pytest.raises(NotImplementedError):
+        decode_tiff(bytes(planar))
+
+    short = bytes(blob)[:40]
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_tiff(short)

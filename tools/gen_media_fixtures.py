@@ -760,6 +760,7 @@ def main() -> None:
 
     write_arrow_fixtures()
     write_zip_fixtures()
+    write_tiff_fixtures()
     print(f"wrote fixtures to {OUT}")
 
 
@@ -857,6 +858,34 @@ def write_zip_fixtures() -> None:
                 zi.external_attr = (0o40755 if name.endswith("/")
                                     else 0o644) << 16
                 zf.writestr(zi, data)
+
+
+
+
+def write_tiff_fixtures() -> None:
+    """Baseline-TIFF twins of img_{i}.ppm — pixel-identical (like the
+    PNG/GIF/lossless-JPEG twins), rotating through both byte orders,
+    strip heights, and PackBits so every decoder branch is covered by
+    a committed fixture."""
+    import numpy as _np
+
+    from hadoop_tools_spark.operators.tiff import encode_tiff
+
+    for i in range(8):
+        w, h = 16 + i * 3, 12 + i * 2
+        xx, yy = _np.meshgrid(_np.arange(w), _np.arange(h))
+        base = (xx * 7 + yy * 13 + i * 31) % 256
+        px = _np.stack(
+            [base, (base + 29) % 256, (base + 58) % 256], axis=-1
+        ).astype(_np.uint8)
+        blob = encode_tiff(
+            px,
+            byteorder="<" if i % 2 == 0 else ">",
+            rows_per_strip=[None, 1, 3, 5][i % 4],
+            packbits=(i % 3 == 0),
+        )
+        with open(os.path.join(OUT, f"tif_{i}.tif"), "wb") as f:
+            f.write(blob)
 
 
 if __name__ == "__main__":
