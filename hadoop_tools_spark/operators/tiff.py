@@ -129,8 +129,9 @@ def encode_tiff(
             u32, cnt
         )
         if inline_short:  # one SHORT, left-justified in the 4 bytes
-            pad = struct.pack(u16, val) + b"\x00\x00"
-            return e + (pad if bo == "<" else pad)
+            # inline values are left-justified in the 4 bytes
+            # regardless of byte order (TIFF 6.0 §2)
+            return e + struct.pack(u16, val) + b"\x00\x00"
         return e + struct.pack(u32, val)
 
     entries = [
@@ -222,10 +223,17 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
     if ifd_off + 2 + 12 * n_entries + 4 > len(blob):
         raise ValueError("IFD overruns file")
     tags: dict[int, list[int]] = {}
+    needed = {_W, _H, _BPS, _COMP, _PHOTO, _STRIP_OFF, _SPP, _RPS,
+              _STRIP_CNT, _PLANAR}
     for i in range(n_entries):
         base = ifd_off + 2 + 12 * i
         tag, typ = struct.unpack_from(bo + "HH", blob, base)
         (cnt,) = struct.unpack_from(bo + "I", blob, base + 4)
+        if tag not in needed:
+            # TIFF 6.0 requires readers to SKIP unrecognized fields —
+            # real scans carry RATIONAL XResolution / ASCII DateTime
+            # etc.; rejecting them would exclude most baseline files
+            continue
         tags[tag] = _read_tag_values(
             blob, bo, typ, cnt, blob[base + 8 : base + 12]
         )
@@ -248,6 +256,8 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
     if comp not in (1, 32773):
         raise NotImplementedError(f"TIFF compression {comp} unsupported")
     rps = one(_RPS, h)
+    if rps < 1:
+        raise ValueError("RowsPerStrip must be >= 1")
     offs, cnts = tags.get(_STRIP_OFF), tags.get(_STRIP_CNT)
     if not offs or not cnts or len(offs) != len(cnts):
         raise ValueError("strip offset/count tags inconsistent")

@@ -1007,14 +1007,31 @@ def ts_lttb(spark, sf_dir):
     )
     dec = "CAST({} AS DECIMAL(19,0))"
     d = dec.format
-    cand = p.join(nb, ["user_id", "bucket"]).selectExpr(
-        "user_id", "bucket", "t", "c", "event_id",
-        f"""COALESCE(abs(
+    # a NULL area from decimal overflow must FAIL LOUDLY, not be
+    # conflated with the edge-bucket -1 sentinel (review finding r7):
+    # only missing neighbors take the sentinel; an overflowed product
+    # raises via assert_true, mirroring DuckDB's loud HUGEINT overflow
+    cand = (
+        p.join(nb, ["user_id", "bucket"])
+        .selectExpr(
+            "user_id", "bucket", "t", "c", "event_id", "pn", "nn",
+            f"""abs(
               ({d('pt')} * nn - {d('nt')} * pn)
                 * ({d('c')} * nn - nc)
               - ({d('pc')} * nn - {d('nc')} * pn)
-                * ({d('t')} * nn - nt)),
-            CAST(-1 AS DECIMAL(38,0))) AS area""",
+                * ({d('t')} * nn - nt)) AS area_raw""",
+        )
+        .selectExpr(
+            "user_id", "bucket", "t", "c", "event_id",
+            """CASE
+                 WHEN pn IS NULL OR nn IS NULL
+                   THEN CAST(-1 AS DECIMAL(38,0))
+                 WHEN area_raw IS NULL THEN CAST(assert_true(
+                   false, 'ts_lttb: exact area overflowed DECIMAL(38,0)')
+                   AS DECIMAL(38,0))
+                 ELSE area_raw
+               END AS area""",
+        )
     )
     wr = Window.partitionBy("user_id", "bucket").orderBy(
         F.col("area").desc(), "t", "event_id"

@@ -2322,3 +2322,43 @@ def test_tiff_unsupported_profiles_fail_loudly():
     short = bytes(blob)[:40]
     with _pytest.raises((ValueError, NotImplementedError)):
         decode_tiff(short)
+
+
+def test_tiff_review_findings_r7():
+    """Review-finding pins: RowsPerStrip=0 must raise a tolerant-seam
+    class (not ZeroDivisionError), and unrecognized IFD tags of ANY
+    type (RATIONAL XResolution, ASCII DateTime — what real scanners
+    write) must be SKIPPED per TIFF 6.0, not rejected."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_tools_spark.operators.tiff import decode_tiff, encode_tiff
+
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    blob = bytearray(encode_tiff(px))
+
+    def tag_pos(b, tag):
+        (ifd,) = struct.unpack_from("<I", b, 4)
+        (n,) = struct.unpack_from("<H", b, ifd)
+        for i in range(n):
+            base = ifd + 2 + 12 * i
+            if struct.unpack_from("<H", b, base)[0] == tag:
+                return base
+        raise AssertionError(tag)
+
+    zero_rps = bytearray(blob)
+    struct.pack_into("<I", zero_rps, tag_pos(zero_rps, 278) + 8, 0)
+    with _pytest.raises(ValueError, match="RowsPerStrip"):
+        decode_tiff(bytes(zero_rps))
+
+    # rewrite the PlanarConfig entry into XResolution (RATIONAL type 5,
+    # offset pointing at garbage): the decoder must skip it and still
+    # decode correctly (planar defaults to 1)
+    rational = bytearray(blob)
+    base = tag_pos(rational, 284)
+    struct.pack_into("<HHI", rational, base, 282, 5, 1)
+    struct.pack_into("<I", rational, base + 8, 8)
+    w, h, out = decode_tiff(bytes(rational))
+    assert (w, h) == (5, 4) and (out == px).all()
