@@ -7,7 +7,10 @@ Scope (the "baseline RGB" profile real dataset scans produce):
 - chunky RGB, 8 bits/sample, SamplesPerPixel 3;
 - multi-strip images (RowsPerStrip < height) — strip re-assembly is
   where naive readers break;
-- Compression 1 (none) and 32773 (PackBits RLE, TIFF §9);
+- Compression 1 (none), 32773 (PackBits RLE, TIFF §9), and 5 (LZW,
+  TIFF §13: MSB-first bit packing, 9-bit start, ClearCode 256,
+  EOI 257, EARLY-CHANGE code widening — the variant real scans use),
+  with Predictor 2 (horizontal differencing, tag 317);
 - the inline-vs-offset IFD value rule (a tag's value lives IN the
   12-byte entry when it fits in 4 bytes, behind an offset otherwise)
   — the classic TIFF-reader gotcha, exercised by both fixture sizes.
@@ -32,6 +35,7 @@ import numpy as np
 # baseline tag ids
 _W, _H, _BPS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _RPS, _STRIP_CNT, _PLANAR = 273, 277, 278, 279, 284
+_PREDICTOR = 317
 
 _TYPE_SIZE = {3: 2, 4: 4}  # SHORT, LONG — all this profile needs
 
@@ -87,21 +91,149 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF §13 LZW writer (MSB-first, early-change): exists so the
+    decoder is round-trip-proven, like every encoder in this repo."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    put(_LZW_CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # EARLY CHANGE: widen when next_code == 2^width - 1 (one
+        # entry before the table is actually full)
+        if next_code == (1 << width) - 1:
+            if width == 12:
+                put(_LZW_CLEAR, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code, width = 258, 9
+            else:
+                width += 1
+        w = bytes([ch])
+    if w:
+        put(table[w], width)
+    put(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF §13 LZW reader (MSB-first, early-change)."""
+    out = bytearray()
+    acc = nbits = pos = 0
+    width = 9
+
+    def get() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        return code
+
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < expect:
+        code = get()
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("LZW: first code after clear not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        prev = entry
+        # early change, mirroring the writer — the decoder's table
+        # lags the encoder by ONE entry (it can only build an entry
+        # after seeing the next code), so it widens at 2^width - 2
+        # where the writer widens at 2^width - 1
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expect:
+        raise ValueError("LZW output size mismatch")
+    return bytes(out)
+
+
+def _predict2_encode(raw: bytes, w: int) -> bytes:
+    """Predictor 2 (horizontal differencing): each sample becomes the
+    delta from the same sample one pixel left, mod 256, per row."""
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, w, 3).astype(np.int16)
+    d = a.copy()
+    d[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) % 256
+    return d.astype(np.uint8).tobytes()
+
+
+def _predict2_decode(raw: bytes, w: int) -> bytes:
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, w, 3)
+    return np.cumsum(a, axis=1, dtype=np.int64).astype(np.uint8).tobytes()
+
+
 def encode_tiff(
     px: np.ndarray,
     byteorder: str = "<",
     rows_per_strip: int | None = None,
     packbits: bool = False,
+    compression: str | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """(h, w, 3) uint8 → baseline TIFF. ``byteorder`` '<' writes II,
-    '>' writes MM; ``rows_per_strip`` defaults to whole-image."""
+    '>' writes MM; ``rows_per_strip`` defaults to whole-image;
+    ``compression`` in {"none", "packbits", "lzw"} (``packbits=True``
+    is the legacy spelling); ``predictor=2`` applies horizontal
+    differencing before compression (only meaningful with lzw)."""
+    comp = compression or ("packbits" if packbits else "none")
     h, w, _ = px.shape
     rps = rows_per_strip or h
     n_strips = (h + rps - 1) // rps
     strips = []
     for s in range(n_strips):
         raw = px[s * rps : (s + 1) * rps].tobytes()
-        strips.append(_packbits_encode(raw) if packbits else raw)
+        if predictor == 2:
+            raw = _predict2_encode(raw, w)
+        if comp == "packbits":
+            raw = _packbits_encode(raw)
+        elif comp == "lzw":
+            raw = _lzw_encode(raw)
+        strips.append(raw)
 
     bo = byteorder
     magic = b"II*\x00" if bo == "<" else b"MM\x00*"
@@ -134,17 +266,19 @@ def encode_tiff(
             return e + struct.pack(u16, val) + b"\x00\x00"
         return e + struct.pack(u32, val)
 
+    comp_tag = {"none": 1, "packbits": 32773, "lzw": 5}[comp]
+    n_ifd = 10 + (1 if predictor == 2 else 0)
     entries = [
         entry(_W, 4, 1, w),
         entry(_H, 4, 1, h),
         entry(_BPS, 3, 3, bps_off),
-        entry(_COMP, 3, 1, 32773 if packbits else 1, inline_short=True),
+        entry(_COMP, 3, 1, comp_tag, inline_short=True),
         entry(_PHOTO, 3, 1, 2, inline_short=True),
     ]
     if n_strips == 1:
         entries.append(entry(_STRIP_OFF, 4, 1, strip_offsets[0]))
-    elif n_strips == 2:  # two LONGs exactly fill... no: 8 > 4 — offset
-        so_off = ifd_off + 2 + 12 * 10 + 4
+    elif n_strips == 2:  # two LONGs (8 B) exceed the 4-B inline slot
+        so_off = ifd_off + 2 + 12 * n_ifd + 4
         entries.append(entry(_STRIP_OFF, 4, 2, so_off))
     else:
         entries.append(entry(_STRIP_OFF, 4, n_strips, so_off))
@@ -153,11 +287,14 @@ def encode_tiff(
     if n_strips == 1:
         entries.append(entry(_STRIP_CNT, 4, 1, len(strips[0])))
     elif n_strips == 2:
-        sc_off = ifd_off + 2 + 12 * 10 + 4 + 8
+        sc_off = ifd_off + 2 + 12 * n_ifd + 4 + 8
         entries.append(entry(_STRIP_CNT, 4, 2, sc_off))
     else:
         entries.append(entry(_STRIP_CNT, 4, n_strips, sc_off))
     entries.append(entry(_PLANAR, 3, 1, 1, inline_short=True))
+    if predictor == 2:
+        entries.append(entry(_PREDICTOR, 3, 1, 2, inline_short=True))
+    assert len(entries) == n_ifd
     entries.sort(key=lambda e: struct.unpack(u16, e[:2])[0])
 
     out = bytearray()
@@ -224,7 +361,7 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("IFD overruns file")
     tags: dict[int, list[int]] = {}
     needed = {_W, _H, _BPS, _COMP, _PHOTO, _STRIP_OFF, _SPP, _RPS,
-              _STRIP_CNT, _PLANAR}
+              _STRIP_CNT, _PLANAR, _PREDICTOR}
     for i in range(n_entries):
         base = ifd_off + 2 + 12 * i
         tag, typ = struct.unpack_from(bo + "HH", blob, base)
@@ -253,8 +390,11 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError("only 8 bits/sample supported")
     if one(_PLANAR, 1) != 1:
         raise NotImplementedError("planar configuration 2 unsupported")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {comp} unsupported")
+    predictor = one(_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     rps = one(_RPS, h)
     if rps < 1:
         raise ValueError("RowsPerStrip must be >= 1")
@@ -270,11 +410,17 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
         rows = min(rps, h - s * rps)
         expect = rows * w * 3
         chunk = blob[o : o + c]
-        raw += (
-            _packbits_decode(chunk, expect) if comp == 32773 else chunk
-        )
-        if comp == 1 and len(chunk) != expect:
-            raise ValueError("uncompressed strip size mismatch")
+        if comp == 32773:
+            strip = _packbits_decode(chunk, expect)
+        elif comp == 5:
+            strip = _lzw_decode(chunk, expect)
+        else:
+            if len(chunk) != expect:
+                raise ValueError("uncompressed strip size mismatch")
+            strip = chunk
+        if predictor == 2:
+            strip = _predict2_decode(strip, w)
+        raw += strip
     if len(raw) != w * h * 3:
         raise ValueError("assembled pixel data has wrong size")
     px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)

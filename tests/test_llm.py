@@ -2240,9 +2240,10 @@ def test_image_phash_png_twins_collide_at_zero(spark):
 
 
 def test_tiff_roundtrip_matrix():
-    """Encoder→decoder exactness over both byte orders, four strip
-    heights, and PackBits on/off — every decoder branch, including the
-    inline-vs-offset IFD rule flipping with strip count."""
+    """Encoder→decoder exactness over byte order × strip height ×
+    compression (none/PackBits/LZW) × predictor — every decoder
+    branch, including the inline-vs-offset IFD rule flipping with
+    strip count and LZW's early-change/table-reset paths."""
     import numpy as np
 
     from hadoop_tools_spark.operators.tiff import decode_tiff, encode_tiff
@@ -2252,14 +2253,16 @@ def test_tiff_roundtrip_matrix():
         px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
         for bo in "<>":
             for rps in (None, 1, 3, h):
-                for pb in (False, True):
-                    blob = encode_tiff(
-                        px, byteorder=bo, rows_per_strip=rps, packbits=pb
-                    )
-                    w2, h2, out = decode_tiff(blob)
-                    assert (w2, h2) == (w, h) and (out == px).all(), (
-                        h, w, bo, rps, pb,
-                    )
+                for comp in ("none", "packbits", "lzw"):
+                    for pred in (1, 2):
+                        blob = encode_tiff(
+                            px, byteorder=bo, rows_per_strip=rps,
+                            compression=comp, predictor=pred,
+                        )
+                        w2, h2, out = decode_tiff(blob)
+                        assert (w2, h2) == (w, h) and (out == px).all(), (
+                            h, w, bo, rps, comp, pred,
+                        )
     # constant image: maximal PackBits runs incl. the 128-run split
     const = np.full((9, 131, 3), 77, np.uint8)
     _, _, out = decode_tiff(encode_tiff(const, packbits=True))
@@ -2309,10 +2312,10 @@ def test_tiff_unsupported_profiles_fail_loudly():
                 return base
         raise AssertionError(tag)
 
-    lzw = bytearray(blob)
-    struct.pack_into("<H", lzw, tag_pos(lzw, 259) + 8, 5)  # LZW
+    jpg = bytearray(blob)
+    struct.pack_into("<H", jpg, tag_pos(jpg, 259) + 8, 7)  # JPEG-in-TIFF
     with _pytest.raises(NotImplementedError):
-        decode_tiff(bytes(lzw))
+        decode_tiff(bytes(jpg))
 
     planar = bytearray(blob)
     struct.pack_into("<H", planar, tag_pos(planar, 284) + 8, 2)

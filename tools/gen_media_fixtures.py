@@ -882,7 +882,8 @@ def write_tiff_fixtures() -> None:
             px,
             byteorder="<" if i % 2 == 0 else ">",
             rows_per_strip=[None, 1, 3, 5][i % 4],
-            packbits=(i % 3 == 0),
+            compression=["packbits", "lzw", "none"][i % 3],
+            predictor=2 if i % 3 == 1 else 1,
         )
         with open(os.path.join(OUT, f"tif_{i}.tif"), "wb") as f:
             f.write(blob)
