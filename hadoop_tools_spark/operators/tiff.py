@@ -202,6 +202,11 @@ def _predict2_encode(raw: bytes, w: int) -> bytes:
     return d.astype(np.uint8).tobytes()
 
 
+def _predict2_decode_gray(raw: bytes, w: int) -> bytes:
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, w)
+    return np.cumsum(a, axis=1, dtype=np.int64).astype(np.uint8).tobytes()
+
+
 def _predict2_decode(raw: bytes, w: int) -> bytes:
     a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, w, 3)
     return np.cumsum(a, axis=1, dtype=np.int64).astype(np.uint8).tobytes()
@@ -384,10 +389,21 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
 
     w, h = one(_W), one(_H)
     comp = one(_COMP, 1)
-    if one(_PHOTO) != 2 or one(_SPP, 1) != 3:
-        raise NotImplementedError("only chunky 8-bit RGB TIFF supported")
-    if tags.get(_BPS, [8, 8, 8]) != [8, 8, 8]:
-        raise NotImplementedError("only 8 bits/sample supported")
+    photo, spp = one(_PHOTO), one(_SPP, 1)
+    if photo == 2 and spp == 3:
+        gray = False
+        if tags.get(_BPS, [8, 8, 8]) != [8, 8, 8]:
+            raise NotImplementedError("only 8 bits/sample supported")
+    elif photo in (0, 1) and spp == 1:
+        # bilevel/grayscale: WhiteIsZero (0) inverts, BlackIsZero (1)
+        # is direct; replicated to RGB like every decoder here
+        gray = True
+        if tags.get(_BPS, [8]) != [8]:
+            raise NotImplementedError("only 8 bits/sample supported")
+    else:
+        raise NotImplementedError(
+            "only chunky 8-bit RGB or 8-bit grayscale TIFF supported"
+        )
     if one(_PLANAR, 1) != 1:
         raise NotImplementedError("planar configuration 2 unsupported")
     if comp not in (1, 5, 32773):
@@ -403,12 +419,13 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("strip offset/count tags inconsistent")
     if len(offs) != (h + rps - 1) // rps:
         raise ValueError("strip count does not cover image height")
+    bpp = 1 if gray else 3
     raw = bytearray()
     for s, (o, c) in enumerate(zip(offs, cnts)):
         if o + c > len(blob):
             raise ValueError("strip overruns file")
         rows = min(rps, h - s * rps)
-        expect = rows * w * 3
+        expect = rows * w * bpp
         chunk = blob[o : o + c]
         if comp == 32773:
             strip = _packbits_decode(chunk, expect)
@@ -419,9 +436,18 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("uncompressed strip size mismatch")
             strip = chunk
         if predictor == 2:
-            strip = _predict2_decode(strip, w)
+            strip = (
+                _predict2_decode_gray(strip, w) if gray
+                else _predict2_decode(strip, w)
+            )
         raw += strip
-    if len(raw) != w * h * 3:
+    if len(raw) != w * h * bpp:
         raise ValueError("assembled pixel data has wrong size")
-    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)
+    if gray:
+        y = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w)
+        if photo == 0:  # WhiteIsZero
+            y = 255 - y
+        px = np.repeat(y[:, :, None], 3, axis=2)
+    else:
+        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)
     return w, h, px

@@ -2365,3 +2365,62 @@ def test_tiff_review_findings_r7():
     struct.pack_into("<I", rational, base + 8, 8)
     w, h, out = decode_tiff(bytes(rational))
     assert (w, h) == (5, 4) and (out == px).all()
+
+
+def test_tiff_grayscale_decode():
+    """Grayscale TIFFs (photometric 0 WhiteIsZero and 1 BlackIsZero,
+    SamplesPerPixel 1) decode replicated-to-RGB across both byte
+    orders and all three compressions — hand-built files, since the
+    encoder only writes the RGB fixture profile."""
+    import struct
+
+    import numpy as np
+
+    from hadoop_tools_spark.operators.tiff import (
+        _lzw_encode,
+        _packbits_encode,
+        decode_tiff,
+    )
+
+    def gray_tiff(y, photo, comp, bo):
+        h, w = y.shape
+        data = (255 - y if photo == 0 else y).tobytes()
+        if comp == 32773:
+            data = _packbits_encode(data)
+        elif comp == 5:
+            data = _lzw_encode(data)
+        u16, u32 = bo + "H", bo + "I"
+        magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+        ifd_off = 8 + len(data) + (len(data) & 1)
+
+        def e(tag, typ, cnt, val, short=False):
+            b = struct.pack(u16, tag) + struct.pack(u16, typ)
+            b += struct.pack(u32, cnt)
+            if short:
+                return b + struct.pack(u16, val) + b"\x00\x00"
+            return b + struct.pack(u32, val)
+
+        ents = [
+            e(256, 4, 1, w), e(257, 4, 1, h), e(258, 3, 1, 8, True),
+            e(259, 3, 1, comp, True), e(262, 3, 1, photo, True),
+            e(273, 4, 1, 8), e(277, 3, 1, 1, True), e(278, 4, 1, h),
+            e(279, 4, 1, len(data)),
+        ]
+        out = bytearray(magic + struct.pack(u32, ifd_off) + data)
+        if len(out) & 1:
+            out += b"\x00"
+        out += struct.pack(u16, len(ents))
+        for x in ents:
+            out += x
+        out += struct.pack(u32, 0)
+        return bytes(out)
+
+    y = np.random.RandomState(2).randint(0, 256, (9, 13), dtype=np.uint8)
+    for photo in (0, 1):
+        for comp in (1, 5, 32773):
+            for bo in "<>":
+                w2, h2, px = decode_tiff(gray_tiff(y, photo, comp, bo))
+                assert (w2, h2) == (13, 9)
+                assert all(
+                    (px[:, :, ch] == y).all() for ch in range(3)
+                ), (photo, comp, bo)
