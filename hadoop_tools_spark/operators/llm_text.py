@@ -2130,8 +2130,13 @@ def llm_ccnet_buckets(spark, sf_dir):
         F.log((F.col("n") + 1.0) / (F.col("n_total") + F.col("n_vocab")))
         * 1_000_000 + 0.5
     ).cast("long")
+    # The word-count join side grows with corpus vocabulary — never
+    # broadcast it (a forced broadcast of a corpus-scaling build side is
+    # the exact class the 2 GiB memory rehearsal killed in
+    # llm_substring_dedup_hashed); pin sort-merge so it spills instead.
+    # Only the 1-row tot/v aggregates stay broadcast.
     scored = (
-        w.join(F.broadcast(cnt), "word")
+        w.join(cnt.hint("merge"), "word")
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")

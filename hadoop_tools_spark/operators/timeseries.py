@@ -975,8 +975,11 @@ def ts_lttb(spark, sf_dir):
     ΣCn·n₁)(t·n₂ − ΣTn)| — exact DECIMAL(38,0) on the Spark side,
     HUGEINT in DuckDB, bit-identical ordering. Edge buckets (no prev
     or next) take the earliest point (area −1 ties broken on t,
-    event_id). Rebased t is non-negative for the fixture window, so
-    Spark's truncating `div` equals DuckDB's floor `//`.
+    event_id). Bucketing is exact FLOOR division on both engines —
+    Spark's truncating `div` is rewritten as `(t - pmod(t, S)) div S`
+    (pmod is the non-negative remainder, so the numerator is the
+    largest multiple of S ≤ t), matching DuckDB's flooring `//` for
+    negative rebased timestamps too, not just the fixture window.
 
     Scale shape: bucket stats partial-aggregate on (user, bucket); the
     lag/lead window and the argmax window both run on user-keyed
@@ -989,7 +992,9 @@ def ts_lttb(spark, sf_dir):
         f"CAST(unix_timestamp(ts) AS BIGINT) - {_LTTB_BASE} AS t",
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c",
     )
-    p = e.selectExpr("*", f"t div {_LTTB_S} AS bucket")
+    p = e.selectExpr(
+        "*", f"(t - pmod(t, {_LTTB_S})) div {_LTTB_S} AS bucket"
+    )
     s = p.groupBy("user_id", "bucket").agg(
         F.sum("t").alias("st"), F.sum("c").alias("sc"),
         F.count("*").alias("n"),

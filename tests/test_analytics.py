@@ -339,3 +339,53 @@ def test_ts_autocorr_moments_survive_int64_overflow(spark, tmp_path):
         want = math.floor(r * 1_000_000 + 0.5) / 1_000_000
         assert got[k].n_pairs == n
         assert got[k].autocorr6 == want
+
+
+def test_lttb_bucket_is_floor_division_for_negative_t(spark, tmp_path):
+    """ts_lttb's bucket expression must FLOOR-divide (DuckDB `//`
+    semantics) for negative rebased timestamps, not truncate toward
+    zero — events before the rebase origin must land in the same
+    bucket on both engines (ADVICE r7). Pins the pmod formulation
+    against Python's floor division across the sign boundary."""
+    from hadoop_tools_spark.operators.timeseries import _LTTB_S
+
+    ts = [-2 * _LTTB_S, -_LTTB_S - 1, -_LTTB_S, -1, 0, 1,
+          _LTTB_S - 1, _LTTB_S, 2 * _LTTB_S + 7]
+    df = spark.createDataFrame([(t,) for t in ts], "t long").selectExpr(
+        "t", f"(t - pmod(t, {_LTTB_S})) div {_LTTB_S} AS bucket"
+    )
+    got = {r.t: r.bucket for r in df.collect()}
+    assert got == {t: t // _LTTB_S for t in ts}
+
+
+def test_lttb_end_to_end_with_pre_origin_events(spark, tmp_path):
+    """ts_lttb over a fixture straddling the rebase origin: every
+    returned point's bucket_start must floor-align and the pre-origin
+    rows must not crash or mis-bucket."""
+    import datetime
+
+    from hadoop_tools_spark.operators.timeseries import (
+        _LTTB_BASE, _LTTB_S, ts_lttb,
+    )
+
+    rows = []
+    for i, off in enumerate(
+        [-3 * _LTTB_S, -_LTTB_S // 2, -5, 10, _LTTB_S + 3, 4 * _LTTB_S]
+    ):
+        rows.append((
+            1,
+            1000 + i,
+            datetime.datetime.fromtimestamp(
+                _LTTB_BASE + off, datetime.timezone.utc
+            ),
+            float(i),
+        ))
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = ts_lttb(spark, str(tmp_path)).collect()
+    assert out, "pre-origin events must still produce output"
+    for r in out:
+        rebased = r.ts_sec - _LTTB_BASE
+        assert (r.bucket_start - _LTTB_BASE) == (rebased // _LTTB_S) * _LTTB_S

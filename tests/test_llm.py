@@ -2424,3 +2424,37 @@ def test_tiff_grayscale_decode():
                 assert all(
                     (px[:, :, ch] == y).all() for ch in range(3)
                 ), (photo, comp, bo)
+
+
+def test_zip_walk_finds_eocd_behind_archive_comment(spark, tmp_path):
+    """ADVICE r7: a commented archive (EOCD not at EOF-22) must parse,
+    and a decoy PK\\x05\\x06 inside the comment whose comment-length
+    field doesn't span to EOF must be rejected by the backward scan.
+    zipds_3.zip is the committed witness (comment contains a decoy);
+    also pins that a comment longer than the shard's own tail window
+    boundary math never walks past buffer start."""
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        zip_members,
+    )
+
+    out = zip_members(
+        read_assets(spark, MEDIA_DIR, glob="zipds_3.zip")
+    ).collect()
+    # the 6-member plan: dir entry + empty + 4 payload members
+    assert len(out) == 6
+    assert {r.member for r in out} == {
+        "meta/manifest_3.txt", "docs/doc_3_a.txt", "docs/doc_3_b.txt",
+        "empty_3.bin", "dir_3/", "blob_3.raw",
+    }
+
+    # a shard that is ONLY a comment-like tail (no valid EOCD): 0 rows
+    d = tmp_path / "junk"
+    d.mkdir()
+    (d / "junk.zip").write_bytes(b"PK\x05\x06" + bytes(40))
+    assert zip_members(
+        read_assets(spark, str(d), glob="*.zip")
+    ).collect() == []

@@ -844,11 +844,14 @@ def write_zip_fixtures() -> None:
     """ZIP dataset shards for llm_zip_members: written by the STDLIB
     zipfile module (a third, independent implementation — neither the
     Spark walk nor the SQL oracle), with pinned timestamps/attrs so
-    regeneration is byte-stable. No archive comments (EOCD sits at
-    EOF-22) and no zip64 — classic central directories."""
+    regeneration is byte-stable. No zip64 — classic central
+    directories. Shard 3 carries an ARCHIVE COMMENT (the EOCD is not
+    at EOF-22) so the backward EOCD scan has a committed witness;
+    the comment itself contains a decoy PK\\x05\\x06 whose
+    comment-length field is wrong, pinning the validation step."""
     import zipfile
 
-    for i in range(3):
+    for i in range(4):
         path = os.path.join(OUT, f"zipds_{i}.zip")
         with zipfile.ZipFile(path, "w") as zf:
             for name, data, method in zip_member_plan(i):
@@ -858,6 +861,12 @@ def write_zip_fixtures() -> None:
                 zi.external_attr = (0o40755 if name.endswith("/")
                                     else 0o644) << 16
                 zf.writestr(zi, data)
+            if i == 3:
+                zf.comment = (
+                    b"dataset shard 3; decoy EOCD follows: PK\x05\x06"
+                    + bytes(18)
+                    + b" end of comment"
+                )
 
 
 
