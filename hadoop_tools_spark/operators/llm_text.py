@@ -2076,51 +2076,12 @@ def llm_robots_filter(spark, sf_dir):
     )
 
 
-@query(
-    "llm_ccnet_buckets",
-    oracle="""
-    WITH w AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        FROM documents
-    ),
-    cnt AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
-    tot AS (SELECT COUNT(*) AS n_total FROM w),
-    v AS (SELECT COUNT(*) AS n_vocab FROM cnt),
-    scored AS (
-        SELECT w.doc_id,
-               CAST(SUM(CAST(floor(
-                   LN((cnt.n + 1.0) / (tot.n_total + v.n_vocab))
-                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_units,
-               COUNT(*) AS n_tokens
-        FROM w JOIN cnt USING (word) CROSS JOIN tot CROSS JOIN v
-        GROUP BY w.doc_id
-    )
-    SELECT s.doc_id, d.lang,
-           CASE ntile(3) OVER (
-               PARTITION BY d.lang
-               ORDER BY CAST(s.sum_units AS DOUBLE) / s.n_tokens DESC,
-                        s.doc_id)
-             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-           END AS bucket
-    FROM scored s JOIN documents d USING (doc_id)
-    """,
-)
-def llm_ccnet_buckets(spark, sf_dir):
-    """CCNet-style quality bucketing (Wenzek et al. 2020): rank every
-    document within its language by LM score (the add-one unigram
-    logprob proxy, pinned to 1e-6 integer units per token before the
-    per-doc mean) and split into head/middle/tail terciles — the
-    partition CCNet feeds to downstream sampling (train mostly on
-    head, audit tail).
-
-    Determinism: per-doc scores are integer-unit sums (order-free);
-    the tercile order is (single-IEEE-division mean DESC, doc_id), so
-    rank and bucket can never flip on summation order or an ulp tie.
-    Scale: the per-lang NTILE is an exact global sort per language —
-    right at report sizes; at 100 TB the same split ships as two
-    per-lang score THRESHOLDS (exact rank statistics computed once,
-    broadcast, applied scan-side), which this key's terciles define.
-    """
+def _ccnet_scored(spark, sf_dir):
+    """Shared narrow score frame for the CCNet keys: one row per doc
+    with its language and the add-one unigram logprob proxy (per-token
+    1e-6 integer units summed order-free, then ONE IEEE division — the
+    declared-safe float op). Both the NTILE anchor and the threshold
+    twin rank on exactly this frame, so they cannot drift."""
     d = load_spread(spark, sf_dir, "documents")
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     cnt = w.groupBy("word").agg(F.count("*").alias("n"))
@@ -2145,19 +2106,141 @@ def llm_ccnet_buckets(spark, sf_dir):
             F.count("*").alias("n_tokens"),
         )
     )
-    win = Window.partitionBy("lang").orderBy(
-        (F.col("sum_units").cast("double") / F.col("n_tokens")).desc(),
+    return scored.join(d.select("doc_id", "lang"), "doc_id").selectExpr(
         "doc_id",
+        "lang",
+        "CAST(sum_units AS DOUBLE) / n_tokens AS score",
     )
+
+
+_CCNET_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    cnt AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    tot AS (SELECT COUNT(*) AS n_total FROM w),
+    v AS (SELECT COUNT(*) AS n_vocab FROM cnt),
+    scored AS (
+        SELECT w.doc_id,
+               CAST(SUM(CAST(floor(
+                   LN((cnt.n + 1.0) / (tot.n_total + v.n_vocab))
+                   * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_units,
+               COUNT(*) AS n_tokens
+        FROM w JOIN cnt USING (word) CROSS JOIN tot CROSS JOIN v
+        GROUP BY w.doc_id
+    )
+    SELECT s.doc_id, d.lang,
+           CASE ntile(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY CAST(s.sum_units AS DOUBLE) / s.n_tokens DESC,
+                        s.doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored s JOIN documents d USING (doc_id)
+    """
+
+
+@query("llm_ccnet_buckets", oracle=_CCNET_ORACLE)
+def llm_ccnet_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing (Wenzek et al. 2020): rank every
+    document within its language by LM score (the add-one unigram
+    logprob proxy, pinned to 1e-6 integer units per token before the
+    per-doc mean) and split into head/middle/tail terciles — the
+    partition CCNet feeds to downstream sampling (train mostly on
+    head, audit tail).
+
+    Determinism: per-doc scores are integer-unit sums (order-free);
+    the tercile order is (single-IEEE-division mean DESC, doc_id), so
+    rank and bucket can never flip on summation order or an ulp tie.
+    Scale: the per-lang NTILE is an exact global sort per language —
+    right at report sizes; the registered 100 TB form is
+    ``llm_ccnet_thresholds`` (exact rank statistics via bounded-bin
+    distributed selection, broadcast, applied scan-side), which
+    equality-matches this anchor's terciles.
+    """
+    narrow = _ccnet_scored(spark, sf_dir)
+    win = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
     buck = F.ntile(3).over(win)
-    return (
-        scored.join(d.select("doc_id", "lang"), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            F.when(buck == 1, "head")
-            .when(buck == 2, "middle")
-            .otherwise("tail")
-            .alias("bucket"),
+    return narrow.select(
+        "doc_id",
+        "lang",
+        F.when(buck == 1, "head")
+        .when(buck == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@query("llm_ccnet_thresholds", oracle=_CCNET_ORACLE)
+def llm_ccnet_thresholds(spark, sf_dir):
+    """The CCNet tercile split in its 100 TB form — per-lang score
+    THRESHOLDS computed once and broadcast, buckets assigned scan-side
+    — replacing the anchor's per-lang NTILE (a full per-language
+    global sort of every document) with exact distributed selection:
+
+    1. quantize each doc's score to a 1e-6 integer bin (monotone, so
+       bin order == score order); histogram per (lang, bin). The
+       histogram is bounded by the SCORE RANGE (~25M bins worst case),
+       not the corpus — at 100 TB the sort that remains is over bins,
+       not documents.
+    2. running bin totals per lang locate the two NTILE boundary ranks
+       k1/k2 (exact ⌈n/3⌉-style group sizes, matching NTILE's split of
+       uneven groups) in their boundary bins.
+    3. a refinement pass ranks ONLY the boundary bins' docs by the
+       exact composite order (score DESC, doc_id) to pull the boundary
+       doc's (score, doc_id) — the composite threshold, so boundary
+       TIES resolve exactly as the anchor's window does.
+    4. the per-lang (s1,d1,s2,d2) thresholds broadcast back onto the
+       narrow score frame; bucket assignment is a scan-side CASE.
+
+    Result EQUALS ``llm_ccnet_buckets`` row-for-row (same oracle, and
+    an equality pytest incl. a constructed boundary-tie corpus); the
+    documents table itself never passes through a ranking shuffle.
+    """
+    narrow = materialize(_ccnet_scored(spark, sf_dir))
+    binned = narrow.selectExpr(
+        "doc_id", "lang", "score",
+        "CAST(floor(score * 1000000) AS BIGINT) AS q",
+    )
+    hist = binned.groupBy("lang", "q").agg(F.count("*").alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(Window.partitionBy("lang").orderBy(F.col("q").desc())),
+    )
+    # NTILE(3) group sizes for n rows: floor(n/3) + (1 if i <= n%3);
+    # boundary ranks are the last rank of groups 1 and 2
+    ks = hist.groupBy("lang").agg(F.sum("c").alias("n")).selectExpr(
+        "lang",
+        "n div 3 + least(n % 3, 1) AS k1",
+        "2 * (n div 3) + least(n % 3, 2) AS k2",
+    )
+    cb = cum.join(F.broadcast(ks), "lang")
+    sel = None
+    for i in (1, 2):
+        s = cb.filter(f"cum >= k{i} AND cum - c < k{i}").selectExpr(
+            "lang", "q", f"k{i} - (cum - c) AS slot", f"{i} AS b"
         )
+        sel = s if sel is None else sel.unionByName(s)
+    wq = Window.partitionBy("lang", "q", "b").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    thr = (
+        binned.join(F.broadcast(sel), ["lang", "q"])
+        .withColumn("rn", F.row_number().over(wq))
+        .filter("rn = slot")
+        .groupBy("lang")
+        .agg(
+            F.max(F.when(F.col("b") == 1, F.col("score"))).alias("s1"),
+            F.max(F.when(F.col("b") == 1, F.col("doc_id"))).alias("d1"),
+            F.max(F.when(F.col("b") == 2, F.col("score"))).alias("s2"),
+            F.max(F.when(F.col("b") == 2, F.col("doc_id"))).alias("d2"),
+        )
+    )
+    return narrow.join(F.broadcast(thr), "lang").selectExpr(
+        "doc_id",
+        "lang",
+        "CASE WHEN score > s1 OR (score = s1 AND doc_id <= d1) THEN 'head'"
+        " WHEN score > s2 OR (score = s2 AND doc_id <= d2) THEN 'middle'"
+        " ELSE 'tail' END AS bucket",
     )

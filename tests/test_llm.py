@@ -2458,3 +2458,65 @@ def test_zip_walk_finds_eocd_behind_archive_comment(spark, tmp_path):
     assert zip_members(
         read_assets(spark, str(d), glob="*.zip")
     ).collect() == []
+
+
+def test_ccnet_thresholds_equal_ntile_anchor(spark, sf_dir):
+    """The broadcast-threshold scale twin must reproduce the NTILE
+    anchor row-for-row on the fixture."""
+    from hadoop_tools_spark.operators.llm_text import (
+        llm_ccnet_buckets,
+        llm_ccnet_thresholds,
+    )
+
+    anchor = {(r.doc_id, r.lang, r.bucket)
+              for r in llm_ccnet_buckets(spark, sf_dir).collect()}
+    twin = {(r.doc_id, r.lang, r.bucket)
+            for r in llm_ccnet_thresholds(spark, sf_dir).collect()}
+    assert anchor and twin == anchor
+    spark.catalog.clearCache()
+
+
+def test_ccnet_thresholds_resolve_boundary_ties_like_ntile(spark, tmp_path):
+    """Adversarial corpus: one language whose docs ALL tie on score
+    (identical text), sizes chosen so both tercile boundaries cut
+    through the tied run — the composite (score, doc_id) threshold
+    must split exactly where NTILE does. Second language exercises the
+    n % 3 != 0 uneven-group sizes; third has n < 3 (degenerate
+    terciles)."""
+    from hadoop_tools_spark.operators.llm_text import (
+        llm_ccnet_buckets,
+        llm_ccnet_thresholds,
+    )
+
+    rows = []
+    # lang a: 7 docs, all the same text -> all scores tie; NTILE sizes
+    # 3/2/2 must come out of doc_id order alone
+    for i in range(7):
+        rows.append((100 + i, "same words for every doc", "a"))
+    # lang b: 8 docs, two distinct texts (4 + 4) -> a tie run crosses
+    # the k1=3 boundary mid-run and the k2=6 boundary too
+    for i in range(4):
+        rows.append((200 + i, "alpha beta gamma", "b"))
+    for i in range(4):
+        rows.append((210 + i, "delta epsilon zeta eta theta", "b"))
+    # lang c: 2 docs (< 3): NTILE gives groups 1 and 2, no tail
+    rows.append((300, "tiny", "c"))
+    rows.append((301, "tiny too", "c"))
+    spark.createDataFrame(
+        [(d, t, lg, "s", len(t)) for d, t, lg in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    anchor = {(r.doc_id, r.bucket)
+              for r in llm_ccnet_buckets(spark, str(tmp_path)).collect()}
+    twin = {(r.doc_id, r.bucket)
+            for r in llm_ccnet_thresholds(spark, str(tmp_path)).collect()}
+    assert twin == anchor
+    # sanity: the tied lang-a run really is split 3/2/2 by doc_id
+    a_buckets = sorted(
+        (d, b) for d, b in anchor if 100 <= d < 200
+    )
+    assert [b for _, b in a_buckets] == (
+        ["head"] * 3 + ["middle"] * 2 + ["tail"] * 2
+    )
+    spark.catalog.clearCache()
