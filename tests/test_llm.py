@@ -2520,3 +2520,118 @@ def test_ccnet_thresholds_resolve_boundary_ties_like_ntile(spark, tmp_path):
         ["head"] * 3 + ["middle"] * 2 + ["tail"] * 2
     )
     spark.catalog.clearCache()
+
+
+def test_mp4_roundtrip_matrix():
+    """Encoder→walker exactness across the structural branch matrix:
+    {stco, co64} × {32-bit, largesize mdat} × chunkings (1, 3, ragged)
+    × {trailing size==0 free box or not} — every sample slice must be
+    byte-identical to its input JPEG and every declared dim exact."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import encode_jpeg
+    from hadoop_tools_spark.operators.mp4 import (
+        encode_mp4,
+        mp4_samples,
+        parse_boxes,
+    )
+
+    w, h = 24, 16
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    jpegs = [
+        encode_jpeg(
+            np.stack([(xx + t) % 256, (yy * 2 + t) % 256,
+                      (xx + yy + t) % 256], axis=2).astype(np.uint8),
+            quality=90,
+        )
+        for t in range(7)
+    ]
+    for co64 in (False, True):
+        for large in (False, True):
+            for spc in (1, 3, 5):
+                for free in (0, 11):
+                    blob = encode_mp4(
+                        jpegs, w, h, samples_per_chunk=spc, co64=co64,
+                        large_mdat=large, trailing_free=free,
+                    )
+                    got = mp4_samples(blob)
+                    assert len(got) == 7, (co64, large, spc, free)
+                    for i, off, size, dw, dh in got:
+                        assert blob[off:off + size] == jpegs[i]
+                        assert (dw, dh) == (w, h)
+                    types = [t for _, t, _, _ in parse_boxes(blob)]
+                    assert ("co64" in types) == co64
+                    assert ("free" in types) == bool(free)
+
+
+def test_mp4_torn_box_fail_closed():
+    """A lying/torn box header stops the walk keeping boxes already
+    emitted; torn sample tables or payloads yield zero sample rows —
+    never garbage, never an exception out of the task."""
+    import struct
+
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import encode_jpeg
+    from hadoop_tools_spark.operators.mp4 import (
+        encode_mp4,
+        mp4_samples,
+        parse_boxes,
+    )
+
+    w, h = 24, 16
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    jpegs = [
+        encode_jpeg(
+            np.stack([(xx + t) % 256, yy % 256, (xx + yy) % 256],
+                     axis=2).astype(np.uint8),
+            quality=90,
+        )
+        for t in range(4)
+    ]
+    blob = encode_mp4(jpegs, w, h, samples_per_chunk=2)
+    full = parse_boxes(blob)
+
+    # (a) truncate mid-moov: the walk keeps ftyp+mdat (and any moov
+    # children it got through) but never emits a box past the tear
+    cut = bytearray(blob[:-40])
+    part = parse_boxes(bytes(cut))
+    assert 0 < len(part) < len(full)
+    assert mp4_samples(bytes(cut)) == []  # stco torn off -> no samples
+
+    # (b) a box size lying past its parent stops the walk at that box
+    bad = bytearray(blob)
+    moov_off = next(o for _, t, o, _ in full if t == "moov")
+    struct.pack_into(">I", bad, moov_off, len(blob) * 2)
+    assert all(t != "moov" for _, t, _, _ in parse_boxes(bytes(bad)))
+
+    # (c) a sample overrunning EOF (stsz corrupted huge) -> no rows
+    bad = bytearray(blob)
+    stsz_off = next(o for _, t, o, _ in full if t == "stsz")
+    struct.pack_into(">I", bad, stsz_off + 20, 10_000_000)
+    assert mp4_samples(bytes(bad)) == []
+
+    # (d) stsc map not covering the sample count -> no rows
+    bad = bytearray(blob)
+    stsc_off = next(o for _, t, o, _ in full if t == "stsc")
+    struct.pack_into(">I", bad, stsc_off + 20, 1)  # first run spc 2->1
+    assert mp4_samples(bytes(bad)) == []
+
+
+def test_mp4_samples_match_avi_twin_frames(spark):
+    """Cross-format twin contract: mp4_{0,1,2}.mp4 carry byte-identical
+    JPEG payloads to vid_{0,1,2}.avi — the same check that ties the
+    lossless image codecs to their PPM twins."""
+    import os
+
+    from hadoop_tools_spark.operators.avi import parse_avi
+    from hadoop_tools_spark.operators.mp4 import mp4_samples
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+
+    for i in range(3):
+        with open(os.path.join(MEDIA_DIR, f"vid_{i}.avi"), "rb") as f:
+            _, _, _, avi_frames = parse_avi(f.read())
+        with open(os.path.join(MEDIA_DIR, f"mp4_{i}.mp4"), "rb") as f:
+            blob = f.read()
+        samples = [blob[o:o + s] for _, o, s, _, _ in mp4_samples(blob)]
+        assert samples == avi_frames, f"mp4_{i} diverges from its AVI twin"

@@ -506,22 +506,8 @@ def main() -> None:
     from hadoop_tools_spark.operators.avi import encode_avi
 
     for i in range(3):
-        w, h, n = 24 + i * 8, 16 + i * 4, 7 + i * 4
-        clips = []
-        for t in range(n):
-            xx, yy = np.meshgrid(np.arange(w), np.arange(h))
-            clips.append(
-                np.stack(
-                    [
-                        (xx * 3 + t * 10 + i * 5) % 256,
-                        (yy * 5 + t * 7) % 256,
-                        (xx + yy + t * 13) % 256,
-                    ],
-                    axis=2,
-                ).astype(np.uint8)
-            )
         with open(os.path.join(OUT, f"vid_{i}.avi"), "wb") as f:
-            f.write(encode_avi(clips, fps=5, quality=90))
+            f.write(encode_avi(vid_frames(i), fps=5, quality=90))
     for i in range(4):  # 12-22 frames each at frame_len=160
         with open(os.path.join(OUT, f"snd_{i}.wav"), "wb") as f:
             f.write(wav_bytes(2048 + 512 * i, i))
@@ -761,6 +747,7 @@ def main() -> None:
     write_arrow_fixtures()
     write_zip_fixtures()
     write_tiff_fixtures()
+    write_mp4_fixtures()
     print(f"wrote fixtures to {OUT}")
 
 
@@ -818,6 +805,70 @@ def write_arrow_fixtures() -> None:
         pq.write_table(table, os.path.join(OUT, f"tblpq_{i}.parquet"))
 
 
+
+
+def vid_frames(i: int) -> list:
+    """Deterministic per-frame gradient clips — shared by the AVI and
+    MP4 fixture writers so vid_{i}.avi and mp4_{i}.mp4 carry
+    byte-identical JPEG payloads (the cross-format-twin contract)."""
+    import numpy as np
+
+    w, h, n = 24 + i * 8, 16 + i * 4, 7 + i * 4
+    clips = []
+    for t in range(n):
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        clips.append(
+            np.stack(
+                [
+                    (xx * 3 + t * 10 + i * 5) % 256,
+                    (yy * 5 + t * 7) % 256,
+                    (xx + yy + t * 13) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+        )
+    return clips
+
+
+def write_mp4_fixtures() -> None:
+    """ISO-BMFF shards for the llm_mp4_* keys, written by the repo's
+    own from-scratch encoder (operators/mp4.py). mp4_{0,1,2} are
+    cross-format twins of vid_{0,1,2}.avi (same encode_jpeg frames),
+    rotating through the structural branches: multi-run stsc chunking,
+    a trailing size==0 free box, co64 + the size==1 largesize escape.
+    mp4_3 has its own frames (no AVI twin) with 1-sample chunks."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import encode_jpeg
+    from hadoop_tools_spark.operators.mp4 import encode_mp4
+
+    variants = [
+        dict(samples_per_chunk=3),
+        dict(samples_per_chunk=4, trailing_free=9),
+        dict(samples_per_chunk=2, co64=True, large_mdat=True),
+    ]
+    for i in range(3):
+        frames = vid_frames(i)
+        jpegs = [encode_jpeg(f, quality=90) for f in frames]
+        h, w = frames[0].shape[:2]
+        with open(os.path.join(OUT, f"mp4_{i}.mp4"), "wb") as f:
+            f.write(encode_mp4(jpegs, w, h, fps=5, **variants[i]))
+    w, h = 40, 28
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    jpegs = [
+        encode_jpeg(
+            np.stack(
+                [(xx * 2 + t * 19) % 256, (yy * 3 + t * 5) % 256,
+                 (xx + 2 * yy + t * 11) % 256],
+                axis=2,
+            ).astype(np.uint8),
+            quality=90,
+        )
+        for t in range(5)
+    ]
+    with open(os.path.join(OUT, "mp4_3.mp4"), "wb") as f:
+        f.write(encode_mp4(jpegs, w, h, fps=5, samples_per_chunk=1,
+                           co64=True))
 
 
 def zip_member_plan(i: int):

@@ -130,6 +130,13 @@ def main() -> None:
         scales = tuple(int(a) for a in sys.argv[2:]) or (96, 192)
         run_zip(get_spark(), scales)
         return
+    # `mp4 N M` runs only the MP4 leg (llm_mp4_samples at scale)
+    if sys.argv[1:2] == ["mp4"]:
+        from hadoop_tools_spark.session import get_spark
+
+        scales = tuple(int(a) for a in sys.argv[2:]) or (96, 192)
+        run_mp4(get_spark(), scales)
+        return
     argv = [int(a) for a in sys.argv[1:]]
     scales = tuple(argv) if len(argv) > 1 else (
         ((argv[0] // 2, argv[0]) if argv else (96, 192))
@@ -313,6 +320,75 @@ def run_zip(spark, scales) -> None:
     lo, hi = results[scales[0]], results[scales[-1]]
     factor = hi["size_mb"] / max(lo["size_mb"], 1e-9)
     print(f"zip: {factor:.1f}x data -> "
+          f"{hi['wall'] / max(lo['wall'], 1e-9):.2f}x wall")
+
+
+def gen_mp4_corpus(n_shards: int, samples_per_shard: int = 96) -> str:
+    """~1 MB MP4 shards: MJPEG sample payloads (8 distinct deterministic
+    frames cycled), multi-run stsc chunking, alternating stco/co64 —
+    the llm_mp4_samples scale fixture."""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import encode_jpeg
+    from hadoop_tools_spark.operators.mp4 import encode_mp4
+
+    out = os.path.join(BASE, f"mp4{n_shards}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    w, h = 48, 32
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base_jpegs = [
+        encode_jpeg(
+            np.stack(
+                [(xx * 3 + t * 10) % 256, (yy * 5 + t * 7) % 256,
+                 (xx + yy + t * 13) % 256],
+                axis=2,
+            ).astype(np.uint8),
+            quality=90,
+        )
+        for t in range(8)
+    ]
+    for i in range(n_shards):
+        jpegs = [base_jpegs[(i + k) % 8] for k in range(samples_per_shard)]
+        with open(os.path.join(out, f"mp4_{i:04d}.mp4"), "wb") as f:
+            f.write(encode_mp4(jpegs, w, h, fps=5,
+                               samples_per_chunk=3 + i % 3,
+                               co64=bool(i % 2)))
+    return out
+
+
+def run_mp4(spark, scales) -> None:
+    """MP4 leg of the container-family rehearsal: the stbl index walk
+    plus a REAL JPEG decode per sample — wall should stay ~linear in
+    bytes and driver RSS flat (payloads never leave the executors)."""
+    from hadoop_tools_spark.operators.multimodal import (
+        mp4_samples_df,
+        read_assets,
+    )
+
+    results = {}
+    for scale in scales:
+        d = gen_mp4_corpus(scale)
+        size_mb = sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+        ) / 1e6
+        walls, n_rows = [], 0
+        for _ in range(2):
+            t0 = time.time()
+            n_rows = mp4_samples_df(
+                read_assets(spark, d, glob="mp4_*.mp4")
+            ).count()
+            walls.append(time.time() - t0)
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        results[scale] = {"size_mb": size_mb, "wall": min(walls)}
+        print(
+            f"mp4 n={scale}: {size_mb:.0f} MB, {n_rows} samples, "
+            f"wall={min(walls):.2f}s, driver_rss={rss_mb:.0f} MB"
+        )
+    lo, hi = results[scales[0]], results[scales[-1]]
+    factor = hi["size_mb"] / max(lo["size_mb"], 1e-9)
+    print(f"mp4: {factor:.1f}x data -> "
           f"{hi['wall'] / max(lo['wall'], 1e-9):.2f}x wall")
 
 
