@@ -130,13 +130,54 @@ class SnapshotTable:
             os.unlink(tmp)
         return version
 
+    def _collect_stats(self, rel_files: list[str]) -> dict:
+        """Per-file column min/max for the manifest (Iceberg's other
+        half: stats collected at COMMIT time from the parquet footers
+        the writer just produced — no data scan). Only JSON-stable
+        scalar types (int/float/str) are kept; a column missing stats
+        in any row group is dropped for that file, so pruning is
+        always conservative."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for rel in rel_files:
+            meta = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            st: dict[str, list] = {}
+            if meta.num_row_groups == 0:
+                out[rel] = st
+                continue
+            g0 = meta.row_group(0)
+            for i in range(g0.num_columns):
+                name = g0.column(i).path_in_schema
+                lo = hi = None
+                ok = True
+                for rg in range(meta.num_row_groups):
+                    s = meta.row_group(rg).column(i).statistics
+                    if s is None or not s.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = s.min, s.max
+                    if isinstance(mn, bool) or not isinstance(
+                        mn, (int, float, str)
+                    ):
+                        ok = False
+                        break
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if ok and lo is not None:
+                    st[name] = [lo, hi]
+            out[rel] = st
+        return out
+
     def create(self, df: DataFrame) -> int:
         # pid-unique staging dir, same as _commit_retry: two racing
         # creators must never share (and mode('overwrite')-clobber)
         # one directory — the CAS publish picks the v0 winner, but
         # only if each candidate's staged files survive intact
         files = self._stage(df, f"00000-{os.getpid()}")
-        return self._publish(files, 0)
+        return self._publish(
+            files, 0, extra={"stats": self._collect_stats(files)}
+        )
 
     def _commit_retry(self, df: DataFrame, keep_prev: bool,
                       max_retries: int = 10,
@@ -148,11 +189,21 @@ class SnapshotTable:
         v = self.latest_version()
         commit_id = f"{v + 1:05d}-{os.getpid()}"
         staged = self._stage(df, commit_id, partition_by=partition_by)
+        staged_stats = self._collect_stats(staged)
         for _ in range(max_retries):
             v = self.latest_version()
-            prev = self._manifest(v)["files"] if keep_prev else []
+            man = self._manifest(v)
+            prev = man["files"] if keep_prev else []
+            # carry forward the surviving files' stats (older manifests
+            # written before stats existed contribute {}: conservative)
+            prev_stats = {
+                f: s for f, s in man.get("stats", {}).items() if f in prev
+            } if keep_prev else {}
             try:
-                return self._publish(prev + staged, v + 1)
+                return self._publish(
+                    prev + staged, v + 1,
+                    extra={"stats": {**prev_stats, **staged_stats}},
+                )
             except CommitConflict:
                 continue  # another writer won this version: rebase
         raise CommitConflict(v + 1)
@@ -179,7 +230,63 @@ class SnapshotTable:
         (externally produced data; ``_stage`` itself writes one
         homogeneous DataFrame per group, where it is a no-op) — at
         the cost of a footer-read per file at planning."""
-        files = self.files(version)
+        return self._read_files(spark, self.files(version), merge_schema)
+
+    def pruned_files(
+        self,
+        intervals: dict[str, tuple],
+        version: int | None = None,
+    ) -> list[str]:
+        """Scan-planning file pruning from the manifest stats: keep a
+        file unless some interval constraint PROVABLY excludes it —
+        for ``{col: (lo, hi)}`` (either bound may be None) a file is
+        skipped iff its recorded [min, max] misses [lo, hi] entirely.
+        Files or columns without stats are always kept, so pruning can
+        never change query results, only the file list length."""
+        v = self.latest_version() if version is None else version
+        man = self._manifest(v)
+        stats = man.get("stats", {})
+        keep = []
+        for rel in man["files"]:
+            st = stats.get(rel) or {}
+            drop = False
+            for col, (lo, hi) in intervals.items():
+                if col in st:
+                    fmn, fmx = st[col]
+                    if (hi is not None and fmn > hi) or (
+                        lo is not None and fmx < lo
+                    ):
+                        drop = True
+                        break
+            if not drop:
+                keep.append(os.path.join(self.path, rel))
+        return keep
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        intervals: dict[str, tuple],
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Snapshot read planned over only the stat-surviving files.
+        The caller still applies the actual row filter — the stats are
+        a superset guarantee (file granularity), not a row predicate.
+        An empty surviving list yields an empty frame with the
+        snapshot's schema (planned from the full list, zero rows)."""
+        files = self.pruned_files(intervals, version)
+        if not files:
+            return self._read_files(
+                spark, self.files(version), merge_schema
+            ).limit(0)
+        return self._read_files(spark, files, merge_schema)
+
+    def _read_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        merge_schema: bool = False,
+    ) -> DataFrame:
         # Partition-spec evolution (Iceberg-style): each commit owns its
         # layout, so files are read PER COMMIT GROUP with that commit's
         # dir as basePath (recovering its col=value partition columns,
@@ -505,3 +612,65 @@ def snapshot_changes(spark, sf_dir):
         F.lit("+").alias("change"), "o_orderkey", "o_orderstatus"
     )
     return removed.unionAll(added)
+
+
+@query(
+    "snapshot_skipping",
+    oracle="""
+    WITH b AS (SELECT MAX(o_custkey) AS m FROM orders)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders, b
+    WHERE o_custkey BETWEEN b.m // 10 AND (3 * b.m) // 10
+    GROUP BY o_orderpriority
+    """,
+)
+def snapshot_skipping(spark, sf_dir):
+    """Manifest data skipping — the other half of the Iceberg snapshot
+    story: per-file column min/max stats collected at COMMIT time from
+    the parquet footers (no data scan), and a scan-planning pruned
+    read that drops every file whose recorded range provably misses
+    the predicate. The table is built as four appends clustered on
+    ``o_custkey`` quartiles, so a BETWEEN over ~20% of the key space
+    must plan roughly a quarter of the files (the pruning ratio itself
+    is pinned by tests/test_layout.py, not here — a key asserts
+    values, a pytest asserts plans).
+
+    Correctness never depends on the stats: pruning is conservative
+    (missing stats keep the file) and the real row filter still runs
+    on the pruned read, so the aggregate matches the oracle's plain
+    scan bit-for-bit.
+
+    Scale shape: stats live in the manifest, so planning is a metadata
+    read — at 100 TB a selective predicate schedules tasks only for
+    surviving files, the same reason Iceberg/Delta queries don't open
+    every object. The quartile bounds derive from one 1-row aggregate
+    (bounded collect).
+    """
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    m = orders.agg(F.max("o_custkey")).collect()[0][0]
+    table_path = os.path.join(SCRATCH, "snapshot_skip_orders")
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    q = [0, m // 4, m // 2, (3 * m) // 4, m + 1]
+    tbl.create(orders.filter(F.col("o_custkey") < q[1]))
+    for k in range(1, 4):
+        tbl.append(
+            orders.filter(
+                (F.col("o_custkey") >= q[k]) & (F.col("o_custkey") < q[k + 1])
+            )
+        )
+    lo, hi = m // 10, (3 * m) // 10
+    pruned = tbl.read_pruned(spark, {"o_custkey": (lo, hi)})
+    return (
+        pruned.filter(F.col("o_custkey").between(lo, hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

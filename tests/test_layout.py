@@ -289,3 +289,80 @@ def test_snapshot_vacuum_keeps_live_partitioned_commits(
     # the partitioned commit's files survived and still read in full
     assert tbl.read(spark, version=1).count() == n_v1
     assert all("o_month=" not in p for p in deleted)
+
+
+def test_snapshot_stats_prune_files(spark, sf_dir, tmp_path):
+    """Manifest data skipping: per-file min/max stats written at commit
+    time must let a selective predicate PLAN fewer files, and the
+    pruned read must still return exactly the full read's matching
+    rows (pruning is a plan property, never a result property)."""
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    m = orders.agg(F.max("o_custkey")).collect()[0][0]
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    q = [0, m // 4, m // 2, (3 * m) // 4, m + 1]
+    tbl.create(orders.filter(F.col("o_custkey") < q[1]))
+    for k in range(1, 4):
+        tbl.append(orders.filter(
+            (F.col("o_custkey") >= q[k]) & (F.col("o_custkey") < q[k + 1])
+        ))
+
+    total = len(tbl.files())
+    # predicate inside the SECOND quartile only: commits 1, 3, 4 are
+    # provably out of range, so at most ~1/4 of the files survive
+    lo, hi = q[1], q[2] - 1
+    pruned = tbl.pruned_files({"o_custkey": (lo, hi)})
+    assert 0 < len(pruned) <= total // 2, (len(pruned), total)
+
+    got = sorted(
+        r.o_orderkey
+        for r in tbl.read_pruned(spark, {"o_custkey": (lo, hi)})
+        .filter(F.col("o_custkey").between(lo, hi)).collect()
+    )
+    want = sorted(
+        r.o_orderkey
+        for r in tbl.read(spark)
+        .filter(F.col("o_custkey").between(lo, hi)).collect()
+    )
+    assert got == want and got
+
+    # a predicate outside every file's range prunes ALL files and the
+    # read degrades to an empty frame with the table schema
+    none = tbl.read_pruned(spark, {"o_custkey": (m + 100, m + 200)})
+    assert none.count() == 0
+    assert set(none.columns) == {"o_orderkey", "o_custkey", "o_totalprice"}
+
+    # stats survive appends: the latest manifest carries stats for
+    # every live file (conservative {} allowed only for legacy)
+    man = tbl._manifest(tbl.latest_version())
+    assert set(man["stats"]) == set(man["files"])
+    assert all("o_custkey" in s for s in man["stats"].values())
+
+
+def test_snapshot_pruning_is_conservative_without_stats(
+    spark, sf_dir, tmp_path
+):
+    """A manifest written before stats existed (or a column with no
+    usable stats) must never prune — missing evidence keeps the file."""
+    import json
+    import os
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).limit(100)
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.create(orders)
+    # strip the stats like a legacy manifest would look
+    mpath = os.path.join(tbl.manifest_dir, "v0.json")
+    with open(mpath) as fh:
+        man = json.load(fh)
+    man.pop("stats", None)
+    os.unlink(mpath)
+    with open(mpath, "w") as fh:
+        json.dump(man, fh)
+    assert tbl.pruned_files({"o_custkey": (10**9, 10**9 + 1)}) == tbl.files()
