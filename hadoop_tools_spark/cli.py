@@ -524,34 +524,56 @@ COMMANDS = {
 }
 
 
-#: minimum operand count per command — validated up front so a
-#: genuine IndexError inside a handler surfaces as the bug it is
-#: (the old blanket `except IndexError` relabeled ANY internal
-#: IndexError as "missing operand" and threw the traceback away).
-MIN_OPERANDS = {
-    "cat": 1,
-    "tail": 1,
-    "stat": 1,
-    "checksum": 1,
-    "get": 1,
-    "put": 2,
-    "mkdir": 1,
-    "mv": 2,
-    "rm": 1,
-    "chmod": 2,
-    "chown": 2,
-    "chgrp": 2,
-    "test": 1,  # the flag (-e/-d/-f/-z) is an option, not an operand
-    "cd": 1,
+#: Per-command option SPEC — the one place a verb's surface is
+#: declared: ``flags`` are boolean options, ``value_opts`` consume the
+#: NEXT argv token as a value (which must not count as an operand, or
+#: ``hh tail -c 100`` with no path passes the gate and silently exits
+#: 0), ``min_operands`` is the minimum non-option token count
+#: (validated up front so a genuine IndexError inside a handler
+#: surfaces as the bug it is). The parser derives operand counting
+#: from this spec, so a new verb or option cannot silently regress
+#: the missing-operand gate the way the old hand-kept pair of tables
+#: could (one table knew about -c, the other didn't).
+CLI_SPEC = {
+    "ls": {"flags": {"-R"}, "value_opts": set(), "min_operands": 0},
+    "find": {"flags": set(), "value_opts": {"-name", "-type"},
+             "min_operands": 0},
+    "du": {"flags": {"-h"}, "value_opts": set(), "min_operands": 0},
+    "count": {"flags": set(), "value_opts": set(), "min_operands": 0},
+    "cat": {"flags": set(), "value_opts": set(), "min_operands": 1},
+    "tail": {"flags": set(), "value_opts": {"-c"}, "min_operands": 1},
+    "stat": {"flags": set(), "value_opts": set(), "min_operands": 1},
+    "checksum": {"flags": set(), "value_opts": set(), "min_operands": 1},
+    "get": {"flags": set(), "value_opts": set(), "min_operands": 1},
+    "put": {"flags": set(), "value_opts": set(), "min_operands": 2},
+    "mkdir": {"flags": {"-p"}, "value_opts": set(), "min_operands": 1},
+    "mv": {"flags": set(), "value_opts": set(), "min_operands": 2},
+    "rm": {"flags": {"-r"}, "value_opts": set(), "min_operands": 1},
+    "chmod": {"flags": set(), "value_opts": set(), "min_operands": 2},
+    "chown": {"flags": set(), "value_opts": set(), "min_operands": 2},
+    "chgrp": {"flags": set(), "value_opts": set(), "min_operands": 2},
+    # test's predicate (-e/-d/-f/-z) is an option, not an operand
+    "test": {"flags": {"-e", "-d", "-f", "-z"}, "value_opts": set(),
+             "min_operands": 1},
+    "cd": {"flags": set(), "value_opts": set(), "min_operands": 1},
+    "pwd": {"flags": set(), "value_opts": set(), "min_operands": 0},
+    "version": {"flags": set(), "value_opts": set(), "min_operands": 0},
 }
 
-#: options that consume the NEXT argv token as their value — the
-#: value must not count as an operand, or `hh tail -c 100` (no path)
-#: passes the MIN_OPERANDS gate and silently exits 0 instead of rc 2.
-OPT_VALUES = {
-    "tail": {"-c"},
-    "find": {"-name", "-type"},
-}
+
+def count_operands(cmd: str, args: list[str]) -> int:
+    """Non-option tokens of ``args`` per the command's CLI_SPEC (a
+    value_opt swallows its following token)."""
+    spec = CLI_SPEC[cmd]
+    n, skip = 0, False
+    for a in args:
+        if skip:
+            skip = False
+        elif a in spec["value_opts"]:
+            skip = True
+        elif not a.startswith("-"):
+            n += 1
+    return n
 
 
 def main(argv=None, spark=None, out=None) -> int:
@@ -563,16 +585,7 @@ def main(argv=None, spark=None, out=None) -> int:
             file=out or sys.stderr,
         )
         return 0 if argv and argv[0] in ("-h", "--help") else 2
-    value_opts = OPT_VALUES.get(argv[0], set())
-    operands, skip = [], False
-    for a in argv[1:]:
-        if skip:
-            skip = False
-        elif a in value_opts:
-            skip = True
-        elif not a.startswith("-"):
-            operands.append(a)
-    if len(operands) < MIN_OPERANDS.get(argv[0], 0):
+    if count_operands(argv[0], argv[1:]) < CLI_SPEC[argv[0]]["min_operands"]:
         print(f"hh {argv[0]}: missing operand", file=out or sys.stderr)
         return 2
     kwargs = {}

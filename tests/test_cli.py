@@ -277,3 +277,40 @@ def test_distributed_walk_include_dirs_and_cache_release(spark, ns):
     rc, _ = run(spark, "find", ns, "-name", "*.log")
     assert rc == 0
     assert jsc.getPersistentRDDs().size() <= max(before, 1)
+
+
+def test_cli_spec_covers_every_command():
+    """CLI_SPEC and COMMANDS must stay in lockstep — a new verb without
+    a spec entry would bypass the operand gate."""
+    assert set(cli.CLI_SPEC) == set(cli.COMMANDS)
+
+
+def test_every_verb_missing_operand_is_rc2(spark):
+    """Property over ALL verbs: any argv consisting only of the verb's
+    declared options (flags, and each value_opt WITH its value) has
+    zero operands, so every verb with min_operands >= 1 must return
+    rc 2 — the class fix for the old hand-kept-tables regression where
+    `tail -c 100` silently exited 0."""
+    for verb, spec in cli.CLI_SPEC.items():
+        if spec["min_operands"] < 1:
+            continue
+        variants = [[]]
+        variants += [[f] for f in sorted(spec["flags"])]
+        variants += [[v, "123"] for v in sorted(spec["value_opts"])]
+        if spec["flags"] or spec["value_opts"]:
+            variants.append(
+                sorted(spec["flags"])
+                + [t for v in sorted(spec["value_opts"]) for t in (v, "9")]
+            )
+        for extra in variants:
+            rc, _ = run(spark, verb, *extra)
+            assert rc == 2, (verb, extra, rc)
+
+
+def test_one_missing_of_two_operands_is_rc2(spark):
+    """Verbs needing two operands must reject exactly-one even when
+    options pad the argv."""
+    for verb in ("put", "mv", "chmod", "chown", "chgrp"):
+        assert cli.CLI_SPEC[verb]["min_operands"] == 2
+        rc, _ = run(spark, verb, "only-one")
+        assert rc == 2, verb
