@@ -35,6 +35,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: full-board ratio above which a mover is automatically re-A/B'd solo
+TRIAGE_THRESHOLD = 1.3
+
 _RUNNER = r"""
 import sys, time, json, os
 sys.path.insert(0, sys.argv[1])
@@ -111,9 +114,33 @@ def main() -> None:
         check=True,
         capture_output=True,
     )
+    triage: dict[str, dict] = {}
     try:
         old = _run_side(old_tree, keys)
         new = _run_side(REPO, keys)
+        # automatic outlier triage (r7 verdict ask #7): any >1.3x mover
+        # on the full board is re-A/B'd TARGETED — solo key, fresh
+        # session per side, min-of-2 inside the runner — while the
+        # worktree is still alive, so the triage verdict lands in the
+        # artifact with zero manual steps. The solo re-run isolates the
+        # key from board-order scheduling noise, which is what cleared
+        # all six r7 movers by hand.
+        movers = sorted(
+            k for k in keys
+            if (old["best"].get(k) or 0) > 0
+            and (new["best"].get(k) or 0) > 0
+            and new["best"][k] / old["best"][k] > TRIAGE_THRESHOLD
+        )
+        for k in movers:
+            o2 = _run_side(old_tree, [k])["best"].get(k)
+            n2 = _run_side(REPO, [k])["best"].get(k)
+            triage[k] = {
+                "board_ratio": round(new["best"][k] / old["best"][k], 3),
+                "old": round(o2, 3) if o2 and o2 > 0 else None,
+                "new": round(n2, 3) if n2 and n2 > 0 else None,
+                "ratio": round(n2 / o2, 3)
+                if o2 and n2 and o2 > 0 and n2 > 0 else None,
+            }
     finally:
         subprocess.run(
             ["git", "-C", REPO, "worktree", "remove", "--force", old_tree],
@@ -136,6 +163,16 @@ def main() -> None:
             "new": round(n, 3),
             "ratio": round(n / o, 3) if o and o > 0 and n > 0 else None,
         }
+    if triage:
+        print(f"\ntriage re-runs (board ratio > {TRIAGE_THRESHOLD}x, solo):")
+        for k, t in sorted(triage.items()):
+            solo = f"{t['ratio']:.2f}x" if t["ratio"] else "—"
+            verdict = (
+                "noise" if t["ratio"] and t["ratio"] <= TRIAGE_THRESHOLD
+                else "REAL?"
+            )
+            print(f"  {k:38s} board {t['board_ratio']:.2f}x "
+                  f"-> solo {solo}  [{verdict}]")
     if old["missing"] or new["missing"]:
         print(f"missing old={old['missing']} new={new['missing']}")
     ok = [v["ratio"] for v in ab.values() if v["ratio"]]
@@ -153,8 +190,17 @@ def main() -> None:
             capture_output=True, text=True,
         ).stdout.strip()
         out_path = os.path.join(REPO, "BENCH_AB.json")
+        payload = {"rev": rev, "head": head, "ab": ab}
+        payload["triage_reruns"] = {
+            "note": (
+                f"machine-generated: every >{TRIAGE_THRESHOLD}x full-board "
+                "mover re-A/B'd targeted (solo key, fresh session per "
+                "side, min-of-2, same day) by tools/bench_ab.py itself"
+            ),
+            "reruns": triage,
+        }
         with open(out_path, "w") as fh:
-            json.dump({"rev": rev, "head": head, "ab": ab}, fh, sort_keys=True)
+            json.dump(payload, fh, sort_keys=True)
             fh.write("\n")
         print(f"wrote {out_path}")
 
