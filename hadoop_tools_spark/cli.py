@@ -561,11 +561,16 @@ CLI_SPEC = {
 }
 
 
-def count_operands(cmd: str, args: list[str]) -> int:
-    """Non-option tokens of ``args`` per the command's CLI_SPEC (a
-    value_opt swallows its following token)."""
+def count_operands(cmd: str, args: list[str]) -> tuple[int, list[str]]:
+    """(non-option token count, unknown options) of ``args`` per the
+    command's CLI_SPEC (a value_opt swallows its following token). An
+    option token not in the verb's declared flags|value_opts is
+    UNKNOWN — rejected up front, so a typo'd `-C` can't be silently
+    swallowed while its intended value is miscounted as the operand.
+    `stat`'s %-format and chmod's octal mode don't start with '-', so
+    they count as operands as before."""
     spec = CLI_SPEC[cmd]
-    n, skip = 0, False
+    n, skip, unknown = 0, False, []
     for a in args:
         if skip:
             skip = False
@@ -573,7 +578,9 @@ def count_operands(cmd: str, args: list[str]) -> int:
             skip = True
         elif not a.startswith("-"):
             n += 1
-    return n
+        elif a not in spec["flags"]:
+            unknown.append(a)
+    return n, unknown
 
 
 def main(argv=None, spark=None, out=None) -> int:
@@ -585,7 +592,14 @@ def main(argv=None, spark=None, out=None) -> int:
             file=out or sys.stderr,
         )
         return 0 if argv and argv[0] in ("-h", "--help") else 2
-    if count_operands(argv[0], argv[1:]) < CLI_SPEC[argv[0]]["min_operands"]:
+    n_ops, unknown = count_operands(argv[0], argv[1:])
+    if unknown:
+        print(
+            f"hh {argv[0]}: unknown option {unknown[0]!r}",
+            file=out or sys.stderr,
+        )
+        return 2
+    if n_ops < CLI_SPEC[argv[0]]["min_operands"]:
         print(f"hh {argv[0]}: missing operand", file=out or sys.stderr)
         return 2
     kwargs = {}

@@ -975,11 +975,14 @@ def ts_lttb(spark, sf_dir):
     ΣCn·n₁)(t·n₂ − ΣTn)| — exact DECIMAL(38,0) on the Spark side,
     HUGEINT in DuckDB, bit-identical ordering. Edge buckets (no prev
     or next) take the earliest point (area −1 ties broken on t,
-    event_id). Bucketing is exact FLOOR division on both engines —
-    Spark's truncating `div` is rewritten as `(t - pmod(t, S)) div S`
-    (pmod is the non-negative remainder, so the numerator is the
-    largest multiple of S ≤ t), matching DuckDB's flooring `//` for
-    negative rebased timestamps too, not just the fixture window.
+    event_id). Bucketing is integer division that TRUNCATES TOWARD
+    ZERO on both engines: Spark's `div` and DuckDB's integer `//`
+    share that semantics (verified live: `(-7)//2 = -3`, `-1//S = 0`
+    in DuckDB), so pre-origin timestamps bucket identically with no
+    guard needed. (The r7 ADVICE claimed `//` floors — it does not
+    for integers; a floor-division rewrite on the Spark side would
+    have CREATED the divergence it feared. tests/test_analytics.py
+    pins the truncation parity against a live DuckDB probe.)
 
     Scale shape: bucket stats partial-aggregate on (user, bucket); the
     lag/lead window and the argmax window both run on user-keyed
@@ -992,9 +995,7 @@ def ts_lttb(spark, sf_dir):
         f"CAST(unix_timestamp(ts) AS BIGINT) - {_LTTB_BASE} AS t",
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c",
     )
-    p = e.selectExpr(
-        "*", f"(t - pmod(t, {_LTTB_S})) div {_LTTB_S} AS bucket"
-    )
+    p = e.selectExpr("*", f"t div {_LTTB_S} AS bucket")
     s = p.groupBy("user_id", "bucket").agg(
         F.sum("t").alias("st"), F.sum("c").alias("sc"),
         F.count("*").alias("n"),

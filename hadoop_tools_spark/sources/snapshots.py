@@ -272,14 +272,24 @@ class SnapshotTable:
         """Snapshot read planned over only the stat-surviving files.
         The caller still applies the actual row filter — the stats are
         a superset guarantee (file granularity), not a row predicate.
-        An empty surviving list yields an empty frame with the
-        snapshot's schema (planned from the full list, zero rows)."""
+
+        The result schema is ALWAYS the full snapshot's schema, planned
+        from the complete file list (zero rows union — a metadata-only
+        footer read): if pruning eliminates every file of a
+        schema-evolved commit, its columns must still be present (as
+        NULL-typed absences a caller's filter can reference), or
+        pruning would change query RESULTS via AnalysisException — the
+        r8 review caught exactly that on the first draft."""
+        schema_frame = self._read_files(
+            spark, self.files(version), merge_schema
+        ).limit(0)
         files = self.pruned_files(intervals, version)
         if not files:
-            return self._read_files(
-                spark, self.files(version), merge_schema
-            ).limit(0)
-        return self._read_files(spark, files, merge_schema)
+            return schema_frame
+        return schema_frame.unionByName(
+            self._read_files(spark, files, merge_schema),
+            allowMissingColumns=True,
+        )
 
     def _read_files(
         self,

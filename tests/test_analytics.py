@@ -341,32 +341,46 @@ def test_ts_autocorr_moments_survive_int64_overflow(spark, tmp_path):
         assert got[k].autocorr6 == want
 
 
-def test_lttb_bucket_is_floor_division_for_negative_t(spark, tmp_path):
-    """ts_lttb's bucket expression must FLOOR-divide (DuckDB `//`
-    semantics) for negative rebased timestamps, not truncate toward
-    zero — events before the rebase origin must land in the same
-    bucket on both engines (ADVICE r7). Pins the pmod formulation
-    against Python's floor division across the sign boundary."""
+def test_lttb_bucket_division_matches_duckdb_for_negative_t(spark):
+    """ts_lttb's bucket expression (Spark `div`) must agree with the
+    oracle's DuckDB integer `//` across the sign boundary — ADVICE r7
+    worried `//` floors while `div` truncates; in fact BOTH truncate
+    toward zero for integers (the r8 review caught a floor-division
+    'fix' that would have CREATED the divergence). Pinned against a
+    live DuckDB probe, not an assumption about either engine."""
+    import duckdb
+
     from hadoop_tools_spark.operators.timeseries import _LTTB_S
 
     ts = [-2 * _LTTB_S, -_LTTB_S - 1, -_LTTB_S, -1, 0, 1,
           _LTTB_S - 1, _LTTB_S, 2 * _LTTB_S + 7]
-    df = spark.createDataFrame([(t,) for t in ts], "t long").selectExpr(
-        "t", f"(t - pmod(t, {_LTTB_S})) div {_LTTB_S} AS bucket"
-    )
-    got = {r.t: r.bucket for r in df.collect()}
-    assert got == {t: t // _LTTB_S for t in ts}
+    got = {
+        r.t: r.bucket
+        for r in spark.createDataFrame([(t,) for t in ts], "t long")
+        .selectExpr("t", f"t div {_LTTB_S} AS bucket")
+        .collect()
+    }
+    want = dict(duckdb.sql(
+        "SELECT t, t // {s} FROM (VALUES {v}) x(t)".format(
+            s=_LTTB_S, v=", ".join(f"({t}::BIGINT)" for t in ts)
+        )
+    ).fetchall())
+    assert got == want
 
 
 def test_lttb_end_to_end_with_pre_origin_events(spark, tmp_path):
-    """ts_lttb over a fixture straddling the rebase origin: every
-    returned point's bucket_start must floor-align and the pre-origin
-    rows must not crash or mis-bucket."""
+    """ts_lttb over a fixture straddling the rebase origin: pre-origin
+    rows must not crash, and every returned point's bucket_start must
+    align under the shared truncate-toward-zero semantics."""
     import datetime
 
     from hadoop_tools_spark.operators.timeseries import (
         _LTTB_BASE, _LTTB_S, ts_lttb,
     )
+
+    def trunc_div(a, b):  # both engines' integer division semantics
+        q = abs(a) // b
+        return -q if a < 0 else q
 
     rows = []
     for i, off in enumerate(
@@ -388,4 +402,6 @@ def test_lttb_end_to_end_with_pre_origin_events(spark, tmp_path):
     assert out, "pre-origin events must still produce output"
     for r in out:
         rebased = r.ts_sec - _LTTB_BASE
-        assert (r.bucket_start - _LTTB_BASE) == (rebased // _LTTB_S) * _LTTB_S
+        assert (r.bucket_start - _LTTB_BASE) == (
+            trunc_div(rebased, _LTTB_S) * _LTTB_S
+        )

@@ -314,3 +314,14 @@ def test_one_missing_of_two_operands_is_rc2(spark):
         assert cli.CLI_SPEC[verb]["min_operands"] == 2
         rc, _ = run(spark, verb, "only-one")
         assert rc == 2, verb
+
+
+def test_unknown_option_is_rc2_not_swallowed(spark):
+    """A typo'd option must be rejected, not silently treated as a
+    flag while its intended value is miscounted as an operand (the r8
+    review's `hh tail -C 100` case — '100' would have become the
+    path)."""
+    rc, txt = run(spark, "tail", "-C", "100")
+    assert rc == 2 and "unknown option" in txt
+    assert run(spark, "ls", "-Q")[0] == 2
+    assert run(spark, "rm", "-rf", "x")[0] == 2  # -rf is not -r

@@ -366,3 +366,32 @@ def test_snapshot_pruning_is_conservative_without_stats(
     with open(mpath, "w") as fh:
         json.dump(man, fh)
     assert tbl.pruned_files({"o_custkey": (10**9, 10**9 + 1)}) == tbl.files()
+
+
+def test_pruned_read_keeps_schema_of_fully_pruned_commit(
+    spark, sf_dir, tmp_path
+):
+    """r8 review finding: if stats pruning eliminates EVERY file of a
+    schema-evolved commit, the evolved columns must still exist in the
+    pruned read's schema (as NULLs), or a caller's filter on them
+    throws AnalysisException and pruning changes results."""
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    tbl.create(
+        o.filter(F.col("o_custkey") < 50).select("o_orderkey", "o_custkey")
+    )
+    # evolved commit adds o_totalprice AND lives in a disjoint key range
+    tbl.append(
+        o.filter(F.col("o_custkey") >= 100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+    pruned = tbl.read_pruned(spark, {"o_custkey": (0, 40)})
+    assert "o_totalprice" in pruned.columns
+    # the filter a caller would apply on the evolved column must work
+    n = pruned.filter(
+        F.col("o_custkey").between(0, 40) & F.col("o_totalprice").isNull()
+    ).count()
+    assert n == pruned.filter(F.col("o_custkey").between(0, 40)).count() > 0

@@ -2635,3 +2635,58 @@ def test_mp4_samples_match_avi_twin_frames(spark):
             blob = f.read()
         samples = [blob[o:o + s] for _, o, s, _, _ in mp4_samples(blob)]
         assert samples == avi_frames, f"mp4_{i} diverges from its AVI twin"
+
+
+def test_mp4_multi_trak_first_wins():
+    """Multi-trak files: sample extraction must use the FIRST trak's
+    stbl in document order on BOTH engines (the oracle's tb CTE takes
+    MIN(offset) for the same reason — the r8 review caught a MAX there
+    that would have read the LAST trak while Python read the first).
+    Splice a second trak (different stsd dims) into moov and assert
+    the first trak's dims still come out."""
+    import struct
+
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import encode_jpeg
+    from hadoop_tools_spark.operators.mp4 import (
+        encode_mp4,
+        mp4_samples,
+        parse_boxes,
+    )
+
+    w, h = 24, 16
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    jpegs = [
+        encode_jpeg(
+            np.stack([(xx + t) % 256, yy % 256, (xx + yy) % 256],
+                     axis=2).astype(np.uint8),
+            quality=90,
+        )
+        for t in range(3)
+    ]
+    blob = bytearray(encode_mp4(jpegs, w, h))
+    boxes = parse_boxes(bytes(blob))
+    moov_off, moov_sz = next(
+        (o, s) for _, t, o, s in boxes if t == "moov"
+    )
+    trak_off, trak_sz = next(
+        (o, s) for _, t, o, s in boxes if t == "trak"
+    )
+    # second trak = byte copy of the first with stsd width/height bumped
+    trak2 = bytearray(blob[trak_off : trak_off + trak_sz])
+    stsd_rel = next(
+        o for p, t, o, _ in parse_boxes(bytes(blob)) if t == "stsd"
+    ) - trak_off
+    struct.pack_into(">HH", trak2, stsd_rel + 16 + 32, 999, 777)
+    spliced = (
+        blob[:moov_off]
+        + struct.pack(">I4s", moov_sz + len(trak2), b"moov")
+        + blob[moov_off + 8 : moov_off + moov_sz]
+        + trak2
+    )
+    types = [t for _, t, _, _ in parse_boxes(bytes(spliced))]
+    assert types.count("trak") == 2
+    got = mp4_samples(bytes(spliced))
+    assert len(got) == 3
+    assert all((dw, dh) == (w, h) for _, _, _, dw, dh in got), got

@@ -134,12 +134,20 @@ def main() -> None:
         for k in movers:
             o2 = _run_side(old_tree, [k])["best"].get(k)
             n2 = _run_side(REPO, [k])["best"].get(k)
+            ratio = (
+                round(n2 / o2, 3)
+                if o2 and n2 and o2 > 0 and n2 > 0 else None
+            )
             triage[k] = {
                 "board_ratio": round(new["best"][k] / old["best"][k], 3),
                 "old": round(o2, 3) if o2 and o2 > 0 else None,
                 "new": round(n2, 3) if n2 and n2 > 0 else None,
-                "ratio": round(n2 / o2, 3)
-                if o2 and n2 and o2 > 0 and n2 > 0 else None,
+                "ratio": ratio,
+                "verdict": (
+                    "rerun-failed" if ratio is None
+                    else "noise" if ratio <= TRIAGE_THRESHOLD
+                    else "real?"
+                ),
             }
     finally:
         subprocess.run(
@@ -167,10 +175,14 @@ def main() -> None:
         print(f"\ntriage re-runs (board ratio > {TRIAGE_THRESHOLD}x, solo):")
         for k, t in sorted(triage.items()):
             solo = f"{t['ratio']:.2f}x" if t["ratio"] else "—"
-            verdict = (
-                "noise" if t["ratio"] and t["ratio"] <= TRIAGE_THRESHOLD
-                else "REAL?"
-            )
+            # a rerun with no usable ratio is a MEASUREMENT failure —
+            # it must not masquerade as a suspected real regression
+            if t["ratio"] is None:
+                verdict = "RERUN-FAILED"
+            elif t["ratio"] <= TRIAGE_THRESHOLD:
+                verdict = "noise"
+            else:
+                verdict = "REAL?"
             print(f"  {k:38s} board {t['board_ratio']:.2f}x "
                   f"-> solo {solo}  [{verdict}]")
     if old["missing"] or new["missing"]:

@@ -31,6 +31,10 @@ Deterministic (fixed seeds). Row counts match sf0.1 exactly, so
 skew-vs-uniform wall ratios compare like for like.
 
 Usage: python tools/make_skewed.py [/tmp/sfskew]
+       SKEW_SRC=/tmp/sf1 python tools/make_skewed.py /tmp/sf1skew
+(SKEW_SRC picks the uniform fixture to skew-rewrite; default sf0.1 —
+the sf1 variant is the r7 verdict ask #4 rehearsal input, where the
+~18%-hot key is ~1.1M rows and AQE skew handling becomes observable.)
 """
 
 from __future__ import annotations
@@ -43,7 +47,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SKEW_SRC", "/root/testdata/sf0.1")
 S = 1.1  # zipf exponent — power-law-but-heavy, the web-corpus regime
 
 

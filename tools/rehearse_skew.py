@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-UNIFORM = "/root/testdata/sf0.1"
+UNIFORM = os.environ.get("SKEW_UNIFORM", "/root/testdata/sf0.1")
 GATE = float(os.environ.get("SKEW_GATE", "4.0"))
 
 #: key -> the guard the zipfian fixture exercises
@@ -52,6 +52,84 @@ def jvm_peak_heap_mb(spark) -> float:
             if peak is not None:
                 total += peak.getUsed()
     return total / (1024 * 1024)
+
+
+#: confs that scale AQE's skew-split byte thresholds down to local
+#: fixture sizes — on a production cluster the 256MB default plays
+#: the same role against 100 TB shuffle partitions; the rehearsal
+#: proves the MECHANISM engages on this fixture's hot key
+AQE_PROBE_CONFS = {
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def aqe_skew_probe(spark, skew_dir: str) -> dict:
+    """r7 verdict ask #4: assert AQE skew handling ENGAGES where
+    expected. The probe is a deliberately unguarded sort-merge join on
+    the zipfian hot key (lineitem ⋈ supplier on l_suppkey) — the shape
+    every guard key avoids by construction, so the guards'
+    absence-of-skew-markers is meaningful only if this probe shows the
+    marker appears when skew is really there. The join must be
+    SMJ(Sort(shuffle), Sort(shuffle)) DIRECTLY: any operator between a
+    Sort and its shuffle stage (e.g. a final HashAggregate) breaks
+    OptimizeSkewedJoin's pattern and it silently declines — the first
+    probe draft joined lineitem to its own aggregate and measured zero
+    markers for exactly that reason. Returns the ``skew=true`` +
+    ``AQEShuffleRead skewed`` marker counts from the AQE FINAL plan
+    (captured from the same DataFrame after execution)."""
+    from pyspark.sql import functions as F
+
+    old = {}
+    for k, v in AQE_PROBE_CONFS.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{skew_dir}/lineitem.parquet").select(
+            "l_suppkey", "l_extendedprice"
+        )
+        supp = spark.read.parquet(f"{skew_dir}/supplier.parquet").select(
+            "s_suppkey"
+        )
+        # the inspected DataFrame must be the EXECUTED one — a bare
+        # .count() builds a derived Dataset whose execution never
+        # finalizes THIS plan (executedPlan stays isFinalPlan=false);
+        # collecting a self-built 1-row aggregate keeps the skew join
+        # inside the same QueryExecution we read the final plan from.
+        # The aggregate must also CONSUME the payload column, or
+        # Catalyst prunes the join to bare 8-byte keys and the hot
+        # partition shrinks below any honest byte threshold.
+        res = (
+            li.join(supp.hint("merge"), li.l_suppkey == supp.s_suppkey)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("l_extendedprice").alias("s"),
+            )
+        )
+        t0 = time.time()
+        rows = res.collect()[0].n
+        wall = time.time() - t0
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, "AQE final plan not captured"
+        return {
+            "rows": rows,
+            "wall_s": round(wall, 2),
+            "skew_markers": plan.count("skew=true"),
+            "skewed_reads": plan.count("AQEShuffleRead skewed"),
+        }
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _time_key(qs, spark, key: str, sf_dir: str) -> tuple[float, int]:
@@ -104,7 +182,14 @@ def main() -> int:
         print(key, json.dumps(results[key]))
         if err or (ratio is not None and ratio > GATE):
             failures.append(key)
-    print(json.dumps({"skew_dir": skew_dir, "gate": GATE, "results": results}))
+    probe = aqe_skew_probe(spark, skew_dir)
+    print("aqe_probe", json.dumps(probe))
+    if max(probe["skew_markers"], probe["skewed_reads"]) < 1:
+        failures.append("aqe_probe(no skew handling in final plan)")
+    print(json.dumps({
+        "skew_dir": skew_dir, "uniform": UNIFORM, "gate": GATE,
+        "aqe_probe": probe, "results": results,
+    }))
     if failures:
         print(f"SKEW GATE EXCEEDED ({GATE}x): {failures}", file=sys.stderr)
         return 1
