@@ -166,12 +166,27 @@ def main() -> int:
             rows_u = rows_s = -1
             err = f"{type(e).__name__}: {str(e)[:150]}"
         ratio = round(wall_s / wall_u, 2) if wall_u > 0 else None
+        # a skewed fixture can legitimately contain MORE true result
+        # (a 30% duplicate cluster holds ~quadratically more near-dup
+        # pairs): when output grew at least as fast as wall, the extra
+        # time is recall, not a guard failure — the per-output-row
+        # cost did not regress. Only wall growth UNEXPLAINED by output
+        # growth fails the gate.
+        out_factor = (
+            round(rows_s / rows_u, 2) if rows_u and rows_u > 0 else None
+        )
+        output_dominated = bool(
+            ratio is not None and out_factor is not None
+            and ratio > GATE and out_factor >= ratio
+        )
         results[key] = {
             "uniform_s": round(wall_u, 2),
             "skew_s": round(wall_s, 2),
             "ratio": ratio,
             "rows_uniform": rows_u,
             "rows_skew": rows_s,
+            "output_factor": out_factor,
+            "output_dominated": output_dominated,
             "err": err,
             "py_rss_mb": round(
                 resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
@@ -180,7 +195,9 @@ def main() -> int:
             "guard": DEFAULT_KEYS.get(key, ""),
         }
         print(key, json.dumps(results[key]))
-        if err or (ratio is not None and ratio > GATE):
+        if err or (
+            ratio is not None and ratio > GATE and not output_dominated
+        ):
             failures.append(key)
     probe = aqe_skew_probe(spark, skew_dir)
     print("aqe_probe", json.dumps(probe))
