@@ -2233,7 +2233,7 @@ def test_image_phash_png_twins_collide_at_zero(spark):
     orig = mm.IMAGE_PHASH_MAX_ROWS
     mm.IMAGE_PHASH_MAX_ROWS = 3
     try:
-        with _pytest.raises(ValueError, match="banding"):
+        with _pytest.raises(ValueError, match="llm_image_phash_lsh"):
             mm.llm_image_phash(spark, None)
     finally:
         mm.IMAGE_PHASH_MAX_ROWS = orig
