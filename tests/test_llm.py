@@ -2690,3 +2690,57 @@ def test_mp4_multi_trak_first_wins():
     got = mp4_samples(bytes(spliced))
     assert len(got) == 3
     assert all((dw, dh) == (w, h) for _, _, _, dw, dh in got), got
+
+
+def test_substring_sa_twin_matches_exact_anchor(spark, sf_dir):
+    """The truncated-prefix-doubling (suffix-array) scale twin produces
+    EXACTLY the anchor's spans: ranks are ids of distinct tuples, so
+    equal 40-char prefixes collide and unequal ones never do — no
+    repair pass to hide behind. Also pins the k = 32 + 8 decomposition
+    boundary: a pair of docs differing ONLY at char 41 of a shared
+    40-prefix must still flag (no over-comparison past k)."""
+    from hadoop_tools_spark.operators.llm_dedup import (
+        llm_dedup_substring,
+        llm_substring_dedup_sa,
+    )
+
+    a = {tuple(r) for r in llm_dedup_substring(spark, sf_dir).collect()}
+    b = {tuple(r) for r in llm_substring_dedup_sa(spark, sf_dir).collect()}
+    assert a == b and a
+    spark.catalog.clearCache()
+
+
+def test_substring_sa_boundary_exactness(spark, tmp_path):
+    """Constructed corpus hitting the decomposition edges: (a) two docs
+    share chars 1..40 but differ at 41 -> window 1 must flag in both;
+    (b) share only chars 2..41 (40 chars, offset alignment through the
+    32+8 split at a non-multiple position); (c) a 39-char overlap must
+    NOT flag; (d) short docs (< k) are excluded not crashed."""
+    from hadoop_tools_spark.operators.llm_dedup import (
+        _SUB_K,
+        llm_dedup_substring,
+        llm_substring_dedup_sa,
+    )
+
+    base = "".join(chr(65 + (i * 7) % 26) for i in range(_SUB_K))  # 40 chars
+    rows = [
+        (1, base + "XTAIL1"),                     # (a) shares 1..40 with 2
+        (2, base + "YTAIL2"),
+        (3, "Q" + base[1:] + base[-1] + "ZZ"),    # (b) shares base[1:]+last
+        (4, "P" + base[1:] + base[-1] + "WW"),
+        (5, base[:39] + "####ns"),                # (c) 39-char run only
+        (6, "tiny"),                              # (d) shorter than k
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    a = {tuple(r) for r in llm_dedup_substring(spark, str(tmp_path)).collect()}
+    b = {tuple(r)
+         for r in llm_substring_dedup_sa(spark, str(tmp_path)).collect()}
+    assert a == b
+    flagged_docs = {r[0] for r in a}
+    assert {1, 2, 3, 4} <= flagged_docs
+    assert 5 not in flagged_docs and 6 not in flagged_docs
+    spark.catalog.clearCache()
