@@ -2744,3 +2744,49 @@ def test_substring_sa_boundary_exactness(spark, tmp_path):
     assert {1, 2, 3, 4} <= flagged_docs
     assert 5 not in flagged_docs and 6 not in flagged_docs
     spark.catalog.clearCache()
+
+
+def test_zip64_shard_members_and_stdlib_conformance(spark):
+    """zipds_4.zip is the zip64 witness: sentinel'd EOCD resolved
+    through the locator + zip64 EOCD record, and two members whose
+    sizes/offset live in an id-0x0001 extra placed BEHIND a dummy TLV
+    (the walk must really walk the extras, not assume position 0).
+    The walk must produce exactly the stdlib zipfile view of the same
+    archive (third independent implementation)."""
+    import os
+    import zipfile
+
+    from hadoop_tools_spark.operators.multimodal import (
+        MEDIA_DIR,
+        read_assets,
+        zip_members,
+    )
+
+    path = os.path.join(MEDIA_DIR, "zipds_4.zip")
+    out = {r.member: r for r in zip_members(
+        read_assets(spark, MEDIA_DIR, glob="zipds_4.zip")
+    ).collect()}
+    with zipfile.ZipFile(path) as zf:
+        infos = {i.filename: i for i in zf.infolist()}
+        assert zf.testzip() is None
+    assert set(out) == set(infos) and len(out) == 6
+    for name, i in infos.items():
+        r = out[name]
+        assert r.comp_size == i.compress_size, name
+        assert r.uncomp_size == i.file_size, name
+        assert r.crc32 == i.CRC, name
+
+    # fail-closed: tear the zip64 EOCD record's signature -> the
+    # sentinel'd EOCD cannot resolve, the shard yields zero rows
+    with open(path, "rb") as f:
+        blob = bytearray(f.read())
+    z64 = blob.rfind(b"PK\x06\x06")
+    blob[z64] = 0x00
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "torn.zip"), "wb") as f:
+            f.write(bytes(blob))
+        assert zip_members(
+            read_assets(spark, d, glob="*.zip")
+        ).collect() == []

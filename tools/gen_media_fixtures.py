@@ -891,6 +891,65 @@ def zip_member_plan(i: int):
     ]
 
 
+def to_zip64(blob: bytes, z64_members: tuple[int, ...] = ()) -> bytes:
+    """Convert a classic zip into its zip64 form: the listed CD entry
+    indexes get their sizes/local-header-offset replaced by 0xFFFFFFFF
+    sentinels with the real values in a zip64 (id 0x0001) extra field
+    (placed AFTER a dummy extra field so parsers must actually walk
+    the TLVs), and the EOCD's counts/offset become 0xFFFF/0xFFFFFFFF
+    sentinels resolved through a spliced zip64 EOCD record + locator —
+    the layout every >4 GiB dataset shard actually uses, exercised
+    here without 4 GiB fixtures."""
+    import struct
+
+    n = len(blob)
+    assert blob[n - 22 : n - 18] == b"PK\x05\x06" and struct.unpack(
+        "<H", blob[n - 2 :]
+    ) == (0,)
+    n_entries, cd_size, cd_off = struct.unpack("<HII", blob[n - 12 : n - 2])
+    body = blob[:cd_off]
+    # rebuild the central directory entry by entry
+    entries = []
+    off = cd_off
+    for _ in range(n_entries):
+        nl, xl, cl = struct.unpack("<HHH", blob[off + 28 : off + 34])
+        end = off + 46 + nl + xl + cl
+        entries.append(bytearray(blob[off:end]))
+        off = end
+    for idx in z64_members:
+        e = entries[idx]
+        comp, uncomp = struct.unpack("<II", e[20:28])
+        (lho,) = struct.unpack("<I", e[42:46])
+        nl, xl, cl = struct.unpack("<HHH", e[28:34])
+        assert cl == 0, "comment-bearing entries not handled"
+        # sentinel the three fields; real values go to the zip64 extra
+        struct.pack_into("<II", e, 20, 0xFFFFFFFF, 0xFFFFFFFF)
+        struct.pack_into("<I", e, 42, 0xFFFFFFFF)
+        dummy = struct.pack("<HH", 0x6675, 4) + b"test"  # opaque TLV first
+        z64 = struct.pack("<HHQQQ", 0x0001, 24, uncomp, comp, lho)
+        e += dummy + z64
+        struct.pack_into("<H", e, 30, xl + len(dummy) + len(z64))
+    cd = b"".join(bytes(e) for e in entries)
+    z64_off = len(body) + len(cd)
+    z64_rec = struct.pack(
+        "<4sQHHIIQQQQ",
+        b"PK\x06\x06", 44, 45, 45, 0, 0,
+        n_entries, n_entries, len(cd), cd_off,
+    )
+    locator = struct.pack("<4sIQI", b"PK\x06\x07", 0, z64_off, 1)
+    # plain comment, NO decoy signature: zipds_3 already pins decoy
+    # rejection, and a decoy here would defeat stdlib zipfile's
+    # rfind-based EOCD scan — keeping shard 4 stdlib-readable preserves
+    # the independent third-implementation check on the zip64 layout
+    comment = b"zip64 dataset shard with a plain archive comment"
+    eocd = struct.pack(
+        "<4sHHHHIIH",
+        b"PK\x05\x06", 0, 0, 0xFFFF, 0xFFFF,
+        0xFFFFFFFF, 0xFFFFFFFF, len(comment),
+    ) + comment
+    return body + cd + z64_rec + locator + eocd
+
+
 def write_zip_fixtures() -> None:
     """ZIP dataset shards for llm_zip_members: written by the STDLIB
     zipfile module (a third, independent implementation — neither the
@@ -900,11 +959,13 @@ def write_zip_fixtures() -> None:
     at EOF-22) so the backward EOCD scan has a committed witness;
     the comment itself contains a decoy PK\\x05\\x06 whose
     comment-length field is wrong, pinning the validation step."""
+    import io
     import zipfile
 
-    for i in range(4):
+    for i in range(5):
         path = os.path.join(OUT, f"zipds_{i}.zip")
-        with zipfile.ZipFile(path, "w") as zf:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
             for name, data, method in zip_member_plan(i):
                 zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
                 zi.compress_type = method
@@ -918,6 +979,14 @@ def write_zip_fixtures() -> None:
                     + bytes(18)
                     + b" end of comment"
                 )
+        blob = buf.getvalue()
+        if i == 4:
+            # shard 4 is the zip64 witness: entries 1 (deflated) and 5
+            # (stored) carry zip64 extras behind a dummy TLV, and the
+            # EOCD resolves through the spliced record + locator
+            blob = to_zip64(blob, z64_members=(1, 5))
+        with open(path, "wb") as f:
+            f.write(blob)
 
 
 
