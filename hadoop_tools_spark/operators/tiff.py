@@ -20,10 +20,12 @@ ROUND-TRIP-PROVEN (and the committed fixtures are pixel-identical
 twins of ``img_{i}.ppm``, so the query key's oracle matches full pixel
 statistics — the strongest oracle class, same as lossless JPEG).
 
-Unsupported constructs (tiled TIFFs, other compressions, planar
-config 2, palette/gray photometrics) raise ``NotImplementedError`` /
-``ValueError`` for the tolerant-decode seam, never a silent wrong
-image.
+Supported photometrics: RGB (2), bilevel/grayscale (0/1, replicated
+to RGB), and palette-color (3, 256-entry ColorMap lookup with the
+16-bit→8-bit ``>> 8`` scale). Unsupported constructs (tiled TIFFs,
+other compressions, planar config 2, other bit depths) raise
+``NotImplementedError`` / ``ValueError`` for the tolerant-decode
+seam, never a silent wrong image.
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ import numpy as np
 # baseline tag ids
 _W, _H, _BPS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _RPS, _STRIP_CNT, _PLANAR = 273, 277, 278, 279, 284
-_PREDICTOR = 317
+_PREDICTOR, _COLORMAP = 317, 320
 
 _TYPE_SIZE = {3: 2, 4: 4}  # SHORT, LONG — all this profile needs
 
@@ -366,7 +368,7 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("IFD overruns file")
     tags: dict[int, list[int]] = {}
     needed = {_W, _H, _BPS, _COMP, _PHOTO, _STRIP_OFF, _SPP, _RPS,
-              _STRIP_CNT, _PLANAR, _PREDICTOR}
+              _STRIP_CNT, _PLANAR, _PREDICTOR, _COLORMAP}
     for i in range(n_entries):
         base = ifd_off + 2 + 12 * i
         tag, typ = struct.unpack_from(bo + "HH", blob, base)
@@ -400,6 +402,18 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
         gray = True
         if tags.get(_BPS, [8]) != [8]:
             raise NotImplementedError("only 8 bits/sample supported")
+    elif photo == 3 and spp == 1:
+        # palette-color (TIFF 6.0 section 5): 8-bit indices into the
+        # ColorMap tag — 3 * 2^bps SHORT values, all reds then all
+        # greens then all blues, each 16-bit (0..65535); scaled to
+        # 8-bit by >> 8 (writers emit v * 257 so this is exact)
+        gray = True  # one sample/pixel through strip re-assembly
+        if tags.get(_BPS, [8]) != [8]:
+            raise NotImplementedError("only 8-bit palette indices")
+        cmap = tags.get(_COLORMAP)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("palette TIFF without a full 256-entry"
+                             " ColorMap")
     else:
         raise NotImplementedError(
             "only chunky 8-bit RGB or 8-bit grayscale TIFF supported"
@@ -445,9 +459,14 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("assembled pixel data has wrong size")
     if gray:
         y = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w)
-        if photo == 0:  # WhiteIsZero
-            y = 255 - y
-        px = np.repeat(y[:, :, None], 3, axis=2)
+        if photo == 3:
+            lut = (np.asarray(cmap, dtype=np.uint32)
+                   .reshape(3, 256) >> 8).astype(np.uint8)
+            px = np.stack([lut[0][y], lut[1][y], lut[2][y]], axis=2)
+        else:
+            if photo == 0:  # WhiteIsZero
+                y = 255 - y
+            px = np.repeat(y[:, :, None], 3, axis=2)
     else:
         px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)
     return w, h, px

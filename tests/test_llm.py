@@ -2790,3 +2790,80 @@ def test_zip64_shard_members_and_stdlib_conformance(spark):
         assert zip_members(
             read_assets(spark, d, glob="*.zip")
         ).collect() == []
+
+
+def test_tiff_palette_decode():
+    """Palette-color TIFFs (photometric 3): 8-bit indices through a
+    3x256 SHORT ColorMap (all reds, all greens, all blues; 16-bit
+    values scaled >> 8) across both byte orders and all three
+    compressions; a missing/short ColorMap fails loudly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_tools_spark.operators.tiff import (
+        _lzw_encode,
+        _packbits_encode,
+        decode_tiff,
+    )
+
+    rng = np.random.RandomState(5)
+    lut8 = rng.randint(0, 256, (3, 256), dtype=np.uint16)
+    cmap_vals = (lut8 * 257).astype(np.uint16)  # v*257 >> 8 == v exactly
+
+    def pal_tiff(idx, comp, bo, with_map=True, map_entries=256):
+        h, w = idx.shape
+        data = idx.tobytes()
+        if comp == 32773:
+            data = _packbits_encode(data)
+        elif comp == 5:
+            data = _lzw_encode(data)
+        u16, u32 = bo + "H", bo + "I"
+        magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+        cmap = b"".join(
+            struct.pack(u16, int(v))
+            for ch in range(3) for v in cmap_vals[ch][:map_entries]
+        )
+        data_off = 8
+        cmap_off = data_off + len(data) + (len(data) & 1)
+        ifd_off = cmap_off + len(cmap)
+
+        def e(tag, typ, cnt, val, short=False):
+            b = struct.pack(u16, tag) + struct.pack(u16, typ)
+            b += struct.pack(u32, cnt)
+            if short:
+                return b + struct.pack(u16, val) + b"\x00\x00"
+            return b + struct.pack(u32, val)
+
+        ents = [
+            e(256, 4, 1, w), e(257, 4, 1, h), e(258, 3, 1, 8, True),
+            e(259, 3, 1, comp, True), e(262, 3, 1, 3, True),
+            e(273, 4, 1, data_off), e(277, 3, 1, 1, True),
+            e(278, 4, 1, h), e(279, 4, 1, len(data)),
+        ]
+        if with_map:
+            ents.append(e(320, 3, 3 * map_entries, cmap_off))
+        ents.sort(key=lambda b: struct.unpack(u16, b[:2])[0])
+        out = bytearray(magic + struct.pack(u32, ifd_off) + data)
+        if len(out) & 1:
+            out += b"\x00"
+        out += cmap
+        out += struct.pack(u16, len(ents))
+        for x in ents:
+            out += x
+        out += struct.pack(u32, 0)
+        return bytes(out)
+
+    idx = np.random.RandomState(6).randint(0, 256, (7, 11), dtype=np.uint8)
+    want = np.stack([lut8[ch][idx] for ch in range(3)], axis=2)
+    for comp in (1, 5, 32773):
+        for bo in "<>":
+            w2, h2, px = decode_tiff(pal_tiff(idx, comp, bo))
+            assert (w2, h2) == (11, 7)
+            assert (px == want).all(), (comp, bo)
+
+    with _pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(pal_tiff(idx, 1, "<", with_map=False))
+    with _pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(pal_tiff(idx, 1, "<", map_entries=16))
