@@ -91,8 +91,9 @@ def cmd_ls(args, spark=None, out=sys.stdout):
     from .sources.listing import _hadoop_fs
 
     spark = _spark(spark)
-    recursive = "-R" in args
-    pos = [a for a in args if a != "-R"]
+    zone, forced = posix_split(args)
+    recursive = "-R" in zone
+    pos = [a for a in zone if a != "-R"] + forced
     target = session_state.resolve(pos[0] if pos else ".")
     rows = []
     for st in _glob_status(spark, target):
@@ -134,18 +135,28 @@ def cmd_find(args, spark=None, out=sys.stdout):
     )
 
     spark = _spark(spark)
-    root = session_state.resolve(args[0] if args else ".")
+    zone, forced = posix_split(args)
     name_glob = type_flag = None
-    if "-name" in args:
-        if args.index("-name") + 1 >= len(args):
+    if "-name" in zone:
+        if zone.index("-name") + 1 >= len(zone):
             print("hh find: -name: missing operand", file=sys.stderr)
             return 2
-        name_glob = args[args.index("-name") + 1]
-    if "-type" in args:
-        if args.index("-type") + 1 >= len(args):
+        name_glob = zone[zone.index("-name") + 1]
+    if "-type" in zone:
+        if zone.index("-type") + 1 >= len(zone):
             print("hh find: -type: missing operand", file=sys.stderr)
             return 2
-        type_flag = args[args.index("-type") + 1]
+        type_flag = zone[zone.index("-type") + 1]
+    pos, skip = [], False
+    for a in zone:
+        if skip:
+            skip = False
+        elif a in ("-name", "-type"):
+            skip = True
+        else:
+            pos.append(a)
+    pos += forced
+    root = session_state.resolve(pos[0] if pos else ".")
     parsed = urlparse(root)
     if parsed.scheme in ("", "file"):
         listing = list_files_distributed(
@@ -185,8 +196,9 @@ def cmd_du(args, spark=None, out=sys.stdout):
     from .sources.listing import list_status_df
 
     spark = _spark(spark)
-    human = "-h" in args
-    args = [a for a in args if a != "-h"]
+    zone, forced = posix_split(args)
+    human = "-h" in zone
+    args = [a for a in zone if a != "-h"] + forced
     root, upath = _norm_root(session_state.resolve(args[0] if args else "."))
     df = list_status_df(spark, root, recursive=True).filter(~F.col("is_dir"))
     # child = root/<first path component below root>. The listing's
@@ -219,7 +231,8 @@ def cmd_count(args, spark=None, out=sys.stdout):
     from .sources.listing import list_status_df
 
     spark = _spark(spark)
-    for arg in args or ["."]:
+    zone, forced = posix_split(args)
+    for arg in (zone + forced) or ["."]:
         root, _ = _norm_root(session_state.resolve(arg))
         df = list_status_df(spark, root, recursive=True)
         row = df.agg(
@@ -253,7 +266,8 @@ def cmd_cat(args, spark=None, out=None):
     raw = out or getattr(sys.stdout, "buffer", sys.stdout)
     jvm = spark._jvm
     rc = 0
-    for arg in args:
+    zone, forced = posix_split(args)
+    for arg in zone + forced:
         path = session_state.resolve(arg)
         matches = _glob_status(spark, path) or []
         if not matches:
@@ -291,14 +305,16 @@ def cmd_tail(args, spark=None, out=None):
 
     spark = _spark(spark)
     raw = out or getattr(sys.stdout, "buffer", sys.stdout)
+    zone, forced = posix_split(args)
     n = 1024
-    if "-c" in args:
-        i = args.index("-c")
-        if i + 1 >= len(args):
+    if "-c" in zone:
+        i = zone.index("-c")
+        if i + 1 >= len(zone):
             print("hh tail: -c: missing operand", file=sys.stderr)
             return 2
-        n = int(args[i + 1])
-        args = args[:i] + args[i + 2:]
+        n = int(zone[i + 1])
+        zone = zone[:i] + zone[i + 2:]
+    args = zone + forced
     jvm = spark._jvm
     rc = 0
     for arg in args:
@@ -338,7 +354,8 @@ def cmd_checksum(args, spark=None, out=sys.stdout):
 
     spark = _spark(spark)
     rc = 0
-    for arg in args:
+    zone, forced = posix_split(args)
+    for arg in zone + forced:
         path = session_state.resolve(arg)
         matches = _glob_status(spark, path) or []
         if not matches:
@@ -378,6 +395,8 @@ def cmd_stat(args, spark=None, out=sys.stdout):
     import datetime as _dt
 
     spark = _spark(spark)
+    zone, forced = posix_split(args)
+    args = zone + forced
     fmt = "%y"
     # a format like 'size=%b' need not START with '%' — any first arg
     # containing a specifier (and followed by >=1 path) is the format
@@ -413,79 +432,97 @@ def cmd_stat(args, spark=None, out=sys.stdout):
 
 def cmd_get(args, spark=None, **_):
     """``hh get SRC [DST]``: copy to local filesystem."""
-    src = session_state.resolve(args[0])
-    dst = args[1] if len(args) > 1 else src.rsplit("/", 1)[-1]
+    zone, forced = posix_split(args)
+    pos = zone + forced
+    src = session_state.resolve(pos[0])
+    dst = pos[1] if len(pos) > 1 else src.rsplit("/", 1)[-1]
     fsops.copy_to_local(_spark(spark), src, dst)
     return 0
 
 
 def cmd_put(args, spark=None, **_):
     """``hh put SRC DST``: copy from local filesystem."""
-    fsops.copy_from_local(_spark(spark), args[0], session_state.resolve(args[1]))
+    zone, forced = posix_split(args)
+    pos = zone + forced
+    fsops.copy_from_local(_spark(spark), pos[0], session_state.resolve(pos[1]))
     return 0
 
 
 def cmd_mkdir(args, spark=None, **_):
     """``hh mkdir [-p] PATH`` (always -p, like the reference)."""
-    paths = [a for a in args if a != "-p"]
+    zone, forced = posix_split(args)
+    paths = [a for a in zone if a != "-p"] + forced
     ok = all(fsops.mkdirs(_spark(spark), session_state.resolve(p)) for p in paths)
     return 0 if ok else 1
 
 
 def cmd_mv(args, spark=None, **_):
     """``hh mv SRC DST``."""
+    zone, forced = posix_split(args)
+    pos = zone + forced
     ok = fsops.rename(
         _spark(spark),
-        session_state.resolve(args[0]),
-        session_state.resolve(args[1]),
+        session_state.resolve(pos[0]),
+        session_state.resolve(pos[1]),
     )
     return 0 if ok else 1
 
 
 def cmd_rm(args, spark=None, **_):
     """``hh rm [-r] PATH...``."""
-    recursive = "-r" in args
+    zone, forced = posix_split(args)
+    recursive = "-r" in zone
     ok = True
-    for p in (a for a in args if a != "-r"):
+    for p in [a for a in zone if a != "-r"] + forced:
         ok = fsops.delete(_spark(spark), session_state.resolve(p), recursive) and ok
     return 0 if ok else 1
 
 
 def cmd_chmod(args, spark=None, **_):
     """``hh chmod OCTAL PATH``."""
-    fsops.set_permission(_spark(spark), session_state.resolve(args[1]), args[0])
+    zone, forced = posix_split(args)
+    pos = zone + forced
+    fsops.set_permission(_spark(spark), session_state.resolve(pos[1]), pos[0])
     return 0
 
 
 def cmd_chown(args, spark=None, **_):
     """``hh chown OWNER[:GROUP] PATH``."""
-    owner, _, group = args[0].partition(":")
+    zone, forced = posix_split(args)
+    pos = zone + forced
+    owner, _, group = pos[0].partition(":")
     fsops.set_owner(
-        _spark(spark), session_state.resolve(args[1]), owner or None, group or None
+        _spark(spark), session_state.resolve(pos[1]), owner or None, group or None
     )
     return 0
 
 
 def cmd_chgrp(args, spark=None, **_):
     """``hh chgrp GROUP PATH``."""
-    fsops.set_owner(_spark(spark), session_state.resolve(args[1]), None, args[0])
+    zone, forced = posix_split(args)
+    pos = zone + forced
+    fsops.set_owner(_spark(spark), session_state.resolve(pos[1]), None, pos[0])
     return 0
 
 
 def cmd_test(args, spark=None, **_):
     """``hh test -e|-d|-f PATH``: predicate via exit code."""
     preds = {"-e": fsops.exists, "-d": fsops.is_dir, "-f": fsops.is_file}
-    if len(args) < 2 or args[0] not in preds:
+    zone, forced = posix_split(args)
+    pos = zone[1:] + forced
+    if not zone or zone[0] not in preds or not pos:
         print("hh test: expected -e|-d|-f PATH", file=sys.stderr)
         return 2
-    flag, path = args[0], session_state.resolve(args[1])
+    flag, path = zone[0], session_state.resolve(pos[0])
     spark = _spark(spark)
     return 0 if preds[flag](spark, path) else 1
 
 
 def cmd_cd(args, **_):
     """``hh cd PATH``: persist the working directory."""
-    session_state.cd(args[0] if args else "/")
+    zone, forced = posix_split(args)
+    pos = zone + forced
+    session_state.cd(pos[0] if pos else "/")
     return 0
 
 
@@ -561,6 +598,19 @@ CLI_SPEC = {
 }
 
 
+def posix_split(args: list[str]) -> tuple[list[str], list[str]]:
+    """POSIX end-of-options split: ``(option_zone, forced_operands)``.
+    The first literal ``--`` terminates option parsing — every token
+    after it is an operand even if it starts with '-' (so a file
+    literally named ``-x`` is reachable as ``hh rm -- -x``, matching
+    POSIX/hadoop-fs convention). Without ``--`` the whole argv is the
+    option zone, exactly as before."""
+    if "--" in args:
+        i = args.index("--")
+        return args[:i], args[i + 1 :]
+    return args, []
+
+
 def count_operands(cmd: str, args: list[str]) -> tuple[int, list[str]]:
     """(non-option token count, unknown options) of ``args`` per the
     command's CLI_SPEC (a value_opt swallows its following token). An
@@ -568,10 +618,12 @@ def count_operands(cmd: str, args: list[str]) -> tuple[int, list[str]]:
     UNKNOWN — rejected up front, so a typo'd `-C` can't be silently
     swallowed while its intended value is miscounted as the operand.
     `stat`'s %-format and chmod's octal mode don't start with '-', so
-    they count as operands as before."""
+    they count as operands as before. Tokens after a ``--`` terminator
+    all count as operands (posix_split)."""
     spec = CLI_SPEC[cmd]
-    n, skip, unknown = 0, False, []
-    for a in args:
+    zone, forced = posix_split(args)
+    n, skip, unknown = len(forced), False, []
+    for a in zone:
         if skip:
             skip = False
         elif a in spec["value_opts"]:

@@ -1170,10 +1170,20 @@ def _parse(blob: bytes):
     return process, precision, h, w, comps, qtables, scans
 
 
+def _mask_dc(v):
+    # Clamp an accumulated DC prediction into the signed-16-bit coefficient
+    # domain (T.81 DC categories reach at most SSSS=15 → |value| ≤ 32767, so
+    # this is the identity on every valid stream).  Corrupt streams can walk
+    # the Python-int accumulator arbitrarily far; without the mask the later
+    # assignment into the int32 coefficient array would raise numpy's
+    # out-of-bounds OverflowError instead of the codec's own ValueError paths.
+    return ((v + 0x8000) & 0xFFFF) - 0x8000
+
+
 def _decode_block_baseline(br, zz, dc_tree, ac_tree, preds, idx):
     cat = _read_symbol(br, dc_tree)
     diff = _extend(br.read_bits(cat), cat) if cat else 0
-    preds[idx] += diff
+    preds[idx] = _mask_dc(preds[idx] + diff)
     zz[0] = preds[idx]
     k = 1
     while k < 64:
@@ -1342,7 +1352,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
                                     if cat
                                     else 0
                                 )
-                                preds[idx] += diff
+                                preds[idx] = _mask_dc(preds[idx] + diff)
                                 zz[0] = preds[idx] << scan.al
                             elif scan.ss == 0:
                                 if br.read_bit():
@@ -1363,7 +1373,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
                 elif scan.ss == 0 and scan.ah == 0:
                     cat = _read_symbol(br, scan.trees[(0, dc_t)])
                     diff = _extend(br.read_bits(cat), cat) if cat else 0
-                    preds[idx] += diff
+                    preds[idx] = _mask_dc(preds[idx] + diff)
                     zz[0] = preds[idx] << scan.al
                 elif scan.ss == 0:
                     if br.read_bit():

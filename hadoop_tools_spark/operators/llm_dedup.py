@@ -872,11 +872,21 @@ def _rank_ids(tuples, cols, n_parts: int = 64):
     (partitionIndex << 33 | local counter) is then order-preserving.
     Each distinct tuple gets exactly one id, so equal prefixes always
     map to equal ranks; ids are transient (they never reach output),
-    so run-to-run range-boundary variance is immaterial."""
+    so run-to-run range-boundary variance is immaterial.
+
+    The result is ``localCheckpoint``-ed (lineage truncated): the id
+    values depend on sampled range boundaries and per-partition
+    counters, so a recomputation after executor loss could assign
+    DIFFERENT ids to the same tuple — and the frame feeds two
+    consumers (the rank join of its own round, and transitively the
+    next quadrupling round), which would silently disagree. With the
+    lineage cut, losing the checkpointed blocks fails the job loudly
+    instead (the documented Spark trade for nondeterministic ids)."""
     return (
         tuples.repartitionByRange(n_parts, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("rid", F.monotonically_increasing_id())
+        .localCheckpoint()
     )
 
 

@@ -325,3 +325,40 @@ def test_unknown_option_is_rc2_not_swallowed(spark):
     assert rc == 2 and "unknown option" in txt
     assert run(spark, "ls", "-Q")[0] == 2
     assert run(spark, "rm", "-rf", "x")[0] == 2  # -rf is not -r
+
+
+def test_double_dash_terminates_options(spark, ns, tmp_path):
+    """POSIX `--` end-of-options: tokens after it are operands even if
+    they start with '-', so a file literally named '-x' is reachable
+    (ADVICE r8 — previously any '-'-token not in the verb's flags was
+    rejected outright with no escape hatch)."""
+    import io as _io
+
+    weird = os.path.join(ns, "data", "-x")
+    with open(weird, "w") as f:
+        f.write("dashfile\n")
+
+    # cat -- -x reads the file instead of rejecting an unknown option
+    buf = _io.BytesIO()
+    rc = cli.main(["cat", "--", weird], spark=spark, out=buf)
+    assert rc == 0 and buf.getvalue() == b"dashfile\n"
+
+    # test/rm reach it too; rm -r before `--` still parses as the flag
+    assert cli.main(["test", "-f", "--", weird], spark=spark) == 0
+    assert cli.main(["rm", "--", weird], spark=spark) == 0
+    assert cli.main(["test", "-e", "--", weird], spark=spark) == 1
+
+    # ls -- -R lists a literal '-R' operand (here: missing -> no rows,
+    # rc 0 like a glob with no matches), NOT a recursive listing
+    rc, txt = run(spark, "ls", "--", os.path.join(ns, "nope-*"))
+    assert rc == 0 and txt.strip() == ""
+
+    # the forced operands COUNT for the min_operands gate
+    assert cli.main(["cat", "--"], spark=spark) == 2
+    # and an unknown option BEFORE `--` is still rejected
+    rc, txt = run(spark, "ls", "-Q", "--", ns)
+    assert rc == 2 and "unknown option" in txt
+
+    # count_operands unit surface: forced tokens are operands
+    n, unknown = cli.count_operands("rm", ["-r", "--", "-x", "-y"])
+    assert (n, unknown) == (2, [])

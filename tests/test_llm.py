@@ -509,10 +509,16 @@ def test_decode_image_exception_surface_is_closed():
     extract_features_tolerant catches — any other class would kill an
     executor task at corpus scale instead of flagging the row. (This
     harness caught struct.error/KeyError/StopIteration/OverflowError
-    escaping before decode_image normalized them.)"""
+    escaping before decode_image normalized them.)
+
+    DeprecationWarnings are escalated to errors: numpy's int32
+    out-of-bounds assignment warning (the JPEG DC-predictor walk on
+    corrupt streams, fixed by _mask_dc) becomes a hard OverflowError on
+    future numpy — this pins that it can never resurface."""
     import glob
     import os
     import random
+    import warnings
 
     from hadoop_tools_spark.operators.multimodal import (
         MEDIA_DIR,
@@ -535,7 +541,9 @@ def test_decode_image_exception_surface_is_closed():
             muts.append(bytes(b))
         for m in muts:
             try:
-                decode_image(m)
+                with warnings.catch_warnings():
+                    warnings.simplefilter("error", DeprecationWarning)
+                    decode_image(m)
             except (NotImplementedError, ValueError, IndexError):
                 pass  # the tolerant seam's catch list — allowed
 
@@ -2690,6 +2698,83 @@ def test_mp4_multi_trak_first_wins():
     got = mp4_samples(bytes(spliced))
     assert len(got) == 3
     assert all((dw, dh) == (w, h) for _, _, _, dw, dh in got), got
+
+
+def test_mp4_samples_df_drops_undecodable_samples(spark, tmp_path):
+    """Intact stbl tables pointing at a corrupt mdat span (valid offsets,
+    invalid JPEG) must DROP that sample and keep the rest — the zip
+    walker's undecodable-member seam, not an escaped ValueError killing
+    the task (ADVICE r8)."""
+    import struct
+
+    import numpy as np
+
+    from hadoop_tools_spark.operators.jpeg import encode_jpeg
+    from hadoop_tools_spark.operators.mp4 import encode_mp4, mp4_samples
+    from hadoop_tools_spark.operators.multimodal import mp4_samples_df, read_assets
+
+    w, h = 24, 16
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    jpegs = [
+        encode_jpeg(
+            np.stack([(xx + t) % 256, yy % 256, (xx + yy) % 256],
+                     axis=2).astype(np.uint8),
+            quality=90,
+        )
+        for t in range(3)
+    ]
+    blob = bytearray(encode_mp4(jpegs, w, h))
+    # tables are intact; trash the SECOND sample's SOI marker in mdat
+    table = mp4_samples(bytes(blob))
+    assert len(table) == 3
+    _, off1, _, _, _ = table[1]
+    struct.pack_into(">H", blob, off1, 0x0000)  # was FFD8
+    d = tmp_path / "mp4bad"
+    d.mkdir()
+    (d / "bad_0.mp4").write_bytes(bytes(blob))
+
+    rows = mp4_samples_df(
+        read_assets(spark, str(d), glob="*.mp4")
+    ).collect()
+    assert sorted(r.sample_id for r in rows) == [0, 2]
+    assert all((r.width, r.height) == (w, h) for r in rows)
+
+
+def test_zip_fixture_extra_tlv_depth_within_oracle_cap():
+    """The DuckDB zip oracle probes only the first THREE extra-field TLV
+    positions for the zip64 id-0x0001 record (mem2/mem3/memr), while the
+    Python walker loops over arbitrarily many.  Pin the fixture budget:
+    every committed zipds_*.zip central-directory entry that carries a
+    zip64 record must have it within the first 3 TLVs, so fixture
+    evolution cannot silently diverge the two sides (ADVICE r8)."""
+    import glob
+    import os
+    import struct
+
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+
+    checked = 0
+    for f in sorted(glob.glob(os.path.join(MEDIA_DIR, "zipds_*.zip"))):
+        with open(f, "rb") as fh:
+            blob = fh.read()
+        off = blob.find(b"PK\x01\x02")
+        while off != -1:
+            if off + 46 <= len(blob):
+                name_len, extra_len = struct.unpack_from("<HH", blob, off + 28)
+                ext, end = off + 46 + name_len, off + 46 + name_len + extra_len
+                tlvs, p = [], ext
+                while p + 4 <= min(end, len(blob)):
+                    tid, tsz = struct.unpack_from("<HH", blob, p)
+                    if p + 4 + tsz > end:
+                        tlvs = None  # malformed walk: not a real CD entry
+                        break
+                    tlvs.append(tid)
+                    p += 4 + tsz
+                if tlvs is not None and 0x0001 in tlvs:
+                    assert tlvs.index(0x0001) < 3, (f, tlvs)
+                    checked += 1
+            off = blob.find(b"PK\x01\x02", off + 4)
+    assert checked > 0  # the zip64 fixture must exist and be checked
 
 
 def test_substring_sa_twin_matches_exact_anchor(spark, sf_dir):
