@@ -199,11 +199,15 @@ class SnapshotTable:
             prev_stats = {
                 f: s for f, s in man.get("stats", {}).items() if f in prev
             } if keep_prev else {}
+            # appends carry pending delete files forward (they keep
+            # applying to the older data they were committed against);
+            # overwrite replaces the whole row set, so deletes drop
+            prev_deletes = man.get("deletes", []) if keep_prev else []
+            extra = {"stats": {**prev_stats, **staged_stats}}
+            if prev_deletes:
+                extra["deletes"] = prev_deletes
             try:
-                return self._publish(
-                    prev + staged, v + 1,
-                    extra={"stats": {**prev_stats, **staged_stats}},
-                )
+                return self._publish(prev + staged, v + 1, extra=extra)
             except CommitConflict:
                 continue  # another writer won this version: rebase
         raise CommitConflict(v + 1)
@@ -213,6 +217,123 @@ class SnapshotTable:
 
     def overwrite(self, df: DataFrame) -> int:
         return self._commit_retry(df, keep_prev=False)
+
+    # -- merge-on-read row-level deletes -----------------------------
+    @staticmethod
+    def _seq_of(commit_dir: str) -> int:
+        """Commit sequence number from a data subdir name: every commit
+        stages under ``data-{version:05d}-...``, so the sequence IS the
+        committing version — no extra manifest bookkeeping."""
+        return int(commit_dir.split("-")[1])
+
+    def delete_where(self, keys: DataFrame) -> int:
+        """Equality-delete commit (merge-on-read): stage ``keys`` as an
+        immutable parquet delete file and publish a manifest whose
+        ``deletes`` list gains ``{file, cols, seq}`` — NO data file is
+        rewritten. Readers drop every data row whose key tuple appears
+        in a delete file of STRICTLY GREATER sequence (Iceberg v2
+        equality-delete semantics), so rows appended after the delete
+        commit — including re-inserts of deleted keys — are untouched.
+
+        This is the affordable shape for GDPR erasure / CDC into large
+        immutable files: the delete commit costs O(|keys|) regardless
+        of table size, and ``compact`` later materializes the deletes
+        away. NULL key tuples never match (SQL equality), so a NULL
+        delete row deletes nothing — the anti-join convention.
+        """
+        v = self.latest_version()
+        commit_id = f"{v + 1:05d}-{os.getpid()}-eqdel"
+        staged = self._stage(keys, commit_id)
+        cols = list(keys.columns)
+        for _ in range(10):
+            v = self.latest_version()
+            man = self._manifest(v)
+            entry = [
+                {"file": f, "cols": cols, "seq": v + 1} for f in staged
+            ]
+            try:
+                return self._publish(
+                    man["files"], v + 1,
+                    extra={
+                        "stats": man.get("stats", {}),
+                        "deletes": man.get("deletes", []) + entry,
+                    },
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(v + 1)
+
+    def upsert(self, df: DataFrame, key_cols: list[str]) -> int:
+        """Merge-on-read upsert in ONE commit: stage ``df`` as new data
+        files AND its key projection as an equality-delete file, then
+        publish both in the same manifest version. The delete's
+        sequence equals the new data's sequence, and deletes apply
+        only to STRICTLY older sequences — so the delete retires every
+        pre-existing row with a matching key while the staged rows
+        survive. This is the CDC-into-immutable-files primitive: no
+        data file rewritten, commit cost O(|changed rows|)."""
+        v = self.latest_version()
+        commit_id = f"{v + 1:05d}-{os.getpid()}"
+        staged = self._stage(df, commit_id)
+        staged_stats = self._collect_stats(staged)
+        del_staged = self._stage(
+            df.select(*key_cols).distinct(), commit_id + "-eqdel"
+        )
+        for _ in range(10):
+            v = self.latest_version()
+            man = self._manifest(v)
+            prev_stats = {
+                f: s
+                for f, s in man.get("stats", {}).items()
+                if f in man["files"]
+            }
+            entry = [
+                {"file": f, "cols": list(key_cols), "seq": v + 1}
+                for f in del_staged
+            ]
+            try:
+                return self._publish(
+                    man["files"] + staged, v + 1,
+                    extra={
+                        "stats": {**prev_stats, **staged_stats},
+                        "deletes": man.get("deletes", []) + entry,
+                    },
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(v + 1)
+
+    def _apply_deletes(
+        self, spark: SparkSession, df: DataFrame, deletes: list[dict]
+    ) -> DataFrame:
+        """Reader-side merge: anti-join ``df`` (carrying ``__seq``)
+        against each delete-column-set's unioned delete files. The join
+        is an equi anti-join on the key columns with the sequence
+        comparison as a residual predicate — shuffles hash on the keys,
+        and small delete sets broadcast under AQE, so the merge costs
+        one pass over the data regardless of history depth."""
+        from functools import reduce
+
+        by_cols: dict[tuple, list[dict]] = {}
+        for d in deletes:
+            by_cols.setdefault(tuple(d["cols"]), []).append(d)
+        for cols, group in sorted(by_cols.items()):
+            dd = None
+            for d in group:
+                part = (
+                    spark.read.parquet(os.path.join(self.path, d["file"]))
+                    .select(
+                        *[F.col(c).alias(f"__d_{c}") for c in cols],
+                        F.lit(d["seq"]).alias("__dseq"),
+                    )
+                )
+                dd = part if dd is None else dd.unionAll(part)
+            cond = reduce(
+                lambda a, b: a & b,
+                [df[c] == dd[f"__d_{c}"] for c in cols],
+            ) & (dd["__dseq"] > df["__seq"])
+            df = df.join(dd, cond, "left_anti")
+        return df
 
     # -- reads -------------------------------------------------------
     def read(
@@ -229,8 +350,22 @@ class SnapshotTable:
         which matters when a group's files are schema-heterogeneous
         (externally produced data; ``_stage`` itself writes one
         homogeneous DataFrame per group, where it is a no-op) — at
-        the cost of a footer-read per file at planning."""
-        return self._read_files(spark, self.files(version), merge_schema)
+        the cost of a footer-read per file at planning.
+
+        When the manifest carries equality-delete files, the read is a
+        MERGE-ON-READ: each commit group is tagged with its sequence
+        number and anti-joined against deletes of strictly greater
+        sequence (``_apply_deletes``) — time travel to a pre-delete
+        version never sees the delete, post-delete appends are never
+        affected by it."""
+        v = self.latest_version() if version is None else version
+        deletes = self._manifest(v).get("deletes", [])
+        if not deletes:
+            return self._read_files(spark, self.files(v), merge_schema)
+        df = self._read_files(
+            spark, self.files(v), merge_schema, with_seq=True
+        )
+        return self._apply_deletes(spark, df, deletes).drop("__seq")
 
     def pruned_files(
         self,
@@ -279,23 +414,36 @@ class SnapshotTable:
         schema-evolved commit, its columns must still be present (as
         NULL-typed absences a caller's filter can reference), or
         pruning would change query RESULTS via AnalysisException — the
-        r8 review caught exactly that on the first draft."""
+        r8 review caught exactly that on the first draft.
+
+        Pending equality deletes are applied to the pruned read the
+        same way ``read`` applies them — file pruning and row-level
+        merge compose (the delete files themselves are manifest
+        metadata, never part of the pruned data file list)."""
+        v = self.latest_version() if version is None else version
+        deletes = self._manifest(v).get("deletes", [])
+        with_seq = bool(deletes)
         schema_frame = self._read_files(
-            spark, self.files(version), merge_schema
+            spark, self.files(v), merge_schema, with_seq=with_seq
         ).limit(0)
-        files = self.pruned_files(intervals, version)
+        files = self.pruned_files(intervals, v)
         if not files:
-            return schema_frame
-        return schema_frame.unionByName(
-            self._read_files(spark, files, merge_schema),
-            allowMissingColumns=True,
-        )
+            out = schema_frame
+        else:
+            out = schema_frame.unionByName(
+                self._read_files(spark, files, merge_schema, with_seq=with_seq),
+                allowMissingColumns=True,
+            )
+        if deletes:
+            out = self._apply_deletes(spark, out, deletes).drop("__seq")
+        return out
 
     def _read_files(
         self,
         spark: SparkSession,
         files: list[str],
         merge_schema: bool = False,
+        with_seq: bool = False,
     ) -> DataFrame:
         # Partition-spec evolution (Iceberg-style): each commit owns its
         # layout, so files are read PER COMMIT GROUP with that commit's
@@ -314,7 +462,13 @@ class SnapshotTable:
             )
             if merge_schema:
                 reader = reader.option("mergeSchema", "true")
-            parts.append(reader.parquet(*groups[commit_dir]))
+            part = reader.parquet(*groups[commit_dir])
+            if with_seq:
+                # commit sequence for merge-on-read delete application
+                part = part.withColumn(
+                    "__seq", F.lit(self._seq_of(commit_dir))
+                )
+            parts.append(part)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
@@ -383,7 +537,13 @@ def compact(tbl: SnapshotTable, spark: SparkSession,
     df = tbl.read(spark, version=v)
     commit_id = f"{v + 1:05d}-compact"
     files = tbl._stage(df.repartition(target_files), commit_id)
-    return tbl._publish(files, v + 1, extra={"compaction_of": v})
+    # `read` above already merged pending equality deletes, so the
+    # rewritten files materialize them: the new manifest carries NO
+    # `deletes` list — compaction is how merge-on-read debt retires
+    return tbl._publish(
+        files, v + 1,
+        extra={"compaction_of": v, "stats": tbl._collect_stats(files)},
+    )
 
 
 def vacuum(
@@ -418,10 +578,17 @@ def vacuum(
     expired = [v for v in versions if v not in retained]
     live: set[str] = set()
     for v in retained:
-        live.update(tbl._manifest(v)["files"])
+        man = tbl._manifest(v)
+        live.update(man["files"])
+        # equality-delete files are live references too: deleting one
+        # would silently RESURRECT rows in every retained version that
+        # still merges it on read
+        live.update(d["file"] for d in man.get("deletes", []))
     expired_refs: set[str] = set()
     for v in expired:
-        expired_refs.update(tbl._manifest(v)["files"])
+        man = tbl._manifest(v)
+        expired_refs.update(man["files"])
+        expired_refs.update(d["file"] for d in man.get("deletes", []))
         os.unlink(os.path.join(tbl.manifest_dir, f"v{v}.json"))
     deleted = []
     now = time.time()
@@ -684,3 +851,89 @@ def snapshot_skipping(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "snapshot_row_deletes",
+    oracle="""
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 7 <> 0 OR o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 4, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 7 <> 0 OR o_orderkey % 2 = 0
+    """,
+)
+def snapshot_row_deletes(spark, sf_dir):
+    """Row-level DELETE without rewriting data files — merge-on-read
+    equality deletes, the missing half of the lakehouse surface
+    (GDPR erasure / CDC retirements into large immutable files).
+
+    History replayed by the key: v0 commits 2/3 of orders, v1 appends
+    the rest, v2 commits an equality-DELETE file for every
+    ``o_orderkey % 7 = 0`` key (data files untouched), v3 RE-INSERTS
+    the even-keyed half of the deleted keys, v4 compacts. The five
+    version reads pin every semantic corner against the oracle's
+    straight recomputation:
+
+    - v1 read AFTER the v2 delete still sees all rows — time travel is
+      immune to later deletes (the delete lives only in manifests
+      >= 2);
+    - v2 read drops exactly the %7 keys via the reader-side anti-join
+      (sequence 2 > data sequences 0, 1);
+    - v3's re-inserted rows SURVIVE the pending delete — delete files
+      apply only to STRICTLY older commit sequences (Iceberg v2
+      equality-delete semantics), so v3 = %7<>0 rows plus the
+      re-inserts, not a resurrection of everything;
+    - v4 equals v3 row-for-row after compaction materialized the
+      delete away (the new manifest carries no delete files —
+      pinned structurally in tests/test_layout.py).
+
+    Scale shape: the delete commit costs O(|deleted keys|) regardless
+    of table size — no data file is opened, let alone rewritten. The
+    reader-side merge is ONE equi anti-join per delete column set,
+    hashed on the delete keys (small delete sets broadcast under AQE);
+    compaction retires the read tax on the operator's schedule, not
+    the eraser's. That trade — cheap-now, merged-on-read,
+    materialized-later — is the only affordable erasure path when a
+    key's rows are scattered across thousands of immutable files.
+    """
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_path = os.path.join(SCRATCH, "snapshot_row_del")
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    tbl.create(orders.filter(F.col("o_orderkey") % 3 != 0))
+    tbl.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.delete_where(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    tbl.append(
+        orders.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 2 == 0)
+        )
+    )
+    compact(tbl, spark)
+
+    def agg(df, v):
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(v).alias("version"), "n_orders", "revenue")
+
+    out = agg(tbl.read(spark, version=0), 0)
+    for v in range(1, 5):
+        out = out.unionAll(agg(tbl.read(spark, version=v), v))
+    return out

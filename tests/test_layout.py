@@ -208,6 +208,193 @@ def test_snapshot_compaction_packs_files_keeps_history(
     assert tbl.read(spark, version=v_before).count() == len(a)
 
 
+def test_snapshot_row_deletes_merge_on_read(spark, sf_dir, tmp_path):
+    """Equality-delete contract corners: the delete commit must not
+    touch data files; reads at the delete version exclude the keys;
+    time travel before the delete still sees them; re-inserts after
+    the delete survive (strictly-older-sequence rule); compaction
+    materializes the delete away (no `deletes` in the new manifest);
+    the change feed between pre/post-delete versions emits exactly the
+    removals."""
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable, compact
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = SnapshotTable(str(tmp_path / "mor"))
+    tbl.create(orders.filter("o_orderkey % 2 = 0"))
+    tbl.append(orders.filter("o_orderkey % 2 = 1"))
+    all_keys = {r.o_orderkey for r in tbl.read(spark).select("o_orderkey").collect()}
+
+    doomed = orders.filter("o_orderkey % 5 = 0").select("o_orderkey")
+    doomed_keys = {r.o_orderkey for r in doomed.collect()}
+    v2 = tbl.delete_where(doomed)
+    assert v2 == 2
+    # data files untouched: same file list as v1, plus a deletes entry
+    assert tbl._manifest(2)["files"] == tbl._manifest(1)["files"]
+    assert len(tbl._manifest(2)["deletes"]) >= 1
+
+    # read at the delete version excludes exactly the doomed keys
+    got2 = {r.o_orderkey for r in tbl.read(spark).select("o_orderkey").collect()}
+    assert got2 == all_keys - doomed_keys
+    # time travel BEFORE the delete still sees them
+    got1 = {
+        r.o_orderkey
+        for r in tbl.read(spark, version=1).select("o_orderkey").collect()
+    }
+    assert got1 == all_keys
+
+    # change feed v1 -> v2: removals only, exactly the doomed rows
+    old, new = tbl.read(spark, version=1), tbl.read(spark, version=2)
+    removed = old.exceptAll(new)
+    added = new.exceptAll(old)
+    assert added.count() == 0
+    assert {
+        r.o_orderkey for r in removed.select("o_orderkey").collect()
+    } == doomed_keys
+
+    # re-insert a subset of the deleted keys: they must SURVIVE the
+    # pending delete (its sequence is older than theirs)
+    reinsert = orders.filter("o_orderkey % 5 = 0 AND o_orderkey % 2 = 0")
+    tbl.append(reinsert)
+    back = {r.o_orderkey for r in reinsert.select("o_orderkey").collect()}
+    got3 = {r.o_orderkey for r in tbl.read(spark).select("o_orderkey").collect()}
+    assert got3 == (all_keys - doomed_keys) | back
+
+    # compaction materializes the delete: rows identical, deletes gone
+    v4 = compact(tbl, spark)
+    assert "deletes" not in tbl._manifest(v4)
+    a = sorted(r.o_orderkey for r in tbl.read(spark, version=3).collect())
+    b = sorted(r.o_orderkey for r in tbl.read(spark, version=4).collect())
+    assert a == b
+
+
+def test_snapshot_upsert_single_commit(spark, sf_dir, tmp_path):
+    """upsert = new data files + an equality-delete of their keys in
+    ONE manifest version: updated keys take the new payload, new keys
+    insert, untouched keys survive — and the staged rows themselves
+    are immune to their own delete (same sequence, strict comparison)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(200)
+    tbl = SnapshotTable(str(tmp_path / "ups"))
+    tbl.create(orders.filter("o_orderkey % 2 = 0"))
+    v_before = tbl.latest_version()
+
+    changes = (
+        orders.filter("o_orderkey % 4 = 0")  # updates (already present)
+        .unionAll(orders.filter("o_orderkey % 2 = 1").limit(10))  # inserts
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    v = tbl.upsert(changes, ["o_orderkey"])
+    assert v == v_before + 1  # exactly one version advance
+
+    got = {r.o_orderkey: r.o_totalprice for r in tbl.read(spark).collect()}
+    chg = {r.o_orderkey for r in changes.select("o_orderkey").collect()}
+    base = {
+        r.o_orderkey: r.o_totalprice
+        for r in orders.filter("o_orderkey % 2 = 0").collect()
+    }
+    assert set(got) == set(base) | chg
+    for k, price in got.items():
+        assert price == (-1.0 if k in chg else base[k]), k
+
+
+def test_snapshot_delete_null_keys_delete_nothing(spark, sf_dir, tmp_path):
+    """A NULL key tuple in a delete file matches no row (SQL equality
+    in the anti-join) — documented convention, pinned so a future
+    null-safe-equality 'fix' can't silently mass-delete."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(50)
+    tbl = SnapshotTable(str(tmp_path / "nulldel"))
+    tbl.create(orders)
+    n = tbl.read(spark).count()
+    nulls = spark.range(1).select(
+        F.lit(None).cast("long").alias("o_orderkey")
+    )
+    tbl.delete_where(nulls)
+    assert tbl.read(spark).count() == n
+
+
+def test_snapshot_pruned_read_applies_deletes(spark, sf_dir, tmp_path):
+    """read_pruned composes file skipping with the merge-on-read
+    anti-join: pruning must never resurrect deleted rows."""
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    m = orders.agg({"o_custkey": "max"}).collect()[0][0]
+    tbl = SnapshotTable(str(tmp_path / "prdel"))
+    tbl.create(orders.filter(f"o_custkey < {m // 2}"))
+    tbl.append(orders.filter(f"o_custkey >= {m // 2}"))
+    tbl.delete_where(
+        orders.filter("o_orderkey % 3 = 0").select("o_orderkey")
+    )
+    lo, hi = m // 10, (3 * m) // 10
+    pruned = tbl.read_pruned(spark, {"o_custkey": (lo, hi)})
+    got = {
+        r.o_orderkey
+        for r in pruned.filter(
+            f"o_custkey BETWEEN {lo} AND {hi}"
+        ).select("o_orderkey").collect()
+    }
+    want = {
+        r.o_orderkey
+        for r in orders.filter(
+            f"o_custkey BETWEEN {lo} AND {hi} AND o_orderkey % 3 <> 0"
+        ).select("o_orderkey").collect()
+    }
+    assert got == want
+    assert "__seq" not in pruned.columns
+
+
+def test_snapshot_vacuum_keeps_live_delete_files(spark, sf_dir, tmp_path):
+    """A delete file referenced by any RETAINED manifest must survive
+    vacuum (deleting it would resurrect rows on the next merge-on-read
+    pass); once no retained manifest references it, it goes."""
+    import os as _os
+
+    from hadoop_tools_spark.sources.snapshots import (
+        SnapshotTable,
+        compact,
+        vacuum,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(100)
+    tbl = SnapshotTable(str(tmp_path / "vdel"))
+    tbl.create(orders)
+    tbl.delete_where(orders.filter("o_orderkey % 2 = 0").select("o_orderkey"))
+    del_files = [d["file"] for d in tbl._manifest(1)["deletes"]]
+    n_merged = tbl.read(spark).count()
+
+    # retain v0 (pre-delete) and v1 (delete pending): delete file live
+    vacuum(tbl, keep_last=2, orphan_grace_s=0)
+    for f in del_files:
+        assert _os.path.exists(_os.path.join(tbl.path, f)), f
+    assert tbl.read(spark, version=1).count() == n_merged
+
+    # compact (materializes), then retain only post-compaction: the
+    # delete file is no longer referenced and the sweep removes it
+    compact(tbl, spark)
+    tbl.append(orders.limit(1))
+    vacuum(tbl, keep_last=2, orphan_grace_s=0)
+    for f in del_files:
+        assert not _os.path.exists(_os.path.join(tbl.path, f)), f
+    assert tbl.read(spark).count() == n_merged + 1
+
+
 def test_snapshot_vacuum_retention(spark, sf_dir, tmp_path):
     """vacuum keeps the last N versions readable, removes expired
     manifests, unreferenced data files, and crash orphans — and a
