@@ -2700,6 +2700,89 @@ def test_mp4_multi_trak_first_wins():
     assert all((dw, dh) == (w, h) for _, _, _, dw, dh in got), got
 
 
+def test_mp3_frame_walk_arithmetic_and_fail_closed():
+    """The MP3 frame chain: spec-exact lengths for every (version,
+    layer) table, ID3v2 syncsafe skip, and the fail-closed corners —
+    torn final frame dropped, lost sync stops the walk, ID3v1 trailer
+    terminates cleanly, free-format/reserved headers never emit."""
+    from hadoop_tools_spark.operators.mp3 import (
+        _frame_len,
+        encode_mp3,
+        mp3_frames,
+    )
+
+    # spot-check the public-spec arithmetic (ISO 11172-3 examples):
+    # MPEG-1 L3 128 kbps @ 44100 -> 417 (+1 padded); L1 slot counting
+    assert _frame_len(1, 3, 128, 44100, 0) == 417
+    assert _frame_len(1, 3, 128, 44100, 1) == 418
+    assert _frame_len(1, 1, 256, 32000, 1) == (12 * 256000 // 32000 + 1) * 4
+    assert _frame_len(2, 3, 64, 22050, 0) == 72 * 64000 // 22050
+    assert _frame_len(2, 2, 64, 24000, 0) == 144 * 64000 // 24000
+
+    specs = [(1, 3, 9, 0, 0), (1, 1, 4, 2, 1), (1, 2, 7, 0, 0),
+             (2, 3, 8, 0, 1), (2, 1, 6, 2, 0), (2, 2, 3, 1, 0)]
+    blob = encode_mp3(specs, id3_size=57,
+                      trailing=b"TAG" + bytes(125))
+    rows = mp3_frames(blob)
+    assert [(r[3], r[4], r[7]) for r in rows] == [
+        (v, l, p) for v, l, _, _, p in specs
+    ]
+    # offsets chain exactly: each frame starts where the previous ended
+    off = 67  # 10-byte ID3v2 header + 57 payload bytes
+    for r in rows:
+        assert r[1] == off
+        off += r[2]
+    # ID3v1 trailer: walk stops at lost sync, all frames kept
+    assert len(rows) == len(specs)
+
+    # torn final frame: dropped, earlier frames kept
+    assert len(mp3_frames(blob[: rows[-1][1] + 3])) == len(specs) - 1
+    # lost sync mid-chain stops the walk there
+    bad = bytearray(blob)
+    bad[rows[2][1]] = 0x00
+    assert len(mp3_frames(bytes(bad))) == 2
+    # free-format (bitrate idx 0) and reserved samplerate fail closed
+    hdr = bytearray(blob[67 : 67 + 4])
+    hdr[2] = 0x00  # bitrate idx 0
+    assert mp3_frames(bytes(hdr) + blob[71:]) == []
+    hdr = bytearray(blob[67 : 67 + 4])
+    hdr[2] = (hdr[2] & 0xF0) | 0x0C  # samplerate idx 3 (reserved)
+    assert mp3_frames(bytes(hdr) + blob[71:]) == []
+    # a torn ID3v2 header (under 10 bytes) yields no frames, no crash
+    assert mp3_frames(b"ID3\x03\x00") == []
+
+
+def test_mp3_fixture_walk_matches_committed_bytes():
+    """Committed mp3_{0..4} fixtures: the walk must cover every file,
+    the torn-tail fixture (mp3_4) must drop exactly its final frame,
+    and frame digests must re-derive from the raw bytes."""
+    import glob
+    import hashlib
+    import os
+
+    from hadoop_tools_spark.operators.mp3 import mp3_frames
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+
+    files = sorted(glob.glob(os.path.join(MEDIA_DIR, "mp3_*.mp3")))
+    assert len(files) == 5
+    counts = {}
+    for f in files:
+        with open(f, "rb") as fh:
+            blob = fh.read()
+        rows = mp3_frames(blob)
+        counts[os.path.basename(f)] = len(rows)
+        for fid, off, flen, *_rest, digest in rows:
+            span = blob[off : off + flen]
+            assert span[0] == 0xFF and (span[1] & 0xE0) == 0xE0
+            assert digest == hashlib.md5(
+                span.hex().upper().encode()
+            ).hexdigest()
+    assert counts == {
+        "mp3_0.mp3": 20, "mp3_1.mp3": 16, "mp3_2.mp3": 24,
+        "mp3_3.mp3": 18, "mp3_4.mp3": 11,
+    }
+
+
 def test_mp4_samples_df_drops_undecodable_samples(spark, tmp_path):
     """Intact stbl tables pointing at a corrupt mdat span (valid offsets,
     invalid JPEG) must DROP that sample and keep the rest — the zip

@@ -748,6 +748,7 @@ def main() -> None:
     write_zip_fixtures()
     write_tiff_fixtures()
     write_mp4_fixtures()
+    write_mp3_fixtures()
     print(f"wrote fixtures to {OUT}")
 
 
@@ -1015,6 +1016,48 @@ def write_tiff_fixtures() -> None:
             predictor=2 if i % 3 == 1 else 1,
         )
         with open(os.path.join(OUT, f"tif_{i}.tif"), "wb") as f:
+            f.write(blob)
+
+
+def write_mp3_fixtures() -> None:
+    """MP3 frame-chain shards for llm_mp3_frames, written by the
+    engine's own header-arithmetic encoder (operators/mp3.py) —
+    deterministic synthetic payloads, valid spec-exact frame lengths.
+    The five shards rotate through the structural branches: plain CBR,
+    ID3v2-prefixed VBR with padding bits, MPEG-2 with an ID3v1 trailer
+    the walk must stop at, Layer I/II tables, and a torn final frame."""
+    from hadoop_tools_spark.operators.mp3 import encode_mp3
+
+    # mp3_0: MPEG-1 Layer III CBR 128 kbps @ 44100, bare chain
+    blobs = [encode_mp3([(1, 3, 9, 0, 0)] * 20)]
+    # mp3_1: ID3v2 tag + VBR (rotating bitrate indices, alternating
+    # padding) @ 48000
+    blobs.append(
+        encode_mp3(
+            [(1, 3, 5 + (j % 10), 1, j % 2) for j in range(16)],
+            id3_size=137,
+        )
+    )
+    # mp3_2: MPEG-2 Layer III @ 22050 with an ID3v1 trailer (the walk
+    # terminates at the lost sync, keeping all frames)
+    blobs.append(
+        encode_mp3(
+            [(2, 3, 8, 0, j % 2) for j in range(24)],
+            trailing=b"TAG" + bytes((0x41 + i) % 256 for i in range(125)),
+        )
+    )
+    # mp3_3: Layer I then Layer II frames (both slot arithmetics)
+    blobs.append(
+        encode_mp3(
+            [(1, 1, 4 + (j % 3), 2, j % 2) for j in range(10)]
+            + [(1, 2, 7, 0, 0)] * 8
+        )
+    )
+    # mp3_4: torn final frame — truncated mid-payload, dropped by both
+    # engines
+    blobs.append(encode_mp3([(1, 3, 12, 2, 0)] * 12)[:-7])
+    for i, blob in enumerate(blobs):
+        with open(os.path.join(OUT, f"mp3_{i}.mp3"), "wb") as f:
             f.write(blob)
 
 
