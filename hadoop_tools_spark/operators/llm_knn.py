@@ -1309,3 +1309,169 @@ def llm_embed_pca(spark, sf_dir, k: int = 2):
             F.round(_dot(F.col("u"), lit_v) - off, 4).alias(f"pc{idx}")
         )
     return e.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN rung
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces (dim 64 → 8-dim subvectors)
+_PQ_K = 16       # centroids per subspace codebook (4-bit codes)
+_PQ_SHORTLIST = 4 * _K  # ADC shortlist refined with exact cosine
+
+
+def _fit_pq_codebooks(e, m: int = _PQ_M, k: int = _PQ_K, n_iter: int = 5):
+    """Per-subspace codebooks trained on the SAME deterministic
+    md5-bucket driver sample as the IVF quantizer (`_fit_quantizer`):
+    init = first ``k`` sample subvectors in vec_id order, plain Lloyd
+    L2 rounds per subspace, empty cells keep their centroid —
+    deterministic for a given corpus. Returns an (m, k, dim/m) numpy
+    codebook tensor over UNIT vectors (cosine domain)."""
+    import numpy as np
+
+    samp = (
+        e.filter(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            )
+        )
+        .orderBy("vec_id")
+        .limit(_IVF_SAMPLE)
+        .collect()
+    )
+    X = np.array([r.u for r in samp])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.zeros((m, k, sub))
+    for mi in range(m):
+        Xs = X[:, mi * sub : (mi + 1) * sub]
+        C = Xs[:k].copy()
+        for _ in range(n_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[mi] = C
+    return books
+
+
+def pq_encode(U, books):
+    """(n, dim) unit vectors → (n, m) uint8 codes: nearest codebook
+    centroid per subspace. The compression story this rung exists for:
+    m bytes per vector vs dim·8 raw — 64× at dim 64 / m 8, the
+    difference between an in-RAM index and not at 10^11 vectors."""
+    import numpy as np
+
+    m, k, sub = books.shape
+    codes = np.empty((U.shape[0], m), dtype=np.uint8)
+    for mi in range(m):
+        Us = U[:, mi * sub : (mi + 1) * sub]
+        d2 = ((Us[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+        codes[:, mi] = np.argmin(d2, axis=1)
+    return codes
+
+
+@query("llm_embed_pq")  # rows-only: sampled iterative codebooks
+def llm_embed_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al., TPAMI 2011) — the
+    memory-bound rung of the ANN ladder (exact → LSH → IVF → PQ):
+    corpus vectors compress to ``m`` 4-bit-codebook bytes (dim 64 →
+    8 B/vector vs 512 B raw, 64×), queries score candidates by
+    ASYMMETRIC distance — per-query lookup tables of
+    query-subvector·centroid dot products, so a candidate's
+    approximate cosine is m table hits + a sum, no float vector ever
+    touched. A per-partition ADC shortlist (top ``_PQ_SHORTLIST``) is
+    then refined with the exact cosine of the surviving candidates —
+    the standard shortlist+refine production shape — and a global
+    top-k merge finishes.
+
+    Rows-only by the declared policy (codebooks are sampled/iterative
+    like the IVF quantizer); tests/test_approx.py bounds recall vs
+    `llm_knn_exact` at ≥ 0.8 and pins the code-size compression.
+
+    Scale shape: codebooks (m·k·dim/m doubles ≈ 8 KB) and the bounded
+    query LUTs broadcast; the corpus never moves; the shuffle into the
+    final merge carries ≤ shortlist·partitions rows per query. At
+    100 TB the encoded corpus (codes only) is ~1/64th the raw table —
+    the difference between scoring from RAM and re-reading parquet.
+    """
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("u")
+    )
+    e = materialize(e)
+    books = _fit_pq_codebooks(e)
+
+    q_rows = _query_set(e).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, cosine double, rn long"
+        )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.u for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    m, k, sub = books.shape
+    # ADC lookup tables: lut[q, mi, code] = q_sub(mi) · books[mi, code]
+    lut = np.einsum(
+        "qms,mks->qmk", q_mat.reshape(len(q_ids), m, sub), books
+    )
+    bc = spark.sparkContext.broadcast((books, q_ids, q_mat, lut))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        B, ids, qm, L = bc.value
+        M = B.shape[0]
+        ar = _np.arange(M)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy()
+            U = _np.vstack(pdf["u"].to_numpy())
+            U = U / _np.linalg.norm(U, axis=1, keepdims=True)
+            codes = pq_encode(U, B)
+            out = []
+            for qi in range(len(ids)):
+                approx = L[qi][ar, codes].sum(axis=1)
+                mask = c_ids != ids[qi]
+                cand = _np.flatnonzero(mask)
+                short = cand[
+                    _np.lexsort((c_ids[cand], -approx[cand]))[:_PQ_SHORTLIST]
+                ]
+                if not len(short):
+                    continue
+                cos = U[short] @ qm[qi]  # exact refine on the shortlist
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": ids[qi],
+                            "neighbor_id": c_ids[short],
+                            "cos": cos,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    par = spark.sparkContext.defaultParallelism
+    partial = e.repartition(par).mapInPandas(adc_score, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        partial.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _K)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )
