@@ -661,7 +661,23 @@ def llm_pipeline_e2e(spark, sf_dir):
     )
 
 
-@query("llm_simhash_neardup")  # rows-only: signature is a Pandas-UDF op
+@query(
+    "llm_simhash_neardup",
+    oracle=_SIMHASH_CTE + """
+    , chunks AS (
+        SELECT doc_id, simhash64, b.i AS chunk_id,
+               (simhash64 >> (16 * b.i)) & 65535 AS chunk_val
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS i) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT)
+               AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+    """,
+)
 def llm_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs: pigeonhole chunk blocking + exact
     hamming verify — the hamming-ball candidate filter completing the
@@ -676,6 +692,15 @@ def llm_simhash_neardup(spark, sf_dir):
     by chunk value; candidates are Σ|bucket|², and the 16-bit chunk
     space keeps buckets tiny for non-pathological corpora.
     tests/test_llm.py proves pair-set equality with brute force.
+
+    PROMOTED from rows-only (r9, VERDICT ask #8): the signature pass
+    was already the hash-matched `llm_simhash` (its DuckDB CTE
+    re-derives the md5 bit votes), and the blocking/verify layer is
+    pure integer arithmetic with probe-verified identical semantics
+    on both engines (arithmetic `>>` on negative BIGINT, two's-
+    complement `bit_count(xor)`), so the whole pipeline now carries a
+    full hash oracle — nothing about the Pandas-UDF signature blocks
+    SQL reproduction.
     """
     max_dist = 3
     sig = materialize(llm_simhash(spark, sf_dir))
@@ -709,7 +734,7 @@ def llm_simhash_neardup(spark, sf_dir):
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
-            ).alias("hamming"),
+            ).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_dist)
         # dedup AFTER the hamming filter: distinct() is a full shuffle

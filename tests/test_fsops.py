@@ -123,22 +123,28 @@ def test_testdata_tree_has_no_filefree_dirs():
 
 
 def test_fs_checksum_key_matches_hashlib(spark):
-    """Every digest the distributed checksum key reports must equal a
-    local hashlib digest of the same file — the binary-content oracle
-    SQL cannot provide (DuckDB md5 is VARCHAR-only)."""
+    """Every digest the distributed checksum key reports must equal an
+    independent hashlib recomputation (md5 over the UPPERCASE hex of
+    the bytes — the engine's container-family convention, adopted in
+    r9 so the key could gain a full DuckDB oracle; DuckDB md5 is still
+    VARCHAR-only, so raw-byte digests stay un-oracle-able)."""
     import glob
     import hashlib
 
     from hadoop_tools_spark.operators.fs import fs_checksum
 
     sf_dir = "/root/testdata/sf0.001"
-    got = {r.file: (r.md5, r.size) for r in fs_checksum(spark, sf_dir).collect()}
+    got = {
+        r.file: (r.hex_md5, r.size)
+        for r in fs_checksum(spark, sf_dir).collect()
+    }
     files = glob.glob(f"{sf_dir}/*.parquet")
     assert len(got) == len(files) > 0
     for p in files:
         raw = open(p, "rb").read()
         name = p.rsplit("/", 1)[-1]
-        assert got[name] == (hashlib.md5(raw).hexdigest(), len(raw)), name
+        want = hashlib.md5(raw.hex().upper().encode()).hexdigest()
+        assert got[name] == (want, len(raw)), name
 
 
 @pytest.mark.slow
