@@ -312,7 +312,14 @@ def cmd_tail(args, spark=None, out=None):
         if i + 1 >= len(zone):
             print("hh tail: -c: missing operand", file=sys.stderr)
             return 2
-        n = int(zone[i + 1])
+        try:
+            n = int(zone[i + 1])
+        except ValueError:
+            print(
+                f"hh tail: -c: invalid byte count {zone[i + 1]!r}",
+                file=sys.stderr,
+            )
+            return 2
         zone = zone[:i] + zone[i + 2:]
     args = zone + forced
     jvm = spark._jvm

@@ -1344,6 +1344,12 @@ def _fit_pq_codebooks(e, m: int = _PQ_M, k: int = _PQ_K, n_iter: int = 5):
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    # degrade like the IVF quantizer on tiny corpora: fewer centroids,
+    # never a broadcast crash (r9 review — Xs[:k] into a fixed (k, sub)
+    # slot raised on samples under k rows)
+    k = min(k, len(X))
+    if k == 0:
+        raise ValueError("empty embedding sample — nothing to quantize")
     sub = dim // m
     books = np.zeros((m, k, sub))
     for mi in range(m):

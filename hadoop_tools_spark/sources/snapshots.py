@@ -169,6 +169,11 @@ class SnapshotTable:
             out[rel] = st
         return out
 
+    @staticmethod
+    def _groups_of(rel_files: list[str]) -> set[str]:
+        """Commit-group subdirs referenced by table-relative paths."""
+        return {rel.split(os.sep, 1)[0] for rel in rel_files}
+
     def create(self, df: DataFrame) -> int:
         # pid-unique staging dir, same as _commit_retry: two racing
         # creators must never share (and mode('overwrite')-clobber)
@@ -176,7 +181,11 @@ class SnapshotTable:
         # only if each candidate's staged files survive intact
         files = self._stage(df, f"00000-{os.getpid()}")
         return self._publish(
-            files, 0, extra={"stats": self._collect_stats(files)}
+            files, 0,
+            extra={
+                "stats": self._collect_stats(files),
+                "group_seq": {g: 0 for g in self._groups_of(files)},
+            },
         )
 
     def _commit_retry(self, df: DataFrame, keep_prev: bool,
@@ -203,7 +212,25 @@ class SnapshotTable:
             # applying to the older data they were committed against);
             # overwrite replaces the whole row set, so deletes drop
             prev_deletes = man.get("deletes", []) if keep_prev else []
-            extra = {"stats": {**prev_stats, **staged_stats}}
+            # commit sequences live in the MANIFEST, keyed by commit
+            # group — the staged dir name is only a uniqueness token.
+            # Recomputed per retry: after a lost CAS race the data
+            # publishes at a LATER version than the one baked into the
+            # dir name, and a dir-name-derived sequence would understate
+            # it, letting an interleaved delete_where (or an upsert's
+            # own delete) retroactively erase these rows (r9 review).
+            prev_gseq = {
+                g: s
+                for g, s in man.get("group_seq", {}).items()
+                if g in self._groups_of(prev)
+            } if keep_prev else {}
+            extra = {
+                "stats": {**prev_stats, **staged_stats},
+                "group_seq": {
+                    **prev_gseq,
+                    **{g: v + 1 for g in self._groups_of(staged)},
+                },
+            }
             if prev_deletes:
                 extra["deletes"] = prev_deletes
             try:
@@ -221,9 +248,11 @@ class SnapshotTable:
     # -- merge-on-read row-level deletes -----------------------------
     @staticmethod
     def _seq_of(commit_dir: str) -> int:
-        """Commit sequence number from a data subdir name: every commit
-        stages under ``data-{version:05d}-...``, so the sequence IS the
-        committing version — no extra manifest bookkeeping."""
+        """FALLBACK commit sequence from a data subdir name, for
+        manifests written before ``group_seq`` existed. Not authoritative:
+        a CAS retry publishes at a later version than the dir name was
+        minted for, so current writers record the real sequence in the
+        manifest's ``group_seq`` map instead (r9 review finding)."""
         return int(commit_dir.split("-")[1])
 
     def delete_where(self, keys: DataFrame) -> int:
@@ -256,6 +285,7 @@ class SnapshotTable:
                     man["files"], v + 1,
                     extra={
                         "stats": man.get("stats", {}),
+                        "group_seq": man.get("group_seq", {}),
                         "deletes": man.get("deletes", []) + entry,
                     },
                 )
@@ -291,11 +321,23 @@ class SnapshotTable:
                 {"file": f, "cols": list(key_cols), "seq": v + 1}
                 for f in del_staged
             ]
+            # the staged data's sequence is recorded as the REAL commit
+            # version (recomputed per retry), equal to the delete's —
+            # the strict > comparison keeps this commit's own payload
+            # alive no matter how many CAS races were lost first
             try:
                 return self._publish(
                     man["files"] + staged, v + 1,
                     extra={
                         "stats": {**prev_stats, **staged_stats},
+                        "group_seq": {
+                            **{
+                                g: s
+                                for g, s in man.get("group_seq", {}).items()
+                                if g in self._groups_of(man["files"])
+                            },
+                            **{g: v + 1 for g in self._groups_of(staged)},
+                        },
                         "deletes": man.get("deletes", []) + entry,
                     },
                 )
@@ -359,11 +401,13 @@ class SnapshotTable:
         version never sees the delete, post-delete appends are never
         affected by it."""
         v = self.latest_version() if version is None else version
-        deletes = self._manifest(v).get("deletes", [])
+        man = self._manifest(v)
+        deletes = man.get("deletes", [])
         if not deletes:
             return self._read_files(spark, self.files(v), merge_schema)
         df = self._read_files(
-            spark, self.files(v), merge_schema, with_seq=True
+            spark, self.files(v), merge_schema, with_seq=True,
+            group_seq=man.get("group_seq", {}),
         )
         return self._apply_deletes(spark, df, deletes).drop("__seq")
 
@@ -421,17 +465,23 @@ class SnapshotTable:
         merge compose (the delete files themselves are manifest
         metadata, never part of the pruned data file list)."""
         v = self.latest_version() if version is None else version
-        deletes = self._manifest(v).get("deletes", [])
+        man = self._manifest(v)
+        deletes = man.get("deletes", [])
         with_seq = bool(deletes)
+        gseq = man.get("group_seq", {})
         schema_frame = self._read_files(
-            spark, self.files(v), merge_schema, with_seq=with_seq
+            spark, self.files(v), merge_schema, with_seq=with_seq,
+            group_seq=gseq,
         ).limit(0)
         files = self.pruned_files(intervals, v)
         if not files:
             out = schema_frame
         else:
             out = schema_frame.unionByName(
-                self._read_files(spark, files, merge_schema, with_seq=with_seq),
+                self._read_files(
+                    spark, files, merge_schema, with_seq=with_seq,
+                    group_seq=gseq,
+                ),
                 allowMissingColumns=True,
             )
         if deletes:
@@ -444,6 +494,7 @@ class SnapshotTable:
         files: list[str],
         merge_schema: bool = False,
         with_seq: bool = False,
+        group_seq: dict | None = None,
     ) -> DataFrame:
         # Partition-spec evolution (Iceberg-style): each commit owns its
         # layout, so files are read PER COMMIT GROUP with that commit's
@@ -464,10 +515,13 @@ class SnapshotTable:
                 reader = reader.option("mergeSchema", "true")
             part = reader.parquet(*groups[commit_dir])
             if with_seq:
-                # commit sequence for merge-on-read delete application
-                part = part.withColumn(
-                    "__seq", F.lit(self._seq_of(commit_dir))
+                # commit sequence for merge-on-read delete application:
+                # manifest-recorded (authoritative — survives CAS-retry
+                # version drift), dir-name fallback for old manifests
+                seq = (group_seq or {}).get(
+                    commit_dir, self._seq_of(commit_dir)
                 )
+                part = part.withColumn("__seq", F.lit(seq))
             parts.append(part)
         out = parts[0]
         for p in parts[1:]:
@@ -542,7 +596,13 @@ def compact(tbl: SnapshotTable, spark: SparkSession,
     # `deletes` list — compaction is how merge-on-read debt retires
     return tbl._publish(
         files, v + 1,
-        extra={"compaction_of": v, "stats": tbl._collect_stats(files)},
+        extra={
+            "compaction_of": v,
+            "stats": tbl._collect_stats(files),
+            "group_seq": {
+                g: v + 1 for g in SnapshotTable._groups_of(files)
+            },
+        },
     )
 
 

@@ -139,9 +139,15 @@ def test_embed_pq_recall_and_compression(spark, sf_dir):
     pq = {}
     for r in llm_embed_pq(spark, sf_dir).collect():
         pq.setdefault(r["q_id"], set()).add(r["neighbor_id"])
-        # refined cosines are EXACT for survivors (same rounding)
+        # refined cosines match the exact key's to float tolerance —
+        # NOT bit-exact: the exact key deliberately cumsum-orders its
+        # reductions while the PQ refine uses BLAS order, so the two
+        # doubles can differ in the last ulp and 6-dp rounding can
+        # split on a boundary (r9 review)
         if (r["q_id"], r["neighbor_id"]) in cosmap:
-            assert r["cosine"] == cosmap[(r["q_id"], r["neighbor_id"])]
+            assert abs(
+                r["cosine"] - cosmap[(r["q_id"], r["neighbor_id"])]
+            ) <= 1e-6
     hits = sum(len(exact[q] & pq.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.8, f"PQ recall {hits}/{total}"

@@ -362,3 +362,10 @@ def test_double_dash_terminates_options(spark, ns, tmp_path):
     # count_operands unit surface: forced tokens are operands
     n, unknown = cli.count_operands("rm", ["-r", "--", "-x", "-y"])
     assert (n, unknown) == (2, [])
+
+
+def test_tail_non_numeric_count_is_rc2(spark, ns):
+    """`hh tail -c foo FILE` must report usage rc 2, not traceback
+    out of main() with ValueError (r9 review)."""
+    rc, _ = run(spark, "tail", "-c", "foo", f"{ns}/logs/a.log")
+    assert rc == 2

@@ -304,6 +304,60 @@ def test_snapshot_upsert_single_commit(spark, sf_dir, tmp_path):
         assert price == (-1.0 if k in chg else base[k]), k
 
 
+def test_snapshot_upsert_survives_lost_cas_race(spark, sf_dir, tmp_path):
+    """r9 review regression: commit sequences must come from the
+    MANIFEST (group_seq), not the staged dir name. An upsert that
+    loses a CAS race publishes at a LATER version than its dir name
+    was minted for; with dir-name-derived sequences its own equality
+    delete (seq = real version) strictly exceeded its data's stale
+    sequence and erased the entire upsert payload on read."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(100)
+    tbl = SnapshotTable(str(tmp_path / "race_ups"))
+    tbl.create(orders.filter("o_orderkey % 2 = 0"))
+
+    # interleave a racing append between the upsert's stage and its
+    # first publish attempt: the first publish call first steals the
+    # version for the racer, so the upsert's CAS loses and rebases
+    orig_publish = tbl._publish
+    state = {"raced": False}
+
+    def racy(files, version, extra=None):
+        if not state["raced"]:
+            state["raced"] = True
+            prev = tbl._manifest(version - 1)
+            orig_publish(
+                list(prev["files"]), version,
+                extra={
+                    "stats": prev.get("stats", {}),
+                    "group_seq": prev.get("group_seq", {}),
+                },
+            )
+        return orig_publish(files, version, extra)
+
+    tbl._publish = racy
+    changes = orders.filter("o_orderkey % 4 = 0").withColumn(
+        "o_totalprice", F.lit(-7.0)
+    )
+    v = tbl.upsert(changes, ["o_orderkey"])
+    tbl._publish = orig_publish
+    # create=0, racer stole 1, upsert rebased onto 2 — while its
+    # staged dir name still says "data-00001-..."
+    assert v == 2
+
+    got = {r.o_orderkey: r.o_totalprice for r in tbl.read(spark).collect()}
+    chg = {r.o_orderkey for r in changes.select("o_orderkey").collect()}
+    assert chg, "fixture produced no changed keys"
+    # the upsert's OWN payload must survive its own delete
+    for k in chg:
+        assert got.get(k) == -7.0, (k, got.get(k))
+
+
 def test_snapshot_delete_null_keys_delete_nothing(spark, sf_dir, tmp_path):
     """A NULL key tuple in a delete file matches no row (SQL equality
     in the anti-join) — documented convention, pinned so a future

@@ -2808,10 +2808,17 @@ def test_mp4_samples_df_drops_undecodable_samples(spark, tmp_path):
     ]
     blob = bytearray(encode_mp4(jpegs, w, h))
     # tables are intact; trash the SECOND sample's SOI marker in mdat
+    # (ValueError path) AND the THIRD sample's SOS entropy-table ids
+    # (KeyError-from-missing-Huffman-table path — the class that only
+    # the decode_image normalizing seam converts to ValueError; a raw
+    # decode_jpeg call would leak it out of the task, r9 review)
     table = mp4_samples(bytes(blob))
     assert len(table) == 3
     _, off1, _, _, _ = table[1]
     struct.pack_into(">H", blob, off1, 0x0000)  # was FFD8
+    _, off2, size2, _, _ = table[2]
+    sos = bytes(blob).index(b"\xff\xda", off2, off2 + size2)
+    blob[sos + 6] = 0xEE  # first component's Td/Ta -> undefined tables
     d = tmp_path / "mp4bad"
     d.mkdir()
     (d / "bad_0.mp4").write_bytes(bytes(blob))
@@ -2819,7 +2826,7 @@ def test_mp4_samples_df_drops_undecodable_samples(spark, tmp_path):
     rows = mp4_samples_df(
         read_assets(spark, str(d), glob="*.mp4")
     ).collect()
-    assert sorted(r.sample_id for r in rows) == [0, 2]
+    assert sorted(r.sample_id for r in rows) == [0]
     assert all((r.width, r.height) == (w, h) for r in rows)
 
 
