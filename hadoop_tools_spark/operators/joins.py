@@ -458,25 +458,44 @@ def join_fuzzy_match(spark, sf_dir):
     survives at 100 TB. Blocking keys should be chosen so blocks stay
     bounded (the `graph_common_neighbors` degree-cap rule applies
     verbatim when a block can go viral).
+
+    Two per-candidate cuts on the verify side (r9 — the sf1 board
+    showed candidate scoring dominating on clone-dense blocks):
+    a length-band residual (|len(a)−len(b)| ≤ 2 is necessary for
+    edit distance ≤ 2, one codegen subtraction per pair) drops
+    never-matching candidates before any DP runs, and the surviving
+    pairs use Spark's THRESHOLD form ``levenshtein(a, b, 2)`` —
+    banded O(len·k) DP with early exit instead of the full O(len²)
+    matrix, returning −1 past the bound. sf1: 295.6 s → re-measured
+    after the change (SCALE.md r9); identical output rows (the band
+    is implied by the threshold, and the banded DP equals the full
+    distance for every kept pair).
     """
     p = load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type"
     )
     a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_type") == F.col("b.p_type"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name"))
+                    - F.length(F.col("b.p_name"))
+                )
+                <= 2
+            ),
         )
-        .filter(dist <= 2)
         .select(
             F.col("a.p_partkey").alias("part_a"),
             F.col("b.p_partkey").alias("part_b"),
             dist.cast("long").alias("edit_dist"),
         )
+        .filter(F.col("edit_dist") >= 0)
     )
 
 
