@@ -37,6 +37,7 @@ import numpy as np
 # baseline tag ids
 _W, _H, _BPS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _RPS, _STRIP_CNT, _PLANAR = 273, 277, 278, 279, 284
+_TILE_W, _TILE_L, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _PREDICTOR, _COLORMAP = 317, 320
 
 _TYPE_SIZE = {3: 2, 4: 4}  # SHORT, LONG — all this profile needs
@@ -221,12 +222,20 @@ def encode_tiff(
     packbits: bool = False,
     compression: str | None = None,
     predictor: int = 1,
+    tiles: tuple[int, int] | None = None,
 ) -> bytes:
     """(h, w, 3) uint8 → baseline TIFF. ``byteorder`` '<' writes II,
     '>' writes MM; ``rows_per_strip`` defaults to whole-image;
     ``compression`` in {"none", "packbits", "lzw"} (``packbits=True``
     is the legacy spelling); ``predictor=2`` applies horizontal
-    differencing before compression (only meaningful with lzw)."""
+    differencing before compression (only meaningful with lzw).
+    ``tiles=(tw, tl)`` writes a TILED file (TIFF 6.0 §15: tags
+    322/323/324/325 instead of the strip tags; edge tiles padded to
+    the full tile size; tile dims multiples of 16 per spec)."""
+    if tiles is not None:
+        return _encode_tiff_tiled(
+            px, byteorder, compression or "none", predictor, tiles
+        )
     comp = compression or ("packbits" if packbits else "none")
     h, w, _ = px.shape
     rps = rows_per_strip or h
@@ -329,6 +338,106 @@ def encode_tiff(
     return bytes(out)
 
 
+def _encode_tiff_tiled(px, byteorder, comp, predictor, tiles):
+    """Tiled-TIFF writer (§15): every tile — edge tiles included — is
+    compressed at the FULL TileWidth×TileLength size (right/bottom
+    padding), which is exactly what a reader must discard."""
+    if comp not in ("none", "packbits", "lzw"):
+        raise ValueError(f"unsupported compression {comp!r}")
+    tw, tl = tiles
+    if tw % 16 or tl % 16 or tw < 16 or tl < 16:
+        raise ValueError("tile dims must be positive multiples of 16")
+    h, w, _ = px.shape
+    ta = (w + tw - 1) // tw
+    td = (h + tl - 1) // tl
+    tdata = []
+    for ty in range(td):
+        for tx in range(ta):
+            pad = np.zeros((tl, tw, 3), dtype=np.uint8)
+            region = px[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
+            pad[: region.shape[0], : region.shape[1]] = region
+            raw = pad.tobytes()
+            if predictor == 2:
+                raw = _predict2_encode(raw, tw)
+            if comp == "packbits":
+                raw = _packbits_encode(raw)
+            elif comp == "lzw":
+                raw = _lzw_encode(raw)
+            tdata.append(raw)
+
+    bo = byteorder
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    u16, u32 = bo + "H", bo + "I"
+    n = len(tdata)
+    # layout: header(8) | BPS(6) | [offsets(4n) counts(4n) if n>1] |
+    #         tile data | IFD
+    pos = 8
+    bps_off = pos
+    pos += 6
+    to_off = tc_off = None
+    if n > 1:
+        to_off = pos
+        pos += 4 * n
+        tc_off = pos
+        pos += 4 * n
+    tile_offsets = []
+    for t in tdata:
+        tile_offsets.append(pos)
+        pos += len(t)
+    ifd_off = pos + (pos & 1)
+
+    def entry(tag, typ, cnt, val, inline_short=False):
+        e = struct.pack(u16, tag) + struct.pack(u16, typ) + struct.pack(
+            u32, cnt
+        )
+        if inline_short:
+            return e + struct.pack(u16, val) + b"\x00\x00"
+        return e + struct.pack(u32, val)
+
+    comp_tag = {"none": 1, "packbits": 32773, "lzw": 5}[comp]
+    entries = [
+        entry(_W, 4, 1, w),
+        entry(_H, 4, 1, h),
+        entry(_BPS, 3, 3, bps_off),
+        entry(_COMP, 3, 1, comp_tag, inline_short=True),
+        entry(_PHOTO, 3, 1, 2, inline_short=True),
+        entry(_SPP, 3, 1, 3, inline_short=True),
+        entry(_TILE_W, 4, 1, tw),
+        entry(_TILE_L, 4, 1, tl),
+        entry(
+            _TILE_OFF, 4, n,
+            tile_offsets[0] if n == 1 else to_off,
+        ),
+        entry(
+            _TILE_CNT, 4, n,
+            len(tdata[0]) if n == 1 else tc_off,
+        ),
+        entry(_PLANAR, 3, 1, 1, inline_short=True),
+    ]
+    if predictor == 2:
+        entries.append(entry(_PREDICTOR, 3, 1, 2, inline_short=True))
+    entries.sort(key=lambda e: struct.unpack(u16, e[:2])[0])
+
+    out = bytearray()
+    out += magic + struct.pack(u32, ifd_off)
+    out += struct.pack(bo + "HHH", 8, 8, 8)
+    if n > 1:
+        for o in tile_offsets:
+            out += struct.pack(u32, o)
+        for t in tdata:
+            out += struct.pack(u32, len(t))
+    for t in tdata:
+        out += t
+    if len(out) & 1:
+        out += b"\x00"
+    assert len(out) == ifd_off
+    out += struct.pack(u16, len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack(u32, 0)
+    return bytes(out)
+
+
 def _read_tag_values(blob, bo, typ, cnt, raw4):
     """IFD value rule: values totalling ≤4 bytes live in the entry."""
     size = _TYPE_SIZE.get(typ)
@@ -368,7 +477,8 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("IFD overruns file")
     tags: dict[int, list[int]] = {}
     needed = {_W, _H, _BPS, _COMP, _PHOTO, _STRIP_OFF, _SPP, _RPS,
-              _STRIP_CNT, _PLANAR, _PREDICTOR, _COLORMAP}
+              _STRIP_CNT, _PLANAR, _PREDICTOR, _COLORMAP,
+              _TILE_W, _TILE_L, _TILE_OFF, _TILE_CNT}
     for i in range(n_entries):
         base = ifd_off + 2 + 12 * i
         tag, typ = struct.unpack_from(bo + "HH", blob, base)
@@ -425,6 +535,60 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
     predictor = one(_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+    bpp = 1 if gray else 3
+    if _TILE_OFF in tags or _TILE_W in tags:
+        # tiled organization (TIFF 6.0 §15) — mutually exclusive with
+        # strips; every tile is stored at the FULL TileWidth×TileLength
+        # size, edge tiles padded, and the reader discards the padding
+        if _STRIP_OFF in tags:
+            raise ValueError("file carries both strip and tile tags")
+        tw, tl = one(_TILE_W), one(_TILE_L)
+        if tw < 1 or tl < 1:
+            raise ValueError("tile dimensions must be >= 1")
+        offs, cnts = tags.get(_TILE_OFF), tags.get(_TILE_CNT)
+        if not offs or not cnts or len(offs) != len(cnts):
+            raise ValueError("tile offset/count tags inconsistent")
+        ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
+        if len(offs) != ta * td:
+            raise ValueError("tile count does not cover the image")
+        img = np.zeros((h, w, bpp) if bpp == 3 else (h, w), dtype=np.uint8)
+        expect = tl * tw * bpp
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            if o + c > len(blob):
+                raise ValueError("tile overruns file")
+            chunk = blob[o : o + c]
+            if comp == 32773:
+                tile = _packbits_decode(chunk, expect)
+            elif comp == 5:
+                tile = _lzw_decode(chunk, expect)
+            else:
+                if len(chunk) != expect:
+                    raise ValueError("uncompressed tile size mismatch")
+                tile = chunk
+            if predictor == 2:
+                tile = (
+                    _predict2_decode_gray(tile, tw) if gray
+                    else _predict2_decode(tile, tw)
+                )
+            arr = np.frombuffer(bytes(tile), dtype=np.uint8)
+            arr = arr.reshape((tl, tw, 3) if bpp == 3 else (tl, tw))
+            ty, tx = divmod(idx, ta)
+            y0, x0 = ty * tl, tx * tw
+            vy, vx = min(tl, h - y0), min(tw, w - x0)
+            img[y0 : y0 + vy, x0 : x0 + vx] = arr[:vy, :vx]
+        if gray:
+            y = img
+            if photo == 3:
+                lut = (np.asarray(cmap, dtype=np.uint32)
+                       .reshape(3, 256) >> 8).astype(np.uint8)
+                px = np.stack([lut[0][y], lut[1][y], lut[2][y]], axis=2)
+            else:
+                if photo == 0:  # WhiteIsZero
+                    y = 255 - y
+                px = np.repeat(y[:, :, None], 3, axis=2)
+        else:
+            px = img
+        return w, h, px
     rps = one(_RPS, h)
     if rps < 1:
         raise ValueError("RowsPerStrip must be >= 1")
@@ -433,7 +597,6 @@ def decode_tiff(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("strip offset/count tags inconsistent")
     if len(offs) != (h + rps - 1) // rps:
         raise ValueError("strip count does not cover image height")
-    bpp = 1 if gray else 3
     raw = bytearray()
     for s, (o, c) in enumerate(zip(offs, cnts)):
         if o + c > len(blob):

@@ -293,6 +293,40 @@ class SnapshotTable:
                 continue
         raise CommitConflict(v + 1)
 
+    def delete_positions(self, pos: DataFrame) -> int:
+        """Position-delete commit (Iceberg v2's second delete flavor):
+        ``pos`` is a (file, pos) DataFrame — TABLE-RELATIVE data file
+        path + 0-based row ordinal within that file. Readers drop the
+        named ordinals via an anti-join against the scan's
+        ``_metadata.file_path``/``row_index`` columns. Unlike equality
+        deletes no sequence comparison is needed: a position delete
+        names one immutable file, which can never gain rows, so it can
+        never over-apply to later data. The natural producer is a
+        query that found bad rows in place (file + ordinal from the
+        same ``_metadata`` columns) — erasure without knowing a key.
+        """
+        v = self.latest_version()
+        commit_id = f"{v + 1:05d}-{os.getpid()}-posdel"
+        staged = self._stage(pos.select("file", "pos"), commit_id)
+        for _ in range(10):
+            v = self.latest_version()
+            man = self._manifest(v)
+            entry = [
+                {"file": f, "kind": "pos", "seq": v + 1} for f in staged
+            ]
+            try:
+                return self._publish(
+                    man["files"], v + 1,
+                    extra={
+                        "stats": man.get("stats", {}),
+                        "group_seq": man.get("group_seq", {}),
+                        "deletes": man.get("deletes", []) + entry,
+                    },
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(v + 1)
+
     def upsert(self, df: DataFrame, key_cols: list[str]) -> int:
         """Merge-on-read upsert in ONE commit: stage ``df`` as new data
         files AND its key projection as an equality-delete file, then
@@ -356,8 +390,28 @@ class SnapshotTable:
         one pass over the data regardless of history depth."""
         from functools import reduce
 
+        pos_entries = [d for d in deletes if d.get("kind") == "pos"]
+        if pos_entries:
+            dd = None
+            for d in pos_entries:
+                part = spark.read.parquet(
+                    os.path.join(self.path, d["file"])
+                ).select(
+                    F.col("file").alias("__d_file"),
+                    F.col("pos").alias("__d_pos"),
+                )
+                dd = part if dd is None else dd.unionAll(part)
+            df = df.join(
+                dd,
+                (df["__file"] == dd["__d_file"])
+                & (df["__pos"] == dd["__d_pos"]),
+                "left_anti",
+            )
+
         by_cols: dict[tuple, list[dict]] = {}
         for d in deletes:
+            if d.get("kind") == "pos":
+                continue
             by_cols.setdefault(tuple(d["cols"]), []).append(d)
         for cols, group in sorted(by_cols.items()):
             dd = None
@@ -405,11 +459,13 @@ class SnapshotTable:
         deletes = man.get("deletes", [])
         if not deletes:
             return self._read_files(spark, self.files(v), merge_schema)
+        has_pos = any(d.get("kind") == "pos" for d in deletes)
         df = self._read_files(
             spark, self.files(v), merge_schema, with_seq=True,
-            group_seq=man.get("group_seq", {}),
+            with_pos=has_pos, group_seq=man.get("group_seq", {}),
         )
-        return self._apply_deletes(spark, df, deletes).drop("__seq")
+        out = self._apply_deletes(spark, df, deletes).drop("__seq")
+        return out.drop("__file", "__pos") if has_pos else out
 
     def pruned_files(
         self,
@@ -468,10 +524,11 @@ class SnapshotTable:
         man = self._manifest(v)
         deletes = man.get("deletes", [])
         with_seq = bool(deletes)
+        has_pos = any(d.get("kind") == "pos" for d in deletes)
         gseq = man.get("group_seq", {})
         schema_frame = self._read_files(
             spark, self.files(v), merge_schema, with_seq=with_seq,
-            group_seq=gseq,
+            with_pos=has_pos, group_seq=gseq,
         ).limit(0)
         files = self.pruned_files(intervals, v)
         if not files:
@@ -480,12 +537,14 @@ class SnapshotTable:
             out = schema_frame.unionByName(
                 self._read_files(
                     spark, files, merge_schema, with_seq=with_seq,
-                    group_seq=gseq,
+                    with_pos=has_pos, group_seq=gseq,
                 ),
                 allowMissingColumns=True,
             )
         if deletes:
             out = self._apply_deletes(spark, out, deletes).drop("__seq")
+            if has_pos:
+                out = out.drop("__file", "__pos")
         return out
 
     def _read_files(
@@ -494,6 +553,7 @@ class SnapshotTable:
         files: list[str],
         merge_schema: bool = False,
         with_seq: bool = False,
+        with_pos: bool = False,
         group_seq: dict | None = None,
     ) -> DataFrame:
         # Partition-spec evolution (Iceberg-style): each commit owns its
@@ -514,6 +574,20 @@ class SnapshotTable:
             if merge_schema:
                 reader = reader.option("mergeSchema", "true")
             part = reader.parquet(*groups[commit_dir])
+            if with_pos:
+                # table-relative file path + within-file row ordinal
+                # from the scan's _metadata columns (position-delete
+                # application); must be projected BEFORE the union —
+                # _metadata is only resolvable on the scan relation
+                part = part.select(
+                    "*",
+                    F.expr(
+                        "substring(regexp_replace("
+                        "_metadata.file_path, '^file:', ''), "
+                        f"{len(self.path) + 2})"
+                    ).alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
             if with_seq:
                 # commit sequence for merge-on-read delete application:
                 # manifest-recorded (authoritative — survives CAS-retry
@@ -995,5 +1069,95 @@ def snapshot_row_deletes(spark, sf_dir):
 
     out = agg(tbl.read(spark, version=0), 0)
     for v in range(1, 5):
+        out = out.unionAll(agg(tbl.read(spark, version=v), v))
+    return out
+
+
+@query(
+    "snapshot_position_deletes",
+    oracle="""
+    WITH e AS (
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    o AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 1
+    ),
+    merged AS (
+        SELECT o_orderkey, o_totalprice FROM e WHERE rn % 5 <> 0
+        UNION ALL SELECT o_orderkey, o_totalprice FROM o
+    )
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue FROM e
+    UNION ALL
+    SELECT 1, CAST((SELECT COUNT(*) FROM e) + COUNT(*) AS BIGINT),
+           ROUND((SELECT SUM(o_totalprice) FROM e)
+                 + SUM(o_totalprice), 2)
+    FROM o
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM merged
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM merged
+    """,
+)
+def snapshot_position_deletes(spark, sf_dir):
+    """Position deletes — Iceberg v2's second merge-on-read flavor:
+    rows named by (data file, row ordinal) instead of by key. The
+    natural producer is a scan that found bad rows in place (the same
+    ``_metadata.file_path``/``row_index`` columns the reader merges
+    on), so erasure needs no key column at all and a delete file row
+    costs 2 values regardless of schema width.
+
+    History: v0 commits the even orders as ONE file sorted by
+    ``o_orderkey`` (so row ordinal == sorted rank, making the delete
+    set recomputable by the oracle's ROW_NUMBER), v1 appends the odd
+    orders, v2 position-deletes every 5th ordinal of v0's file — the
+    odd-order file is untouched because position deletes bind to one
+    named immutable file — and v3 compacts, materializing the deletes
+    away (the new manifest carries none; read v3 == read v2
+    row-for-row).
+
+    Scale shape: the reader-side merge is ONE anti-join on
+    (file, ordinal) — the scan's own ``_metadata`` columns, no data
+    column touched; delete commit cost is O(|deleted rows|), and the
+    seekable (file, ordinal) form is what a production compactor
+    consumes to rewrite only the affected files.
+    """
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_path = os.path.join(SCRATCH, "snapshot_pos_del")
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    tbl.create(evens.repartition(1).sortWithinPartitions("o_orderkey"))
+    tbl.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    n_evens = evens.count()
+    target = os.path.relpath(tbl.files(0)[0], table_path)
+    tbl.delete_positions(
+        spark.range(0, n_evens, 5).select(
+            F.lit(target).alias("file"), F.col("id").alias("pos")
+        )
+    )
+    compact(tbl, spark)
+
+    def agg(df, v):
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(v).alias("version"), "n_orders", "revenue")
+
+    out = agg(tbl.read(spark, version=0), 0)
+    for v in range(1, 4):
         out = out.unionAll(agg(tbl.read(spark, version=v), v))
     return out

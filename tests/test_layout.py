@@ -412,6 +412,49 @@ def test_snapshot_pruned_read_applies_deletes(spark, sf_dir, tmp_path):
     assert "__seq" not in pruned.columns
 
 
+def test_snapshot_position_deletes_bind_to_named_file(spark, sf_dir, tmp_path):
+    """Position deletes name ONE immutable file: the same ordinals in
+    a different file survive, time travel before the delete sees all
+    rows, and equality + position deletes compose in one table."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    evens = orders.filter("o_orderkey % 2 = 0").limit(40)
+    odds = orders.filter("o_orderkey % 2 = 1").limit(40)
+    tbl = SnapshotTable(str(tmp_path / "posbind"))
+    tbl.create(evens.repartition(1).sortWithinPartitions("o_orderkey"))
+    tbl.append(odds.repartition(1).sortWithinPartitions("o_orderkey"))
+    import os as _os
+
+    f0 = _os.path.relpath(tbl.files(0)[0], tbl.path)
+    ev_sorted = sorted(r.o_orderkey for r in evens.collect())
+    od_sorted = sorted(r.o_orderkey for r in odds.collect())
+
+    # delete ordinals 0..4 of the EVEN file only
+    tbl.delete_positions(
+        spark.range(0, 5).select(
+            F.lit(f0).alias("file"), F.col("id").alias("pos")
+        )
+    )
+    got = sorted(r.o_orderkey for r in tbl.read(spark).collect())
+    assert got == sorted(ev_sorted[5:] + od_sorted)
+    # same ordinals of the odd file untouched; time travel intact
+    assert tbl.read(spark, version=1).count() == 80
+
+    # compose with an equality delete: drop the largest odd key too
+    tbl.delete_where(
+        spark.createDataFrame(
+            [(od_sorted[-1],)], "o_orderkey long"
+        )
+    )
+    got2 = sorted(r.o_orderkey for r in tbl.read(spark).collect())
+    assert got2 == sorted(ev_sorted[5:] + od_sorted[:-1])
+
+
 def test_snapshot_vacuum_keeps_live_delete_files(spark, sf_dir, tmp_path):
     """A delete file referenced by any RETAINED manifest must survive
     vacuum (deleting it would resurrect rows on the next merge-on-read

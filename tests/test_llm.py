@@ -2277,6 +2277,78 @@ def test_tiff_roundtrip_matrix():
     assert (out == const).all()
 
 
+def test_tiff_tiled_roundtrip_and_fail_closed():
+    """Tiled TIFF (6.0 §15, r9): exact round-trip over byte order ×
+    compression × predictor × tile shape with edge padding discarded;
+    the single-tile inline-offset case; and the fail-closed corners —
+    strip+tile tag conflict, tile count not covering the image, a
+    tile overrunning EOF."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hadoop_tools_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(11)
+    for h, w in [(16, 16), (22, 16), (34, 24), (17, 49)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for bo in "<>":
+            for comp, pred in (
+                ("none", 1), ("packbits", 1), ("lzw", 1), ("lzw", 2),
+            ):
+                for tiles in ((16, 16), (32, 16), (16, 32)):
+                    blob = encode_tiff(
+                        px, byteorder=bo, compression=comp,
+                        predictor=pred, tiles=tiles,
+                    )
+                    w2, h2, out = decode_tiff(blob)
+                    assert (w2, h2) == (w, h) and (out == px).all(), (
+                        h, w, bo, comp, pred, tiles,
+                    )
+
+    # single tile covering the whole image: offsets/counts inline
+    px = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    one = encode_tiff(px, tiles=(16, 16))
+    _, _, out = decode_tiff(one)
+    assert (out == px).all()
+
+    def tag_pos(b, tag):
+        (ifd,) = struct.unpack_from("<I", b, 4)
+        (n,) = struct.unpack_from("<H", b, ifd)
+        for i in range(n):
+            base = ifd + 2 + 12 * i
+            if struct.unpack_from("<H", b, base)[0] == tag:
+                return base
+        raise AssertionError(tag)
+
+    # (a) a file claiming BOTH strips and tiles is inconsistent:
+    # retag TileWidth(322) as RowsPerStrip? no — splice a strip-offset
+    # tag id over TileLength so both families appear
+    bad = bytearray(one)
+    struct.pack_into("<H", bad, tag_pos(bad, 323), 273)
+    with _pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
+
+    # (b) tile count that cannot cover the image
+    px2 = rng.randint(0, 256, (34, 24, 3), dtype=np.uint8)
+    multi = bytearray(encode_tiff(px2, tiles=(16, 16)))
+    struct.pack_into("<I", multi, tag_pos(multi, 322) + 8, 32)
+    with _pytest.raises(ValueError):
+        decode_tiff(bytes(multi))
+
+    # (c) torn tile data: truncated file must raise, not wrap
+    with _pytest.raises(ValueError):
+        decode_tiff(bytes(encode_tiff(px2, tiles=(16, 16))[:-20]))
+
+    # (d) a tile offset pointing past EOF (offset array lives right
+    # after the 6-byte BPS block at byte 14 in this writer's layout)
+    over = bytearray(encode_tiff(px2, tiles=(16, 16)))
+    struct.pack_into("<I", over, 14, 10_000_000)
+    with _pytest.raises(ValueError):
+        decode_tiff(bytes(over))
+
+
 def test_tiff_twins_bit_exact_vs_ppm():
     """Every tif_i.tif fixture decodes to EXACTLY img_i.ppm's pixels
     (the lossless-twin invariant behind the llm_multimodal_tiff

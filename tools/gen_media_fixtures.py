@@ -1008,13 +1008,25 @@ def write_tiff_fixtures() -> None:
         px = _np.stack(
             [base, (base + 29) % 256, (base + 58) % 256], axis=-1
         ).astype(_np.uint8)
-        blob = encode_tiff(
-            px,
-            byteorder="<" if i % 2 == 0 else ">",
-            rows_per_strip=[None, 1, 3, 5][i % 4],
-            compression=["packbits", "lzw", "none"][i % 3],
-            predictor=2 if i % 3 == 1 else 1,
-        )
+        if i in (2, 6):
+            # two TILED twins (TIFF 6.0 §15, r9): same pixels, same
+            # oracle — tif_2 uncompressed 16×16 tiles (edge padding in
+            # both dims at 22×16), tif_6 LZW+predictor-2 16×16 tiles
+            blob = encode_tiff(
+                px,
+                byteorder="<" if i % 2 == 0 else ">",
+                compression="none" if i == 2 else "lzw",
+                predictor=1 if i == 2 else 2,
+                tiles=(16, 16),
+            )
+        else:
+            blob = encode_tiff(
+                px,
+                byteorder="<" if i % 2 == 0 else ">",
+                rows_per_strip=[None, 1, 3, 5][i % 4],
+                compression=["packbits", "lzw", "none"][i % 3],
+                predictor=2 if i % 3 == 1 else 1,
+            )
         with open(os.path.join(OUT, f"tif_{i}.tif"), "wb") as f:
             f.write(blob)
 
