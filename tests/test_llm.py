@@ -2772,6 +2772,41 @@ def test_mp4_multi_trak_first_wins():
     assert all((dw, dh) == (w, h) for _, _, _, dw, dh in got), got
 
 
+def test_wet_writer_conformance_and_injection_guard():
+    """wet_bytes output must be strict WARC framing (the engine's own
+    fail-closed walker recovers every record with identical payload
+    digests), survive payloads CONTAINING the record separator, and
+    reject CR/LF header injection via the URI."""
+    import pytest
+
+    from hadoop_tools_spark.operators.multimodal import (
+        _hex_md5,
+        _rec_identity,
+        _warc_iter,
+        wet_bytes,
+    )
+
+    recs = [
+        ("http://a.example/x", "plain text body"),
+        ("http://b.example/y", ""),  # empty conversion payload
+        ("http://c.example/z", "tricky \r\n\r\n separator inside"),
+        ("http://d.example/é", "unicode café payload ☕"),
+    ]
+    blob = wet_bytes(recs)
+    walked = [_rec_identity(h, p) for h, p in _warc_iter(blob)]
+    assert len(walked) == len(recs)
+    for (uri, text), (rtype, wuri, clen, digest) in zip(recs, walked):
+        assert rtype == "conversion" and wuri == uri
+        assert clen == len(text.encode("utf-8"))
+        assert digest == _hex_md5(text.encode("utf-8"))
+
+    # torn final record: dropped, earlier ones kept (walker contract)
+    assert len(list(_warc_iter(blob[:-10]))) == len(recs) - 1
+
+    with pytest.raises(ValueError):
+        wet_bytes([("http://evil/\r\nWARC-Type: response", "x")])
+
+
 def test_mp3_frame_walk_arithmetic_and_fail_closed():
     """The MP3 frame chain: spec-exact lengths for every (version,
     layer) table, ID3v2 syncsafe skip, and the fail-closed corners —
