@@ -52,9 +52,12 @@ class CommitConflict(Exception):
 class SnapshotTable:
     """Versioned parquet table with manifest-pointer commits."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, bloom_cols: list[str] | None = None):
         self.path = path
         self.manifest_dir = os.path.join(path, "_manifests")
+        #: columns to build per-file bloom filters for at commit time
+        #: (point-lookup skipping; [] = feature off, zero overhead)
+        self.bloom_cols = list(bloom_cols or [])
 
     # -- metadata ----------------------------------------------------
     def versions(self) -> list[int]:
@@ -169,6 +172,82 @@ class SnapshotTable:
             out[rel] = st
         return out
 
+    # bloom parameters: ~10 bits/value, 4 hashes ≈ 1–2 % false
+    # positives — the Iceberg/Parquet default neighborhood
+    _BLOOM_K = 4
+    _BLOOM_BITS_PER_VALUE = 10
+
+    def _collect_blooms(self, rel_files: list[str]) -> dict:
+        """Per-file bloom filters over the table's declared
+        ``bloom_cols`` — the POINT-lookup half of data skipping
+        (min/max ranges prune nothing when a high-cardinality key is
+        hash-distributed across files, the common layout for append
+        streams). A production writer hashes values as it writes;
+        this post-hoc builder reads back ONLY the bloom column via
+        pyarrow (one column, never the rows). Deterministic hashes
+        (md5 of ``i:str(value)``), so index builds are reproducible.
+        Missing blooms are always conservative: pruning keeps the
+        file."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for rel in rel_files:
+            per_col = {}
+            for col in self.bloom_cols:
+                try:
+                    tbl = pq.read_table(
+                        os.path.join(self.path, rel), columns=[col]
+                    )
+                except Exception:
+                    continue  # column absent in this file: no bloom
+                vals = [v for v in tbl.column(0).to_pylist() if v is not None]
+                m = max(64, self._BLOOM_BITS_PER_VALUE * len(vals))
+                m += (-m) % 8
+                bits = bytearray(m // 8)
+                for v in vals:
+                    for i in range(self._BLOOM_K):
+                        h = int.from_bytes(
+                            hashlib.md5(f"{i}:{v}".encode()).digest()[:8],
+                            "big",
+                        ) % m
+                        bits[h >> 3] |= 1 << (h & 7)
+                per_col[col] = {"m": m, "k": self._BLOOM_K,
+                                "bits": bytes(bits).hex()}
+            if per_col:
+                out[rel] = per_col
+        return out
+
+    def _bloom_maybe_contains(self, bloom: dict, value) -> bool:
+        import hashlib
+
+        m = bloom["m"]
+        bits = bytes.fromhex(bloom["bits"])
+        for i in range(bloom["k"]):
+            h = int.from_bytes(
+                hashlib.md5(f"{i}:{value}".encode()).digest()[:8], "big"
+            ) % m
+            if not bits[h >> 3] & (1 << (h & 7)):
+                return False
+        return True
+
+    def pruned_files_point(self, col: str, value, version=None) -> list[str]:
+        """Point-lookup file pruning from the manifest blooms: a file
+        is skipped only when it HAS a bloom for ``col`` and the bloom
+        proves ``value`` absent — missing blooms keep the file, so
+        pruning can never change results, only the planned file list."""
+        v = self.latest_version() if version is None else version
+        man = self._manifest(v)
+        blooms = man.get("blooms", {})
+        keep = []
+        for rel in man["files"]:
+            b = (blooms.get(rel) or {}).get(col)
+            if b is not None and not self._bloom_maybe_contains(b, value):
+                continue
+            keep.append(os.path.join(self.path, rel))
+        return keep
+
     @staticmethod
     def _groups_of(rel_files: list[str]) -> set[str]:
         """Commit-group subdirs referenced by table-relative paths."""
@@ -180,13 +259,13 @@ class SnapshotTable:
         # one directory — the CAS publish picks the v0 winner, but
         # only if each candidate's staged files survive intact
         files = self._stage(df, f"00000-{os.getpid()}")
-        return self._publish(
-            files, 0,
-            extra={
-                "stats": self._collect_stats(files),
-                "group_seq": {g: 0 for g in self._groups_of(files)},
-            },
-        )
+        extra = {
+            "stats": self._collect_stats(files),
+            "group_seq": {g: 0 for g in self._groups_of(files)},
+        }
+        if self.bloom_cols:
+            extra["blooms"] = self._collect_blooms(files)
+        return self._publish(files, 0, extra=extra)
 
     def _commit_retry(self, df: DataFrame, keep_prev: bool,
                       max_retries: int = 10,
@@ -199,6 +278,9 @@ class SnapshotTable:
         commit_id = f"{v + 1:05d}-{os.getpid()}"
         staged = self._stage(df, commit_id, partition_by=partition_by)
         staged_stats = self._collect_stats(staged)
+        staged_blooms = (
+            self._collect_blooms(staged) if self.bloom_cols else {}
+        )
         for _ in range(max_retries):
             v = self.latest_version()
             man = self._manifest(v)
@@ -224,6 +306,11 @@ class SnapshotTable:
                 for g, s in man.get("group_seq", {}).items()
                 if g in self._groups_of(prev)
             } if keep_prev else {}
+            prev_blooms = {
+                f: b
+                for f, b in man.get("blooms", {}).items()
+                if f in prev
+            } if keep_prev else {}
             extra = {
                 "stats": {**prev_stats, **staged_stats},
                 "group_seq": {
@@ -231,6 +318,8 @@ class SnapshotTable:
                     **{g: v + 1 for g in self._groups_of(staged)},
                 },
             }
+            if prev_blooms or staged_blooms:
+                extra["blooms"] = {**prev_blooms, **staged_blooms}
             if prev_deletes:
                 extra["deletes"] = prev_deletes
             try:
@@ -286,6 +375,7 @@ class SnapshotTable:
                     extra={
                         "stats": man.get("stats", {}),
                         "group_seq": man.get("group_seq", {}),
+                        "blooms": man.get("blooms", {}),
                         "deletes": man.get("deletes", []) + entry,
                     },
                 )
@@ -320,6 +410,7 @@ class SnapshotTable:
                     extra={
                         "stats": man.get("stats", {}),
                         "group_seq": man.get("group_seq", {}),
+                        "blooms": man.get("blooms", {}),
                         "deletes": man.get("deletes", []) + entry,
                     },
                 )
@@ -521,6 +612,32 @@ class SnapshotTable:
         merge compose (the delete files themselves are manifest
         metadata, never part of the pruned data file list)."""
         v = self.latest_version() if version is None else version
+        files = self.pruned_files(intervals, v)
+        return self._pruned_read(spark, v, files, merge_schema)
+
+    def read_point(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Point-lookup read planned over only the bloom-surviving
+        files (`pruned_files_point`) — the skipping path for
+        ``col = value`` predicates on high-cardinality keys whose
+        min/max ranges overlap across every file. Same contracts as
+        `read_pruned`: full-snapshot schema, caller still applies the
+        row filter, pending deletes merged, pruning conservative
+        (bloom false positives only ever ADD files)."""
+        v = self.latest_version() if version is None else version
+        files = self.pruned_files_point(col, value, v)
+        return self._pruned_read(spark, v, files, merge_schema)
+
+    def _pruned_read(self, spark, v, files, merge_schema):
+        """Shared tail of the pruned reads: schema from the FULL file
+        list (zero-row union), data from the surviving files, pending
+        deletes merged on top."""
         man = self._manifest(v)
         deletes = man.get("deletes", [])
         with_seq = bool(deletes)
@@ -530,7 +647,6 @@ class SnapshotTable:
             spark, self.files(v), merge_schema, with_seq=with_seq,
             with_pos=has_pos, group_seq=gseq,
         ).limit(0)
-        files = self.pruned_files(intervals, v)
         if not files:
             out = schema_frame
         else:
@@ -668,16 +784,16 @@ def compact(tbl: SnapshotTable, spark: SparkSession,
     # `read` above already merged pending equality deletes, so the
     # rewritten files materialize them: the new manifest carries NO
     # `deletes` list — compaction is how merge-on-read debt retires
-    return tbl._publish(
-        files, v + 1,
-        extra={
-            "compaction_of": v,
-            "stats": tbl._collect_stats(files),
-            "group_seq": {
-                g: v + 1 for g in SnapshotTable._groups_of(files)
-            },
+    extra = {
+        "compaction_of": v,
+        "stats": tbl._collect_stats(files),
+        "group_seq": {
+            g: v + 1 for g in SnapshotTable._groups_of(files)
         },
-    )
+    }
+    if tbl.bloom_cols:
+        extra["blooms"] = tbl._collect_blooms(files)
+    return tbl._publish(files, v + 1, extra=extra)
 
 
 def vacuum(
@@ -1160,4 +1276,70 @@ def snapshot_position_deletes(spark, sf_dir):
     out = agg(tbl.read(spark, version=0), 0)
     for v in range(1, 4):
         out = out.unionAll(agg(tbl.read(spark, version=v), v))
+    return out
+
+
+@query(
+    "snapshot_bloom_skipping",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 5000 = 0
+        ORDER BY o_orderkey LIMIT 4
+    )
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS price
+    FROM orders o JOIN k USING (o_orderkey)
+    """,
+)
+def snapshot_bloom_skipping(spark, sf_dir):
+    """Bloom-filter data skipping — the POINT-lookup half of the
+    manifest-skipping story (`snapshot_skipping` covers range
+    predicates): the table is committed in four hash-distributed
+    chunks (``o_orderkey % 4``), so every file's min/max spans the
+    whole key range and range stats can prune NOTHING — the layout
+    append streams naturally produce. Commit-time per-file bloom
+    filters over the declared key column (deterministic hashes,
+    ~10 bits/value, k=4) let `read_point` plan only the files whose
+    bloom admits the key: the real file for certain, plus ~1–2 %
+    false-positive extras, never a miss — pruning stays conservative
+    by construction (tests/test_layout.py pins the ratio and the
+    missing-bloom fallback; the key pins values).
+
+    Scale shape: blooms live in the manifest (KB per file), so a
+    point lookup on a 100 TB append table schedules tasks for ~1 file
+    instead of all of them — the needle-in-haystack query (order by
+    id, document by hash) that neither partitioning nor min/max
+    serves when the key is uniformly distributed.
+    """
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_path = os.path.join(SCRATCH, "snapshot_bloom_orders")
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path, bloom_cols=["o_orderkey"])
+    tbl.create(orders.filter(F.col("o_orderkey") % 4 == 0))
+    for c in range(1, 4):
+        tbl.append(orders.filter(F.col("o_orderkey") % 4 == c))
+
+    keys = [
+        r.o_orderkey
+        for r in orders.filter(F.col("o_orderkey") % 5000 == 0)
+        .orderBy("o_orderkey")
+        .limit(4)
+        .collect()
+    ]
+    out = None
+    for key in keys:
+        hit = (
+            tbl.read_point(spark, "o_orderkey", key)
+            .filter(F.col("o_orderkey") == key)
+            .select(
+                "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"),
+            )
+        )
+        out = hit if out is None else out.unionAll(hit)
+    if out is None:
+        return spark.createDataFrame([], "o_orderkey long, price double")
     return out

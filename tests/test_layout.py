@@ -455,6 +455,71 @@ def test_snapshot_position_deletes_bind_to_named_file(spark, sf_dir, tmp_path):
     assert got2 == sorted(ev_sorted[5:] + od_sorted[:-1])
 
 
+def test_snapshot_bloom_point_pruning(spark, sf_dir, tmp_path):
+    """Bloom point-skipping: on a hash-distributed key every file's
+    min/max overlaps (range pruning keeps ALL files), but the bloom
+    prunes a point lookup to ~1 chunk; missing blooms keep every
+    file; results always equal the full read's filter; deletes
+    compose with the bloom-pruned read."""
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = SnapshotTable(str(tmp_path / "bloom"), bloom_cols=["o_orderkey"])
+    tbl.create(orders.filter("o_orderkey % 4 = 0"))
+    for c in range(1, 4):
+        tbl.append(orders.filter(f"o_orderkey % 4 = {c}"))
+    total = len(tbl.files())
+    assert total >= 4
+
+    # a MID-RANGE key: every chunk's [min, max] spans it, so range
+    # stats cannot prune (the extreme keys COULD be range-pruned —
+    # only their own chunk's max reaches them)
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    key = (
+        orders.filter(F.col("o_orderkey") <= mx // 2)
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    assert len(tbl.pruned_files({"o_orderkey": (key, key)})) == total
+    # the bloom prunes to far fewer files and never misses the real one
+    planned = tbl.pruned_files_point("o_orderkey", key)
+    assert 1 <= len(planned) <= total // 2, (len(planned), total)
+    got = (
+        tbl.read_point(spark, "o_orderkey", key)
+        .filter(F.col("o_orderkey") == key)
+        .collect()
+    )
+    want = orders.filter(F.col("o_orderkey") == key).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # a column without blooms falls back to the full file list
+    assert len(tbl.pruned_files_point("o_totalprice", 1.0)) == total
+
+    # an absent key prunes everything but still returns empty cleanly
+    absent = key + 1_000_003
+    assert (
+        tbl.read_point(spark, "o_orderkey", absent)
+        .filter(F.col("o_orderkey") == absent)
+        .count()
+        == 0
+    )
+
+    # merge-on-read composes: delete the key, the point read drops it
+    tbl.delete_where(
+        spark.createDataFrame([(key,)], "o_orderkey long")
+    )
+    assert (
+        tbl.read_point(spark, "o_orderkey", key)
+        .filter(F.col("o_orderkey") == key)
+        .count()
+        == 0
+    )
+
+
 def test_snapshot_vacuum_keeps_live_delete_files(spark, sf_dir, tmp_path):
     """A delete file referenced by any RETAINED manifest must survive
     vacuum (deleting it would resurrect rows on the next merge-on-read
