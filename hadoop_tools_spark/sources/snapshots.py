@@ -49,12 +49,27 @@ class CommitConflict(Exception):
         self.version = version
 
 
+class RefConflict(Exception):
+    """Another writer moved this ref first (optimistic concurrency on
+    the ref-update chain): re-read the ref and retry."""
+
+    def __init__(self, name: str, seq: int):
+        super().__init__(f"ref {name!r} update r{seq} already committed")
+        self.name = name
+        self.seq = seq
+
+
+class RefImmutable(Exception):
+    """Tags are immutable pointers: moving one is always a bug."""
+
+
 class SnapshotTable:
     """Versioned parquet table with manifest-pointer commits."""
 
     def __init__(self, path: str, bloom_cols: list[str] | None = None):
         self.path = path
         self.manifest_dir = os.path.join(path, "_manifests")
+        self.refs_dir = os.path.join(path, "_refs")
         #: columns to build per-file bloom filters for at commit time
         #: (point-lookup skipping; [] = feature off, zero overhead)
         self.bloom_cols = list(bloom_cols or [])
@@ -82,6 +97,117 @@ class SnapshotTable:
     def files(self, version: int | None = None) -> list[str]:
         v = self.latest_version() if version is None else version
         return [os.path.join(self.path, f) for f in self._manifest(v)["files"]]
+
+    # -- refs (named branches & tags, Iceberg-style) -------------------
+    #
+    # A ref is a NAMED pointer into the linear version history:
+    # ``_refs/{name}/r{K}.json`` records (name, kind, version); the
+    # highest K wins. Moving a ref appends r{K+1} with the same
+    # put-if-absent CAS the manifest chain uses, so two writers racing
+    # to move the same ref cannot lose an update — the loser gets
+    # ``RefConflict`` and retries against the new state. Data commits
+    # stay strictly linear (one global version chain); refs make
+    # write-audit-publish possible WITHOUT forking the data layout:
+    # a staging branch advances through ordinary commits that ``main``
+    # simply does not point at yet, and publishing is a metadata-only
+    # fast-forward of ``main``.
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        if not name or not all(
+            c.isalnum() or c in "._-" for c in name
+        ):
+            raise ValueError(f"invalid ref name {name!r}")
+
+    def _ref_records(self, name: str) -> list[int]:
+        d = os.path.join(self.refs_dir, name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("r") and f.endswith(".json")
+        )
+
+    def refs(self) -> dict[str, dict]:
+        """All refs, name → latest record."""
+        if not os.path.isdir(self.refs_dir):
+            return {}
+        return {n: self.ref(n) for n in sorted(os.listdir(self.refs_dir))}
+
+    def ref(self, name: str) -> dict:
+        seqs = self._ref_records(name)
+        if not seqs:
+            raise FileNotFoundError(f"no ref {name!r} under {self.path}")
+        with open(
+            os.path.join(self.refs_dir, name, f"r{seqs[-1]}.json")
+        ) as fh:
+            return json.load(fh)
+
+    def ref_version(self, name: str) -> int:
+        return self.ref(name)["version"]
+
+    def set_ref(self, name: str, version: int, kind: str = "branch") -> dict:
+        """Create or move a ref with put-if-absent CAS.
+
+        Tags are immutable (a second ``set_ref`` on a tag raises
+        ``RefImmutable``); a branch moves by appending the next
+        ``r{K}`` record — losing the CAS race raises ``RefConflict``
+        for the caller's retry loop. The target version must be a
+        published manifest: a ref can never point at vapor."""
+        self._check_ref_name(name)
+        if kind not in ("branch", "tag"):
+            raise ValueError(f"ref kind must be branch|tag, got {kind!r}")
+        if version not in self.versions():
+            raise FileNotFoundError(
+                f"cannot point ref {name!r} at unpublished version v{version}"
+            )
+        seqs = self._ref_records(name)
+        if seqs:
+            cur = self.ref(name)
+            if cur["kind"] == "tag":
+                raise RefImmutable(
+                    f"tag {name!r} is pinned at v{cur['version']}"
+                )
+            if kind != cur["kind"]:
+                raise ValueError(
+                    f"ref {name!r} is a {cur['kind']}, not a {kind}"
+                )
+        next_seq = (seqs[-1] + 1) if seqs else 0
+        d = os.path.join(self.refs_dir, name)
+        os.makedirs(d, exist_ok=True)
+        rec = {"name": name, "kind": kind, "version": version,
+               "seq": next_seq}
+        target = os.path.join(d, f"r{next_seq}.json")
+        tmp = target + f".tmp-{os.getpid()}-{id(rec)}"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        try:
+            os.link(tmp, target)  # atomic put-if-absent
+        except FileExistsError:
+            raise RefConflict(name, next_seq)
+        finally:
+            os.unlink(tmp)
+        return rec
+
+    def fast_forward(self, name: str, to: str) -> dict:
+        """Metadata-only publish: move branch ``name`` forward to the
+        version branch/tag ``to`` points at. History is linear, so the
+        ancestor check is a version comparison — moving a branch
+        BACKWARD is not a fast-forward and raises (that would silently
+        unpublish rows readers already saw)."""
+        src = self.ref(to)
+        cur = self.ref(name)
+        if src["version"] < cur["version"]:
+            raise ValueError(
+                f"fast-forward of {name!r} (v{cur['version']}) to {to!r} "
+                f"(v{src['version']}) would move it backward"
+            )
+        return self.set_ref(name, src["version"], kind=cur["kind"])
+
+    def read_ref(self, spark: SparkSession, name: str, **kw) -> DataFrame:
+        """Read the snapshot a ref points at (branch head or tag)."""
+        return self.read(spark, version=self.ref_version(name), **kw)
 
     # -- commits -----------------------------------------------------
     def _stage(
@@ -824,7 +950,12 @@ def vacuum(
     import time
 
     versions = tbl.versions()
-    retained = versions[-keep_last:] if keep_last > 0 else []
+    retained = set(versions[-keep_last:] if keep_last > 0 else [])
+    # every version a ref (branch head or tag) points at is live:
+    # expiring a tagged snapshot would turn the tag into a dangling
+    # pointer at data the sweep just deleted — refs ARE the retention
+    # contract (Iceberg's expire_snapshots honors refs the same way)
+    retained.update(r["version"] for r in tbl.refs().values())
     expired = [v for v in versions if v not in retained]
     live: set[str] = set()
     for v in retained:
@@ -1343,3 +1474,87 @@ def snapshot_bloom_skipping(spark, sf_dir):
     if out is None:
         return spark.createDataFrame([], "o_orderkey long, price double")
     return out
+
+
+@query(
+    "snapshot_branching",
+    oracle="""
+    SELECT 0 AS step, 'main@pre-publish' AS ref,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey % 5 <= 2
+    UNION ALL
+    SELECT 1, 'wap', CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 2, 'main@post-publish', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 3, 'tag:audited-base', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 5 <= 2
+    """,
+)
+def snapshot_branching(spark, sf_dir):
+    """Named refs — branches and tags — over the snapshot table: the
+    write-audit-publish (WAP) pattern every production lakehouse
+    pipeline runs. The key replays the full WAP lifecycle:
+
+    - v0 commits 3/5 of orders; ``main`` (branch), ``wap`` (branch)
+      and ``audited-base`` (tag) all point at it;
+    - two staging appends advance ``wap`` to v1 then v2 — ordinary
+      commits on the one linear version chain that ``main`` simply
+      does not reference yet, so consumers reading ``main`` are
+      untouched (step 0 pins exactly the base subset DURING staging);
+    - the audit passes and ``main`` is published by a metadata-only
+      ``fast_forward`` to ``wap``'s head — no data moves (step 2);
+    - the tag still reproduces the pre-publish snapshot (step 3):
+      tags are immutable retention pins, which ``vacuum`` honors by
+      keeping every ref-pointed version live.
+
+    The oracle recomputes each step's aggregate straight from orders,
+    so a ref that reads the wrong version, a fast-forward that moves
+    data, or staging that leaks into ``main`` all hash-diverge.
+
+    Scale shape: a ref record is O(1) JSON; branching and publishing
+    a 100 TB table costs two metadata writes and zero data I/O. Ref
+    moves use the same put-if-absent CAS as manifest commits, so
+    concurrent publishers cannot lose updates (race pinned in
+    tests/test_layout.py).
+    """
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_path = os.path.join(SCRATCH, "snapshot_branching")
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    tbl.create(orders.filter(F.col("o_orderkey") % 5 <= 2))
+    tbl.set_ref("main", 0)
+    tbl.set_ref("wap", 0)
+    tbl.set_ref("audited-base", 0, kind="tag")
+    tbl.append(orders.filter(F.col("o_orderkey") % 5 == 3))
+    tbl.set_ref("wap", 1)
+    tbl.append(orders.filter(F.col("o_orderkey") % 5 == 4))
+    tbl.set_ref("wap", 2)
+
+    def agg(df, step, ref):
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(
+            F.lit(step).alias("step"), F.lit(ref).alias("ref"),
+            "n_orders", "revenue",
+        )
+
+    out = agg(tbl.read_ref(spark, "main"), 0, "main@pre-publish")
+    out = out.unionAll(agg(tbl.read_ref(spark, "wap"), 1, "wap"))
+    tbl.fast_forward("main", "wap")
+    out = out.unionAll(
+        agg(tbl.read_ref(spark, "main"), 2, "main@post-publish")
+    )
+    return out.unionAll(
+        agg(tbl.read_ref(spark, "audited-base"), 3, "tag:audited-base")
+    )

@@ -744,3 +744,139 @@ def test_pruned_read_keeps_schema_of_fully_pruned_commit(
         F.col("o_custkey").between(0, 40) & F.col("o_totalprice").isNull()
     ).count()
     assert n == pruned.filter(F.col("o_custkey").between(0, 40)).count() > 0
+
+
+def test_snapshot_refs_wap_lifecycle(spark, sf_dir, tmp_path):
+    """Branch/tag refs: staging commits stay invisible to main until
+    a metadata-only fast-forward publishes them; tags never move."""
+    import pytest
+
+    from hadoop_tools_spark.sources.snapshots import (
+        RefImmutable,
+        SnapshotTable,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = SnapshotTable(str(tmp_path / "refs"))
+    tbl.create(orders.filter("o_orderkey % 3 = 0"))
+    tbl.set_ref("main", 0)
+    tbl.set_ref("wap", 0)
+    tbl.set_ref("base", 0, kind="tag")
+    n0 = tbl.read_ref(spark, "main").count()
+
+    tbl.append(orders.filter("o_orderkey % 3 = 1"))
+    tbl.set_ref("wap", 1)
+    # staging advanced; main is isolated
+    assert tbl.read_ref(spark, "main").count() == n0
+    assert tbl.read_ref(spark, "wap").count() > n0
+
+    tbl.fast_forward("main", "wap")
+    assert tbl.ref_version("main") == 1
+    assert (
+        tbl.read_ref(spark, "main").count()
+        == tbl.read_ref(spark, "wap").count()
+    )
+    # the tag still pins the original snapshot, and cannot move
+    assert tbl.read_ref(spark, "base").count() == n0
+    with pytest.raises(RefImmutable):
+        tbl.set_ref("base", 1, kind="tag")
+    # moving a branch backward is not a fast-forward
+    with pytest.raises(ValueError, match="backward"):
+        tbl.fast_forward("wap", "base")
+
+
+def test_snapshot_ref_cas_race_loses_loudly(spark, sf_dir, tmp_path):
+    """Two writers racing to move one ref: the loser gets RefConflict
+    (never a silent lost update) and a retry against the fresh state
+    succeeds."""
+    import pytest
+
+    from hadoop_tools_spark.sources.snapshots import (
+        RefConflict,
+        SnapshotTable,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(50)
+    tbl = SnapshotTable(str(tmp_path / "refs_race"))
+    tbl.create(orders)
+    tbl.append(orders.limit(10))
+    tbl.set_ref("main", 0)
+
+    # simulate the racing writer: its r1 record lands first
+    racer = SnapshotTable(tbl.path)
+    racer.set_ref("main", 1)
+    # stale writer (saw seq 0) computes next_seq=1 and must conflict:
+    # replay its sequence by removing our knowledge is impossible via
+    # the public API, so drive set_ref and assert it either advances
+    # past the racer or conflicts — here the racer already took r1,
+    # and a fresh set_ref correctly appends r2 (reads latest first).
+    rec = tbl.set_ref("main", 1)
+    assert rec["seq"] == 2
+    # a true stale write (duplicate seq) conflicts at the link layer
+    import json as _json
+    import os as _os
+
+    d = _os.path.join(tbl.refs_dir, "main")
+    tmp = _os.path.join(d, "r2.json.tmp-test")
+    with open(tmp, "w") as fh:
+        _json.dump({"name": "main", "kind": "branch", "version": 0,
+                    "seq": 2}, fh)
+    with pytest.raises(FileExistsError):
+        _os.link(tmp, _os.path.join(d, "r2.json"))
+    _os.unlink(tmp)
+    # and the produced exception type at the API layer is RefConflict:
+    # monkey-patch _ref_records to return a stale view
+    stale = SnapshotTable(tbl.path)
+    stale._ref_records = lambda name: [0, 1]  # type: ignore[method-assign]
+    with pytest.raises(RefConflict):
+        stale.set_ref("main", 1)
+
+
+def test_snapshot_ref_guards(spark, sf_dir, tmp_path):
+    """Refs reject path-hostile names and unpublished versions."""
+    import pytest
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(20)
+    tbl = SnapshotTable(str(tmp_path / "refs_guard"))
+    tbl.create(orders)
+    with pytest.raises(ValueError, match="invalid ref name"):
+        tbl.set_ref("../escape", 0)
+    with pytest.raises(ValueError, match="invalid ref name"):
+        tbl.set_ref("", 0)
+    with pytest.raises(FileNotFoundError, match="unpublished"):
+        tbl.set_ref("main", 7)
+    tbl.set_ref("main", 0)
+    with pytest.raises(ValueError, match="branch, not a"):
+        # can't silently retype a branch into a tag
+        tbl.set_ref("main", 0, kind="tag")
+
+
+def test_snapshot_vacuum_keeps_ref_pinned_versions(spark, sf_dir, tmp_path):
+    """A tagged version outside keep_last survives the retention sweep
+    (refs are retention pins), and its read stays intact."""
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable, vacuum
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = SnapshotTable(str(tmp_path / "refs_vac"))
+    tbl.create(orders.filter("o_orderkey % 4 = 0"))
+    n0 = tbl.read(spark).count()
+    for c in (1, 2, 3):
+        tbl.append(orders.filter(f"o_orderkey % 4 = {c}"))
+    tbl.set_ref("base", 0, kind="tag")
+
+    deleted = vacuum(tbl, keep_last=1, orphan_grace_s=0.0)
+    # v0 (tagged) and v3 (latest) retained; v1/v2 manifests expired
+    assert tbl.versions() == [0, 3]
+    assert tbl.read(spark, version=0).count() == n0
+    assert tbl.read_ref(spark, "base").count() == n0
+    assert tbl.read(spark, version=3).count() == orders.count()
+    # nothing v0 references was deleted: appends share no files, and
+    # v3 references v0's files too (cumulative manifests) — so the
+    # sweep deleted nothing here; assert it did not break either read
+    assert all(not f.startswith("data-00000") for f in deleted)
