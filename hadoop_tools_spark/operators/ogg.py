@@ -1,0 +1,155 @@
+"""Ogg container page walk — pure header arithmetic (RFC 3533).
+
+An Ogg physical stream is a chain of self-delimiting pages: a 27-byte
+header (capture pattern ``OggS``, version 0, flag byte, granule
+position, bitstream serial, page sequence, CRC), a segment table of
+``nsegs`` lacing values, then the payload whose length is the sum of
+the lacing values. Page length therefore follows from the header alone
+— no codec decode — which makes an Ogg corpus CDX-shaped exactly like
+the MP3/MP4/WARC walks: one pass yields a seekable (offset, length)
+table plus the logical-stream demux key (the serial number, since Ogg
+physically multiplexes streams by interleaving their pages). Audio
+DECODE (Vorbis/Opus packets) stays the engine's declared lossy-codec
+seam; this module never looks inside a packet.
+
+The CRC is the non-reflected CRC-32 with generator 0x04C11DB7, zero
+init and zero final XOR, computed over the whole page with the CRC
+field zeroed (RFC 3533 §6). The walker VERIFIES it and fails closed on
+mismatch; the DuckDB oracle intentionally re-walks strides and digests
+without re-deriving the CRC (a 256-entry table fold per byte in SQL) —
+the committed fixtures carry writer-computed CRCs, and the corrupt-CRC
+seam is pinned by pytest on non-fixture bytes instead (the same
+declared-cap pattern as the zip oracle's 3-TLV zip64 probe).
+
+``encode_ogg`` builds deterministic fixture streams (valid headers,
+correct CRCs, synthetic packet payloads — not playable audio), so the
+walker and its oracle are tested against bytes neither produced.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+
+def _crc_table() -> list[int]:
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = (
+                ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            ) & 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_CRC_TABLE = _crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    """RFC 3533 §6 page CRC: poly 0x04C11DB7, no reflection, init 0,
+    no final XOR."""
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[(crc >> 24) ^ b]
+    return crc
+
+
+def lacing_for(packet_lens: list[int]) -> list[int]:
+    """Segment-table lacing values for whole packets ending on this
+    page: each packet contributes ``len // 255`` values of 255 then
+    ``len % 255`` (a final 0 when the length is an exact multiple —
+    the spec's explicit zero-lacing terminator)."""
+    out: list[int] = []
+    for n in packet_lens:
+        if n < 0:
+            raise ValueError("negative packet length")
+        out.extend([255] * (n // 255))
+        out.append(n % 255)
+    return out
+
+
+def ogg_pages(blob: bytes) -> list[tuple]:
+    """Walk the page chain; one tuple per page:
+    ``(page_id, offset, page_len, continued, bos, eos, granule,
+    serial, page_seq, nsegs, body_len, npackets, page_md5)`` where
+    ``npackets`` counts packets COMPLETED on the page (lacing values
+    below 255 — a trailing 255 defers the packet to the next page) and
+    ``page_md5`` is the container family's digest convention (md5 over
+    UPPERCASE hex of the whole page, header included).
+
+    Fail-closed like every container walk here: a lost capture
+    pattern, non-zero version, reserved flag bits, a torn segment
+    table or payload, or a CRC mismatch stops the walk, keeping pages
+    already emitted. Trailing junk therefore just terminates the
+    chain.
+    """
+    out = []
+    off = 0
+    while off + 27 <= len(blob):
+        if blob[off : off + 4] != b"OggS" or blob[off + 4] != 0:
+            break  # lost capture / unknown version
+        flags = blob[off + 5]
+        if flags & 0xF8:
+            break  # reserved flag bits set: not a valid page
+        nsegs = blob[off + 26]
+        if off + 27 + nsegs > len(blob):
+            break  # torn segment table
+        lacing = blob[off + 27 : off + 27 + nsegs]
+        body_len = sum(lacing)
+        page_len = 27 + nsegs + body_len
+        if off + page_len > len(blob):
+            break  # torn payload: dropped
+        page = blob[off : off + page_len]
+        (stored_crc,) = struct.unpack_from("<I", page, 22)
+        if ogg_crc(page[:22] + b"\x00\x00\x00\x00" + page[26:]) != stored_crc:
+            break  # corrupt page: fail closed
+        granule = struct.unpack_from("<q", page, 6)[0]
+        serial, seq = struct.unpack_from("<II", page, 14)
+        out.append((
+            len(out), off, page_len, flags & 1, (flags >> 1) & 1,
+            (flags >> 2) & 1, granule, serial, seq, nsegs, body_len,
+            sum(1 for v in lacing if v < 255),
+            hashlib.md5(page.hex().upper().encode()).hexdigest(),
+        ))
+        off += page_len
+    return out
+
+
+def encode_ogg(pages: list[dict], trailing: bytes = b"") -> bytes:
+    """Deterministic fixture stream. Each page spec is a dict with
+    ``serial``, ``seq``, ``flags`` (bit 0 continued / 1 BOS / 2 EOS),
+    ``granule``, and either ``packets`` (list of packet lengths,
+    converted via :func:`lacing_for`) or raw ``lacing`` (for
+    continued-packet pages that end mid-packet with a 255 value).
+    Payload bytes are synthesized deterministically from (serial, seq,
+    position); the CRC is computed per RFC 3533. ``trailing`` appends
+    post-chain junk the walker must stop at, not crash on."""
+    out = bytearray()
+    for spec in pages:
+        lacing = (
+            list(spec["lacing"])
+            if "lacing" in spec
+            else lacing_for(spec["packets"])
+        )
+        if len(lacing) > 255 or any(not 0 <= v <= 255 for v in lacing):
+            raise ValueError("invalid segment table")
+        body_len = sum(lacing)
+        serial, seq = spec["serial"], spec["seq"]
+        header = bytearray(b"OggS\x00")
+        header.append(spec.get("flags", 0))
+        header += struct.pack("<q", spec.get("granule", 0))
+        header += struct.pack("<II", serial, seq)
+        header += b"\x00\x00\x00\x00"  # CRC placeholder
+        header.append(len(lacing))
+        header += bytes(lacing)
+        body = bytes(
+            (0x30 + serial * 11 + seq * 7 + i * 3) % 256
+            for i in range(body_len)
+        )
+        page = bytearray(header + body)
+        struct.pack_into("<I", page, 22, ogg_crc(bytes(page)))
+        out += page
+    out += trailing
+    return bytes(out)

@@ -3149,3 +3149,107 @@ def test_tiff_palette_decode():
         decode_tiff(pal_tiff(idx, 1, "<", with_map=False))
     with _pytest.raises(ValueError, match="ColorMap"):
         decode_tiff(pal_tiff(idx, 1, "<", map_entries=16))
+
+
+def test_ogg_page_walk_semantics_and_fail_closed():
+    """RFC 3533 page walk: lacing arithmetic, packet continuation,
+    flag decode, signed granule, CRC rejection, torn-page drop."""
+    from hadoop_tools_spark.operators.ogg import (
+        encode_ogg,
+        lacing_for,
+        ogg_crc,
+        ogg_pages,
+    )
+
+    # lacing: 600 = 255+255+90; exact multiple 510 ends in a 0 value
+    assert lacing_for([600]) == [255, 255, 90]
+    assert lacing_for([510]) == [255, 255, 0]
+    assert lacing_for([0]) == [0]
+
+    blob = encode_ogg([
+        {"serial": 3, "seq": 0, "flags": 2, "granule": 0,
+         "packets": [10, 510]},
+        {"serial": 3, "seq": 1, "granule": -1, "lacing": [255, 255]},
+        {"serial": 3, "seq": 2, "flags": 1 | 4, "granule": 7,
+         "lacing": [90]},
+    ])
+    rows = ogg_pages(blob)
+    assert len(rows) == 3
+    # page 0: BOS, two packets completed (10, 510), lacing 1+3 values
+    pid, off, plen, cont, bos, eos, gran, ser, seq, nsegs, blen, npk, _ = (
+        rows[0]
+    )
+    assert (off, cont, bos, eos, ser, seq) == (0, 0, 1, 0, 3, 0)
+    assert (nsegs, blen, npk) == (4, 520, 2)
+    assert plen == 27 + 4 + 520
+    # page 1: no packet completes (all-255 lacing), granule -1 signed
+    assert rows[1][6] == -1 and rows[1][11] == 0
+    # page 2: continued + EOS flags together
+    assert rows[2][3] == 1 and rows[2][5] == 1 and rows[2][11] == 1
+    # offsets tile end-to-end
+    assert rows[1][1] == rows[0][1] + rows[0][2]
+    assert rows[2][1] + rows[2][2] == len(blob)
+
+    # CRC corruption: flip one payload byte → page dropped, walk stops
+    bad = bytearray(blob)
+    bad[rows[0][2] + 40] ^= 0xFF  # inside page 1's payload
+    assert len(ogg_pages(bytes(bad))) == 1
+    # reserved flag bits fail closed
+    bad = bytearray(blob)
+    bad[5] |= 0x10
+    assert ogg_pages(bytes(bad)) == []
+    # non-zero version fails closed
+    bad = bytearray(blob)
+    bad[4] = 1
+    assert ogg_pages(bytes(bad)) == []
+    # torn segment table / torn payload drop the final page only
+    assert len(ogg_pages(blob[:-1])) == 2
+    assert len(ogg_pages(blob[: rows[2][1] + 5])) == 2
+
+    # CRC self-check against an independent bitwise implementation
+    def crc_bitwise(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc ^= b << 24
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x04C11DB7)
+                    if crc & 0x80000000
+                    else (crc << 1)
+                ) & 0xFFFFFFFF
+        return crc
+
+    for probe in (b"", b"OggS", blob[:100]):
+        assert ogg_crc(probe) == crc_bitwise(probe)
+
+
+def test_ogg_fixture_walk_matches_committed_bytes():
+    """Committed ogg_{0..4} fixtures: expected page counts per shard
+    (the torn fixture drops exactly its final page), digests re-derive
+    from raw bytes, and multiplexed serials interleave."""
+    import glob
+    import hashlib
+    import os
+
+    from hadoop_tools_spark.operators.multimodal import MEDIA_DIR
+    from hadoop_tools_spark.operators.ogg import ogg_pages
+
+    files = sorted(glob.glob(os.path.join(MEDIA_DIR, "ogg_*.ogg")))
+    assert len(files) == 5
+    counts, serials = {}, {}
+    for f in files:
+        with open(f, "rb") as fh:
+            blob = fh.read()
+        rows = ogg_pages(blob)
+        counts[os.path.basename(f)] = len(rows)
+        serials[os.path.basename(f)] = sorted({r[7] for r in rows})
+        for r in rows:
+            span = blob[r[1] : r[1] + r[2]]
+            assert r[12] == hashlib.md5(
+                span.hex().upper().encode()
+            ).hexdigest()
+    assert counts == {
+        "ogg_0.ogg": 5, "ogg_1.ogg": 8, "ogg_2.ogg": 5,
+        "ogg_3.ogg": 2, "ogg_4.ogg": 1,
+    }
+    assert serials["ogg_1.ogg"] == [111, 222]

@@ -749,6 +749,7 @@ def main() -> None:
     write_tiff_fixtures()
     write_mp4_fixtures()
     write_mp3_fixtures()
+    write_ogg_fixtures()
     print(f"wrote fixtures to {OUT}")
 
 
@@ -1075,3 +1076,74 @@ def write_mp3_fixtures() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def write_ogg_fixtures() -> None:
+    """Ogg page-chain shards for llm_ogg_pages, written by the
+    engine's own RFC 3533 encoder (operators/ogg.py) — valid CRCs,
+    deterministic synthetic packet payloads. The five shards rotate
+    through the structural branches: plain BOS→EOS stream, physical
+    multiplexing (two interleaved serials), packet continuation across
+    pages (255-lacing + continued flag, incl. the zero-lacing
+    exact-multiple terminator and a -1 granule on the no-packet-ends
+    page), trailing junk after the chain, and a torn final page."""
+    from hadoop_tools_spark.operators.ogg import encode_ogg
+
+    # ogg_0: single stream, 5 pages, BOS first, EOS last
+    blobs = [encode_ogg(
+        [{"serial": 7001, "seq": 0, "flags": 2, "granule": 0,
+          "packets": [30]}]
+        + [{"serial": 7001, "seq": q, "granule": 1024 * q,
+            "packets": [40 + 13 * q, 17 + q]} for q in (1, 2, 3)]
+        + [{"serial": 7001, "seq": 4, "flags": 4, "granule": 5120,
+            "packets": [9]}]
+    )]
+    # ogg_1: two multiplexed logical streams, pages interleaved
+    pages = [
+        {"serial": 111, "seq": 0, "flags": 2, "granule": 0,
+         "packets": [22]},
+        {"serial": 222, "seq": 0, "flags": 2, "granule": 0,
+         "packets": [35]},
+    ]
+    for q in (1, 2):
+        pages.append({"serial": 111, "seq": q, "granule": 800 * q,
+                      "packets": [50 + q, 20]})
+        pages.append({"serial": 222, "seq": q, "granule": 441 * q,
+                      "packets": [64]})
+    pages.append({"serial": 111, "seq": 3, "flags": 4, "granule": 2400,
+                  "packets": [5]})
+    pages.append({"serial": 222, "seq": 3, "flags": 4, "granule": 1323,
+                  "packets": [12]})
+    blobs.append(encode_ogg(pages))
+    # ogg_2: a 600-byte packet spanning three pages (255+255+90), the
+    # middle page completing no packet (granule -1 per spec), plus an
+    # exact-multiple packet ending in the zero-lacing terminator
+    blobs.append(encode_ogg([
+        {"serial": 9, "seq": 0, "flags": 2, "granule": 0,
+         "packets": [18]},
+        {"serial": 9, "seq": 1, "granule": -1, "lacing": [255]},
+        {"serial": 9, "seq": 2, "flags": 1, "granule": -1,
+         "lacing": [255]},
+        {"serial": 9, "seq": 3, "flags": 1, "granule": 3000,
+         "lacing": [90, 255, 0]},
+        {"serial": 9, "seq": 4, "flags": 4, "granule": 4000,
+         "packets": [7]},
+    ]))
+    # ogg_3: valid chain, then trailing junk the walk stops at
+    blobs.append(encode_ogg(
+        [{"serial": 42, "seq": 0, "flags": 2, "granule": 0,
+          "packets": [25]},
+         {"serial": 42, "seq": 1, "flags": 4, "granule": 999,
+          "packets": [31, 8]}],
+        trailing=b"JUNK" + bytes((0x11 * i) % 256 for i in range(60)),
+    ))
+    # ogg_4: torn final page — truncated mid-payload, dropped by both
+    # engines
+    blobs.append(encode_ogg(
+        [{"serial": 5, "seq": 0, "flags": 2, "granule": 0,
+          "packets": [20]},
+         {"serial": 5, "seq": 1, "granule": 500, "packets": [200]}]
+    )[:-13])
+    for i, blob in enumerate(blobs):
+        with open(os.path.join(OUT, f"ogg_{i}.ogg"), "wb") as f:
+            f.write(blob)
