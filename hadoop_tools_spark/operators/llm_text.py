@@ -2269,3 +2269,83 @@ def llm_ccnet_thresholds(spark, sf_dir):
         " WHEN score > s2 OR (score = s2 AND doc_id <= d2) THEN 'middle'"
         " ELSE 'tail' END AS bucket",
     )
+
+
+@query(
+    "llm_classifier_hash",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    f AS (
+        SELECT doc_id, lang,
+               list_concat(
+                   w,
+                   CASE WHEN len(w) >= 2 THEN
+                       list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1])
+                   ELSE CAST([] AS VARCHAR[]) END
+               ) AS feats
+        FROM d
+    ),
+    s AS (
+        SELECT doc_id, lang, CAST(len(feats) AS BIGINT) AS n_features,
+               CAST(list_sum(list_transform(feats, t ->
+                   ((('0x' || substr(md5(t), 1, 8))::BIGINT % 4096)
+                    * 2654435761) % 2147483648 % 2001 - 1000
+               )) - 50 AS BIGINT) AS score
+        FROM f
+    )
+    SELECT doc_id, lang, n_features, score,
+           CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM s
+    """,
+)
+def llm_classifier_hash(spark, sf_dir):
+    """Hashing-trick linear classifier inference — the shape quality
+    classifiers (fastText / Vowpal-Wabbit style) actually run at over
+    a 100 TB corpus: every document's unigram+bigram features hash
+    into a fixed bucket space, each bucket contributes a learned
+    weight, and the document's score is the weight sum plus a bias —
+    label = sign. Here the per-bucket weight is a deterministic
+    integer mix of the bucket id (a distilled stand-in for a trained
+    table; swapping in real weights is an `element_at` on a broadcast
+    4096-entry map literal with the IDENTICAL plan), so both engines
+    score bit-exactly in pure integer arithmetic.
+
+    Scale shape: the whole operator is ONE projection — tokenize,
+    hash, fold, threshold all inside whole-stage codegen; zero
+    shuffles, zero Python, zero joins (tests pin the exchange-free
+    plan). That is the defining property of classifier screening at
+    corpus scale: it rides the ingest scan for free, unlike any
+    formulation that explodes features through a groupBy.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def bucket(t):
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % 4096
+        )
+
+    def weight(b):
+        return (b * F.lit(2654435761)) % 2147483648 % 2001 - 1000
+
+    feats = F.concat(words, _bigrams_expr(words))
+    score = (
+        F.aggregate(
+            feats,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + weight(bucket(t)),
+        )
+        - 50
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(feats).cast("long").alias("n_features"),
+        score.alias("score"),
+        F.when(score > 0, F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "label"
+        ),
+    )

@@ -3253,3 +3253,26 @@ def test_ogg_fixture_walk_matches_committed_bytes():
         "ogg_3.ogg": 2, "ogg_4.ogg": 1,
     }
     assert serials["ogg_1.ogg"] == [111, 222]
+
+
+def test_classifier_hash_is_exchange_free_and_balanced(spark, sf_dir):
+    """The hashed linear classifier must be a single projection — no
+    Exchange anywhere in the executed plan (it rides the ingest scan)
+    — with bounded integer weights and both labels represented."""
+    from hadoop_tools_spark.operators.llm_text import llm_classifier_hash
+
+    df = llm_classifier_hash(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only allowed exchange is load_spread's declared round-robin
+    # fixture fan-out; the classifier itself must add NO key shuffle
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "Join" not in plan and "Aggregate" not in plan, plan
+    rows = df.collect()
+    assert len(rows) > 0
+    labels = {r.label for r in rows}
+    assert labels == {"keep", "drop"}
+    for r in rows:
+        # weight sum is bounded by n_features * max|w| + |bias|
+        assert abs(r.score) <= r.n_features * 1000 + 50
+        assert r.label == ("keep" if r.score > 0 else "drop")
