@@ -1053,3 +1053,112 @@ def ts_lttb(spark, sf_dir):
             "CAST(c AS DOUBLE) / 100 AS value",
         )
     )
+
+
+@query(
+    "ts_holt",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    per AS (
+        SELECT user_id,
+               list_sort(list(struct_pack(day := day, cents := cents))) AS a
+        FROM daily GROUP BY user_id
+    ),
+    expanded AS (
+        SELECT user_id,
+               unnest(list_transform(generate_series(1, len(a)), i -> {
+                   'day': a[i].day,
+                   'amount': CAST(a[i].cents AS DOUBLE) / 100.0,
+                   'st': list_reduce(
+                       list_transform(
+                           list_slice(a, 1, i),
+                           s -> [CAST(s.cents AS DOUBLE) / 100.0, 0.0]),
+                       (acc, x) -> [
+                           x[1] * 0.25 + (acc[1] + acc[2]) * 0.75,
+                           (x[1] * 0.25 + (acc[1] + acc[2]) * 0.75
+                            - acc[1]) * 0.5 + acc[2] * 0.5])
+               })) AS r
+        FROM per
+    )
+    SELECT user_id, r.day AS day, r.amount AS amount,
+           floor(r.st[1] * 1000000 + 0.5) / 1000000 AS level6,
+           floor(r.st[2] * 1000000 + 0.5) / 1000000 AS trend6,
+           floor((r.st[1] + r.st[2]) * 1000000 + 0.5) / 1000000
+               AS forecast6
+    FROM expanded
+    """,
+)
+def ts_holt(spark, sf_dir):
+    """Holt double exponential smoothing (level + linear trend,
+    α = 1/4, β = 1/2) over each user's daily spend series, with the
+    one-step-ahead forecast l + b — the trend-aware upgrade of the
+    `ts_ewma` key that flat EWMA cannot express.
+
+    Both recursions are coupled (bᵢ needs lᵢ AND lᵢ₋₁), so the state
+    folds as a (level, trend) pair through higher-order array
+    lambdas: s₁ = (x₁, 0); lᵢ = α·xᵢ + (1−α)(lᵢ₋₁+bᵢ₋₁),
+    bᵢ = β(lᵢ−lᵢ₋₁) + (1−β)bᵢ₋₁. The ORACLE's fold state is a
+    2-element DOUBLE list, not a struct: DuckDB 1.0.0's list_reduce
+    miscomputes struct-typed accumulators (probed live — prefix folds
+    returned internally inconsistent values), while list-typed state
+    folds exactly; the Spark side keeps the struct accumulator, and
+    the cross-engine hash match is the proof both compute the same
+    recursion. Determinism mirrors ts_ewma: daily
+    totals are exact scaled-BIGINT cents; α, 1−α, β are exact binary
+    fractions; both engines evaluate the identically-parenthesized
+    expression left-to-right, so every fold step is the same IEEE
+    sequence — bitwise cross-engine stable before the 6-dp floor-pin.
+
+    One shuffle (user_id); per-user state is days-per-user,
+    calendar-bounded — the same scale contract as ts_ewma/ts_gapfill.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    per = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("a")
+    )
+    vals = F.transform("a", lambda s: s["cents"].cast("double") / 100.0)
+    per = per.select("user_id", "a", vals.alias("v"))
+
+    def step(acc, x):
+        lnew = x * 0.25 + (acc["l"] + acc["b"]) * 0.75
+        bnew = (
+            x * 0.25 + (acc["l"] + acc["b"]) * 0.75 - acc["l"]
+        ) * 0.5 + acc["b"] * 0.5
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    def pin6(c):
+        return F.floor(c * 1_000_000 + 0.5) / 1_000_000
+
+    rows = F.transform(
+        F.sequence(F.lit(1), F.size("a")),
+        lambda i: F.struct(
+            F.element_at("a", i)["day"].alias("day"),
+            F.element_at("v", i).alias("amount"),
+            F.aggregate(
+                F.slice("v", 2, i - 1),
+                F.struct(
+                    F.element_at("v", 1).alias("l"),
+                    F.lit(0.0).alias("b"),
+                ),
+                step,
+            ).alias("st"),
+        ),
+    )
+    return per.select("user_id", F.explode(rows).alias("r")).select(
+        "user_id",
+        F.col("r.day").alias("day"),
+        F.col("r.amount").alias("amount"),
+        pin6(F.col("r.st.l")).alias("level6"),
+        pin6(F.col("r.st.b")).alias("trend6"),
+        pin6(F.col("r.st.l") + F.col("r.st.b")).alias("forecast6"),
+    )

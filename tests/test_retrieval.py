@@ -406,3 +406,62 @@ def test_url_canonical_collapses_variants(spark, sf_dir):
         assert ":80" not in r.canonical and ":443" not in r.canonical
         assert "utm" not in r.canonical and "ref=" not in r.canonical
         assert "index.html" not in r.canonical
+
+
+def test_holt_recurrence(spark, sf_dir):
+    """Holt rows satisfy the coupled level/trend recursion exactly
+    (up to the 6-dp pin): l1 = x1, b1 = 0; l_i = x_i/4 + 3(l+b)/4,
+    b_i = (l_i - l_{i-1})/2 + b_{i-1}/2; forecast = l + b."""
+    import math
+
+    from hadoop_tools_spark.operators.timeseries import ts_holt
+
+    rows = ts_holt(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+
+    def pin6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    for series in list(by_user.values())[:50]:
+        series.sort(key=lambda r: r.day)
+        l, b = series[0].amount, 0.0
+        assert series[0].level6 == pin6(l)
+        assert series[0].trend6 == 0.0
+        assert series[0].forecast6 == pin6(l + b)
+        for r in series[1:]:
+            ln = r.amount * 0.25 + (l + b) * 0.75
+            b = (ln - l) * 0.5 + b * 0.5
+            l = ln
+            assert abs(r.level6 - l) < 2e-6
+            assert abs(r.trend6 - b) < 2e-6
+            assert abs(r.forecast6 - (l + b)) < 2e-6
+
+
+def test_holt_tracks_linear_ramp(spark, tmp_path):
+    """On a perfectly linear series the trend converges toward the
+    true slope and the one-step forecast tracks the next value —
+    the property flat EWMA (which lags any ramp) cannot have."""
+    import datetime
+
+    from hadoop_tools_spark.operators.timeseries import ts_holt
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(days=i), float(100 + 10 * i))
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = sorted(
+        ts_holt(spark, str(tmp_path)).collect(), key=lambda r: r.day
+    )
+    assert len(out) == 40
+    # after convergence the trend approaches the true slope (10/day)
+    assert abs(out[-1].trend6 - 10.0) < 0.5
+    # and the forecast anticipates the NEXT day's value
+    nxt = 100 + 10 * 40
+    assert abs(out[-1].forecast6 - nxt) < 1.0
