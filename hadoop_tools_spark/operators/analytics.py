@@ -1098,3 +1098,127 @@ def graph_khop(spark, sf_dir):
         .agg(F.count("*").alias("n_nodes"))
         .select(F.col("hop").cast("long").alias("hop"), "n_nodes")
     )
+
+
+def _lp_round_sql(prev: str, out: str) -> str:
+    """One synchronous label-propagation round: count labeled
+    neighbors per (node, label), pick the mode with the smallest-label
+    tie-break, pin seeds, and carry the previous label where no
+    neighbor is labeled."""
+    return f"""
+    {out}_nb AS (
+      SELECT sym.dst AS node, p.lbl AS lbl, COUNT(*) AS c
+      FROM sym JOIN {prev} p ON p.node = sym.src
+      WHERE p.lbl IS NOT NULL
+      GROUP BY sym.dst, p.lbl
+    ),
+    {out}_best AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl ASC) AS rn
+        FROM {out}_nb
+      ) WHERE rn = 1
+    ),
+    {out} AS (
+      SELECT d.node,
+             CASE WHEN d.node % 10 = 0 THEN d.node % 7
+                  ELSE COALESCE(b.lbl, p.lbl) END AS lbl
+      FROM deg d
+      LEFT JOIN {out}_best b ON b.node = d.node
+      LEFT JOIN {prev} p ON p.node = d.node
+    )"""
+
+
+@query(
+    "graph_label_prop",
+    oracle=f"""
+    WITH {_PR_ORACLE_EDGES},
+    l0 AS (
+      SELECT node,
+             CASE WHEN node % 10 = 0 THEN node % 7 END AS lbl
+      FROM deg
+    ),
+    {_lp_round_sql("l0", "l1")},
+    {_lp_round_sql("l1", "l2")},
+    {_lp_round_sql("l2", "l3")}
+    SELECT CAST(lbl AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM (SELECT node, COALESCE(lbl, -1) AS lbl FROM l3)
+    GROUP BY lbl
+    """,
+)
+def graph_label_prop(spark, sf_dir):
+    """Synchronous label propagation (3 rounds) over the symmetric
+    customer–supplier co-occurrence graph — the standard
+    semi-supervised community/attribute spreader (Raghavan et al.,
+    2007; the batch form of Spark GraphX's LPA). Every 10th node is
+    seeded with a fixed class (``node % 7``); each round, every
+    non-seed node adopts the MODE of its neighbors' round-(k-1)
+    labels with a deterministic smallest-label tie-break, keeping its
+    previous label when no neighbor is labeled yet. Seeds are pinned,
+    updates are strictly synchronous (computed only from the previous
+    round's vector), and all arithmetic is integer — so the result is
+    exactly reproducible and the oracle unrolls the identical three
+    rounds in SQL. Output is the per-label census (count + node-range
+    fingerprint); -1 counts nodes still unreached after 3 hops.
+
+    Scale shape (the Pregel contract shared with graph_pagerank): the
+    edge set is built once, re-hashed on src, and CACHED — it never
+    moves again; each round ships only the |nodes|-row label vector
+    (broadcast here; at node counts past broadcast size it shuffles
+    TO the stationary edges), and the mode-aggregation output shrinks
+    to |nodes| rows before the next round. Three bounded rounds keep
+    lineage finite without checkpoint management.
+    """
+    n_part = max(spark.sparkContext.defaultParallelism // 4, 8)
+    edges = _edges(spark, sf_dir).repartition(n_part, "src").persist()
+    nodes = edges.groupBy("src").agg(F.count("*").alias("outdeg")).select(
+        F.col("src").alias("node")
+    )
+    seed_lbl = F.when(
+        F.col("node") % 10 == 0, F.col("node") % 7
+    ).cast("long")
+    labels = nodes.select("node", seed_lbl.alias("lbl"))
+    for _ in range(3):
+        nb = (
+            edges.join(
+                F.broadcast(labels.filter(F.col("lbl").isNotNull())),
+                edges.src == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("nnode"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            nb.groupBy("nnode")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"),
+                        (-F.col("lbl")).alias("neg"),
+                    )
+                ).alias("m")
+            )
+            .select("nnode", (-F.col("m")["neg"]).alias("blbl"))
+        )
+        labels = (
+            labels.join(
+                F.broadcast(best), labels.node == F.col("nnode"), "left"
+            )
+            .select(
+                "node",
+                F.coalesce(
+                    seed_lbl, F.col("blbl"), F.col("lbl")
+                ).alias("lbl"),
+            )
+        )
+    final = labels.select(
+        "node", F.coalesce("lbl", F.lit(-1)).alias("label")
+    )
+    return final.groupBy("label").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

