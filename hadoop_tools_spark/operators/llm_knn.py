@@ -1481,3 +1481,178 @@ def llm_embed_pq(spark, sf_dir):
         .filter(F.col("rn") <= _K)
         .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
     )
+
+
+def _fit_pq_residual_books(e, C, m: int = _PQ_M, k: int = _PQ_K,
+                           n_iter: int = 5):
+    """PQ codebooks trained on coarse-quantizer RESIDUALS (u − C[cell])
+    over the same deterministic md5-bucket driver sample as
+    `_fit_quantizer` — the IVFADC form (Jégou et al., TPAMI 2011):
+    residuals are far more concentrated than raw vectors, so the same
+    code budget quantizes them with much lower distortion. Same Lloyd
+    conventions as `_fit_pq_codebooks`: init = first ``k`` residuals
+    in vec_id order, empty cells keep their centroid."""
+    import numpy as np
+
+    samp = (
+        e.filter(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            )
+        )
+        .orderBy("vec_id")
+        .limit(_IVF_SAMPLE)
+        .collect()
+    )
+    X = np.array([r.u for r in samp])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    R = X - C[np.argmax(X @ C.T, axis=1)]
+    dim = R.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    k = min(k, len(R))
+    if k == 0:
+        raise ValueError("empty embedding sample — nothing to quantize")
+    sub = dim // m
+    books = np.zeros((m, k, sub))
+    for mi in range(m):
+        Rs = R[:, mi * sub : (mi + 1) * sub]
+        Cb = Rs[:k].copy()
+        for _ in range(n_iter):
+            d2 = ((Rs[:, None, :] - Cb[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = Rs[assign == c]
+                if len(members):
+                    Cb[c] = members.mean(axis=0)
+        books[mi] = Cb
+    return books
+
+
+@query("llm_knn_ivfpq")  # rows-only: sampled iterative quantizers
+def llm_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ (IVFADC) approximate k-NN — the composition production
+    vector search actually deploys (FAISS ``IVFx,PQy``), closing the
+    ANN ladder: exact → LSH → IVF (compute cut) → PQ (memory cut) →
+    **IVF-PQ (both)**. The coarse quantizer prunes compute to
+    ~nprobe/ncells of the corpus; within probed cells candidates are
+    scored by asymmetric distance over RESIDUAL codes:
+    cos(q, x) ≈ q·C[cell] + Σᵢ LUT[q][i, codeᵢ(x − C[cell])], one
+    scalar plus m table hits per candidate — residual codebooks give
+    the same m-byte budget far lower distortion than raw-vector PQ.
+    The ADC shortlist is refined with exact cosine (the shortlist +
+    refine shape shared with `llm_embed_pq`) before the global top-k.
+
+    Rows-only by the declared policy (both quantizers are
+    sampled/iterative). Recall decomposes and tests/test_approx.py
+    pins both factors: vs plain IVF (same probing, exact scoring) the
+    ADC shortlist + refine loses nothing (measured 1.0, bound ≥ 0.9);
+    vs exact brute force it inherits IVF's nprobe/ncells probing
+    ceiling (≥ 0.5 at fixture scale — raise nprobe to buy recall).
+    On this isotropic synthetic corpus residual codes are not tighter
+    than raw-vector codes (near-uniform unit vectors sit far from
+    every coarse centroid); the residual form is kept because it is
+    the published IVFADC composition and clustered real corpora are
+    where it pays — the coding-gain test pins that codes still cut
+    residual reconstruction error by ~27%.
+
+    Scale shape: broadcasts are the centroid matrix (~8 KB), the
+    codebook tensor (~8 KB), and per-query LUTs for a BOUNDED query
+    set; the corpus never moves and only shortlist·partitions rows
+    per query shuffle into the merge. At 10^11 vectors the serving
+    set is m bytes/vector + cell ids — RAM-resident where raw floats
+    are not — and a probe touches nprobe/ncells of it.
+    """
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("u")
+    )
+    e = materialize(e)
+    C = _fit_quantizer(e)
+    books = _fit_pq_residual_books(e, C)
+
+    q_rows = _query_set(e).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "q_id long, neighbor_id long, cosine double, rn long"
+        )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.u for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    m, k, sub = books.shape
+    lut = np.einsum(
+        "qms,mks->qmk", q_mat.reshape(len(q_ids), m, sub), books
+    )
+    qdotC = q_mat @ C.T  # (nq, ncells): the per-cell scalar term
+    cell2q: dict[int, list[int]] = {}
+    c_order = np.arange(len(C))
+    for qi in range(len(q_ids)):
+        probed = np.lexsort((c_order, -qdotC[qi]))[:_IVF_NPROBE]
+        for c in probed:
+            cell2q.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast(
+        (C, books, q_ids, q_mat, lut, qdotC, cell2q)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def probe_adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        Cm, B, ids, qm, L, QC, c2q = bc.value
+        M = B.shape[0]
+        ar = _np.arange(M)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy()
+            U = _np.vstack(pdf["u"].to_numpy())
+            U = U / _np.linalg.norm(U, axis=1, keepdims=True)
+            cells = _np.argmax(U @ Cm.T, axis=1)
+            out = []
+            for cell in _np.unique(cells):
+                qidx = c2q.get(int(cell))
+                if not qidx:
+                    continue
+                rows = _np.flatnonzero(cells == cell)
+                codes = pq_encode(U[rows] - Cm[cell], B)
+                for qi in qidx:
+                    approx = QC[qi, cell] + L[qi][ar, codes].sum(axis=1)
+                    mask = c_ids[rows] != ids[qi]
+                    cand = _np.flatnonzero(mask)
+                    if not len(cand):
+                        continue
+                    short = cand[
+                        _np.lexsort(
+                            (c_ids[rows][cand], -approx[cand])
+                        )[:_PQ_SHORTLIST]
+                    ]
+                    sel = rows[short]
+                    cos = U[sel] @ qm[qi]  # exact refine on shortlist
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "q_id": ids[qi],
+                                "neighbor_id": c_ids[sel],
+                                "cos": cos,
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    par = spark.sparkContext.defaultParallelism
+    partial = e.repartition(par).mapInPandas(probe_adc, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        partial.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _K)
+        .select("q_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )

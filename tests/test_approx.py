@@ -378,3 +378,85 @@ def test_image_phash_refuses_above_size_gate(spark, sf_dir, monkeypatch):
         mm.llm_image_phash(spark, sf_dir)
     assert "llm_image_phash_lsh" in QUERIES
     spark.catalog.clearCache()
+
+def test_knn_ivfpq_recall_and_refine(spark, sf_dir):
+    """IVF-PQ recall decomposes: vs plain IVF (same probing, exact
+    scoring) the residual-ADC shortlist + refine must lose almost
+    nothing (>= 0.9); vs exact brute force it inherits IVF's
+    nprobe/ncells probing ceiling (>= 0.5 at this fixture scale, the
+    same bar test_knn_ivf_recall pins). Refined cosines match the
+    exact key's to float tolerance (BLAS vs cumsum reduction order)."""
+    from hadoop_tools_spark.operators.llm_knn import (
+        llm_knn_exact,
+        llm_knn_ivf,
+        llm_knn_ivfpq,
+    )
+
+    def top(df):
+        d = {}
+        for r in df.collect():
+            d.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        return d
+
+    exact_rows = llm_knn_exact(spark, sf_dir).collect()
+    exact, cosmap = {}, {}
+    for r in exact_rows:
+        exact.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        cosmap[(r["q_id"], r["neighbor_id"])] = r["cosine"]
+    ivf = top(llm_knn_ivf(spark, sf_dir))
+    got = {}
+    for r in llm_knn_ivfpq(spark, sf_dir).collect():
+        got.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        if (r["q_id"], r["neighbor_id"]) in cosmap:
+            assert abs(
+                r["cosine"] - cosmap[(r["q_id"], r["neighbor_id"])]
+            ) <= 1e-6
+
+    def rec(a, b):
+        hits = sum(len(a[q] & b.get(q, set())) for q in a)
+        return hits / sum(len(v) for v in a.values())
+
+    assert rec(ivf, got) >= 0.9, f"IVF-PQ lost vs IVF: {rec(ivf, got)}"
+    assert rec(exact, got) >= 0.5, f"IVF-PQ vs exact: {rec(exact, got)}"
+
+
+def test_ivfpq_residual_codes_carry_signal(spark, sf_dir):
+    """Quantized residuals must reconstruct residuals far better than
+    the zero-code baseline (coding carries signal), pinning that the
+    ADC term contributes beyond the coarse q.C[cell] scalar. (On this
+    isotropic synthetic corpus residuals are NOT tighter than raw
+    vectors -- near-uniform unit vectors sit far from every coarse
+    centroid -- so no raw-vs-residual superiority is claimed; IVFADC
+    keeps the residual form because that is the published composition
+    and real, clustered corpora are where it pays.)"""
+    import numpy as np
+
+    from hadoop_tools_spark.operators.llm_knn import (
+        _fit_pq_residual_books,
+        _fit_quantizer,
+        pq_encode,
+    )
+    from hadoop_tools_spark.io import load, materialize
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("u")
+    )
+    e = materialize(e)
+    C = _fit_quantizer(e)
+    books = _fit_pq_residual_books(e, C)
+
+    samp = e.orderBy("vec_id").limit(512).collect()
+    X = np.array([r.u for r in samp])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    m = books.shape[0]
+    cells = np.argmax(X @ C.T, axis=1)
+    R = X - C[cells]
+    codes = pq_encode(R, books)
+    recon = np.concatenate(
+        [books[mi][codes[:, mi]] for mi in range(m)], axis=1
+    )
+    err_coded = np.linalg.norm(R - recon, axis=1).mean()
+    err_zero = np.linalg.norm(R, axis=1).mean()
+    # ~27% error reduction measured on this corpus; 0.8 leaves margin
+    assert err_coded < 0.8 * err_zero, (err_coded, err_zero)
