@@ -544,7 +544,8 @@ class SnapshotTable:
                 continue
         raise CommitConflict(v + 1)
 
-    def upsert(self, df: DataFrame, key_cols: list[str]) -> int:
+    def upsert(self, df: DataFrame, key_cols: list[str],
+               extra: dict | None = None) -> int:
         """Merge-on-read upsert in ONE commit: stage ``df`` as new data
         files AND its key projection as an equality-delete file, then
         publish both in the same manifest version. The delete's
@@ -552,7 +553,10 @@ class SnapshotTable:
         only to STRICTLY older sequences — so the delete retires every
         pre-existing row with a matching key while the staged rows
         survive. This is the CDC-into-immutable-files primitive: no
-        data file rewritten, commit cost O(|changed rows|)."""
+        data file rewritten, commit cost O(|changed rows|).
+
+        ``extra`` merges additional manifest fields into the publish
+        (e.g. a streaming sink's ``batch_id`` idempotence marker)."""
         v = self.latest_version()
         commit_id = f"{v + 1:05d}-{os.getpid()}"
         staged = self._stage(df, commit_id)
@@ -590,6 +594,7 @@ class SnapshotTable:
                             **{g: v + 1 for g in self._groups_of(staged)},
                         },
                         "deletes": man.get("deletes", []) + entry,
+                        **(extra or {}),
                     },
                 )
             except CommitConflict:

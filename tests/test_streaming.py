@@ -555,3 +555,67 @@ def test_stream_outer_join_emits_nulls(spark, sf_dir, tmp_path):
     want = _canon(stream_outer_join(spark, sf_dir))
     assert (got["view_id"].isna()).any(), "expected null-padded rows"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_cdc_upsert_exactly_once(spark, sf_dir, staged, tmp_path):
+    """Streaming CDC apply: foreachBatch MERGEs each micro-batch into
+    the snapshot table (last-writer-wins per user), so the final table
+    equals the batch 'latest event per user' — and a checkpoint
+    restart or manual batch replay changes nothing (exactly-once)."""
+    from hadoop_tools_spark.streaming.runner import (
+        _await_or_stop,
+        read_event_stream,
+    )
+    from hadoop_tools_spark.streaming.sinks import IdempotentUpsertSink
+
+    path = str(tmp_path / "cdc_tbl")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def run():
+        sink = IdempotentUpsertSink(
+            path, ["user_id"], ["ts", "event_id"]
+        )
+        q = (
+            read_event_stream(spark, staged)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_stop(q)
+        return sink
+
+    sink = run()
+    got = _canon(sink.table.read(spark))
+
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(staged)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = _canon(
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # one row per user, ever — upserts replaced, never appended
+    n_users = ev.select("user_id").distinct().count()
+    assert len(got) == n_users
+
+    # restart from the same checkpoint: no new commits, same table
+    v1 = sink.table.versions()
+    sink2 = run()
+    assert sink2.table.versions() == v1
+    pd.testing.assert_frame_equal(
+        _canon(sink2.table.read(spark)), got, check_dtype=False
+    )
+
+    # manual replay of an already-committed batch id: skipped before
+    # staging (fresh sink instance, so the committed-set cache must
+    # re-seed from the manifests, not session memory)
+    replay = IdempotentUpsertSink(path, ["user_id"], ["ts", "event_id"])
+    replay(ev.limit(50), 0)
+    assert replay.table.versions() == v1
