@@ -1182,6 +1182,14 @@ def graph_label_prop(spark, sf_dir):
         F.col("node") % 10 == 0, F.col("node") % 7
     ).cast("long")
     labels = nodes.select("node", seed_lbl.alias("lbl"))
+    # deliberately NO per-round materialize or checkpoint: the three
+    # rounds form ONE action's DAG (F.broadcast is a lazy hint, not a
+    # driver collect). Measured at sf1 solo: plain 21.3 s, +eager
+    # cache/count 21.1-22 s, +localCheckpoint 21.2 s — the wall is the
+    # per-round join+mode-aggregation work itself (1.7x pagerank's
+    # 12.3 s same-box solo, the extra groupBy+join per round), not
+    # lineage recompute. At hundreds of rounds a periodic
+    # localCheckpoint becomes necessary purely to bound plan size.
     for _ in range(3):
         nb = (
             edges.join(
