@@ -597,3 +597,51 @@ def join_asof_nearest(spark, sf_dir):
             F.col("adiff_us").alias("abs_diff_us"),
         )
     )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Co-located fact↔fact join over BUCKETED tables — the layout
+    answer to the biggest cost at 100 TB, shuffling both sides of an
+    orders↔lineitem join: both tables are written bucketed (and
+    bucket-sorted) on the join key with the same bucket count, so the
+    join plans as a SortMergeJoin with NO Exchange on either side —
+    each task reads matching bucket files directly. The write pays
+    its shuffle ONCE; every later join of any two same-bucketed
+    tables is shuffle-free (tests/test_bucketing.py asserts the
+    exchange-free plan; this key pins the RESULT equals the plain
+    join's against the oracle's straight recomputation).
+
+    Sums are exact integers (quantity units, price cents) so the
+    hash can't wobble on reduction order.
+    """
+    from ..sources.bucketing import bucketed_pair
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    bo, bl = bucketed_pair(
+        spark, orders, li, "o_orderkey", "l_orderkey", prefix="hts_jb"
+    )
+    j = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("price_cents"),
+    )

@@ -57,3 +57,32 @@ def test_bucketed_join_matches_plain_join(spark, bucketed):
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_join_bucketed_key_plan_is_exchange_free(spark, sf_dir):
+    """The registered join_bucketed key must plan the shuffle-free
+    co-located SortMergeJoin once broadcast is off the table (at
+    fixture scale Catalyst rightly broadcasts the small side — at
+    100 TB neither side broadcasts and the bucketed SMJ is the real
+    plan): no Exchange anywhere upstream of the join; the only
+    exchange in the whole plan is the final aggregate fan-in."""
+    from hadoop_tools_spark.operators.joins import join_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = join_bucketed(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # every exchange is the post-join aggregate fan-in (the AQE
+        # rendering shows initial+final plans, so it may appear twice)
+        # — never a shuffle on a JOIN key: both inputs read buckets
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == plan.count(
+            "Exchange hashpartitioning(o_orderpriority"
+        ), plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
