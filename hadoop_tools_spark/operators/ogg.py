@@ -128,11 +128,15 @@ def encode_ogg(pages: list[dict], trailing: bytes = b"") -> bytes:
     post-chain junk the walker must stop at, not crash on."""
     out = bytearray()
     for spec in pages:
-        lacing = (
-            list(spec["lacing"])
-            if "lacing" in spec
-            else lacing_for(spec["packets"])
-        )
+        explicit_body: bytes | None = None
+        if "packets_bytes" in spec:
+            pkts = [bytes(p) for p in spec["packets_bytes"]]
+            lacing = lacing_for([len(p) for p in pkts])
+            explicit_body = b"".join(pkts)
+        elif "lacing" in spec:
+            lacing = list(spec["lacing"])
+        else:
+            lacing = lacing_for(spec["packets"])
         if len(lacing) > 255 or any(not 0 <= v <= 255 for v in lacing):
             raise ValueError("invalid segment table")
         body_len = sum(lacing)
@@ -144,12 +148,98 @@ def encode_ogg(pages: list[dict], trailing: bytes = b"") -> bytes:
         header += b"\x00\x00\x00\x00"  # CRC placeholder
         header.append(len(lacing))
         header += bytes(lacing)
-        body = bytes(
-            (0x30 + serial * 11 + seq * 7 + i * 3) % 256
-            for i in range(body_len)
+        body = (
+            explicit_body
+            if explicit_body is not None
+            else bytes(
+                (0x30 + serial * 11 + seq * 7 + i * 3) % 256
+                for i in range(body_len)
+            )
         )
         page = bytearray(header + body)
         struct.pack_into("<I", page, 22, ogg_crc(bytes(page)))
         out += page
     out += trailing
     return bytes(out)
+
+
+def opus_head(channels: int, preskip: int, rate: int,
+              gain: int = 0) -> bytes:
+    """Minimal valid OpusHead ID packet (RFC 7845 §5.1): magic,
+    version 1, channel count, pre-skip LE16, input sample rate LE32,
+    output gain LE16, mapping family 0."""
+    return (
+        b"OpusHead" + bytes([1, channels])
+        + struct.pack("<HIh", preskip, rate, gain) + b"\x00"
+    )
+
+
+def vorbis_head(channels: int, rate: int) -> bytes:
+    """Minimal Vorbis identification header (Vorbis I §4.2.2): packet
+    type 1 + 'vorbis', version 0 LE32, channels, sample rate LE32,
+    bitrate triple, blocksize byte, framing bit."""
+    return (
+        b"\x01vorbis" + struct.pack("<IBI", 0, channels, rate)
+        + struct.pack("<iii", 0, 96000, 0)[:12]
+        + bytes([0xB8, 0x01])
+    )
+
+
+def ogg_streams(blob: bytes) -> list[tuple]:
+    """Per-logical-stream demux summary over the page walk; one tuple
+    per serial: ``(serial, codec, n_pages, n_packets, first_granule,
+    last_granule, eos_seen, channels, sample_rate, pre_skip)``.
+
+    Codec identification parses the BOS page's first packet — the
+    spec requires the ID header alone on the BOS page (RFC 7845 §4 /
+    Vorbis I §4.2.1), so no cross-page reassembly is needed for it:
+    OpusHead (RFC 7845 §5.1: channels, pre-skip, input sample rate),
+    Vorbis ID (Vorbis I §4.2.2: channels, sample rate), Theora
+    (0x80 'theora'), else ``unknown`` with NULL codec fields —
+    unknown payloads stay opaque, decode is the declared lossy seam.
+    Streams whose BOS page is missing from the walked prefix (torn
+    file) report codec ``unknown`` too: fail-closed, never a guess.
+    """
+    pages = ogg_pages(blob)
+    streams: dict[int, dict] = {}
+    for (
+        _pid, off, _plen, _cont, bos, eos, granule, serial, _seq,
+        nsegs, _blen, npackets, _md5,
+    ) in pages:
+        st = streams.setdefault(
+            serial,
+            {
+                "codec": "unknown", "n_pages": 0, "n_packets": 0,
+                "first_granule": granule, "last_granule": granule,
+                "eos_seen": 0, "channels": None, "sample_rate": None,
+                "pre_skip": None,
+            },
+        )
+        st["n_pages"] += 1
+        st["n_packets"] += npackets
+        st["last_granule"] = granule
+        if eos:
+            st["eos_seen"] = 1
+        if bos:
+            body_off = off + 27 + nsegs
+            first_len = blob[off + 27] if nsegs else 0
+            pkt = blob[body_off : body_off + first_len]
+            if pkt[:8] == b"OpusHead" and len(pkt) >= 19:
+                st["codec"] = "opus"
+                st["channels"] = pkt[9]
+                st["pre_skip"] = struct.unpack_from("<H", pkt, 10)[0]
+                st["sample_rate"] = struct.unpack_from("<I", pkt, 12)[0]
+            elif pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                st["codec"] = "vorbis"
+                st["channels"] = pkt[11]
+                st["sample_rate"] = struct.unpack_from("<I", pkt, 12)[0]
+            elif pkt[:7] == b"\x80theora":
+                st["codec"] = "theora"
+    return [
+        (
+            serial, st["codec"], st["n_pages"], st["n_packets"],
+            st["first_granule"], st["last_granule"], st["eos_seen"],
+            st["channels"], st["sample_rate"], st["pre_skip"],
+        )
+        for serial, st in sorted(streams.items())
+    ]

@@ -3235,7 +3235,7 @@ def test_ogg_fixture_walk_matches_committed_bytes():
     from hadoop_tools_spark.operators.ogg import ogg_pages
 
     files = sorted(glob.glob(os.path.join(MEDIA_DIR, "ogg_*.ogg")))
-    assert len(files) == 5
+    assert len(files) == 7
     counts, serials = {}, {}
     for f in files:
         with open(f, "rb") as fh:
@@ -3250,9 +3250,11 @@ def test_ogg_fixture_walk_matches_committed_bytes():
             ).hexdigest()
     assert counts == {
         "ogg_0.ogg": 5, "ogg_1.ogg": 8, "ogg_2.ogg": 5,
-        "ogg_3.ogg": 2, "ogg_4.ogg": 1,
+        "ogg_3.ogg": 2, "ogg_4.ogg": 1, "ogg_5.ogg": 4,
+        "ogg_6.ogg": 5,
     }
     assert serials["ogg_1.ogg"] == [111, 222]
+    assert serials["ogg_6.ogg"] == [71, 72]
 
 
 def test_classifier_hash_is_exchange_free_and_balanced(spark, sf_dir):
@@ -3276,3 +3278,57 @@ def test_classifier_hash_is_exchange_free_and_balanced(spark, sf_dir):
         # weight sum is bounded by n_features * max|w| + |bias|
         assert abs(r.score) <= r.n_features * 1000 + 50
         assert r.label == ("keep" if r.score > 0 else "drop")
+
+
+def test_ogg_streams_codec_identification():
+    """Stream demux: OpusHead/Vorbis-ID fields parse exactly, unknown
+    magics and BOS-less (torn) streams fail closed to 'unknown', and
+    a truncated ID packet is not misidentified."""
+    from hadoop_tools_spark.operators.ogg import (
+        encode_ogg,
+        ogg_streams,
+        opus_head,
+        vorbis_head,
+    )
+
+    blob = encode_ogg([
+        {"serial": 1, "seq": 0, "flags": 2, "granule": 0,
+         "packets_bytes": [opus_head(6, 123, 24000)]},
+        {"serial": 2, "seq": 0, "flags": 2, "granule": 0,
+         "packets_bytes": [vorbis_head(2, 8000)]},
+        {"serial": 1, "seq": 1, "flags": 4, "granule": 480,
+         "packets": [10]},
+        {"serial": 2, "seq": 1, "flags": 4, "granule": 256,
+         "packets": [11]},
+    ])
+    rows = {r[0]: r for r in ogg_streams(blob)}
+    assert rows[1][1:3] == ("opus", 2)
+    assert rows[1][7:10] == (6, 24000, 123)
+    assert rows[2][1] == "vorbis"
+    assert rows[2][7:10] == (2, 8000, None)
+    assert all(r[6] == 1 for r in rows.values())  # both saw EOS
+
+    # truncated OpusHead (under 19 bytes): unknown, fields NULL
+    short = encode_ogg([
+        {"serial": 9, "seq": 0, "flags": 2, "granule": 0,
+         "packets_bytes": [b"OpusHead\x01\x02"]},
+    ])
+    (r,) = ogg_streams(short)
+    assert r[1] == "unknown" and r[7:10] == (None, None, None)
+
+    # stream whose BOS page is torn away: summary still emitted for
+    # walked pages, codec unknown
+    pages = encode_ogg([
+        {"serial": 5, "seq": 0, "flags": 2, "granule": 0,
+         "packets_bytes": [opus_head(2, 0, 48000)]},
+        {"serial": 5, "seq": 1, "flags": 4, "granule": 100,
+         "packets": [8]},
+    ])
+    from hadoop_tools_spark.operators.ogg import ogg_pages
+
+    first_len = ogg_pages(pages)[0][2]
+    # the second page re-syncs at offset 0, so the stream IS
+    # summarized — but with codec unknown and NULL fields (no BOS)
+    assert ogg_streams(pages[first_len:]) == [
+        (5, "unknown", 1, 1, 100, 100, 1, None, None, None)
+    ]

@@ -1144,6 +1144,33 @@ def write_ogg_fixtures() -> None:
           "packets": [20]},
          {"serial": 5, "seq": 1, "granule": 500, "packets": [200]}]
     )[:-13])
+    # ogg_5: Opus stream — REAL OpusHead ID packet on the BOS page
+    # (RFC 7845: ID header alone on its page), OpusTags-ish second
+    # packet, data pages, EOS
+    from hadoop_tools_spark.operators.ogg import opus_head, vorbis_head
+
+    blobs.append(encode_ogg([
+        {"serial": 6001, "seq": 0, "flags": 2, "granule": 0,
+         "packets_bytes": [opus_head(2, 312, 48000)]},
+        {"serial": 6001, "seq": 1, "granule": 0,
+         "packets_bytes": [b"OpusTags" + bytes(12)]},
+        {"serial": 6001, "seq": 2, "granule": 960, "packets": [45, 33]},
+        {"serial": 6001, "seq": 3, "flags": 4, "granule": 1920,
+         "packets": [28]},
+    ]))
+    # ogg_6: Vorbis stream muxed with an unknown-codec stream
+    pages = [
+        {"serial": 71, "seq": 0, "flags": 2, "granule": 0,
+         "packets_bytes": [vorbis_head(1, 44100)]},
+        {"serial": 72, "seq": 0, "flags": 2, "granule": 0,
+         "packets": [16]},
+        {"serial": 71, "seq": 1, "granule": 1024, "packets": [52]},
+        {"serial": 72, "seq": 1, "flags": 4, "granule": 77,
+         "packets": [9]},
+        {"serial": 71, "seq": 2, "flags": 4, "granule": 2048,
+         "packets": [31]},
+    ]
+    blobs.append(encode_ogg(pages))
     for i, blob in enumerate(blobs):
         with open(os.path.join(OUT, f"ogg_{i}.ogg"), "wb") as f:
             f.write(blob)
