@@ -479,27 +479,18 @@ _IVF_NPROBE = 4
 _IVF_SAMPLE = 2048
 
 
-def _fit_quantizer(unit_df, n_cells: int = _IVF_CELLS, n_iter: int = 5):
-    """Sample-trained spherical k-means — the IVF coarse quantizer.
-
-    Trains on a DETERMINISTIC md5-bucket sample collected to the
-    driver (FAISS-style: quantizer quality needs a representative
-    sample, not the corpus — full-corpus `pyspark.ml` KMeans.fit was
-    both the operator's dominant cost at fixture scale and a
-    non-starter at 100 TB). Init = first `n_cells` sample vectors in
-    vec_id order; assignment by max cosine; centroids renormalized
-    each Lloyd round; empty cells keep their previous centroid.
-    Returns the (n_cells, dim) numpy centroid matrix — deterministic
-    for a given corpus, so index builds are reproducible.
-    """
+def _driver_sample(e):
+    """THE deterministic quantizer-training sample, shared by the IVF
+    coarse quantizer and both PQ codebook fitters — one definition so
+    the IVFADC invariant (coarse cells and residual codebooks trained
+    on the SAME vectors) cannot drift. md5-bucket filter (~50%),
+    vec_id order, capped at ``_IVF_SAMPLE`` rows BEFORE the collect
+    (corpus-proportional driver memory otherwise); returns unit rows
+    as an (n, dim) numpy matrix."""
     import numpy as np
 
-    # sort+limit BEFORE the collect: the md5-bucket filter alone keeps
-    # ~50% of the corpus, so collecting it unbounded is
-    # corpus-proportional driver memory; the limit caps the transfer at
-    # _IVF_SAMPLE rows while selecting exactly the same vectors
     samp = (
-        unit_df.filter(
+        e.filter(
             F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
                 *"01234567"
             )
@@ -509,7 +500,57 @@ def _fit_quantizer(unit_df, n_cells: int = _IVF_CELLS, n_iter: int = 5):
         .collect()
     )
     X = np.array([r.u for r in samp])
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)  # accepts raw vectors
+    return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
+def _subspace_lloyd(X, m: int, k: int, n_iter: int):
+    """Per-subspace plain-Lloyd codebooks over the rows of ``X``
+    (unit vectors or residuals — the PQ fitters differ ONLY in what
+    they feed in): init = first ``k`` rows in sample order, L2
+    assignment, empty cells keep their centroid. Returns the
+    (m, k, dim/m) codebook tensor; degrades k on tiny samples rather
+    than crash (r9 review)."""
+    import numpy as np
+
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    k = min(k, len(X))
+    if k == 0:
+        raise ValueError("empty embedding sample — nothing to quantize")
+    sub = dim // m
+    books = np.zeros((m, k, sub))
+    for mi in range(m):
+        Xs = X[:, mi * sub : (mi + 1) * sub]
+        C = Xs[:k].copy()
+        for _ in range(n_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[mi] = C
+    return books
+
+
+def _fit_quantizer(unit_df, n_cells: int = _IVF_CELLS, n_iter: int = 5):
+    """Sample-trained spherical k-means — the IVF coarse quantizer.
+
+    Trains on the shared deterministic driver sample
+    (`_driver_sample` — FAISS-style: quantizer quality needs a
+    representative sample, not the corpus; full-corpus `pyspark.ml`
+    KMeans.fit was both the operator's dominant cost at fixture scale
+    and a non-starter at 100 TB). Init = first `n_cells` sample
+    vectors in vec_id order; assignment by max cosine; centroids
+    renormalized each Lloyd round; empty cells keep their previous
+    centroid. Returns the (n_cells, dim) numpy centroid matrix —
+    deterministic for a given corpus, so index builds are
+    reproducible.
+    """
+    import numpy as np
+
+    X = _driver_sample(unit_df)
     C = X[:n_cells].copy()
     for _ in range(n_iter):
         assign = np.argmax(X @ C.T, axis=1)
@@ -1321,49 +1362,12 @@ _PQ_SHORTLIST = 4 * _K  # ADC shortlist refined with exact cosine
 
 
 def _fit_pq_codebooks(e, m: int = _PQ_M, k: int = _PQ_K, n_iter: int = 5):
-    """Per-subspace codebooks trained on the SAME deterministic
-    md5-bucket driver sample as the IVF quantizer (`_fit_quantizer`):
-    init = first ``k`` sample subvectors in vec_id order, plain Lloyd
-    L2 rounds per subspace, empty cells keep their centroid —
-    deterministic for a given corpus. Returns an (m, k, dim/m) numpy
-    codebook tensor over UNIT vectors (cosine domain)."""
-    import numpy as np
-
-    samp = (
-        e.filter(
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
-                *"01234567"
-            )
-        )
-        .orderBy("vec_id")
-        .limit(_IVF_SAMPLE)
-        .collect()
-    )
-    X = np.array([r.u for r in samp])
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    dim = X.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    # degrade like the IVF quantizer on tiny corpora: fewer centroids,
-    # never a broadcast crash (r9 review — Xs[:k] into a fixed (k, sub)
-    # slot raised on samples under k rows)
-    k = min(k, len(X))
-    if k == 0:
-        raise ValueError("empty embedding sample — nothing to quantize")
-    sub = dim // m
-    books = np.zeros((m, k, sub))
-    for mi in range(m):
-        Xs = X[:, mi * sub : (mi + 1) * sub]
-        C = Xs[:k].copy()
-        for _ in range(n_iter):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            assign = np.argmin(d2, axis=1)
-            for c in range(k):
-                members = Xs[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
-        books[mi] = C
-    return books
+    """Per-subspace codebooks trained on the shared deterministic
+    driver sample (`_driver_sample` — the same vectors the IVF
+    quantizer trains on) over RAW unit vectors; Lloyd conventions in
+    `_subspace_lloyd`. Returns the (m, k, dim/m) codebook tensor
+    (cosine domain) — deterministic for a given corpus."""
+    return _subspace_lloyd(_driver_sample(e), m, k, n_iter)
 
 
 def pq_encode(U, books):
@@ -1486,47 +1490,16 @@ def llm_embed_pq(spark, sf_dir):
 def _fit_pq_residual_books(e, C, m: int = _PQ_M, k: int = _PQ_K,
                            n_iter: int = 5):
     """PQ codebooks trained on coarse-quantizer RESIDUALS (u − C[cell])
-    over the same deterministic md5-bucket driver sample as
-    `_fit_quantizer` — the IVFADC form (Jégou et al., TPAMI 2011):
-    residuals are far more concentrated than raw vectors, so the same
-    code budget quantizes them with much lower distortion. Same Lloyd
-    conventions as `_fit_pq_codebooks`: init = first ``k`` residuals
-    in vec_id order, empty cells keep their centroid."""
+    over the shared deterministic driver sample — the IVFADC form
+    (Jégou et al., TPAMI 2011). One sample definition and one Lloyd
+    loop (`_driver_sample` / `_subspace_lloyd`) shared with the other
+    two fitters, so the IVFADC invariant — coarse cells and residual
+    codebooks trained on the SAME vectors — holds by construction."""
     import numpy as np
 
-    samp = (
-        e.filter(
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
-                *"01234567"
-            )
-        )
-        .orderBy("vec_id")
-        .limit(_IVF_SAMPLE)
-        .collect()
-    )
-    X = np.array([r.u for r in samp])
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    X = _driver_sample(e)
     R = X - C[np.argmax(X @ C.T, axis=1)]
-    dim = R.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    k = min(k, len(R))
-    if k == 0:
-        raise ValueError("empty embedding sample — nothing to quantize")
-    sub = dim // m
-    books = np.zeros((m, k, sub))
-    for mi in range(m):
-        Rs = R[:, mi * sub : (mi + 1) * sub]
-        Cb = Rs[:k].copy()
-        for _ in range(n_iter):
-            d2 = ((Rs[:, None, :] - Cb[None, :, :]) ** 2).sum(-1)
-            assign = np.argmin(d2, axis=1)
-            for c in range(k):
-                members = Rs[assign == c]
-                if len(members):
-                    Cb[c] = members.mean(axis=0)
-        books[mi] = Cb
-    return books
+    return _subspace_lloyd(R, m, k, n_iter)
 
 
 @query("llm_knn_ivfpq")  # rows-only: sampled iterative quantizers

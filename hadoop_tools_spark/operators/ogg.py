@@ -221,6 +221,13 @@ def ogg_streams(blob: bytes) -> list[tuple]:
         if eos:
             st["eos_seen"] = 1
         if bos:
+            # LAST BOS page wins, unconditionally: fields reset before
+            # the parse so an unknown second BOS cannot inherit an
+            # earlier page's codec (keeps the walker row-for-row equal
+            # to the oracle's arg_max(page_id) BOS selection even on
+            # spec-malformed duplicate-BOS streams)
+            st["codec"] = "unknown"
+            st["channels"] = st["sample_rate"] = st["pre_skip"] = None
             body_off = off + 27 + nsegs
             first_len = blob[off + 27] if nsegs else 0
             pkt = blob[body_off : body_off + first_len]

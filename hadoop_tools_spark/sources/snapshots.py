@@ -114,7 +114,9 @@ class SnapshotTable:
 
     @staticmethod
     def _check_ref_name(name: str) -> None:
-        if not name or not all(
+        # "." and ".." pass a charset check but escape _refs/ as path
+        # components — set_ref("..") would write into the table root
+        if not name or name in (".", "..") or not all(
             c.isalnum() or c in "._-" for c in name
         ):
             raise ValueError(f"invalid ref name {name!r}")
@@ -130,10 +132,18 @@ class SnapshotTable:
         )
 
     def refs(self) -> dict[str, dict]:
-        """All refs, name → latest record."""
+        """All refs, name → latest record. Entries with no published
+        record are skipped, not raised on: a writer that crashed
+        between ``makedirs`` and the ``os.link`` publish leaves an
+        empty (or tmp-only) ref dir, and one such ghost must not
+        break every future ``refs()``/``vacuum()`` call."""
         if not os.path.isdir(self.refs_dir):
             return {}
-        return {n: self.ref(n) for n in sorted(os.listdir(self.refs_dir))}
+        return {
+            n: self.ref(n)
+            for n in sorted(os.listdir(self.refs_dir))
+            if self._ref_records(n)
+        }
 
     def ref(self, name: str) -> dict:
         seqs = self._ref_records(name)
@@ -147,14 +157,24 @@ class SnapshotTable:
     def ref_version(self, name: str) -> int:
         return self.ref(name)["version"]
 
-    def set_ref(self, name: str, version: int, kind: str = "branch") -> dict:
+    def set_ref(self, name: str, version: int, kind: str = "branch",
+                expected_seq: int | None = None) -> dict:
         """Create or move a ref with put-if-absent CAS.
 
         Tags are immutable (a second ``set_ref`` on a tag raises
         ``RefImmutable``); a branch moves by appending the next
         ``r{K}`` record — losing the CAS race raises ``RefConflict``
         for the caller's retry loop. The target version must be a
-        published manifest: a ref can never point at vapor."""
+        published manifest: a ref can never point at vapor.
+
+        ``expected_seq`` pins the CAS to the ref state the CALLER
+        validated against (the ``seq`` of the record it read): the
+        update publishes as ``r{expected_seq+1}`` and conflicts if
+        anyone advanced the ref since — required whenever the move's
+        PRECONDITION (e.g. fast-forward's ancestor check) was
+        evaluated on that read. Without it the sequence is derived
+        from a fresh listing, which is last-writer-wins: safe only
+        for unconditional moves."""
         self._check_ref_name(name)
         if kind not in ("branch", "tag"):
             raise ValueError(f"ref kind must be branch|tag, got {kind!r}")
@@ -164,7 +184,13 @@ class SnapshotTable:
             )
         seqs = self._ref_records(name)
         if seqs:
-            cur = self.ref(name)
+            # read the latest record from THIS listing (ref() would
+            # re-list, opening a window where a racer's newer record
+            # changes what we validated against)
+            with open(
+                os.path.join(self.refs_dir, name, f"r{seqs[-1]}.json")
+            ) as fh:
+                cur = json.load(fh)
             if cur["kind"] == "tag":
                 raise RefImmutable(
                     f"tag {name!r} is pinned at v{cur['version']}"
@@ -173,7 +199,10 @@ class SnapshotTable:
                 raise ValueError(
                     f"ref {name!r} is a {cur['kind']}, not a {kind}"
                 )
-        next_seq = (seqs[-1] + 1) if seqs else 0
+        if expected_seq is not None:
+            next_seq = expected_seq + 1
+        else:
+            next_seq = (seqs[-1] + 1) if seqs else 0
         d = os.path.join(self.refs_dir, name)
         os.makedirs(d, exist_ok=True)
         rec = {"name": name, "kind": kind, "version": version,
@@ -195,7 +224,14 @@ class SnapshotTable:
         version branch/tag ``to`` points at. History is linear, so the
         ancestor check is a version comparison — moving a branch
         BACKWARD is not a fast-forward and raises (that would silently
-        unpublish rows readers already saw)."""
+        unpublish rows readers already saw).
+
+        The backward check is only valid against the exact record it
+        read, so the move pins ``expected_seq``: if a concurrent
+        publisher advances ``name`` between the read and the publish,
+        this raises ``RefConflict`` instead of silently moving the
+        branch backward off the racer's newer state (re-read and
+        retry)."""
         src = self.ref(to)
         cur = self.ref(name)
         if src["version"] < cur["version"]:
@@ -203,7 +239,10 @@ class SnapshotTable:
                 f"fast-forward of {name!r} (v{cur['version']}) to {to!r} "
                 f"(v{src['version']}) would move it backward"
             )
-        return self.set_ref(name, src["version"], kind=cur["kind"])
+        return self.set_ref(
+            name, src["version"], kind=cur["kind"],
+            expected_seq=cur["seq"],
+        )
 
     def read_ref(self, spark: SparkSession, name: str, **kw) -> DataFrame:
         """Read the snapshot a ref points at (branch head or tag)."""
@@ -545,7 +584,7 @@ class SnapshotTable:
         raise CommitConflict(v + 1)
 
     def upsert(self, df: DataFrame, key_cols: list[str],
-               extra: dict | None = None) -> int:
+               extra: dict | None = None, max_retries: int = 10) -> int:
         """Merge-on-read upsert in ONE commit: stage ``df`` as new data
         files AND its key projection as an equality-delete file, then
         publish both in the same manifest version. The delete's
@@ -556,7 +595,13 @@ class SnapshotTable:
         data file rewritten, commit cost O(|changed rows|).
 
         ``extra`` merges additional manifest fields into the publish
-        (e.g. a streaming sink's ``batch_id`` idempotence marker)."""
+        (e.g. a streaming sink's ``batch_id`` idempotence marker).
+        ``max_retries=1`` turns the internal CAS-rebase loop off: the
+        first conflict raises ``CommitConflict`` instead of silently
+        rebasing — required by single-writer callers (the streaming
+        upsert sink) for whom a conflict means a ZOMBIE writer, where
+        a silent rebase could re-apply an old batch at a newer
+        sequence and invert last-writer-wins."""
         v = self.latest_version()
         commit_id = f"{v + 1:05d}-{os.getpid()}"
         staged = self._stage(df, commit_id)
@@ -564,7 +609,7 @@ class SnapshotTable:
         del_staged = self._stage(
             df.select(*key_cols).distinct(), commit_id + "-eqdel"
         )
-        for _ in range(10):
+        for _ in range(max_retries):
             v = self.latest_version()
             man = self._manifest(v)
             prev_stats = {

@@ -87,9 +87,15 @@ class IdempotentUpsertSink:
     ``SnapshotTable.upsert``: one manifest version carrying the new
     data files plus an equality-delete on the keys, O(|batch|) cost,
     no data file rewritten. A replayed batch_id is skipped before any
-    staging, so recovery never double-applies; a crash between stage
-    and publish leaves only invisible orphans. Batch 0 bootstraps an
-    empty v0 so the table exists before its first merge.
+    staging; a crash between stage and publish leaves only invisible
+    orphans; and the commit runs with ``max_retries=1`` so a CAS
+    conflict — which under the single-writer streaming contract can
+    only be a zombie writer from a failed run — fails LOUDLY instead
+    of rebasing an old batch onto a newer sequence (which would
+    retire the recovered writer's later rows). On restart the
+    committed-set re-seeds from the manifests and the batch is
+    skipped. Batch 0 bootstraps an empty v0 so the table exists
+    before its first merge.
 
     At 100 TB the read tax of accumulated delete files retires on the
     operator's schedule via OPTIMIZE compaction — the same contract
@@ -132,7 +138,14 @@ class IdempotentUpsertSink:
             # bootstrap: empty v0 (no batch recorded) so upsert has a
             # base manifest; the batch itself lands in its own commit
             self.table.create(keyed.limit(0))
+        # max_retries=1: this sink is single-writer, so a CAS conflict
+        # means a zombie from a failed run is racing us — surface it
+        # loudly (the IdempotentBatchSink contract) rather than let
+        # upsert's rebase loop re-apply an old batch at a NEWER
+        # sequence, which would retire the recovered writer's later
+        # rows and invert last-writer-wins
         self.table.upsert(
-            keyed, self.key_cols, extra={"batch_id": batch_id}
+            keyed, self.key_cols, extra={"batch_id": batch_id},
+            max_retries=1,
         )
         self._committed.add(batch_id)

@@ -880,3 +880,91 @@ def test_snapshot_vacuum_keeps_ref_pinned_versions(spark, sf_dir, tmp_path):
     # v3 references v0's files too (cumulative manifests) — so the
     # sweep deleted nothing here; assert it did not break either read
     assert all(not f.startswith("data-00000") for f in deleted)
+
+
+def test_snapshot_ref_review_hardening(spark, sf_dir, tmp_path):
+    """r9s2 review pins: '.'/'..' names rejected (path escape), a
+    ghost ref dir (crash between makedirs and link) doesn't break
+    refs()/vacuum(), and a racy fast-forward loses LOUDLY via the
+    expected-seq CAS instead of silently moving the branch backward."""
+    import os
+
+    import pytest
+
+    from hadoop_tools_spark.sources.snapshots import (
+        RefConflict,
+        SnapshotTable,
+        vacuum,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = SnapshotTable(str(tmp_path / "refs_hard"))
+    tbl.create(orders.filter("o_orderkey % 2 = 0"))
+    tbl.append(orders.filter("o_orderkey % 2 = 1"))
+    tbl.set_ref("main", 0)
+    tbl.set_ref("feature", 1)
+
+    for bad in (".", ".."):
+        with pytest.raises(ValueError, match="invalid ref name"):
+            tbl.set_ref(bad, 0)
+
+    # ghost dir: crashed writer left no record — refs() skips it
+    os.makedirs(os.path.join(tbl.refs_dir, "ghost"), exist_ok=True)
+    assert "ghost" not in tbl.refs()
+    vacuum(tbl, keep_last=2, orphan_grace_s=3600.0)  # must not raise
+
+    # TOCTOU fast-forward: reader validated against main@seq0, but a
+    # racer moves main first — the pinned expected_seq must conflict
+    racer = SnapshotTable(tbl.path)
+    cur = tbl.ref("main")
+    racer.set_ref("main", 1)  # racer advances main (r1)
+    with pytest.raises(RefConflict):
+        tbl.set_ref("main", tbl.ref_version("feature"),
+                    expected_seq=cur["seq"])
+    # the ref still points where the RACER put it — no silent move
+    assert tbl.ref_version("main") == 1
+
+
+def test_snapshot_upsert_single_retry_conflict_is_loud(
+    spark, sf_dir, tmp_path
+):
+    """upsert(max_retries=1): a CAS conflict raises instead of
+    silently rebasing — the streaming sink's zombie-writer contract."""
+    import pytest
+
+    from hadoop_tools_spark.sources.snapshots import (
+        CommitConflict,
+        SnapshotTable,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(100)
+    tbl = SnapshotTable(str(tmp_path / "ups1"))
+    tbl.create(orders)
+
+    real_publish = SnapshotTable._publish
+    raced = {"done": False}
+
+    def racing_publish(self, files, version, extra=None):
+        # first publish attempt: simulate a zombie landing v1 first
+        if not raced["done"]:
+            raced["done"] = True
+            real_publish(
+                SnapshotTable(tbl.path),
+                tbl._manifest(0)["files"], version,
+                extra={"zombie": True},
+            )
+        return real_publish(self, files, version, extra=extra)
+
+    SnapshotTable._publish = racing_publish
+    try:
+        with pytest.raises(CommitConflict):
+            tbl.upsert(orders.limit(10), ["o_orderkey"], max_retries=1)
+    finally:
+        SnapshotTable._publish = real_publish
+    # default retry budget still rebases fine
+    v = tbl.upsert(orders.limit(10), ["o_orderkey"])
+    assert v == tbl.latest_version()

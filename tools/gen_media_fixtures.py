@@ -1074,8 +1074,6 @@ def write_mp3_fixtures() -> None:
             f.write(blob)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def write_ogg_fixtures() -> None:
@@ -1174,3 +1172,6 @@ def write_ogg_fixtures() -> None:
     for i, blob in enumerate(blobs):
         with open(os.path.join(OUT, f"ogg_{i}.ogg"), "wb") as f:
             f.write(blob)
+
+if __name__ == "__main__":
+    main()
