@@ -1230,3 +1230,139 @@ def graph_label_prop(spark, sf_dir):
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+@query(
+    "dq_constraints",
+    oracle="""
+    SELECT 'completeness:o_custkey' AS constraint_name,
+           CAST(COUNT(o_custkey) AS BIGINT) AS metric_num,
+           CAST(COUNT(*) AS BIGINT) AS metric_den,
+           CAST(COUNT(o_custkey) = COUNT(*) AS BIGINT) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'uniqueness:o_orderkey',
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) = COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range:o_totalprice[0,10000000]',
+           CAST(SUM(CASE WHEN o_totalprice >= 0
+                          AND o_totalprice <= 10000000
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice < 0
+                          OR o_totalprice > 10000000
+                         THEN 1 ELSE 0 END) = 0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'membership:o_orderstatus{O,F,P}',
+           CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) = 0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'pattern:o_orderpriority ^[1-5]-',
+           CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-')
+                         THEN 1 ELSE 0 END) = 0 AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'referential:l_orderkey->o_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                = 0 AS BIGINT)
+    """,
+)
+def dq_constraints(spark, sf_dir):
+    """Declarative data-quality constraint suite (the Deequ /
+    Great-Expectations operator class): completeness, uniqueness,
+    range, set membership, regex pattern, and cross-table referential
+    integrity, each reported as (constraint, satisfied count, total,
+    passed) with EXACT integer metrics — the validation gate a
+    production ingest runs before publishing a snapshot version (and
+    the natural audit step on a WAP staging branch before
+    `fast_forward` publishes it).
+
+    Scale shape: the five single-table constraints fold into ONE
+    aggregate pass over orders — conditional counts are codegen'd
+    column expressions, so adding a constraint costs an expression,
+    not a scan; uniqueness rides the same pass as a distinct-count.
+    The referential check is a LEFT SEMI join count on the key
+    (hash-shuffled once, broadcast under AQE when orders' key
+    projection is small); no row data ever leaves the aggregate.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    def row(name, num, den, passed):
+        return (
+            F.lit(name).alias("constraint_name"),
+            num.cast("long").alias("metric_num"),
+            den.cast("long").alias("metric_den"),
+            passed.cast("long").alias("passed"),
+        )
+
+    n = F.count("*")
+    single = orders.agg(
+        F.count("o_custkey").alias("complete"),
+        n.alias("total"),
+        F.countDistinct("o_orderkey").alias("uniq"),
+        F.sum(
+            (
+                (F.col("o_totalprice") >= 0)
+                & (F.col("o_totalprice") <= 10_000_000)
+            ).cast("long")
+        ).alias("in_range"),
+        F.sum(
+            F.col("o_orderstatus").isin("O", "F", "P").cast("long")
+        ).alias("in_set"),
+        F.sum(
+            F.col("o_orderpriority").rlike("^[1-5]-").cast("long")
+        ).alias("pat_ok"),
+    )
+    single = materialize(single)
+
+    def srow(name, num_col):
+        return single.select(
+            *row(
+                name,
+                F.col(num_col),
+                F.col("total"),
+                (F.col(num_col) == F.col("total")),
+            )
+        )
+
+    out = srow("completeness:o_custkey", "complete")
+    out = out.unionAll(srow("uniqueness:o_orderkey", "uniq"))
+    out = out.unionAll(srow("range:o_totalprice[0,10000000]", "in_range"))
+    out = out.unionAll(srow("membership:o_orderstatus{O,F,P}", "in_set"))
+    out = out.unionAll(srow("pattern:o_orderpriority ^[1-5]-", "pat_ok"))
+
+    ref = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    ).agg(F.count("*").alias("kept"))
+    li_total = li.agg(F.count("*").alias("total"))
+    refrow = ref.crossJoin(li_total).select(
+        *row(
+            "referential:l_orderkey->o_orderkey",
+            F.col("kept"),
+            F.col("total"),
+            (F.col("kept") == F.col("total")),
+        )
+    )
+    return out.unionAll(refrow)
