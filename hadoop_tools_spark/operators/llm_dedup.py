@@ -1466,3 +1466,64 @@ def llm_url_canonical(spark, sf_dir):
     return keys.groupBy("canonical").agg(
         F.count("*").alias("n_urls"), F.min("doc_id").alias("keeper_doc")
     )
+
+
+@query(
+    "llm_neardup_append",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM documents a JOIN documents b
+      ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+     AND a.doc_id < b.doc_id
+    """,
+)
+def llm_neardup_append(spark, sf_dir):
+    """Incremental near-dup index maintenance — the operation a daily
+    crawl actually runs: yesterday's corpus already has its pair set
+    (the stored index); today's DELTA must only be paired against
+    blocks it touches, never re-pairing the whole corpus. The key
+    splits documents into base (doc_id % 5 != 0) and delta, computes
+    base-internal pairs (standing in for the stored index — at
+    production scale this term is a TABLE READ, not a recompute) plus
+    the delta pass: delta docs joined against base∪delta on the same
+    blocking key. The union hash-matches the FULL corpus pair set
+    (`llm_neardup_pairs`' oracle verbatim), proving incremental
+    maintenance converges to the from-scratch answer.
+
+    Scale shape: the delta pass is |delta| rows equi-joined on the
+    blocking key — cost Σ|touched block| · |delta∩block|, independent
+    of corpus size given a block index; the delta side broadcasts
+    under AQE when small (the common daily case). Delta-delta pairs
+    appear from both join orientations, so the output normalizes to
+    (least, greatest) and distincts — a |pairs|-bounded exchange.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("pfx")
+    )
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+
+    a, b = base.alias("a"), base.alias("b")
+    base_pairs = a.join(
+        b,
+        (F.col("a.pfx") == F.col("b.pfx"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    )
+
+    dl, al = delta.alias("d"), d.alias("x")
+    delta_pairs = (
+        dl.join(
+            al,
+            (F.col("d.pfx") == F.col("x.pfx"))
+            & (F.col("d.doc_id") != F.col("x.doc_id")),
+        )
+        .select(
+            F.least("d.doc_id", "x.doc_id").alias("doc_a"),
+            F.greatest("d.doc_id", "x.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return base_pairs.unionAll(delta_pairs).distinct()

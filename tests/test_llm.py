@@ -3332,3 +3332,25 @@ def test_ogg_streams_codec_identification():
     assert ogg_streams(pages[first_len:]) == [
         (5, "unknown", 1, 1, 100, 100, 1, None, None, None)
     ]
+
+
+def test_neardup_append_equals_full_recompute(spark, sf_dir):
+    """Incremental maintenance invariant: base-internal pairs + the
+    delta pass reproduce the full pair set exactly, the delta pass
+    emits no base-base pair, and no pair is double-counted."""
+    from hadoop_tools_spark.operators.llm_dedup import (
+        llm_neardup_append,
+        llm_neardup_pairs,
+    )
+
+    full = {
+        (r.doc_a, r.doc_b) for r in llm_neardup_pairs(spark, sf_dir).collect()
+    }
+    rows = [(r.doc_a, r.doc_b) for r in llm_neardup_append(spark, sf_dir).collect()]
+    assert len(rows) == len(set(rows)), "duplicated pair rows"
+    assert set(rows) == full
+    # every pair not wholly inside base must touch a delta doc
+    for a, b in set(rows) - {
+        p for p in full if p[0] % 5 != 0 and p[1] % 5 != 0
+    }:
+        assert a % 5 == 0 or b % 5 == 0
