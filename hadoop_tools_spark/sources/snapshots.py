@@ -938,7 +938,8 @@ def snapshot_timetravel(spark, sf_dir):
 
 
 def compact(tbl: SnapshotTable, spark: SparkSession,
-            target_files: int = 4) -> int:
+            target_files: int = 4,
+            cluster_by: list[str] | None = None) -> int:
     """OPTIMIZE-style bin-packing compaction as a snapshot commit.
 
     Reads the latest snapshot, rewrites it as ``target_files``
@@ -952,11 +953,26 @@ def compact(tbl: SnapshotTable, spark: SparkSession,
     set, so on conflict the caller should re-run against the new
     latest; we surface CommitConflict rather than silently dropping
     the racer's rows).
+
+    ``cluster_by`` turns the rewrite into a CLUSTERING compaction
+    (OPTIMIZE ... ZORDER's range-form analogue): rows range-partition
+    on the cluster columns and sort within files, so each rewritten
+    file owns a disjoint value range — the commit-time min/max stats
+    become TIGHT and `read_pruned`/`read_point` start skipping files
+    that a hash-distributed layout forces them to read. Clustering is
+    the write-side half of data skipping: stats were always
+    collected; this makes them selective.
     """
     v = tbl.latest_version()
     df = tbl.read(spark, version=v)
     commit_id = f"{v + 1:05d}-compact"
-    files = tbl._stage(df.repartition(target_files), commit_id)
+    if cluster_by:
+        packed = df.repartitionByRange(
+            target_files, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+    else:
+        packed = df.repartition(target_files)
+    files = tbl._stage(packed, commit_id)
     # `read` above already merged pending equality deletes, so the
     # rewritten files materialize them: the new manifest carries NO
     # `deletes` list — compaction is how merge-on-read debt retires
@@ -1608,3 +1624,79 @@ def snapshot_branching(spark, sf_dir):
     return out.unionAll(
         agg(tbl.read_ref(spark, "audited-base"), 3, "tag:audited-base")
     )
+
+
+@query(
+    "snapshot_cluster_compact",
+    oracle="""
+    WITH band AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey BETWEEN 100 AND 400
+    )
+    SELECT 'pre-cluster' AS phase, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM band
+    UNION ALL
+    SELECT 'post-cluster', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM band
+    """,
+)
+def snapshot_cluster_compact(spark, sf_dir):
+    """Clustering compaction — the write-side half of data skipping:
+    the table arrives as four HASH-distributed commits
+    (``o_orderkey % 4``), so every file's ``o_custkey`` min/max spans
+    the whole domain and a range query must read ALL files even
+    though stats exist. ``compact(cluster_by=["o_custkey"])``
+    rewrites the snapshot range-partitioned + sorted on the cluster
+    column, giving each file a disjoint range — the SAME stats
+    machinery now prunes most files for the band query. The key runs
+    the identical range query before and after clustering and both
+    phases hash-match the oracle's straight recomputation (clustering
+    must never change results, only which files a reader opens); the
+    pruning-ratio assertions live in tests/test_layout.py, where the
+    file counts are inspected directly.
+
+    Scale shape: this is OPTIMIZE ... ZORDER's contract at 100 TB —
+    one clustered rewrite (on the operator's schedule) converts
+    every subsequent selective scan from all-files to
+    O(selectivity · files), and time travel keeps the pre-cluster
+    layout readable.
+    """
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table_path = os.path.join(SCRATCH, "snapshot_cluster")
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    tbl.create(orders.filter(F.col("o_orderkey") % 4 == 0))
+    for c in range(1, 4):
+        tbl.append(orders.filter(F.col("o_orderkey") % 4 == c))
+    pre_v = tbl.latest_version()
+    compact(tbl, spark, target_files=8, cluster_by=["o_custkey"])
+
+    def band(df, phase):
+        return (
+            df.filter(F.col("o_custkey").between(100, 400))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .select(
+                F.lit(phase).alias("phase"), "n_orders", "revenue"
+            )
+        )
+
+    pre = band(
+        tbl.read_pruned(
+            spark, {"o_custkey": (100, 400)}, version=pre_v
+        ),
+        "pre-cluster",
+    )
+    post = band(
+        tbl.read_pruned(spark, {"o_custkey": (100, 400)}),
+        "post-cluster",
+    )
+    return pre.unionAll(post)

@@ -968,3 +968,46 @@ def test_snapshot_upsert_single_retry_conflict_is_loud(
     # default retry budget still rebases fine
     v = tbl.upsert(orders.limit(10), ["o_orderkey"])
     assert v == tbl.latest_version()
+
+
+def test_cluster_compact_enables_pruning(spark, sf_dir, tmp_path):
+    """Clustering compaction: hash-distributed layout prunes nothing
+    on a range predicate; after compact(cluster_by) the same stats
+    machinery keeps only the files whose disjoint range intersects —
+    and the row results are identical before/after."""
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable, compact
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tbl = SnapshotTable(str(tmp_path / "clus"))
+    tbl.create(orders.filter("o_orderkey % 4 = 0"))
+    for c in (1, 2, 3):
+        tbl.append(orders.filter(f"o_orderkey % 4 = {c}"))
+    pre_v = tbl.latest_version()
+    iv = {"o_custkey": (100, 300)}
+    pre_files = tbl.pruned_files(iv, version=pre_v)
+    assert len(pre_files) == len(tbl.files(pre_v)), (
+        "hash layout should prune nothing"
+    )
+
+    compact(tbl, spark, target_files=8, cluster_by=["o_custkey"])
+    post_files = tbl.pruned_files(iv)
+    assert len(tbl.files()) == 8
+    assert len(post_files) < len(tbl.files()) / 2, (
+        f"clustered layout should prune most files: {len(post_files)}/8"
+    )
+    # results identical across layouts
+    got_pre = sorted(
+        (r.o_orderkey, r.o_custkey)
+        for r in tbl.read_pruned(spark, iv, version=pre_v)
+        .filter("o_custkey BETWEEN 100 AND 300")
+        .collect()
+    )
+    got_post = sorted(
+        (r.o_orderkey, r.o_custkey)
+        for r in tbl.read_pruned(spark, iv)
+        .filter("o_custkey BETWEEN 100 AND 300")
+        .collect()
+    )
+    assert got_pre == got_post and got_pre
