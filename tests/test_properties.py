@@ -410,3 +410,68 @@ def test_jpeg_lossless_roundtrip_arbitrary(w, h, seed, predictor, deep):
         )
         assert (ww, hh) == (w, h)
         assert np.array_equal(out, src)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),          # serial index
+            st.sampled_from([0, 2, 4, 6]),   # flags (no continued here)
+            st.integers(-1, 2**40),     # granule
+            st.lists(st.integers(0, 600), min_size=0, max_size=4),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.binary(max_size=40),
+)
+@settings(max_examples=40, deadline=None)
+def test_ogg_roundtrip_random_pages(specs, junk):
+    """encode_ogg → ogg_pages is lossless for arbitrary valid page
+    chains: every header field, lacing-derived length, and completed-
+    packet count survives; offsets tile; trailing junk never yields a
+    phantom page (the 1-in-2^32 case of junk starting with a valid
+    capture+CRC is excluded by construction below)."""
+    from hadoop_tools_spark.operators.ogg import (
+        encode_ogg,
+        lacing_for,
+        ogg_pages,
+    )
+
+    pages = []
+    seqs = {}
+    for serial_i, flags, granule, pkts in specs:
+        serial = 1000 + serial_i
+        seq = seqs.get(serial, 0)
+        seqs[serial] = seq + 1
+        pages.append(
+            {
+                "serial": serial,
+                "seq": seq,
+                "flags": flags,
+                "granule": granule,
+                "packets": pkts,
+            }
+        )
+    if junk[:4] == b"OggS":
+        junk = b"X" + junk  # keep the tail unambiguous
+    blob = encode_ogg(pages, trailing=junk)
+    rows = ogg_pages(blob)
+    assert len(rows) == len(pages)
+    off = 0
+    for row, spec in zip(rows, pages):
+        lac = lacing_for(spec["packets"])
+        (_pid, r_off, plen, cont, bos, eos, gran, ser, seq, nsegs,
+         blen, npk, _md5) = row
+        assert r_off == off
+        assert plen == 27 + len(lac) + sum(lac)
+        assert (cont, bos, eos) == (
+            spec["flags"] & 1,
+            (spec["flags"] >> 1) & 1,
+            (spec["flags"] >> 2) & 1,
+        )
+        assert gran == spec["granule"]
+        assert ser == spec["serial"] and seq == spec["seq"]
+        assert nsegs == len(lac) and blen == sum(lac)
+        assert npk == len(spec["packets"])
+        off += plen
