@@ -2349,3 +2349,216 @@ def llm_classifier_hash(spark, sf_dir):
             "label"
         ),
     )
+
+
+_VIT_K = 150        # vocab pieces (lengths 2..4), top-K by span count
+_VIT_MAXLEN = 20    # DP word-length cap (longer words are truncated
+                    # out of the inventory — the SentencePiece
+                    # max-sentencepiece-length analogue)
+
+#: the DP best-candidate expression, shared by docstring + oracle gen
+def _vit_oracle() -> str:
+    best = (
+        "list_sort(list_transform(byp[i + 1].cands, c -> {"
+        "'k': [dps[c.j + 1].s + c.sc, -(dps[c.j + 1].n + 1), -c.j],"
+        " 'bj': c.j}))[-1]"
+    )
+    return f"""
+    WITH RECURSIVE dw AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    w AS (
+        SELECT word FROM dw
+        WHERE word <> '' AND length(word) <= {_VIT_MAXLEN}
+    ),
+    sp AS (
+        SELECT substr(word, i, l) AS piece
+        FROM w, unnest(generate_series(2, 4)) g(l),
+             unnest(generate_series(1, length(word) - l + 1)) h(i)
+    ),
+    vocab AS (
+        SELECT piece, CAST(COUNT(*) AS BIGINT) AS score
+        FROM sp GROUP BY piece
+        ORDER BY score DESC, piece LIMIT {_VIT_K}
+    ),
+    spans AS (
+        SELECT word, i - 1 AS j, i AS p, CAST(1 AS BIGINT) AS sc
+        FROM w, unnest(generate_series(1, length(word))) h(i)
+        UNION ALL
+        SELECT w.word, i - 1, i - 1 + l, v.score
+        FROM w, unnest(generate_series(2, 4)) g(l),
+             unnest(generate_series(1, length(word) - l + 1)) h(i),
+             vocab v
+        WHERE v.piece = substr(w.word, i, l)
+    ),
+    spl AS (
+        SELECT word, p,
+               list_sort(list({{'j': j, 'sc': sc}})) AS cands
+        FROM spans GROUP BY word, p
+    ),
+    spw AS (
+        SELECT word, list_sort(list({{'p': p, 'cands': cands}})) AS byp
+        FROM spl GROUP BY word
+    ),
+    dp AS (
+        SELECT word, 0 AS i,
+               [{{'s': CAST(0 AS BIGINT), 'n': CAST(0 AS BIGINT),
+                  'bj': -1}}] AS dps,
+               byp
+        FROM spw
+        UNION ALL
+        SELECT word, i + 1,
+               list_append(dps, {{
+                   's': {best}.k[1],
+                   'n': -{best}.k[2],
+                   'bj': {best}.bj}}),
+               byp
+        FROM dp WHERE i < length(word)
+    ),
+    fin AS (SELECT word, dps FROM dp WHERE i = length(word)),
+    walk AS (
+        SELECT word, length(word) AS pos, CAST('' AS VARCHAR) AS seg,
+               dps
+        FROM fin
+        UNION ALL
+        SELECT word, dps[pos + 1].bj,
+               substr(word, dps[pos + 1].bj + 1, pos - dps[pos + 1].bj)
+                 || CASE WHEN seg = '' THEN '' ELSE ' ' END || seg,
+               dps
+        FROM walk WHERE pos > 0
+    ),
+    wout AS (SELECT word, seg FROM walk WHERE pos = 0)
+    SELECT f.word,
+           CAST(f.dps[length(f.word) + 1].n AS BIGINT) AS n_tokens,
+           CAST(f.dps[length(f.word) + 1].s AS BIGINT) AS total_score,
+           o.seg AS segmentation
+    FROM fin f JOIN wout o USING (word)
+    """
+
+
+@query("llm_tokenize_viterbi", oracle=_vit_oracle())
+def llm_tokenize_viterbi(spark, sf_dir):
+    """Unigram-LM tokenizer inference — exact Viterbi segmentation,
+    the OTHER mainstream subword algorithm next to `llm_bpe_learn`/
+    `llm_tokenize_apply` (SentencePiece's unigram mode runs exactly
+    this DP at inference). Piece inventory: the top-{K} substrings of
+    length 2–4 by span count over the DISTINCT word list (integer
+    scores — production swaps in trained log-probs scaled to ints;
+    the DP is unchanged), plus every single character at score 1 so
+    any word is segmentable. Per word the DP maximizes
+    (total score, then fewer tokens, then longest-last-piece) — a
+    totally ordered key, so the optimum is unique and both engines
+    must reproduce THE SAME segmentation string, not just its cost.
+
+    The oracle is a fully independent SQL implementation: the span
+    inventory + vocab via lateral unnests, the forward DP as a
+    recursive CTE carrying the dp vector as a LIST (best candidate =
+    lexicographic max over a per-position candidate list), and the
+    walkback as a second recursion reading the committed back-
+    pointers. Hash equality therefore pins every tie-break in the
+    dynamic program cross-engine.
+
+    Scale shape: the DP runs once per DISTINCT word (vocabulary-
+    bounded, Heaps-law sublinear in corpus size), never per token —
+    documents would join the result exactly like `llm_tokenize_apply`
+    joins the BPE state table. The vocab is a bounded driver collect
+    ({K} rows) broadcast to Arrow-batched workers; per-word state is
+    O(word length).
+    """.replace("{K}", str(_VIT_K))
+    from typing import Iterator
+
+    import pandas as pd
+
+    d = load_spread(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(
+            (F.col("word") != "")
+            & (F.length("word") <= _VIT_MAXLEN)
+        )
+        .distinct()
+    )
+    words = materialize(words)
+
+    # guard the position sequence: for words shorter than l,
+    # sequence(1, len-l+1) would run DESCENDING (the _bigrams_expr
+    # pitfall) and mint junk pieces that shift the top-K boundary
+    spans = words.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(2), F.lit(4)),
+                    lambda l: F.when(
+                        F.length("word") >= l,
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.length("word") - l + 1
+                            ),
+                            lambda i: F.col("word").substr(i, l),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            )
+        ).alias("piece")
+    )
+    top = (
+        spans.groupBy("piece")
+        .agg(F.count("*").alias("score"))
+        .orderBy(F.col("score").desc(), "piece")
+        .limit(_VIT_K)
+        .collect()
+    )
+    vocab = {r.piece: r.score for r in top}
+    bc = spark.sparkContext.broadcast(vocab)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        V = bc.value
+
+        def seg(word: str):
+            L = len(word)
+            dp = [(0, 0, -1)]
+            for p in range(1, L + 1):
+                best_key, best_j = None, -1
+                for piece_len in range(1, 5):
+                    j = p - piece_len
+                    if j < 0:
+                        break
+                    if piece_len == 1:
+                        sc = 1
+                    else:
+                        sc = V.get(word[j:p])
+                        if sc is None:
+                            continue
+                    s, n, _ = dp[j]
+                    key = (s + sc, -(n + 1), -j)
+                    if best_key is None or key > best_key:
+                        best_key, best_j = key, j
+                dp.append((best_key[0], -best_key[1], best_j))
+            pieces, pos = [], L
+            while pos > 0:
+                j = dp[pos][2]
+                pieces.append(word[j:pos])
+                pos = j
+            return dp[L][0], dp[L][1], " ".join(reversed(pieces))
+
+        for pdf in batches:
+            out = {
+                "word": [], "n_tokens": [], "total_score": [],
+                "segmentation": [],
+            }
+            for word in pdf["word"]:
+                s, n, segm = seg(word)
+                out["word"].append(word)
+                out["n_tokens"].append(n)
+                out["total_score"].append(s)
+                out["segmentation"].append(segm)
+            yield pd.DataFrame(out)
+
+    return words.mapInPandas(
+        run,
+        schema=(
+            "word string, n_tokens long, total_score long,"
+            " segmentation string"
+        ),
+    )

@@ -3354,3 +3354,68 @@ def test_neardup_append_equals_full_recompute(spark, sf_dir):
         p for p in full if p[0] % 5 != 0 and p[1] % 5 != 0
     }:
         assert a % 5 == 0 or b % 5 == 0
+
+
+def test_tokenize_viterbi_optimal_and_tiebreaks(spark, sf_dir):
+    """The DP segmentation is OPTIMAL: for every output word (short
+    enough to enumerate), exhaustive enumeration of all segmentations
+    under the same vocab finds no higher (score, -ntok, longest-last)
+    key — and the reported pieces concatenate back to the word with
+    matching token count and score."""
+    from itertools import product
+
+    from hadoop_tools_spark.operators.llm_text import (
+        _VIT_K,
+        llm_tokenize_viterbi,
+    )
+
+    rows = llm_tokenize_viterbi(spark, sf_dir).collect()
+    assert rows
+    # rebuild the same vocab the operator used
+    words = sorted({r.word for r in rows})
+    from collections import Counter
+
+    cnt = Counter()
+    for w in words:
+        for piece_len in (2, 3, 4):
+            for i in range(len(w) - piece_len + 1):
+                cnt[w[i : i + piece_len]] += 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_VIT_K]
+    vocab = dict(top)
+
+    def score_of(piece):
+        if len(piece) == 1:
+            return 1
+        return vocab.get(piece)
+
+    def all_segs(w):
+        # all compositions into pieces of length 1..4 present in vocab
+        if not w:
+            yield []
+            return
+        for piece_len in range(1, min(4, len(w)) + 1):
+            head, rest = w[:piece_len], w[piece_len:]
+            if score_of(head) is None:
+                continue
+            for tail in all_segs(rest):
+                yield [head] + tail
+
+    checked = 0
+    for r in rows:
+        pieces = r.segmentation.split(" ")
+        assert "".join(pieces) == r.word
+        assert len(pieces) == r.n_tokens
+        assert sum(score_of(p) for p in pieces) == r.total_score
+        if len(r.word) <= 8:
+            best = max(
+                (
+                    (
+                        sum(score_of(p) for p in seg),
+                        -len(seg),
+                    )
+                    for seg in all_segs(r.word)
+                ),
+            )
+            assert (r.total_score, -r.n_tokens) == best, (r.word, best)
+            checked += 1
+    assert checked > 0
