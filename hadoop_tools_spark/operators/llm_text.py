@@ -2356,8 +2356,8 @@ _VIT_MAXLEN = 20    # DP word-length cap (longer words are truncated
                     # out of the inventory — the SentencePiece
                     # max-sentencepiece-length analogue)
 
-#: the DP best-candidate expression, shared by docstring + oracle gen
-def _vit_oracle() -> str:
+#: the DP best-candidate expression, shared by both Viterbi oracles
+def _vit_ctes() -> str:
     best = (
         "list_sort(list_transform(byp[i + 1].cands, c -> {"
         "'k': [dps[c.j + 1].s + c.sc, -(dps[c.j + 1].n + 1), -c.j],"
@@ -2429,6 +2429,11 @@ def _vit_oracle() -> str:
         FROM walk WHERE pos > 0
     ),
     wout AS (SELECT word, seg FROM walk WHERE pos = 0)
+    """
+
+
+def _vit_oracle() -> str:
+    return _vit_ctes() + """
     SELECT f.word,
            CAST(f.dps[length(f.word) + 1].n AS BIGINT) AS n_tokens,
            CAST(f.dps[length(f.word) + 1].s AS BIGINT) AS total_score,
@@ -2437,39 +2442,8 @@ def _vit_oracle() -> str:
     """
 
 
-@query("llm_tokenize_viterbi", oracle=_vit_oracle())
-def llm_tokenize_viterbi(spark, sf_dir):
-    """Unigram-LM tokenizer inference — exact Viterbi segmentation,
-    the OTHER mainstream subword algorithm next to `llm_bpe_learn`/
-    `llm_tokenize_apply` (SentencePiece's unigram mode runs exactly
-    this DP at inference). Piece inventory: the top-{K} substrings of
-    length 2–4 by span count over the DISTINCT word list (integer
-    scores — production swaps in trained log-probs scaled to ints;
-    the DP is unchanged), plus every single character at score 1 so
-    any word is segmentable. Per word the DP maximizes
-    (total score, then fewer tokens, then longest-last-piece) — a
-    totally ordered key, so the optimum is unique and both engines
-    must reproduce THE SAME segmentation string, not just its cost.
-
-    The oracle is a fully independent SQL implementation: the span
-    inventory + vocab via lateral unnests, the forward DP as a
-    recursive CTE carrying the dp vector as a LIST (best candidate =
-    lexicographic max over a per-position candidate list), and the
-    walkback as a second recursion reading the committed back-
-    pointers. Hash equality therefore pins every tie-break in the
-    dynamic program cross-engine.
-
-    Scale shape: the DP runs once per DISTINCT word (vocabulary-
-    bounded, Heaps-law sublinear in corpus size), never per token —
-    documents would join the result exactly like `llm_tokenize_apply`
-    joins the BPE state table. The vocab is a bounded driver collect
-    ({K} rows) broadcast to Arrow-batched workers; per-word state is
-    O(word length).
-    """.replace("{K}", str(_VIT_K))
-    from typing import Iterator
-
-    import pandas as pd
-
+def _vit_words(spark, sf_dir):
+    """Distinct DP-eligible words (shared by both Viterbi keys)."""
     d = load_spread(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -2479,11 +2453,15 @@ def llm_tokenize_viterbi(spark, sf_dir):
         )
         .distinct()
     )
-    words = materialize(words)
+    return materialize(words)
 
-    # guard the position sequence: for words shorter than l,
-    # sequence(1, len-l+1) would run DESCENDING (the _bigrams_expr
-    # pitfall) and mint junk pieces that shift the top-K boundary
+
+def _vit_vocab(words):
+    """Top-K substring inventory with span-count scores; bounded
+    driver collect (K rows). Guarded position sequence: for words
+    shorter than l, sequence(1, len-l+1) would run DESCENDING (the
+    _bigrams_expr pitfall) and mint junk pieces that shift the top-K
+    boundary."""
     spans = words.select(
         F.explode(
             F.flatten(
@@ -2509,7 +2487,17 @@ def llm_tokenize_viterbi(spark, sf_dir):
         .limit(_VIT_K)
         .collect()
     )
-    vocab = {r.piece: r.score for r in top}
+    return {r.piece: r.score for r in top}
+
+
+def _vit_segment(spark, words, vocab):
+    """Exact Viterbi segmentation of each word under ``vocab`` via
+    Arrow-batched workers; key = (score, fewer tokens, longest last
+    piece) — totally ordered, unique optimum."""
+    from typing import Iterator
+
+    import pandas as pd
+
     bc = spark.sparkContext.broadcast(vocab)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2548,10 +2536,10 @@ def llm_tokenize_viterbi(spark, sf_dir):
                 "segmentation": [],
             }
             for word in pdf["word"]:
-                s, n, segm = seg(word)
+                sc, n, segm = seg(word)
                 out["word"].append(word)
                 out["n_tokens"].append(n)
-                out["total_score"].append(s)
+                out["total_score"].append(sc)
                 out["segmentation"].append(segm)
             yield pd.DataFrame(out)
 
@@ -2561,4 +2549,102 @@ def llm_tokenize_viterbi(spark, sf_dir):
             "word string, n_tokens long, total_score long,"
             " segmentation string"
         ),
+    )
+
+
+@query("llm_tokenize_viterbi", oracle=_vit_oracle())
+def llm_tokenize_viterbi(spark, sf_dir):
+    """Unigram-LM tokenizer inference — exact Viterbi segmentation,
+    the OTHER mainstream subword algorithm next to `llm_bpe_learn`/
+    `llm_tokenize_apply` (SentencePiece's unigram mode runs exactly
+    this DP at inference). Piece inventory: the top-{K} substrings of
+    length 2–4 by span count over the DISTINCT word list (integer
+    scores — production swaps in trained log-probs scaled to ints;
+    the DP is unchanged), plus every single character at score 1 so
+    any word is segmentable. Per word the DP maximizes
+    (total score, then fewer tokens, then longest-last-piece) — a
+    totally ordered key, so the optimum is unique and both engines
+    must reproduce THE SAME segmentation string, not just its cost.
+
+    The oracle is a fully independent SQL implementation: the span
+    inventory + vocab via lateral unnests, the forward DP as a
+    recursive CTE carrying the dp vector as a LIST (best candidate =
+    lexicographic max over a per-position candidate list), and the
+    walkback as a second recursion reading the committed back-
+    pointers. Hash equality therefore pins every tie-break in the
+    dynamic program cross-engine.
+
+    Scale shape: the DP runs once per DISTINCT word (vocabulary-
+    bounded, Heaps-law sublinear in corpus size), never per token —
+    documents would join the result exactly like `llm_tokenize_apply`
+    joins the BPE state table. The vocab is a bounded driver collect
+    ({K} rows) broadcast to Arrow-batched workers; per-word state is
+    O(word length).
+    """.replace("{K}", str(_VIT_K))
+    words = _vit_words(spark, sf_dir)
+    return _vit_segment(spark, words, _vit_vocab(words))
+
+
+@query(
+    "llm_unigram_learn",
+    oracle=_vit_ctes() + """
+    , usage AS (
+        SELECT piece, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(seg, ' ')) AS piece FROM wout)
+        WHERE length(piece) >= 2
+        GROUP BY piece
+    )
+    SELECT v.piece, v.score AS old_score,
+           CAST(COALESCE(u.c, 0) AS BIGINT) AS new_score,
+           CAST(u.c IS NOT NULL AS BIGINT) AS kept
+    FROM vocab v LEFT JOIN usage u USING (piece)
+    """,
+)
+def llm_unigram_learn(spark, sf_dir):
+    """One hard-EM round of unigram-LM vocabulary learning — the
+    SentencePiece training loop's core step on top of the
+    `llm_tokenize_viterbi` machinery: segment every distinct word
+    under the current inventory (E-step, Viterbi hard assignment),
+    recount each multi-char piece's ACTUAL usage in the optimal
+    segmentations (M-step), and mark for pruning every piece the
+    optimizer never chose (`kept` = 0) — raw span frequency
+    overstates a piece's worth whenever a higher-scoring overlap
+    always wins, and this round is precisely how the training loop
+    discovers that. Output: (piece, old span-count score, new usage
+    score, kept) for the full inventory.
+
+    The oracle replays the identical E-step through the shared DP
+    CTE chain (`_vit_ctes` — one definition, so the two keys'
+    segmentations cannot drift) and recounts usage from the walkback
+    strings in SQL.
+
+    Scale shape: E-step cost is per DISTINCT word (the viterbi key's
+    contract); the M-step is a piece-bounded groupBy (≤ K + chars
+    groups); the join is vocab-sized. Production iterates this round
+    to a target vocab size — each iteration is this exact plan.
+    """
+    words = _vit_words(spark, sf_dir)
+    vocab = _vit_vocab(words)
+    segs = _vit_segment(spark, words, vocab)
+    usage = (
+        segs.select(
+            F.explode(F.split("segmentation", " ")).alias("piece")
+        )
+        .filter(F.length("piece") >= 2)
+        .groupBy("piece")
+        .agg(F.count("*").alias("c"))
+    )
+    vdf = spark.createDataFrame(
+        sorted(vocab.items()), "piece string, score long"
+    )
+    return (
+        vdf.join(usage, "piece", "left")
+        .select(
+            "piece",
+            F.col("score").alias("old_score"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias(
+                "new_score"
+            ),
+            F.col("c").isNotNull().cast("long").alias("kept"),
+        )
     )

@@ -3419,3 +3419,33 @@ def test_tokenize_viterbi_optimal_and_tiebreaks(spark, sf_dir):
             assert (r.total_score, -r.n_tokens) == best, (r.word, best)
             checked += 1
     assert checked > 0
+
+
+def test_unigram_learn_prunes_unused_pieces(spark, sf_dir):
+    """Hard-EM M-step invariants: usage never exceeds what the
+    segmentations contain, every piece marked kept appears in at
+    least one optimal segmentation, pruned pieces appear in none,
+    and the round actually prunes something (span frequency must
+    overstate at least one overlapped piece on this corpus)."""
+    from collections import Counter
+
+    from hadoop_tools_spark.operators.llm_text import (
+        llm_tokenize_viterbi,
+        llm_unigram_learn,
+    )
+
+    segs = llm_tokenize_viterbi(spark, sf_dir).collect()
+    used = Counter()
+    for r in segs:
+        for p in r.segmentation.split(" "):
+            if len(p) >= 2:
+                used[p] += 1
+    rows = llm_unigram_learn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    pruned = 0
+    for r in rows:
+        assert r.new_score == used.get(r.piece, 0)
+        assert r.kept == (1 if used.get(r.piece) else 0)
+        assert r.old_score >= 1
+        pruned += 1 - r.kept
+    assert pruned > 0, "expected the E-step to strand some pieces"
