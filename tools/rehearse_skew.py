@@ -40,6 +40,8 @@ DEFAULT_KEYS = {
     "graph_common_neighbors": "_CN_CAP degree prune vs zipfian part degrees",
     "sessionize_batch": "per-user windows with one user owning ~17% of events",
     "llm_embed_neardup_lsh": "LSH bucket sizes under a 30% hot cluster",
+    "graph_label_prop": "edge-stationary rounds + (node,label)-keyed "
+    "mode agg (<=7 labels/node) vs zipfian degrees",
 }
 
 
