@@ -539,6 +539,38 @@ def cmd_pwd(args, out=sys.stdout, **_):
     return 0
 
 
+def cmd_cp(args, spark=None, **_):
+    """``hh cp SRC DST``: filesystem-side copy (FileUtil.copy — the
+    `hadoop fs -cp` call), recursive for directories."""
+    zone, forced = posix_split(args)
+    pos = [a for a in zone if not a.startswith("-")] + forced
+    ok = fsops.fs_copy(
+        _spark(spark),
+        session_state.resolve(pos[0]),
+        session_state.resolve(pos[1]),
+    )
+    return 0 if ok else 1
+
+
+def cmd_getmerge(args, spark=None, **_):
+    """``hh getmerge [-nl] SRCDIR LOCALDST``: concatenate a dir's
+    files (name order) into one local file; ``-nl`` newline-separates
+    parts."""
+    zone, forced = posix_split(args)
+    newline = "-nl" in zone
+    pos = [a for a in zone if not a.startswith("-")] + forced
+    try:
+        fsops.getmerge(
+            _spark(spark), session_state.resolve(pos[0]), pos[1],
+            newline=newline,
+        )
+    except FileNotFoundError as e:
+        print(f"getmerge: {e}: No such file or directory",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
 def cmd_version(args, out=sys.stdout, **_):
     print(VERSION, file=out)
     return 0
@@ -555,6 +587,8 @@ COMMANDS = {
     "checksum": cmd_checksum,
     "get": cmd_get,
     "put": cmd_put,
+    "cp": cmd_cp,
+    "getmerge": cmd_getmerge,
     "mkdir": cmd_mkdir,
     "mv": cmd_mv,
     "rm": cmd_rm,
@@ -590,6 +624,9 @@ CLI_SPEC = {
     "checksum": {"flags": set(), "value_opts": set(), "min_operands": 1},
     "get": {"flags": set(), "value_opts": set(), "min_operands": 1},
     "put": {"flags": set(), "value_opts": set(), "min_operands": 2},
+    "cp": {"flags": set(), "value_opts": set(), "min_operands": 2},
+    "getmerge": {"flags": {"-nl"}, "value_opts": set(),
+                 "min_operands": 2},
     "mkdir": {"flags": {"-p"}, "value_opts": set(), "min_operands": 1},
     "mv": {"flags": set(), "value_opts": set(), "min_operands": 2},
     "rm": {"flags": {"-r"}, "value_opts": set(), "min_operands": 1},

@@ -84,3 +84,57 @@ def copy_from_local(spark: SparkSession, src: str, dst: str) -> None:
     """`hh put SRC DST` for single files."""
     fs, jdst, jvm = _hadoop_fs(spark, dst)
     fs.copyFromLocalFile(jvm.org.apache.hadoop.fs.Path(src), jdst)
+
+
+def fs_copy(spark: SparkSession, src: str, dst: str) -> bool:
+    """`hh cp SRC DST`: copy within (or across) Hadoop filesystems via
+    ``FileUtil.copy`` — the same call `hadoop fs -cp` issues, so
+    recursive directory copies, scheme crossing, and permission
+    propagation follow Hadoop's own semantics."""
+    sfs, jsrc, jvm = _hadoop_fs(spark, src)
+    dfs, jdst, _ = _hadoop_fs(spark, dst)
+    conf = spark._jsc.hadoopConfiguration()
+    return bool(
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            sfs, jsrc, dfs, jdst, False, conf
+        )
+    )
+
+
+def getmerge(
+    spark: SparkSession, src_dir: str, local_dst: str, newline: bool = False
+) -> int:
+    """`hh getmerge SRCDIR LOCALDST [-nl]`: concatenate every regular
+    file under ``src_dir`` (non-recursive, name order — the
+    `hadoop fs -getmerge` contract) into one local file; ``-nl``
+    appends a newline after each part. Returns the number of parts
+    merged. The read crosses the py4j bridge whole-file per part —
+    the CLI parity path for small outputs; a bulk merge is a
+    coalesce(1) DataFrame write."""
+    fs, jdir, jvm = _hadoop_fs(spark, src_dir)
+    if not fs.exists(jdir):
+        raise FileNotFoundError(src_dir)
+    parts = []
+    if fs.getFileStatus(jdir).isDirectory():
+        for st in fs.listStatus(jdir):
+            if st.isFile():
+                parts.append(st.getPath())
+        parts.sort(key=lambda p: p.getName())
+    else:
+        parts.append(jdir)
+    ioutils = jvm.org.apache.hadoop.io.IOUtils
+    with open(local_dst, "wb") as out:
+        for p in parts:
+            stream = fs.open(p)
+            try:
+                data = bytes(ioutils.readFullyToByteArray(stream))
+                if len(data) != fs.getFileStatus(p).getLen():
+                    raise IOError(
+                        f"short read merging {p}: {len(data)} bytes"
+                    )
+                out.write(data)
+                if newline:
+                    out.write(b"\n")
+            finally:
+                stream.close()
+    return len(parts)

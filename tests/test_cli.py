@@ -369,3 +369,37 @@ def test_tail_non_numeric_count_is_rc2(spark, ns):
     out of main() with ValueError (r9 review)."""
     rc, _ = run(spark, "tail", "-c", "foo", f"{ns}/logs/a.log")
     assert rc == 2
+
+
+def test_cp_copies_within_fs(spark, ns, tmp_path):
+    rc, _ = run(spark, "cp", f"{ns}/logs/a.log", f"{ns}/logs/a2.log")
+    assert rc == 0
+    assert (
+        open(f"{ns}/logs/a2.log").read() == open(f"{ns}/logs/a.log").read()
+    )
+    # recursive directory copy
+    rc, _ = run(spark, "cp", f"{ns}/logs", f"{ns}/logs_copy")
+    assert rc == 0
+    rc, txt = run(spark, "ls", f"{ns}/logs_copy")
+    assert rc == 0 and "a.log" in txt and "b.log" in txt
+    # missing operand -> usage gate
+    rc, _ = run(spark, "cp", f"{ns}/logs/a.log")
+    assert rc == 2
+
+
+def test_getmerge_concatenates_in_name_order(spark, ns, tmp_path):
+    dst = str(tmp_path / "merged.txt")
+    rc, _ = run(spark, "getmerge", f"{ns}/logs", dst)
+    assert rc == 0
+    a = open(f"{ns}/logs/a.log").read()
+    b = open(f"{ns}/logs/b.log").read()
+    assert open(dst).read() == a + b  # name order: a.log then b.log
+
+    dst2 = str(tmp_path / "merged_nl.txt")
+    rc, _ = run(spark, "getmerge", "-nl", f"{ns}/logs", dst2)
+    assert rc == 0
+    assert open(dst2).read() == a + "\n" + b + "\n"
+
+    # missing source dir is an error, not a crash
+    rc, _ = run(spark, "getmerge", f"{ns}/nope", str(tmp_path / "x"))
+    assert rc == 1
