@@ -1162,3 +1162,116 @@ def ts_holt(spark, sf_dir):
         pin6(F.col("r.st.b")).alias("trend6"),
         pin6(F.col("r.st.l") + F.col("r.st.b")).alias("forecast6"),
     )
+
+
+@query(
+    "ts_stl_lite",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    tr AS (
+        SELECT user_id, day, cents,
+               CAST(floor(
+                   CAST(SUM(cents * 10000) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w + 0.5) AS BIGINT) AS trend_micro
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT user_id, day, cents, trend_micro,
+               cents * 10000 - trend_micro AS det_micro,
+               CAST(dayofweek(day) AS BIGINT) AS dow
+        FROM tr
+    ),
+    sea AS (
+        SELECT user_id, dow,
+               CAST(floor(
+                   CAST(SUM(det_micro) AS DOUBLE) / COUNT(*) + 0.5)
+                   AS BIGINT) AS seasonal_micro
+        FROM det GROUP BY user_id, dow
+    )
+    SELECT d.user_id, d.day,
+           CAST(d.cents AS DOUBLE) / 100.0 AS amount,
+           d.trend_micro, s.seasonal_micro,
+           CAST(d.det_micro - s.seasonal_micro AS BIGINT)
+               AS residual_micro
+    FROM det d JOIN sea s ON s.user_id = d.user_id AND s.dow = d.dow
+    """,
+)
+def ts_stl_lite(spark, sf_dir):
+    """STL-style decomposition (trend + day-of-week seasonal +
+    residual) of each user's daily spend — the classic series
+    triage: trend = centered 7-row moving average, seasonal = mean
+    DETRENDED value per weekday (upgrading `ts_seasonal_dow`, which
+    averages raw values and lets trend leak into the weekday
+    profile), residual = what neither explains.
+
+    Exactness contract: components live in integer MICRO-units.
+    Daily totals are exact BIGINT cents; the only float operations
+    are TWO single divisions (frame mean, weekday mean), each
+    immediately floor-pinned to an integer — so every downstream
+    subtraction is exact BIGINT arithmetic and the additive identity
+    amount·10⁶ = trend + seasonal + residual holds EXACTLY, row for
+    row, on both engines (pytest-pinned). No double is ever summed
+    across rows.
+
+    Scale shape: one shuffle (user_id) shared by the window and the
+    weekday aggregate; per-user state is calendar-bounded days — the
+    ts_ewma/ts_gapfill contract. Edge rows average over their
+    available frame (ROW frame, documented definition).
+    """
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.withColumn(
+        "trend_micro",
+        F.floor(
+            (F.sum(F.col("cents") * 10000).over(w)).cast("double")
+            / F.count("*").over(w)
+            + 0.5
+        ).cast("long"),
+    )
+    det = tr.select(
+        "user_id",
+        "day",
+        "cents",
+        "trend_micro",
+        (F.col("cents") * 10000 - F.col("trend_micro")).alias(
+            "det_micro"
+        ),
+        F.dayofweek("day").cast("long").alias("dow"),
+    )
+    sea = det.groupBy("user_id", "dow").agg(
+        F.floor(
+            F.sum("det_micro").cast("double") / F.count("*") + 0.5
+        )
+        .cast("long")
+        .alias("seasonal_micro")
+    )
+    return det.join(sea, ["user_id", "dow"]).select(
+        "user_id",
+        "day",
+        (F.col("cents").cast("double") / 100.0).alias("amount"),
+        "trend_micro",
+        "seasonal_micro",
+        (F.col("det_micro") - F.col("seasonal_micro"))
+        .cast("long")
+        .alias("residual_micro"),
+    )

@@ -465,3 +465,24 @@ def test_holt_tracks_linear_ramp(spark, tmp_path):
     # and the forecast anticipates the NEXT day's value
     nxt = 100 + 10 * 40
     assert abs(out[-1].forecast6 - nxt) < 1.0
+
+
+def test_stl_lite_additive_identity_and_seasonal_centering(spark, sf_dir):
+    """Exact decomposition: amount·10⁶ == trend + seasonal + residual
+    for EVERY row (integer micro-units, no float drift), and per
+    (user, weekday) the residuals center near zero (each seasonal
+    term is the floor-pinned mean of its group's detrended values, so
+    |mean residual| < 1 micro-unit + pin slack)."""
+    from collections import defaultdict
+
+    from hadoop_tools_spark.operators.timeseries import ts_stl_lite
+
+    rows = ts_stl_lite(spark, sf_dir).collect()
+    assert rows
+    grp = defaultdict(list)
+    for r in rows:
+        micro = round(r.amount * 1_000_000)
+        assert micro == r.trend_micro + r.seasonal_micro + r.residual_micro
+        grp[(r.user_id, r.day.weekday())].append(r.residual_micro)
+    for (u, _d), res in grp.items():
+        assert abs(sum(res) / len(res)) <= 1.0, (u, sum(res) / len(res))
