@@ -1179,6 +1179,29 @@ def snapshot_partition_evolution(spark, sf_dir):
     )
 
 
+def table_changes(tbl: SnapshotTable, spark: SparkSession,
+                  v_from: int, v_to: int) -> DataFrame:
+    """Row-level change feed between two snapshot versions: '-'
+    (removed) / '+' (added) rows, updates as a remove+add pair — the
+    Delta CDF / Iceberg changelog contract, derived on demand from
+    the two version reads (the manifests ARE the log; merge-on-read
+    deletes are applied before diffing, so a delete commit surfaces
+    as '-' rows). An incremental consumer checkpoints ONE integer
+    (its last-consumed version) and replays each (v, v+1] feed in
+    order; tests/test_layout.py pins that the replay reproduces the
+    table state exactly across append/upsert/delete commits."""
+    old = tbl.read(spark, version=v_from)
+    new = tbl.read(spark, version=v_to)
+    cols = new.columns
+    removed = old.exceptAll(new).select(
+        F.lit("-").alias("change"), *cols
+    )
+    added = new.exceptAll(old).select(
+        F.lit("+").alias("change"), *cols
+    )
+    return removed.unionAll(added)
+
+
 @query(
     "snapshot_changes",
     oracle="""

@@ -1011,3 +1011,74 @@ def test_cluster_compact_enables_pruning(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got_pre == got_post and got_pre
+
+
+def test_change_feed_replay_reproduces_state(spark, sf_dir, tmp_path):
+    """Incremental CDF consumption: a consumer that checkpoints only
+    its last-consumed version and applies each (v, v+1] feed in order
+    (remove then add) reproduces every snapshot state exactly —
+    across append, upsert, and merge-on-read delete commits — and a
+    coarser checkpoint cadence (one big (0, latest] feed) lands on
+    the same final state."""
+    from collections import Counter
+
+    from hadoop_tools_spark.sources.snapshots import (
+        SnapshotTable,
+        table_changes,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = SnapshotTable(str(tmp_path / "cdf"))
+    tbl.create(orders.filter("o_orderkey % 3 = 0"))
+    tbl.append(orders.filter("o_orderkey % 3 = 1"))
+    tbl.upsert(
+        orders.filter("o_orderkey % 6 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 0 + 1.0
+        ),
+        ["o_orderkey"],
+    )
+    tbl.delete_where(
+        orders.filter("o_orderkey % 9 = 1").select("o_orderkey")
+    )
+
+    def snap(df):
+        return Counter(
+            (r.o_orderkey, round(r.o_totalprice, 2)) for r in df.collect()
+        )
+
+    state = Counter()
+    latest = tbl.latest_version()
+    for v in range(0, latest + 1):
+        feed = (
+            table_changes(tbl, spark, v - 1, v).collect()
+            if v > 0
+            else [
+                type("R", (), {"change": "+", "o_orderkey": k,
+                               "o_totalprice": p})
+                for (k, p), n in snap(tbl.read(spark, version=0)).items()
+                for _ in range(n)
+            ]
+        )
+        for r in feed:
+            key = (r.o_orderkey, round(r.o_totalprice, 2))
+            if r.change == "+":
+                state[key] += 1
+            else:
+                state[key] -= 1
+                if state[key] == 0:
+                    del state[key]
+        assert state == snap(tbl.read(spark, version=v)), f"v{v}"
+
+    # coarse checkpoint: one (0, latest] feed from the v0 state
+    coarse = snap(tbl.read(spark, version=0))
+    for r in table_changes(tbl, spark, 0, latest).collect():
+        key = (r.o_orderkey, round(r.o_totalprice, 2))
+        if r.change == "+":
+            coarse[key] += 1
+        else:
+            coarse[key] -= 1
+            if coarse[key] == 0:
+                del coarse[key]
+    assert coarse == state
