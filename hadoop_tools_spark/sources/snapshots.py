@@ -1723,3 +1723,86 @@ def snapshot_cluster_compact(spark, sf_dir):
         "post-cluster",
     )
     return pre.unionAll(post)
+
+
+@query(
+    "snapshot_branch_diff",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 4 <> 0
+    ),
+    staged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 8 = 1 THEN 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 4 <> 0 OR o_orderkey % 8 = 0
+    ),
+    removed AS (
+        SELECT '-' AS change, b.o_orderkey, b.o_totalprice FROM base b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM staged s
+            WHERE s.o_orderkey = b.o_orderkey
+              AND s.o_totalprice = b.o_totalprice)
+    ),
+    added AS (
+        SELECT '+', s.o_orderkey, s.o_totalprice FROM staged s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM base b
+            WHERE b.o_orderkey = s.o_orderkey
+              AND b.o_totalprice = s.o_totalprice)
+    )
+    SELECT change, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM (SELECT * FROM removed UNION ALL SELECT * FROM added)
+    """,
+)
+def snapshot_branch_diff(spark, sf_dir):
+    """The write-audit-publish AUDIT query: before fast-forwarding
+    ``main`` to a staging branch, show exactly what publishing will
+    change — `table_changes` between the two refs' versions ('-' rows
+    main will lose, '+' rows it will gain; updates as a pair). This
+    is the review surface a data steward reads between WAP's write
+    and publish steps, and it composes three earlier pieces (refs,
+    merge-on-read upserts, the version-diff change feed) without new
+    machinery.
+
+    Scenario: main holds 3/4 of orders; the staging branch lands ONE
+    upsert commit that inserts the %8==0 keys and reprices the %8==1
+    keys to 1.00. The diff must surface the inserts as bare '+',
+    each repricing as a '-'/'+' pair, and nothing else — pinned
+    against a straight NOT-EXISTS recomputation of both sides.
+
+    Scale shape: the diff reads only the two versions' manifests;
+    with merge-on-read staging the branch's delta is physically the
+    upsert's own files, so the exceptAll diff is proportional to the
+    CHANGED rows once file-level pruning skips the shared base files.
+    """
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_path = os.path.join(SCRATCH, "snapshot_branch_diff")
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    tbl.create(orders.filter(F.col("o_orderkey") % 4 != 0))
+    tbl.set_ref("main", 0)
+    staged = orders.filter(
+        (F.col("o_orderkey") % 8 == 0) | (F.col("o_orderkey") % 8 == 1)
+    ).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 8 == 1, F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    tbl.upsert(staged, ["o_orderkey"])
+    tbl.set_ref("wap", 1)
+    diff = table_changes(
+        tbl, spark, tbl.ref_version("main"), tbl.ref_version("wap")
+    )
+    return diff.select(
+        "change",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
