@@ -2648,3 +2648,135 @@ def llm_unigram_learn(spark, sf_dir):
             F.col("c").isNotNull().cast("long").alias("kept"),
         )
     )
+
+
+def _bfd_oracle() -> str:
+    """Best-fit-decreasing oracle: per shard, a recursive CTE steps
+    the size-sorted docs carrying (bin loads, assignments) as lists;
+    the chosen bin is the fullest that still fits (tie: lowest bin
+    index), else a new bin opens."""
+    n = "docs[i + 1].n"
+    cand = (
+        f"list_sort(list_filter(list_transform("
+        f"generate_series(1, len(loads)),"
+        f" ix -> {{'l': loads[ix], 'negix': -ix}}),"
+        f" x -> x.l + {n} <= {_PACK_SEQ}))"
+    )
+    best = f"{cand}[-1]"
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '/pack'),
+                               1, 8))::BIGINT % {_PACK_SHARDS} AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    ),
+    ord AS (
+        SELECT shard,
+               list_sort(list({{'rk': [-n, doc_id], 'doc_id': doc_id,
+                                'n': n}})) AS docs
+        FROM base GROUP BY shard
+    ),
+    rec(shard, i, docs, loads, asg) AS (
+        SELECT shard, 0, docs, CAST([] AS BIGINT[]),
+               CAST([] AS STRUCT(doc_id BIGINT, bin BIGINT)[])
+        FROM ord
+        UNION ALL
+        SELECT shard, i + 1, docs,
+               CASE WHEN len({cand}) = 0
+                    THEN list_append(loads, {n})
+                    ELSE list_transform(
+                        generate_series(1, len(loads)),
+                        ix -> CASE WHEN ix = -({best}.negix)
+                                   THEN loads[ix] + {n}
+                                   ELSE loads[ix] END) END,
+               list_append(asg, {{
+                   'doc_id': docs[i + 1].doc_id,
+                   'bin': CASE WHEN len({cand}) = 0
+                               THEN CAST(len(loads) + 1 AS BIGINT)
+                               ELSE CAST(-({best}.negix) AS BIGINT)
+                          END}})
+        FROM rec WHERE i < len(docs)
+    ),
+    fin AS (SELECT shard, asg FROM rec WHERE i = len(docs)),
+    out AS (
+        SELECT shard, unnest(asg) AS a FROM fin
+    )
+    SELECT a.doc_id, CAST(out.shard AS BIGINT) AS shard,
+           b.n AS n_tokens, a.bin
+    FROM out JOIN base b ON b.doc_id = a.doc_id
+    """
+
+
+@query("llm_pack_bestfit", oracle=_bfd_oracle())
+def llm_pack_bestfit(spark, sf_dir):
+    """No-straddle sequence packing — best-fit-decreasing into
+    {CAP}-token bins, the packing SFT/instruction-tuning pipelines
+    use when a document must land WHOLE in one training sequence
+    (the concat-and-chunk twin `llm_pack_sequences` lets docs
+    straddle; this key trades padding waste for boundary integrity).
+    Per shard (the same salted md5 assignment, so the two packing
+    keys shard identically): docs sort by (tokens DESC, doc_id),
+    each goes to the FULLEST open bin that still fits — the
+    classical BFD heuristic with its 11/9·OPT+6/9 guarantee — tie to
+    the lowest bin index; oversized docs (> {CAP} tokens) open their
+    own bin. Every rule is integer and totally ordered, so the
+    assignment is unique and the oracle (a recursive CTE carrying
+    bin loads + assignments as lists per shard) must reproduce it
+    bin-for-bin.
+
+    Scale shape: BFD is inherently sequential WITHIN a bin stream,
+    so the packing unit is the SHARD — Arrow-batched
+    ``applyInPandas`` per shard group, thousands-way parallel at
+    100 TB, per-shard state = open-bin loads (bounded by
+    shard-tokens/{CAP}).
+    """.replace("{CAP}", str(_PACK_SEQ))
+    import pandas as pd
+
+    d = load_spread(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("/pack"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _PACK_SHARDS
+    )
+    base = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        loads: list[int] = []
+        bins = []
+        for n in pdf["n_tokens"]:
+            fits = [
+                (load, -ix)
+                for ix, load in enumerate(loads)
+                if load + n <= _PACK_SEQ
+            ]
+            if fits:
+                _, negix = max(fits)
+                ix = -negix
+                loads[ix] += n
+                bins.append(ix + 1)
+            else:
+                loads.append(int(n))
+                bins.append(len(loads))
+        pdf = pdf.assign(bin=bins)
+        return pdf[["doc_id", "shard", "n_tokens", "bin"]]
+
+    return base.groupBy("shard").applyInPandas(
+        pack, schema="doc_id long, shard long, n_tokens long, bin long"
+    )

@@ -3449,3 +3449,35 @@ def test_unigram_learn_prunes_unused_pieces(spark, sf_dir):
         assert r.old_score >= 1
         pruned += 1 - r.kept
     assert pruned > 0, "expected the E-step to strand some pieces"
+
+
+def test_pack_bestfit_invariants(spark, sf_dir):
+    """BFD packing: every doc lands in exactly one bin, every
+    multi-doc bin respects the cap (only oversized singletons
+    exceed it), and per shard the bin count stays within BFD's
+    11/9*OPT + 1 guarantee of the token-volume lower bound."""
+    import math
+    from collections import defaultdict
+
+    from hadoop_tools_spark.operators.llm_text import (
+        _PACK_SEQ,
+        llm_pack_bestfit,
+    )
+
+    rows = llm_pack_bestfit(spark, sf_dir).collect()
+    assert rows
+    assert len({r.doc_id for r in rows}) == len(rows)
+    bins = defaultdict(list)
+    shard_tokens = defaultdict(int)
+    for r in rows:
+        bins[(r.shard, r.bin)].append(r.n_tokens)
+        shard_tokens[r.shard] += r.n_tokens
+    for (shard, b), sizes in bins.items():
+        if len(sizes) > 1 or sizes[0] <= _PACK_SEQ:
+            assert sum(sizes) <= _PACK_SEQ, (shard, b, sizes)
+    shard_bins = defaultdict(int)
+    for shard, _b in bins:
+        shard_bins[shard] += 1
+    for shard, nb in shard_bins.items():
+        opt_lb = math.ceil(shard_tokens[shard] / _PACK_SEQ)
+        assert nb <= (11 * opt_lb) // 9 + 1, (shard, nb, opt_lb)
