@@ -540,15 +540,22 @@ def cmd_pwd(args, out=sys.stdout, **_):
 
 
 def cmd_cp(args, spark=None, **_):
-    """``hh cp SRC DST``: filesystem-side copy (FileUtil.copy — the
-    `hadoop fs -cp` call), recursive for directories."""
+    """``hh cp [-f] SRC DST``: filesystem-side copy (FileUtil.copy —
+    the `hadoop fs -cp` call), recursive for directories. Without
+    ``-f`` an existing destination is an error, as in `hadoop fs
+    -cp`."""
     zone, forced = posix_split(args)
     pos = [a for a in zone if not a.startswith("-")] + forced
-    ok = fsops.fs_copy(
-        _spark(spark),
-        session_state.resolve(pos[0]),
-        session_state.resolve(pos[1]),
-    )
+    try:
+        ok = fsops.fs_copy(
+            _spark(spark),
+            session_state.resolve(pos[0]),
+            session_state.resolve(pos[1]),
+            overwrite="-f" in zone,
+        )
+    except FileExistsError as e:
+        print(f"cp: {e}", file=sys.stderr)
+        return 1
     return 0 if ok else 1
 
 
@@ -624,7 +631,7 @@ CLI_SPEC = {
     "checksum": {"flags": set(), "value_opts": set(), "min_operands": 1},
     "get": {"flags": set(), "value_opts": set(), "min_operands": 1},
     "put": {"flags": set(), "value_opts": set(), "min_operands": 2},
-    "cp": {"flags": set(), "value_opts": set(), "min_operands": 2},
+    "cp": {"flags": {"-f"}, "value_opts": set(), "min_operands": 2},
     "getmerge": {"flags": {"-nl"}, "value_opts": set(),
                  "min_operands": 2},
     "mkdir": {"flags": {"-p"}, "value_opts": set(), "min_operands": 1},

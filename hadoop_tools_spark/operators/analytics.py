@@ -392,6 +392,36 @@ def _edges(spark, sf_dir) -> DataFrame:
     return e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+#: bounded (size-1) cache of the persisted symmetric edge set + degree
+#: vector shared by the iterative graph family (pagerank / LPA /
+#: modularity). Keyed on (SparkContext, sf_dir, n_part); inserting a
+#: new key UNPERSISTS the previous entry, so a session holds at most
+#: one cached graph regardless of how many graph keys run — the
+#: leak-per-invocation the per-call ``.persist()`` pattern had is gone,
+#: and consecutive graph keys in a suite run reuse one edge build.
+_GRAPH_BASE_CACHE: dict = {}
+
+
+def _graph_base(spark, sf_dir):
+    """Memoized (edges, deg): symmetric edges repartitioned on src and
+    persisted, plus the persisted out-degree vector. The src-hash
+    partitioning is what every per-round contribution aggregation
+    reuses, so edges never move after the initial build."""
+    n_part = max(spark.sparkContext.defaultParallelism // 4, 8)
+    key = (id(spark.sparkContext), str(sf_dir), n_part)
+    hit = _GRAPH_BASE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for old_edges, old_deg in _GRAPH_BASE_CACHE.values():
+        old_edges.unpersist()
+        old_deg.unpersist()
+    _GRAPH_BASE_CACHE.clear()
+    edges = _edges(spark, sf_dir).repartition(n_part, "src").persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    _GRAPH_BASE_CACHE[key] = (edges, deg)
+    return edges, deg
+
+
 _PR_ORACLE_EDGES = """
     edges AS (
       SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
@@ -456,15 +486,15 @@ def graph_pagerank(spark, sf_dir):
 
     Pregel-on-DataFrames: each round joins the cached edge set with
     the rank vector and aggregates contributions on dst — the minimal
-    per-superstep cost. The rank vector is |nodes| rows (tiny next to
-    |edges|), so it is explicitly broadcast: edges never move after
-    the initial build (measured 1.8x over the shuffle join at sf0.1).
-    At node counts past broadcast size the fallback is pre-partitioning
-    edges by src and letting the rank vector shuffle to it — still one
-    edge-stationary exchange per round — plus checkpointing ranks every
-    few rounds to truncate lineage; 3 bounded rounds keep the plan
-    finite and the oracle unrollable. Symmetrized edges mean no
-    dangling-mass correction is needed.
+    per-superstep cost. The rank vector is |nodes| rows and scales
+    with the graph, so it carries NO static broadcast hint: AQE
+    broadcasts it from runtime sizes while it fits and falls back to
+    shuffling it to the cached src-hash-partitioned edge set past
+    that — either way edges never move after the initial build, and a
+    100 TB graph can't OOM the driver on a hint. 3 bounded rounds
+    keep the plan finite and the oracle unrollable; at hundreds of
+    rounds a periodic localCheckpoint would bound plan size.
+    Symmetrized edges mean no dangling-mass correction is needed.
 
     The cached edge set is re-hashed on src into defaultParallelism/4
     partitions (floor 8): the per-round contribution aggregation is
@@ -474,14 +504,12 @@ def graph_pagerank(spark, sf_dir):
     divisor scales the count with cluster size, so a 1000-executor
     deployment still gets one partition per few cores rather than 8.
     """
-    n_part = max(spark.sparkContext.defaultParallelism // 4, 8)
-    edges = _edges(spark, sf_dir).repartition(n_part, "src").persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    edges, deg = _graph_base(spark, sf_dir)
     n = deg.count()
     ranks = deg.select("src", (F.lit(1.0) / n).alias("r"), "outdeg")
     for _ in range(3):
         contribs = (
-            edges.join(F.broadcast(ranks), "src")
+            edges.join(ranks, "src")
             .select(F.col("dst").alias("node"), (F.col("r") / F.col("outdeg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("csum"))
@@ -1136,18 +1164,20 @@ def _lpa_labels(spark, sf_dir):
     the final (node, lbl-or-null) vector and edges the cached
     symmetric edge set — reused by graph_modularity so the evaluated
     communities are BY CONSTRUCTION the ones LPA produced."""
-    n_part = max(spark.sparkContext.defaultParallelism // 4, 8)
-    edges = _edges(spark, sf_dir).repartition(n_part, "src").persist()
-    nodes = edges.groupBy("src").agg(F.count("*").alias("outdeg")).select(
-        F.col("src").alias("node")
-    )
+    edges, deg = _graph_base(spark, sf_dir)
+    nodes = deg.select(F.col("src").alias("node"))
     seed_lbl = F.when(
         F.col("node") % 10 == 0, F.col("node") % 7
     ).cast("long")
     labels = nodes.select("node", seed_lbl.alias("lbl"))
-    # deliberately NO per-round materialize or checkpoint: the three
-    # rounds form ONE action's DAG (F.broadcast is a lazy hint, not a
-    # driver collect). Measured at sf1 solo: plain 21.3 s, +eager
+    # The label vector scales with |nodes|, so it carries NO static
+    # broadcast hint — AQE broadcasts it from runtime sizes while it
+    # fits and shuffles it to the cached src-hash-partitioned edges
+    # past that (the 100 TB-safe shape; a hint would pin a
+    # driver-OOM-able plan).
+    # Deliberately NO per-round materialize or checkpoint: the three
+    # rounds form ONE action's DAG.
+    # Measured at sf1 solo: plain 21.3 s, +eager
     # cache/count 21.1-22 s, +localCheckpoint 21.2 s — the wall is the
     # per-round join+mode-aggregation work itself (1.7x pagerank's
     # 12.3 s same-box solo, the extra groupBy+join per round), not
@@ -1156,7 +1186,7 @@ def _lpa_labels(spark, sf_dir):
     for _ in range(3):
         nb = (
             edges.join(
-                F.broadcast(labels.filter(F.col("lbl").isNotNull())),
+                labels.filter(F.col("lbl").isNotNull()),
                 edges.src == F.col("node"),
             )
             .groupBy(F.col("dst").alias("nnode"), "lbl")
@@ -1176,7 +1206,7 @@ def _lpa_labels(spark, sf_dir):
         )
         labels = (
             labels.join(
-                F.broadcast(best), labels.node == F.col("nnode"), "left"
+                best, labels.node == F.col("nnode"), "left"
             )
             .select(
                 "node",
@@ -1436,7 +1466,8 @@ def graph_modularity(spark, sf_dir):
 
     Scale shape: two |E|-bounded joins (edge endpoints → community)
     hashed on node, one |C|-bounded aggregate each; the label vector
-    broadcasts. At 100 TB deg_c² wants DECIMAL(38)/limb sums past
+    is unhinted — AQE broadcasts it while small, shuffles it to the
+    cached edges past that. At 100 TB deg_c² wants DECIMAL(38)/limb sums past
     deg_c ≈ 3·10⁹ (int64 ceiling) — the documented scale seam, same
     class as ts_autocorr's widened moments.
     """
@@ -1445,7 +1476,7 @@ def graph_modularity(spark, sf_dir):
         "node",
         F.coalesce(F.col("lbl"), -(F.col("node") + 1)).alias("comm"),
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    _, deg = _graph_base(spark, sf_dir)  # shared persisted degree vector
     m2 = edges.count()  # |sym| = 2m, a bounded 1-value collect
     degc = (
         deg.join(comm, deg.src == comm.node)
@@ -1462,9 +1493,9 @@ def graph_modularity(spark, sf_dir):
         F.col("node").alias("b_node"), F.col("comm").alias("b_comm")
     )
     inc = (
-        edges.join(F.broadcast(ca), edges.src == F.col("a_node"))
+        edges.join(ca, edges.src == F.col("a_node"))
         .join(
-            F.broadcast(cb),
+            cb,
             (edges.dst == F.col("b_node"))
             & (F.col("b_comm") == F.col("a_comm")),
         )

@@ -863,28 +863,27 @@ def llm_substring_dedup_hashed(spark, sf_dir):
     return _merge_islands(flagged)
 
 
-def _rank_ids(tuples, cols, n_parts: int = 64):
-    """Order-preserving content-functional int64 ids for distinct rank
-    tuples — the densification step of each prefix-quadrupling round,
-    without a single-partition global window: range-repartition +
-    in-partition sort puts the tuples in global order across ascending
-    partition indices, and ``monotonically_increasing_id``
-    (partitionIndex << 33 | local counter) is then order-preserving.
-    Each distinct tuple gets exactly one id, so equal prefixes always
-    map to equal ranks; ids are transient (they never reach output),
-    so run-to-run range-boundary variance is immaterial.
+def _class_ids(tuples):
+    """Injective (equality-only) int64 ids for distinct rank tuples —
+    the densification step of the quadrupling pass. Since r9 collapsed
+    the construction to ONE quadrupling round, nothing downstream ever
+    ORDERS by the ids (they feed a groupBy and an equi-join only), so
+    the old order-preserving form's range-repartition (an extra
+    boundary-sampling job) and full in-partition sort were pure fixed
+    overhead — ``monotonically_increasing_id`` over the distinct
+    tuples is injective on its own, which is all equality classes
+    need (r10: 5.97 s → re-measured below at sf0.1).
 
-    The result is ``localCheckpoint``-ed (lineage truncated): the id
-    values depend on sampled range boundaries and per-partition
-    counters, so a recomputation after executor loss could assign
-    DIFFERENT ids to the same tuple — and the frame feeds two
-    consumers (the rank join of its own round, and transitively the
-    next quadrupling round), which would silently disagree. With the
-    lineage cut, losing the checkpointed blocks fails the job loudly
-    instead (the documented Spark trade for nondeterministic ids)."""
+    The result is ``localCheckpoint``-ed (lineage truncated): id
+    values depend on partition order and per-partition counters, so a
+    recomputation after executor loss could assign DIFFERENT ids to
+    the same tuple — and the frame feeds consumers on two plan paths
+    (the dup grouping and the flagged semi-join), which would silently
+    disagree. With the lineage cut, losing the checkpointed blocks
+    fails the job loudly instead (the documented Spark trade for
+    nondeterministic ids)."""
     return (
-        tuples.repartitionByRange(n_parts, *cols)
-        .sortWithinPartitions(*cols)
+        tuples.distinct()
         .withColumn("rid", F.monotonically_increasing_id())
         .localCheckpoint()
     )
@@ -906,7 +905,7 @@ def llm_substring_dedup_sa(spark, sf_dir):
     of L-ranks at distances 0, L, 2L, 3L): the corpus explodes once
     into (doc, pos, char) rows — n rows of ~24 bytes, NOT the anchor's
     n×k gram bytes — a free 2-char packed base rank, then exactly ONE
-    `_rank_ids` pass produces rank₈ (doc-boundary sentinel −1, the
+    `_class_ids` pass produces rank₈ (doc-boundary sentinel −1, the
     standard construction). k = 40 = 5 × 8, so the exact-40-char
     equivalence classes are the 5-tuples of rank₈ at block starts
     (p, p+8, .., p+32) — no over-comparison at 41..64, and no second
@@ -969,8 +968,14 @@ def llm_substring_dedup_sa(spark, sf_dir):
         "p",
         *[_pack(j).alias(n) for j, n in enumerate(cols)],
     )
-    ids = _rank_ids(paired.select(*cols).distinct(), cols)
-    r8 = paired.join(ids.hint("merge"), cols).select(
+    # shuffle_hash, not merge: both joins here are equality-only, so
+    # the sort-merge strategy's full sort of the n-row probe side buys
+    # nothing; the build side (distinct tuples / duplicate classes) is
+    # the smaller one and is hash-built per partition — still
+    # spill-safe and never a driver broadcast (the r7 2 GiB-rehearsal
+    # rule: corpus-scaling sides may not ride a broadcast).
+    ids = _class_ids(paired.select(*cols))
+    r8 = paired.join(ids.hint("shuffle_hash"), cols).select(
         "doc_id", "n_chars", "p", F.col("rid").alias("r")
     )
     # exact-40 equivalence class = the 5-tuple of rank₈ values at
@@ -1003,7 +1008,7 @@ def llm_substring_dedup_sa(spark, sf_dir):
         .select(*rcols)
     )
     flagged = windows.join(
-        dup.hint("merge"), rcols, "left_semi"
+        dup.hint("shuffle_hash"), rcols, "left_semi"
     ).select("doc_id", "p")
     return _merge_islands(flagged)
 

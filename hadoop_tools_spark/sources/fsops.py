@@ -86,17 +86,33 @@ def copy_from_local(spark: SparkSession, src: str, dst: str) -> None:
     fs.copyFromLocalFile(jvm.org.apache.hadoop.fs.Path(src), jdst)
 
 
-def fs_copy(spark: SparkSession, src: str, dst: str) -> bool:
-    """`hh cp SRC DST`: copy within (or across) Hadoop filesystems via
-    ``FileUtil.copy`` — the same call `hadoop fs -cp` issues, so
-    recursive directory copies, scheme crossing, and permission
-    propagation follow Hadoop's own semantics."""
+def fs_copy(
+    spark: SparkSession, src: str, dst: str, overwrite: bool = False
+) -> bool:
+    """`hh cp [-f] SRC DST`: copy within (or across) Hadoop
+    filesystems via ``FileUtil.copy`` — the same call `hadoop fs -cp`
+    issues, so recursive directory copies, scheme crossing, and
+    permission propagation follow Hadoop's own semantics.
+
+    Like `hadoop fs -cp` without ``-f``, an existing destination is an
+    error (``FileExistsError``), not a silent clobber: the effective
+    target (``dst``, or ``dst/basename(src)`` when ``dst`` is an
+    existing directory) is checked before any byte moves, and the
+    6-arg ``FileUtil.copy`` overload pins ``overwrite`` explicitly
+    rather than inheriting the permissive default."""
     sfs, jsrc, jvm = _hadoop_fs(spark, src)
     dfs, jdst, _ = _hadoop_fs(spark, dst)
+    if dfs.exists(jdst):
+        if dfs.getFileStatus(jdst).isDirectory():
+            target = jvm.org.apache.hadoop.fs.Path(jdst, jsrc.getName())
+        else:
+            target = jdst
+        if not overwrite and dfs.exists(target):
+            raise FileExistsError(f"{dst}: File exists")
     conf = spark._jsc.hadoopConfiguration()
     return bool(
         jvm.org.apache.hadoop.fs.FileUtil.copy(
-            sfs, jsrc, dfs, jdst, False, conf
+            sfs, jsrc, dfs, jdst, False, overwrite, conf
         )
     )
 

@@ -200,6 +200,13 @@ class SnapshotTable:
                     f"ref {name!r} is a {cur['kind']}, not a {kind}"
                 )
         if expected_seq is not None:
+            # CAS means *equals the current head*, not *any value the
+            # caller claims*: a stale expected_seq loses the race, and
+            # an AHEAD-of-head value must not publish a gapped r{K}
+            # that would silently become the ref head.
+            head = seqs[-1] if seqs else -1
+            if expected_seq != head:
+                raise RefConflict(name, expected_seq + 1)
             next_seq = expected_seq + 1
         else:
             next_seq = (seqs[-1] + 1) if seqs else 0
@@ -602,6 +609,15 @@ class SnapshotTable:
         upsert sink) for whom a conflict means a ZOMBIE writer, where
         a silent rebase could re-apply an old batch at a newer
         sequence and invert last-writer-wins."""
+        reserved = {"version", "files", "stats", "group_seq", "deletes"}
+        bad = reserved & set(extra or {})
+        if bad:
+            # ``extra`` merges LAST into the manifest, so a reserved
+            # key would silently overwrite commit metadata (e.g. wipe
+            # the delete list) — reject instead of clobbering.
+            raise ValueError(
+                f"extra may not override manifest keys: {sorted(bad)}"
+            )
         v = self.latest_version()
         commit_id = f"{v + 1:05d}-{os.getpid()}"
         staged = self._stage(df, commit_id)

@@ -126,8 +126,20 @@ class IdempotentUpsertSink:
 
         if batch_id in self.committed_batches():
             return  # replayed micro-batch: already durable, skip
+        # total ordering: two same-key rows tying on every order_col
+        # would otherwise make row_number pick an ARBITRARY winner —
+        # nondeterministic across replays of a failed batch. A stable
+        # hash over the remaining columns breaks the tie the same way
+        # on every replay.
+        rest = [
+            c for c in batch_df.columns
+            if c not in self.key_cols and c not in self.order_cols
+        ]
+        tiebreak = (
+            [F.xxhash64(*[F.col(c) for c in rest]).desc()] if rest else []
+        )
         w = Window.partitionBy(*self.key_cols).orderBy(
-            *[F.col(c).desc() for c in self.order_cols]
+            *([F.col(c).desc() for c in self.order_cols] + tiebreak)
         )
         keyed = (
             batch_df.withColumn("__rn", F.row_number().over(w))

@@ -403,3 +403,19 @@ def test_getmerge_concatenates_in_name_order(spark, ns, tmp_path):
     # missing source dir is an error, not a crash
     rc, _ = run(spark, "getmerge", f"{ns}/nope", str(tmp_path / "x"))
     assert rc == 1
+
+
+def test_cp_refuses_existing_destination_without_f(spark, ns):
+    """`hh cp` without -f must not clobber (the `hadoop fs -cp`
+    contract, r10 ADVICE fix); -f overwrites."""
+    src, dst = f"{ns}/logs/a.log", f"{ns}/logs/b.log"
+    before = open(dst).read()
+    rc, _ = run(spark, "cp", src, dst)
+    assert rc == 1
+    assert open(dst).read() == before  # untouched
+    rc, _ = run(spark, "cp", "-f", src, dst)
+    assert rc == 0
+    assert open(dst).read() == open(src).read()
+    # copying INTO an existing dir guards the effective target too
+    rc, _ = run(spark, "cp", src, f"{ns}/logs")
+    assert rc == 1

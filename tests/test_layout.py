@@ -1082,3 +1082,58 @@ def test_change_feed_replay_reproduces_state(spark, sf_dir, tmp_path):
             if coarse[key] == 0:
                 del coarse[key]
     assert coarse == state
+
+
+def test_set_ref_expected_seq_must_equal_head(spark, sf_dir, tmp_path):
+    """CAS means *equals the current head*: an expected_seq AHEAD of
+    the latest record must RefConflict instead of publishing a gapped
+    r{K} that silently becomes the ref head (r10 ADVICE fix), and a
+    stale one conflicts as before; exactly-head advances."""
+    import os
+
+    import pytest
+
+    from hadoop_tools_spark.sources.snapshots import (
+        RefConflict,
+        SnapshotTable,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(20)
+    tbl = SnapshotTable(str(tmp_path / "refs_cas"))
+    tbl.create(orders)
+    tbl.append(orders.limit(5))
+    tbl.set_ref("main", 0)  # r0
+    tbl.set_ref("main", 1)  # r1 — head seq is now 1
+    with pytest.raises(RefConflict):
+        tbl.set_ref("main", 1, expected_seq=5)  # ahead → would gap
+    with pytest.raises(RefConflict):
+        tbl.set_ref("main", 1, expected_seq=0)  # stale → lost race
+    rec = tbl.set_ref("main", 1, expected_seq=1)  # exact head wins
+    assert rec["seq"] == 2
+    published = sorted(
+        int(f[1:-5])
+        for f in os.listdir(os.path.join(tbl.refs_dir, "main"))
+        if f.startswith("r") and f.endswith(".json")
+    )
+    assert published == [0, 1, 2]  # contiguous: no gapped record
+
+
+def test_upsert_rejects_reserved_extra_keys(spark, sf_dir, tmp_path):
+    """``extra`` merges last into the manifest, so reserved commit
+    metadata keys must be rejected, not silently clobbered (r10
+    ADVICE fix) — a caller-supplied ``deletes`` would otherwise wipe
+    the equality-delete list and resurrect retired rows."""
+    import pytest
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(20)
+    tbl = SnapshotTable(str(tmp_path / "upsert_reserved"))
+    tbl.create(orders)
+    for bad in ({"deletes": []}, {"files": []}, {"stats": {}}):
+        with pytest.raises(ValueError, match="may not override"):
+            tbl.upsert(orders.limit(5), ["o_orderkey"], extra=bad)
+    # benign extra still lands in the manifest
+    v = tbl.upsert(orders.limit(5), ["o_orderkey"],
+                   extra={"batch_id": 7})
+    assert tbl._manifest(v)["batch_id"] == 7

@@ -162,7 +162,11 @@ def test_no_static_broadcast_of_scaling_tables(spark, sf_dir):
 
     keys = [k for k in QUERIES if k.startswith("q")] + [
         "join_inner", "stream_enrich", "llm_jaccard_ngram",
-    ]
+    ] + [k for k in QUERIES if k.startswith("graph_")]
+    # graph_* rank/label/community vectors scale with |nodes|: since
+    # r10 they reach the join unhinted (AQE broadcasts while small,
+    # shuffles to the cached src-partitioned edges past that), so the
+    # sweep fails if a static hint creeps back in.
     offenders = {}
     for key in keys:
         opt = optimized_str(QUERIES[key](spark, sf_dir))

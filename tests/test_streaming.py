@@ -619,3 +619,28 @@ def test_stream_cdc_upsert_exactly_once(spark, sf_dir, staged, tmp_path):
     replay = IdempotentUpsertSink(path, ["user_id"], ["ts", "event_id"])
     replay(ev.limit(50), 0)
     assert replay.table.versions() == v1
+
+
+def test_upsert_sink_tied_order_cols_deterministic(spark, tmp_path):
+    """Two same-key rows tying on EVERY order_col must commit the same
+    winner no matter how the batch is partitioned or ordered — the
+    stable-hash tie-break (r10 ADVICE fix) makes replays of a failed
+    micro-batch reproduce one table, not an arbitrary row_number pick."""
+    from hadoop_tools_spark.streaming.sinks import IdempotentUpsertSink
+
+    rows = [
+        ("u1", 5, "first"), ("u1", 5, "second"), ("u1", 5, "third"),
+        ("u2", 1, "only"),
+    ]
+    cols = ["user_id", "ts", "payload"]
+    winners = []
+    for i, order in enumerate((rows, list(reversed(rows)))):
+        path = str(tmp_path / f"tie_{i}")
+        sink = IdempotentUpsertSink(path, ["user_id"], ["ts"])
+        sink(spark.createDataFrame(order, cols).repartition(2 + i), 0)
+        winners.append({
+            r["user_id"]: r["payload"]
+            for r in sink.table.read(spark).collect()
+        })
+    assert winners[0] == winners[1]
+    assert set(winners[0]) == {"u1", "u2"}
