@@ -72,6 +72,19 @@ def _dot(a, b):
     )
 
 
+def _seq_dot(A, B):
+    """Sequential-sum dot products over the last axis — ``np.cumsum``
+    of the element-wise products, a strictly left-to-right fold that
+    is bitwise identical to DuckDB's ``list_inner_product`` (the
+    llm_knn_exact parity trick, shared by every kNN op that needs its
+    floats to hash-match the oracle). Broadcasting shapes compose:
+    ``_seq_dot(X[:, None, :], C[None, :, :])`` is the (n, k) dot
+    matrix."""
+    import numpy as np
+
+    return np.cumsum(A * B, axis=-1)[..., -1]
+
+
 def _unit(emb):
     """L2-normalize once so each candidate pair later costs ONE dot
     product instead of three (the 3-dot form tripled pair-stage cost
@@ -500,7 +513,9 @@ def _driver_sample(e):
         .collect()
     )
     X = np.array([r.u for r in samp])
-    return X / np.linalg.norm(X, axis=1, keepdims=True)
+    # sequential-sum norms (not np.linalg.norm's pairwise reduction):
+    # bitwise-matches the oracle's x / sqrt(list_inner_product(x, x))
+    return X / np.sqrt(_seq_dot(X, X))[:, None]
 
 
 def _subspace_lloyd(X, m: int, k: int, n_iter: int):
@@ -542,23 +557,33 @@ def _fit_quantizer(unit_df, n_cells: int = _IVF_CELLS, n_iter: int = 5):
     representative sample, not the corpus; full-corpus `pyspark.ml`
     KMeans.fit was both the operator's dominant cost at fixture scale
     and a non-starter at 100 TB). Init = first `n_cells` sample
-    vectors in vec_id order; assignment by max cosine; centroids
-    renormalized each Lloyd round; empty cells keep their previous
-    centroid. Returns the (n_cells, dim) numpy centroid matrix —
-    deterministic for a given corpus, so index builds are
-    reproducible.
+    vectors in vec_id order; assignment by max cosine (first index on
+    ties); centroids renormalized each Lloyd round; empty cells keep
+    their previous centroid.
+
+    Every float in the loop is pinned to an engine-independent form
+    (r10, the llm_knn_ivf oracle promotion): assignment dots are
+    sequential cumsum folds (`_seq_dot` ↔ ``list_inner_product``),
+    the M-step mean is a BIGINT-scaled fixed-point sum — exact
+    integers in float64, order-free, the llm_embed_centroid
+    convention: ``floor(Σ floor(v·1e6 + ½) / n + ½) / 1e6`` — and the
+    renormalization divides by a sequential-fold norm. DuckDB
+    replaying the same five rounds therefore reproduces the centroid
+    matrix BITWISE, which is what lets llm_knn_ivf carry a full hash
+    oracle despite being an iterative sampled algorithm.
     """
     import numpy as np
 
     X = _driver_sample(unit_df)
     C = X[:n_cells].copy()
     for _ in range(n_iter):
-        assign = np.argmax(X @ C.T, axis=1)
+        assign = np.argmax(_seq_dot(X[:, None, :], C[None, :, :]), axis=1)
         for c in range(n_cells):
             members = X[assign == c]
             if len(members):
-                m = members.mean(axis=0)
-                C[c] = m / np.linalg.norm(m)
+                s6 = np.floor(members * 1e6 + 0.5).sum(axis=0)
+                m = np.floor(s6 / len(members) + 0.5) / 1e6
+                C[c] = m / np.sqrt(_seq_dot(m, m))
     return C
 
 
@@ -596,7 +621,113 @@ def _assign_cells(spark, raw_df, centroids):
     return raw_df.mapInPandas(run, schema=schema)
 
 
-@query("llm_knn_ivf")  # rows-only: quantizer cells (iterative, sampled)
+def _ivf_round_sql(prev: str, out: str) -> str:
+    """One Lloyd round of the coarse quantizer, in SQL: assign each
+    sample vector to its max-cosine cell (first cell on exact ties,
+    matching np.argmax), recompute each non-empty cell's centroid as
+    the BIGINT-scaled fixed-point mean of its members, renormalize by
+    a sequential-fold norm; empty cells carry the previous centroid.
+    Mirrors `_fit_quantizer`'s loop term for term."""
+    return f"""
+    {out}_a AS (
+      SELECT vec_id, u, cell FROM (
+        SELECT s.vec_id, s.u, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY list_inner_product(s.u, c.vec)
+                                           DESC, c.cell) AS rn
+        FROM samp s CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    {out}_x AS (
+      SELECT cell, u, unnest(generate_series(1, len(u))) AS i
+      FROM {out}_a
+    ),
+    {out}_m AS (
+      SELECT cell, i,
+             floor(SUM(CAST(floor(u[i] * 1000000 + 0.5) AS BIGINT))
+                   / COUNT(*) + 0.5) / 1000000.0 AS mv
+      FROM {out}_x GROUP BY cell, i
+    ),
+    {out}_v AS (
+      SELECT cell, list(mv ORDER BY i) AS mvec FROM {out}_m GROUP BY cell
+    ),
+    {out} AS (
+      SELECT p.cell,
+             COALESCE(list_transform(n.mvec,
+                 x -> x / sqrt(list_inner_product(n.mvec, n.mvec))),
+                 p.vec) AS vec
+      FROM {prev} p LEFT JOIN {out}_v n ON n.cell = p.cell
+    )"""
+
+
+_IVF_ORACLE = f"""
+    WITH eu AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                                    embedding::DOUBLE[]))) AS u
+        FROM embeddings
+    ),
+    samp AS (
+        SELECT vec_id, u FROM eu
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN
+              ('0','1','2','3','4','5','6','7')
+        ORDER BY vec_id LIMIT {_IVF_SAMPLE}
+    ),
+    c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, u AS vec
+        FROM (SELECT vec_id, u FROM samp ORDER BY vec_id
+              LIMIT {_IVF_CELLS})
+    ),
+    {_ivf_round_sql("c0", "c1")},
+    {_ivf_round_sql("c1", "c2")},
+    {_ivf_round_sql("c2", "c3")},
+    {_ivf_round_sql("c3", "c4")},
+    {_ivf_round_sql("c4", "c5")},
+    qs AS (
+        SELECT vec_id AS q_id, u AS q_u FROM eu
+        WHERE vec_id % {_QUERY_MOD} = 0
+        ORDER BY vec_id LIMIT {_MAX_QUERIES}
+    ),
+    probe AS (
+      SELECT q_id, cell FROM (
+        SELECT q.q_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY list_inner_product(q.q_u, c.vec)
+                                           DESC, c.cell) AS rn
+        FROM qs q CROSS JOIN c5 c
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    asg AS (
+      SELECT vec_id, u, cell FROM (
+        SELECT e.vec_id, e.u, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_inner_product(e.u, c.vec)
+                                           DESC, c.cell) AS rn
+        FROM eu e CROSS JOIN c5 c
+      ) WHERE rn = 1
+    ),
+    sc AS (
+      SELECT p.q_id, a.vec_id AS neighbor_id,
+             list_inner_product(a.u, q.q_u) AS cos
+      FROM probe p
+      JOIN asg a ON a.cell = p.cell
+      JOIN qs q ON q.q_id = p.q_id
+      WHERE a.vec_id <> p.q_id
+    ),
+    r AS (
+      SELECT q_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, neighbor_id) AS rn
+      FROM sc
+    )
+    SELECT q_id, neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {_K}
+"""
+
+
+@query("llm_knn_ivf", oracle=_IVF_ORACLE)
 def llm_knn_ivf(spark, sf_dir):
     """IVF-style approximate k-NN: sample-trained coarse quantizer,
     probe the `nprobe` nearest cells per query, exact cosine only
@@ -608,6 +739,17 @@ def llm_knn_ivf(spark, sf_dir):
     iterated), and the corpus can live physically partitioned by cell
     (`build_ivf_index`) so a probe is a partition-pruned scan instead
     of a full pass. Recall vs exact is bounded in tests/test_approx.py.
+
+    FULL hash oracle (r10 promotion; formerly rows-only): the oracle
+    replays the ENTIRE pipeline in SQL — the md5-bucket sample, all
+    five Lloyd rounds (`_ivf_round_sql`, mirroring `_fit_quantizer`'s
+    integer-scaled M-step and sequential-fold dots term for term),
+    probe selection, corpus cell assignment, and in-cell exact cosine
+    — so Spark and DuckDB agree bitwise on every centroid, every cell
+    and every cosine; the same recursive-replay machinery that
+    promoted `llm_tokenize_viterbi`'s DP. Every numpy reduction here
+    is a cumsum (`_seq_dot`) and every mean BIGINT-scaled, which is
+    what makes the iterative sampled algorithm exactly replayable.
     """
     import numpy as np
 
@@ -631,11 +773,11 @@ def llm_knn_ivf(spark, sf_dir):
         )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.u for r in q_rows])
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_mat = q_mat / np.sqrt(_seq_dot(q_mat, q_mat))[:, None]
     cell2q: dict[int, list[int]] = {}
     c_order = np.arange(len(C))
     for qi in range(len(q_ids)):
-        sims = C @ q_mat[qi]
+        sims = _seq_dot(C, q_mat[qi][None, :])
         probed = np.lexsort((c_order, -sims))[:_IVF_NPROBE]
         for c in probed:
             cell2q.setdefault(int(c), []).append(qi)
@@ -664,15 +806,21 @@ def llm_knn_ivf(spark, sf_dir):
                 continue
             c_ids = pdf["vec_id"].to_numpy()
             U = _np.vstack(pdf["u"].to_numpy())
-            U = U / _np.linalg.norm(U, axis=1, keepdims=True)
-            cells = _np.argmax(U @ Cm.T, axis=1)
+            # cumsum norms/dots throughout: oracle-bitwise (see _seq_dot)
+            U = U / _np.sqrt(_np.cumsum(U * U, axis=-1)[..., -1])[:, None]
+            cells = _np.argmax(
+                _np.cumsum(U[:, None, :] * Cm[None, :, :], axis=-1)[..., -1],
+                axis=1,
+            )
             out = []
             for cell in _np.unique(cells):
                 qidx = c2q.get(int(cell))
                 if not qidx:
                     continue
                 rows = _np.flatnonzero(cells == cell)
-                sims = U[rows] @ qm[qidx].T  # (|rows|, |qidx|)
+                sims = _np.cumsum(
+                    U[rows][:, None, :] * qm[qidx][None, :, :], axis=-1
+                )[..., -1]  # (|rows|, |qidx|)
                 for j, qi in enumerate(qidx):
                     mask = c_ids[rows] != ids[qi]
                     cos = sims[mask, j]

@@ -162,11 +162,7 @@ def test_no_static_broadcast_of_scaling_tables(spark, sf_dir):
 
     keys = [k for k in QUERIES if k.startswith("q")] + [
         "join_inner", "stream_enrich", "llm_jaccard_ngram",
-    ] + [k for k in QUERIES if k.startswith("graph_")]
-    # graph_* rank/label/community vectors scale with |nodes|: since
-    # r10 they reach the join unhinted (AQE broadcasts while small,
-    # shuffles to the cached src-partitioned edges past that), so the
-    # sweep fails if a static hint creeps back in.
+    ]
     offenders = {}
     for key in keys:
         opt = optimized_str(QUERIES[key](spark, sf_dir))
@@ -174,6 +170,28 @@ def test_no_static_broadcast_of_scaling_tables(spark, sf_dir):
             if "strategy=broadcast" not in ln:
                 continue
             if not any(t in ln for t in FIXED_DIM_TOKENS + SCALAR_TOKENS):
+                offenders.setdefault(key, []).append(ln.strip()[:140])
+    assert not offenders, offenders
+
+
+def test_graph_vectors_never_broadcast_past_the_gate(spark, sf_dir, monkeypatch):
+    """graph_* rank/label/community vectors scale with |nodes|, so
+    their broadcasts are gated on the MEASURED node count
+    (`analytics._bc_if_small`), not a static hint. Forcing the gate
+    to 0 simulates the 100 TB cardinality: every graph plan must then
+    contain ZERO broadcast hints — the shape a 1000-executor cluster
+    would run, where the vectors shuffle to the cached
+    src-partitioned edge set instead of OOMing the driver."""
+    from hadoop_tools_spark.operators import analytics
+    from hadoop_tools_spark import all_queries  # noqa: F401
+    from hadoop_tools_spark.registry import QUERIES
+
+    monkeypatch.setattr(analytics, "_BC_GATE_ROWS", 0)
+    offenders = {}
+    for key in [k for k in QUERIES if k.startswith("graph_")]:
+        opt = optimized_str(QUERIES[key](spark, sf_dir))
+        for ln in opt.splitlines():
+            if "strategy=broadcast" in ln:
                 offenders.setdefault(key, []).append(ln.strip()[:140])
     assert not offenders, offenders
 
