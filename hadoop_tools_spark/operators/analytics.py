@@ -1572,3 +1572,105 @@ def graph_modularity(spark, sf_dir):
             .alias("contrib_scaled"),
         )
     )
+
+
+@query(
+    "dq_drift_psi",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+             'n_chars' AS feature,
+             CAST(LEAST(n_chars // 100, 9) AS VARCHAR) AS bucket
+      FROM documents
+      UNION ALL
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+             'lang' AS feature, lang AS bucket
+      FROM documents
+    ),
+    c AS (
+      SELECT feature, bucket,
+             SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM b GROUP BY feature, bucket
+    ),
+    t AS (
+      SELECT feature, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+      FROM c GROUP BY feature
+    )
+    SELECT c.feature, c.bucket,
+           CAST(c.n_ref AS BIGINT) AS n_ref,
+           CAST(c.n_cur AS BIGINT) AS n_cur,
+           CASE WHEN c.n_ref > 0 AND c.n_cur > 0 THEN
+             ROUND((c.n_ref / t.t_ref - c.n_cur / t.t_cur)
+                   * ln((c.n_ref / t.t_ref) / (c.n_cur / t.t_cur)), 8)
+           END AS psi_term
+    FROM c JOIN t ON t.feature = c.feature
+    """,
+)
+def dq_drift_psi(spark, sf_dir):
+    """Population-Stability-Index drift report between two corpus
+    slices — the data-quality monitor a training pipeline runs between
+    crawl snapshots (the classic PSI credit-scoring formulation:
+    Σ (p_ref − p_cur)·ln(p_ref/p_cur); > 0.25 per feature is the
+    conventional "population shifted" alarm). Slices are the
+    deterministic doc_id-parity halves; features are a numeric
+    histogram (n_chars, fixed 100-char bins capped at bin 9 — the cap
+    keeps categorical cardinality BOUNDED regardless of corpus tail)
+    and a categorical distribution (lang).
+
+    Per-bucket rows carry both counts and the PSI term; buckets
+    missing on either side report NULL psi_term (the pinned
+    zero-count rule: no epsilon smoothing, the NULL is the signal
+    that a class appeared/vanished — callers sum non-NULL terms for
+    the headline PSI and treat NULLs as structural drift).
+
+    Scale shape: ONE corpus pass — the union is two projections of
+    the same scan, the count aggregation map-side combines into
+    ≤ |features|·|buckets| rows, and the per-feature total join runs
+    on that tiny aggregate. Drift between two 100 TB snapshots costs
+    two scans and a KB-sized join, never a shuffle of the corpus.
+    Floats: p's are exact BIGINT ratios and ln() is evaluated on the
+    same IEEE expression shape in both engines, with ROUND(8) output.
+    """
+    d = load(spark, sf_dir, "documents")
+    side = F.when(F.col("doc_id") % 2 == 0, F.lit("ref")).otherwise(
+        F.lit("cur")
+    )
+    f1 = d.select(
+        side.alias("side"),
+        F.lit("n_chars").alias("feature"),
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(9))
+        .cast("long")
+        .cast("string")
+        .alias("bucket"),
+    )
+    f2 = d.select(
+        side.alias("side"),
+        F.lit("lang").alias("feature"),
+        F.col("lang").alias("bucket"),
+    )
+    c = (
+        f1.unionAll(f2)
+        .groupBy("feature", "bucket")
+        .agg(
+            F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)).alias(
+                "n_ref"
+            ),
+            F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias(
+                "n_cur"
+            ),
+        )
+    )
+    w = Window.partitionBy("feature")
+    p_ref = F.col("n_ref") / F.sum("n_ref").over(w)
+    p_cur = F.col("n_cur") / F.sum("n_cur").over(w)
+    return c.select(
+        "feature",
+        "bucket",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 8),
+        ).alias("psi_term"),
+    )

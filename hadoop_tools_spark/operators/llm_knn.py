@@ -219,9 +219,20 @@ _KNN_SCHEMA = T.StructType(
 )
 
 
-@query("llm_knn_numpy")  # rows-only: BLAS summation order ≠ sequential
+@query("llm_knn_numpy", oracle=_KNN_ORACLE)
 def llm_knn_numpy(spark, sf_dir):
     """Blocked brute-force k-NN via mapInPandas + numpy matmul.
+
+    r10: carries the shared exact-kNN oracle. BLAS matmul associates
+    sums differently from the oracle's sequential fold, so raw
+    cosines differ in ulps (~1e-15) — but the key's contract rounds
+    to 6 decimals and breaks rank ties by neighbor_id, and no fixture
+    cosine sits within an ulp of a rounding boundary or of a
+    neighbor's cosine, so the hash match is exact at the graded
+    scales (verified sf0.01 + sf0.001). If a future corpus ever
+    manufactures a boundary-straddling tie, the key returns to
+    rows-only rather than de-BLASing the kernel — the BLAS throughput
+    IS this key's reason to exist next to `llm_knn_exact`.
 
     Each Arrow batch of corpus vectors multiplies against the (small,
     broadcast) query matrix in one BLAS call — within-partition top-k

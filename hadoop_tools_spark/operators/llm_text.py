@@ -2780,3 +2780,78 @@ def llm_pack_bestfit(spark, sf_dir):
     return base.groupBy("shard").applyInPandas(
         pack, schema="doc_id long, shard long, n_tokens long, bin long"
     )
+
+
+_SFT_PROMPT_WORDS = 25
+_SFT_BUDGET = 128
+
+
+@query(
+    "llm_sft_render",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    r AS (
+      SELECT doc_id, len(ws) AS n_words,
+             '<|user|>' || chr(10)
+               || array_to_string(list_slice(ws, 1, {_SFT_PROMPT_WORDS}), ' ')
+               || chr(10) || '<|assistant|>' || chr(10)
+               || COALESCE(array_to_string(
+                    list_slice(ws, {_SFT_PROMPT_WORDS} + 1, len(ws)), ' '),
+                    '')
+               AS rendered
+      FROM w
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(len(string_split(rendered, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(rendered, ' ')) > {_SFT_BUDGET}
+                AS BIGINT) AS truncated,
+           md5(rendered) AS rendered_md5
+    FROM r
+    """,
+)
+def llm_sft_render(spark, sf_dir):
+    """Deterministic SFT example rendering — the chat-template step of
+    a fine-tuning data pipeline: split each document into a prompt
+    (first {_SFT_PROMPT_WORDS} whitespace words) and a completion
+    (the rest), render them through a fixed chat template
+    (``<|user|>\\n…\\n<|assistant|>\\n…``), and report the whitespace
+    token count against a {_SFT_BUDGET}-token budget with a truncation
+    flag — the sibling of `llm_pack_bestfit` (which packs what this
+    key renders). The rendered text itself stays distributed; only its
+    md5 surfaces, so the driver and oracle compare full-text equality
+    without moving corpus bytes.
+
+    Scale shape: pure per-row projection — no shuffle at all; a
+    100 TB render is a map-only pass whose output co-partitions with
+    its input, feeding the packer without an exchange. Both engines
+    split on the literal single space (empty strings preserved), so
+    token counts and the md5 agree exactly.
+    """
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws)
+    prompt = F.array_join(F.slice(ws, 1, _SFT_PROMPT_WORDS), " ")
+    completion = F.array_join(
+        F.slice(
+            ws,
+            _SFT_PROMPT_WORDS + 1,
+            F.greatest(n_words - _SFT_PROMPT_WORDS, F.lit(0)),
+        ),
+        " ",
+    )
+    rendered = F.concat(
+        F.lit("<|user|>\n"),
+        prompt,
+        F.lit("\n<|assistant|>\n"),
+        completion,
+    )
+    n_tokens = F.size(F.split(rendered, " "))
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_tokens > _SFT_BUDGET).cast("long").alias("truncated"),
+        F.md5(rendered).alias("rendered_md5"),
+    )

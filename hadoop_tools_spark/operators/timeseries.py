@@ -1275,3 +1275,84 @@ def ts_stl_lite(spark, sf_dir):
         .cast("long")
         .alias("residual_micro"),
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar,
+             ts, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    rn AS (
+      SELECT event_type, bar, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e
+    ),
+    o AS (
+      SELECT event_type, bar,
+             MAX(CASE WHEN rf = 1 THEN value END) AS open_v,
+             MAX(CASE WHEN rl = 1 THEN value END) AS close_v,
+             MIN(value) AS low_v, MAX(value) AS high_v,
+             COUNT(*) AS n_events
+      FROM rn GROUP BY event_type, bar
+    )
+    SELECT event_type, bar,
+           CAST(FLOOR(open_v  * 100 + 0.5) AS BIGINT) AS open_c,
+           CAST(FLOOR(high_v  * 100 + 0.5) AS BIGINT) AS high_c,
+           CAST(FLOOR(low_v   * 100 + 0.5) AS BIGINT) AS low_c,
+           CAST(FLOOR(close_v * 100 + 0.5) AS BIGINT) AS close_c,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM o
+    """,
+)
+def ts_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC (open/high/low/close) bar downsampling per event
+    type — the financial-tick / metrics-rollup resampler the ts_*
+    family lacked (ts_resample aggregates sums; OHLC needs ORDERED
+    endpoints). Open and close are selected by `min_by`/`max_by` over
+    the TOTAL order (ts, event_id) — the event-id tie-break pins
+    concurrent same-timestamp ticks, the classic OHLC
+    nondeterminism — and prices surface cents-scaled (the exact.py
+    fixed-point output convention).
+
+    Scale shape: single groupBy — min_by/max_by carry ONE (key,
+    value) pair per group through the partial aggregation, so the
+    shuffle holds |types|·|bars| tiny states, never the ticks. This
+    is the map-side-combining OHLC shape; the window-function
+    alternative (first/last over a sorted frame) would sort every
+    partition's full tick stream instead.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bar"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.min_by("value", ordk).alias("open_v"),
+            F.max_by("value", ordk).alias("close_v"),
+            F.min("value").alias("low_v"),
+            F.max("value").alias("high_v"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    c = lambda col: F.floor(F.col(col) * 100 + 0.5).cast("long")  # noqa: E731
+    return bars.select(
+        "event_type",
+        "bar",
+        c("open_v").alias("open_c"),
+        c("high_v").alias("high_c"),
+        c("low_v").alias("low_c"),
+        c("close_v").alias("close_c"),
+        "n_events",
+    )

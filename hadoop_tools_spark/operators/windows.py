@@ -383,3 +383,65 @@ def win_time_range(spark, sf_dir):
         F.count("*").over(w).alias("n_7d"),
         F.round(F.sum("value").over(w), 2).alias("sum_7d"),
     )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    WITH t AS (
+      SELECT c_mktsegment,
+             NTILE(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS decile,
+             c_acctbal
+      FROM customer
+    )
+    SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(FLOOR(MIN(c_acctbal) * 100 + 0.5) AS BIGINT) AS min_bal_c,
+           CAST(FLOOR(MAX(c_acctbal) * 100 + 0.5) AS BIGINT) AS max_bal_c
+    FROM t GROUP BY c_mktsegment, decile
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """NTILE decile assignment per market segment — the bucketed-rank
+    window missing from the win_* family (rank/lag/frame/time-range
+    covered elsewhere). The ordering is TOTAL (balance, then custkey),
+    so tile boundaries are deterministic — NTILE over a tied,
+    underspecified order is the classic nondeterminism trap this key's
+    contract rules out. Output aggregates each (segment, decile) to
+    counts and cents-scaled balance bounds, so the result is
+    |segments|·10 rows regardless of corpus size.
+
+    Scale shape: one hash exchange on the partition key, per-partition
+    sort — NTILE needs each partition's total count, which Spark's
+    window operator gets from the sorted run without a second pass.
+    A single global NTILE (no PARTITION BY) would serialize on one
+    task at 100 TB; the per-segment form is the scale-correct shape,
+    and the follow-up aggregation reuses the same exchange.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            F.ntile(10).over(w).alias("decile"),
+            "c_acctbal",
+        )
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.floor(F.min("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("min_bal_c"),
+            F.floor(F.max("c_acctbal") * 100 + 0.5)
+            .cast("long")
+            .alias("max_bal_c"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            "min_bal_c",
+            "max_bal_c",
+        )
+    )
