@@ -952,3 +952,71 @@ def agg_moments(spark, sf_dir):
         " / (v * v) * 1000000 + 0.5) / 1000000"
         " END AS kurtosis6",
     )
+
+
+@query(
+    "agg_quantile_disc",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                THEN FLOOR(o_totalprice * 100 + 0.5) END) AS BIGINT)
+               AS p50_c,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                THEN FLOOR(o_totalprice * 100 + 0.5) END) AS BIGINT)
+               AS p90_c,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                THEN FLOOR(o_totalprice * 100 + 0.5) END) AS BIGINT)
+               AS p99_c
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def agg_quantile_disc(spark, sf_dir):
+    """Exact DISCRETE quantiles (p50/p90/p99) of order value per
+    priority class — the member-of-the-set quantile next to
+    `agg_median`'s interpolating `quantile_cont`: the reported value
+    is an actual order's price (type-preserving, the form SLA/latency
+    reporting wants), selected at rank ``ceil(p·n)`` under the TOTAL
+    order (price, orderkey) — the explicit rank rule is pinned in
+    both engines rather than trusting two engines' `percentile_disc`
+    tie conventions to coincide.
+
+    Scale shape: one hash exchange on the group key + per-partition
+    sort (the window), then the group-collapse reuses the same
+    partitioning — no second exchange. Groups are the 5 priority
+    classes; at 100 TB the per-group sort is the cost and would ride
+    range-partitioned rank (the `sort_multi` machinery) past
+    single-partition group sizes — the documented seam.
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    r = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
+
+    def pick(p):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                cents,
+            )
+        ).cast("long")
+
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        pick(0.5).alias("p50_c"),
+        pick(0.9).alias("p90_c"),
+        pick(0.99).alias("p99_c"),
+    )

@@ -2855,3 +2855,213 @@ def llm_sft_render(spark, sf_dir):
         (n_tokens > _SFT_BUDGET).cast("long").alias("truncated"),
         F.md5(rendered).alias("rendered_md5"),
     )
+
+
+_KN_D = 0.75
+_KN_TOPK = 200
+
+
+@query(
+    "llm_ngram_kn",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    b AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(tk)),
+                    i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS bg
+      FROM t
+    ),
+    bb AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM b),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bb GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(n12) AS n1, COUNT(*) AS fanout
+           FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n_prec FROM c12 GROUP BY w2),
+    ty AS (SELECT COUNT(*) AS n_types FROM c12)
+    SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+           ROUND((GREATEST(n12 - {_KN_D}, 0)
+                  + {_KN_D} * fanout * (n_prec / n_types)) / n1, 8)
+               AS kn_prob
+    FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+    ORDER BY n12 DESC, w1, w2 LIMIT {_KN_TOPK}
+    """,
+)
+def llm_ngram_kn(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1999 — the smoothing KenLM defaults to) for
+    the corpus's top-{_KN_TOPK} bigrams:
+    ``P_kn(w2|w1) = (max(c12 − d, 0) + d·N1+(w1·)·P_cont(w2)) / c(w1)``
+    with the standard d = 0.75 and continuation probability
+    ``P_cont(w2) = N1+(·w2) / N1+(··)`` — the step past
+    `llm_bigram_lm`'s MLE interpolation that a real LM-data pipeline
+    takes before perplexity filtering.
+
+    Every statistic derives from ONE corpus-wide bigram aggregation
+    (`c12`): left totals and fan-outs are a re-agg of c12 by w1,
+    continuation counts by w2, the type total a 1-row broadcast — no
+    second corpus pass and no COUNT(DISTINCT) shuffle of raw pairs.
+    The top-K bound rides a TOTAL order (count desc, then the unique
+    bigram), so the cut is deterministic; probabilities are exact
+    integer ratios through an identical IEEE expression shape in both
+    engines, ROUND(8) on output.
+
+    Scale shape: the bigram explode is the cost center (the
+    `llm_bigram_lm` shape); everything after is vocabulary-bounded.
+    The top-K is per-partition pruned before the single-partition
+    final sort (TakeOrdered), so no global sort of the bigram table.
+    """
+    d = load_spread(spark, sf_dir, "documents").withColumn(
+        "tk", F.split("text", " ")
+    ).filter(F.size("tk") >= 2)
+    bb = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(element_at(tk, i) AS w1,"
+                "             element_at(tk, i + 1) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = materialize(
+        bb.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("n12").alias("n1"), F.count("*").alias("fanout")
+    )
+    cont = c12.groupBy("w2").agg(F.count("*").alias("n_prec"))
+    ty = c12.agg(F.count("*").alias("n_types"))
+    kn = (
+        F.greatest(F.col("n12") - _KN_D, F.lit(0.0))
+        + F.lit(_KN_D)
+        * F.col("fanout")
+        * (F.col("n_prec") / F.col("n_types"))
+    ) / F.col("n1")
+    return (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("long").alias("n12"),
+            F.round(kn, 8).alias("kn_prob"),
+        )
+        .orderBy(F.col("n12").desc(), "w1", "w2")
+        .limit(_KN_TOPK)
+    )
+
+
+@query(
+    "llm_rouge_f1",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id, source, text,
+             LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                 AS b_id
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id AS a_id, b_id FROM o WHERE b_id IS NOT NULL
+    ),
+    tc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM tc GROUP BY doc_id),
+    ov AS (
+      SELECT p.a_id, p.b_id,
+             SUM(LEAST(a.c, b.c)) AS overlap
+      FROM pairs p
+      JOIN tc a ON a.doc_id = p.a_id
+      JOIN tc b ON b.doc_id = p.b_id AND b.w = a.w
+      GROUP BY p.a_id, p.b_id
+    )
+    SELECT p.a_id, p.b_id,
+           CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+           CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+           ROUND(2.0 * COALESCE(ov.overlap, 0) / (ta.n + tb.n), 8)
+               AS rouge1_f1
+    FROM pairs p
+    JOIN tot ta ON ta.doc_id = p.a_id
+    JOIN tot tb ON tb.doc_id = p.b_id
+    LEFT JOIN ov ON ov.a_id = p.a_id AND ov.b_id = p.b_id
+    """,
+)
+def llm_rouge_f1(spark, sf_dir):
+    """ROUGE-1 F1 between each document and its successor within the
+    same source — the n-gram-overlap grader an eval/decontamination
+    pipeline runs over candidate pairs (Lin 2004's recall/precision
+    harmonic mean over unigram MULTISETS: overlap counts each word
+    min(count_a, count_b) times, not set-once). The pair generator
+    (adjacent doc_ids per source) bounds pairs at |docs| rows — the
+    point is the scorer; swap any candidate generator (MinHash
+    buckets, embedding neighbors) in front of it unchanged.
+
+    Scale shape: token counts are one exploding groupBy keyed
+    (doc, word); the overlap join hash-partitions on doc_id so each
+    pair's word-count rows co-locate; totals re-agg the same counts.
+    Zero-overlap pairs survive via the left join (F1 = 0 rows are the
+    decontamination signal, not noise). All-integer counts; the F1
+    division is one identical IEEE expression, ROUND(8).
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("a_id"),
+            F.lead("doc_id").over(w).alias("b_id"),
+        )
+        .filter(F.col("b_id").isNotNull())
+    )
+    tc = materialize(
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    a = tc.select(
+        F.col("doc_id").alias("a_id"), F.col("w").alias("w"),
+        F.col("c").alias("ca"),
+    )
+    b = tc.select(
+        F.col("doc_id").alias("bb_id"), F.col("w").alias("wb"),
+        F.col("c").alias("cb"),
+    )
+    ov = (
+        pairs.join(a, "a_id")
+        .join(
+            b,
+            (F.col("b_id") == F.col("bb_id"))
+            & (F.col("w") == F.col("wb")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
+    )
+    ta = tot.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(ta, "a_id")
+        .join(tb, "b_id")
+        .join(ov, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            F.coalesce(F.col("overlap"), F.lit(0))
+            .cast("long")
+            .alias("overlap"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("overlap"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b")),
+                8,
+            ).alias("rouge1_f1"),
+        )
+    )

