@@ -246,3 +246,86 @@ def sql_params(spark, sf_dir):
         """,
         args={"threshold": 150000.0, "status": "O"},
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 0
+    """,
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4's `|>` operators, the GoogleSQL
+    pipe-query surface): the same logical plan as the classic
+    SELECT, written as a top-to-bottom dataflow — scan |> filter |>
+    aggregate — which is the form query generators and teaching
+    tools emit. Catalyst parses pipes into the identical plan (the
+    oracle is the classic spelling), so this key pins that the
+    surface is wired, not that a new engine path exists.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    return spark.sql(
+        """
+        FROM _pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 0
+        |> SELECT o_orderpriority, n_orders, revenue
+        """
+    )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderstatus)
+                  ELSE o_orderstatus END AS s
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_binary,
+           CAST(COUNT(DISTINCT lower(s)) AS BIGINT) AS n_lcase
+    FROM m GROUP BY o_orderpriority
+    """,
+)
+def fn_collation(spark, sf_dir):
+    """Collation-aware comparison (Spark 4 `COLLATE UTF8_LCASE`):
+    distinct-counts over a deliberately case-mixed column under the
+    binary collation vs the case-insensitive one — the surface a
+    catalog needs before collated columns can ORDER/GROUP/JOIN
+    without wrapping every reference in lower() (which would defeat
+    pushdown and dictionary reuse on a real table). The oracle pins
+    the lcase count with explicit lower() — collation semantics
+    reduced to an engine-neutral form.
+
+    Scale note: collated distincts aggregate exactly like binary
+    ones (hash on the collation key); UTF8_LCASE keys hash their
+    case-folded form, so no re-shuffle vs the lower() spelling.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_coll_orders")
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT o_orderpriority,
+                 CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderstatus)
+                      ELSE o_orderstatus END AS s
+          FROM _coll_orders
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_binary,
+               CAST(COUNT(DISTINCT (s COLLATE UTF8_LCASE)) AS BIGINT)
+                   AS n_lcase
+        FROM m GROUP BY o_orderpriority
+        """
+    )

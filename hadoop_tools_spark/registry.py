@@ -33,6 +33,20 @@ def query(key: str, oracle: str | None = None):
     """
 
     def deco(fn):
+        prev = QUERIES.get(key)
+        # a duplicate registration silently SHADOWS the earlier (often
+        # driver-green) implementation — caught live in r10 when a new
+        # scan_xml_roundtrip overwrote the r9 one. Re-registering the
+        # same function object stays legal (module re-import in
+        # long-lived test sessions); a different function is an error.
+        if prev is not None and getattr(
+            prev, "__qualname__", None
+        ) != getattr(fn, "__qualname__", object()):
+            raise ValueError(
+                f"query key {key!r} already registered by "
+                f"{getattr(prev, '__module__', '?')}."
+                f"{getattr(prev, '__qualname__', '?')}"
+            )
         QUERIES[key] = fn
         if oracle is not None:
             ORACLES[key] = " ".join(oracle.split())
