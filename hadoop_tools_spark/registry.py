@@ -36,12 +36,16 @@ def query(key: str, oracle: str | None = None):
         prev = QUERIES.get(key)
         # a duplicate registration silently SHADOWS the earlier (often
         # driver-green) implementation — caught live in r10 when a new
-        # scan_xml_roundtrip overwrote the r9 one. Re-registering the
-        # same function object stays legal (module re-import in
-        # long-lived test sessions); a different function is an error.
-        if prev is not None and getattr(
-            prev, "__qualname__", None
-        ) != getattr(fn, "__qualname__", object()):
+        # scan_xml_roundtrip overwrote the r9 one. Re-registering from
+        # the same module stays legal (module re-import in long-lived
+        # test sessions); a different module is an error. The identity
+        # is (module, qualname) — qualname alone would miss the exact
+        # incident class, since both functions follow the
+        # `def <key>` naming convention.
+        if prev is not None and (
+            getattr(prev, "__module__", None),
+            getattr(prev, "__qualname__", None),
+        ) != (getattr(fn, "__module__", "?"), getattr(fn, "__qualname__", "?")):
             raise ValueError(
                 f"query key {key!r} already registered by "
                 f"{getattr(prev, '__module__', '?')}."

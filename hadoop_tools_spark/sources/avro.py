@@ -14,12 +14,12 @@ encoder exists so the decoder can be exercised against files we
 control, and the DuckDB oracle aggregates the ORIGINAL table so a hash
 match proves the whole write→read cycle lossless.
 
-Scale shape: the writer runs inside ``mapInPandas`` (one container
-file per input partition, Arrow-batched — no driver funnel; the only
-driver materialization is the one-row-per-partition file manifest),
-and the reader pairs ``binaryFile`` scans with a ``mapInPandas``
-decoder, so both directions parallelize per file exactly like the
-bundled datasource would. Supported Spark types: long, double, string,
+Scale shape: the writer runs inside ``mapInArrow`` (one container
+file per input partition — no driver funnel; the only driver
+materialization is the one-row-per-partition file manifest), and the
+reader pairs ``binaryFile`` scans with a ``mapInArrow`` decoder, so
+both directions parallelize per file exactly like the bundled
+datasource would, and validity masks keep NULL distinct from NaN. Supported Spark types: long, double, string,
 boolean, binary, each nullable via the spec's ``["null", T]`` union.
 """
 
@@ -251,11 +251,42 @@ def read_ocf(data: bytes) -> tuple[list[str], list[tuple]]:
 
 # ------------------------------------------------------------- DataFrame API
 
+_SPARK_TO_ARROW = {
+    T.LongType(): "int64",
+    T.IntegerType(): "int32",
+    T.DoubleType(): "float64",
+    T.StringType(): "string",
+    T.BooleanType(): "bool",
+    T.BinaryType(): "binary",
+}
+
+
+def _arrow_type(dt):
+    import pyarrow as pa
+
+    name = _SPARK_TO_ARROW.get(dt)
+    if name is None:
+        raise ValueError(f"unsupported Avro field type: {dt}")
+    return getattr(pa, name)()
+
+
 def write_avro(df, path: str, codec: str = "deflate") -> int:
     """Distributed OCF write: one container file per input partition
-    via ``mapInPandas`` (Arrow batches in, a 1-row file manifest out —
-    the only driver materialization is #partitions rows). Returns the
-    number of files written."""
+    via ``mapInArrow`` (a 1-row file manifest comes back — the only
+    driver materialization is #partitions rows). Returns the number
+    of files written.
+
+    ``mapInArrow``, not ``mapInPandas``: Arrow record batches carry
+    explicit validity masks, so a NULL in a long/double column
+    arrives as Python ``None`` from ``to_pylist()`` — the pandas
+    route collapses nullable numerics to NaN, which both crashes
+    ``int()`` on long columns and silently conflates NULL with a
+    genuine NaN double (the ``["null", T]`` union must distinguish
+    them). Filenames are ``part-<partitionId>`` and published with an
+    atomic ``os.replace``: a retried or speculative task attempt
+    lands on the SAME name with identical content instead of leaving
+    a duplicate-row orphan for the glob reader (uuid names cannot be
+    overwritten by the retry)."""
     os.makedirs(path, exist_ok=True)
     for old in os.listdir(path):  # mode=overwrite semantics
         if old.endswith(".avro"):
@@ -263,45 +294,58 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     schema = df.schema
 
     def part_writer(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        pid = None
+        from pyspark import TaskContext
+
         rows = []
-        for pdf in batches:
-            rows.extend(pdf.itertuples(index=False, name=None))
-        if rows:
-            import uuid
+        for rb in batches:
+            cols = [rb.column(i).to_pylist() for i in range(rb.num_columns)]
+            rows.extend(zip(*cols))
+        if not rows:
+            return
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else os.getpid()
+        fn = os.path.join(path, f"part-{pid:05d}.avro")
+        tmp = f"{fn}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            n = write_ocf(fh, schema, rows, codec=codec)
+        os.replace(tmp, fn)  # atomic publish; retry overwrites, not adds
+        yield pa.record_batch(
+            [pa.array([fn], pa.string()), pa.array([n], pa.int64())],
+            names=["file", "rows"],
+        )
 
-            pid = uuid.uuid4().hex[:12]
-            fn = os.path.join(path, f"part-{pid}.avro")
-            with open(fn + ".tmp", "wb") as fh:
-                n = write_ocf(fh, schema, rows, codec=codec)
-            os.rename(fn + ".tmp", fn)
-            yield pd.DataFrame({"file": [fn], "rows": [n]})
-
-    manifest = df.mapInPandas(part_writer, "file string, rows long")
+    manifest = df.mapInArrow(part_writer, "file string, rows long")
     return manifest.count()  # bounded: one row per partition
 
 
 def read_avro(spark, path: str, schema: T.StructType):
     """Distributed OCF read: ``binaryFile`` scan (one task per file)
-    + ``mapInPandas`` decode. ``schema`` declares the expected Spark
+    + ``mapInArrow`` decode. ``schema`` declares the expected Spark
     column types (explicit-schema read, the scale-mandatory form —
-    same contract as the csv roundtrip's explicit schema)."""
+    same contract as the csv roundtrip's explicit schema). Arrow
+    arrays are built with explicit types, so decoded ``None`` becomes
+    a true NULL while a decoded NaN double stays NaN."""
+    import pyarrow as pa
+
     names = [f.name for f in schema.fields]
+    pa_types = [_arrow_type(f.dataType) for f in schema.fields]
 
     def decode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            for blob in pdf["content"]:
+        for rb in batches:
+            for blob in rb.column(0).to_pylist():
                 got, rows = read_ocf(bytes(blob))
                 if got != names:
                     raise ValueError(f"field mismatch: {got} != {names}")
-                yield pd.DataFrame(rows, columns=names)
+                arrays = [
+                    pa.array([r[i] for r in rows], type=pa_types[i])
+                    for i in range(len(names))
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     files = spark.read.format("binaryFile").load(f"{path}/*.avro")
-    return files.select("content").mapInPandas(decode, schema)
+    return files.select("content").mapInArrow(decode, schema)
 
 
 @query(

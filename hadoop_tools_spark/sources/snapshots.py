@@ -609,7 +609,9 @@ class SnapshotTable:
         upsert sink) for whom a conflict means a ZOMBIE writer, where
         a silent rebase could re-apply an old batch at a newer
         sequence and invert last-writer-wins."""
-        reserved = {"version", "files", "stats", "group_seq", "deletes"}
+        reserved = {
+            "version", "files", "stats", "group_seq", "deletes", "blooms",
+        }
         bad = reserved & set(extra or {})
         if bad:
             # ``extra`` merges LAST into the manifest, so a reserved

@@ -130,10 +130,28 @@ class IdempotentUpsertSink:
         # would otherwise make row_number pick an ARBITRARY winner —
         # nondeterministic across replays of a failed batch. A stable
         # hash over the remaining columns breaks the tie the same way
-        # on every replay.
+        # on every replay. MapType columns are excluded: xxhash64
+        # rejects them (Spark disallows hashing maps — undefined entry
+        # order), and a plan-time AnalysisException would brick a sink
+        # that previously accepted such batches; ties that differ ONLY
+        # in an unhashable column keep row_number's pick, which is the
+        # pre-r10 behavior for exactly that residue.
+        def _hashable(dt) -> bool:
+            from pyspark.sql import types as T
+
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _hashable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_hashable(f.dataType) for f in dt.fields)
+            return True
+
         rest = [
-            c for c in batch_df.columns
-            if c not in self.key_cols and c not in self.order_cols
+            f.name for f in batch_df.schema.fields
+            if f.name not in self.key_cols
+            and f.name not in self.order_cols
+            and _hashable(f.dataType)
         ]
         tiebreak = (
             [F.xxhash64(*[F.col(c) for c in rest]).desc()] if rest else []

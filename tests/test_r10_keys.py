@@ -94,19 +94,47 @@ def test_ohlc_bars_bounds_and_totals(spark, sf_dir):
     ).count()
 
 
-def test_kn_probs_valid_and_discount_applied(spark, sf_dir):
-    """KN probabilities are in (0, 1]; for every reported bigram the
-    discounted MLE term alone underestimates it (the continuation mass
-    is strictly positive)."""
+def test_kn_probs_exact_against_python_recount(spark, sf_dir):
+    """Recompute the full KN statistics in plain Python (Counter over
+    the corpus bigrams) and check every reported probability EXACTLY
+    (same IEEE expression shape, so equality after the key's ROUND(8))
+    — this is what pins that the discount and the continuation mass
+    are both actually applied, not just that values look plausible."""
+    from collections import Counter
+
     from hadoop_tools_spark.operators.llm_text import _KN_D, llm_ngram_kn
 
     rows = llm_ngram_kn(spark, sf_dir).collect()
     assert rows
-    counts = sorted((r["n12"] for r in rows), reverse=True)
-    assert counts == [r["n12"] for r in rows[:0]] or len(rows) <= 200
+    c12: Counter = Counter()
+    for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        ws = d["text"].split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+    n1: Counter = Counter()
+    fanout: Counter = Counter()
+    n_prec: Counter = Counter()
+    for (a, b), c in c12.items():
+        n1[a] += c
+        fanout[a] += 1
+        n_prec[b] += 1
+    n_types = len(c12)
     for r in rows:
-        assert 0.0 < r["kn_prob"] <= 1.0, r
-    assert _KN_D == 0.75
+        c = c12[(r["w1"], r["w2"])]
+        assert c == r["n12"], r
+        expect = (
+            max(c - _KN_D, 0.0)
+            + _KN_D * fanout[r["w1"]] * (n_prec[r["w2"]] / n_types)
+        ) / n1[r["w1"]]
+        assert round(expect, 8) == r["kn_prob"], (r, expect)
+        # discounted MLE alone strictly underestimates: continuation
+        # mass is positive for every observed bigram
+        assert r["kn_prob"] > round(
+            max(c - _KN_D, 0.0) / n1[r["w1"]] - 1e-12, 8
+        ) or r["kn_prob"] == round(expect, 8)
+    # the top-K cut rides the documented total order
+    pairs = [(-r["n12"], r["w1"], r["w2"]) for r in rows]
+    assert pairs == sorted(pairs)
 
 
 def test_rouge_f1_bounds(spark, sf_dir):
@@ -179,3 +207,74 @@ def test_avro_ocf_codec_roundtrip_units(tmp_path):
         assert n == len(rows)
         assert names == ["a", "s", "d", "b", "y"]
         assert back == rows
+
+
+def test_avro_spark_roundtrip_preserves_null_vs_nan(spark, tmp_path):
+    """Distributed write_avro/read_avro must keep NULL distinct from a
+    genuine NaN double and carry NULL longs/strings — the exact trap
+    the mapInArrow form exists for (pandas would collapse nullable
+    numerics to NaN). Also pins retry-safe naming: files are
+    part-<partitionId>, so a rewrite lands on the same names."""
+    import math
+    import os
+
+    from pyspark.sql import types as T
+
+    from hadoop_tools_spark.sources.avro import read_avro, write_avro
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, float("nan"), "a"),
+        (2, None, "b"),
+        (None, 3.5, None),
+        (4, -0.0, ""),
+    ]
+    df = spark.createDataFrame(rows, schema).repartition(2)
+    path = str(tmp_path / "avro_nulls")
+    write_avro(df, path, codec="deflate")
+    back = {
+        r["s"]: r for r in read_avro(spark, path, schema).collect()
+    }
+    assert math.isnan(back["a"]["x"])  # NaN stayed a VALUE
+    assert back["b"]["x"] is None  # NULL stayed NULL
+    assert back[None]["k"] is None
+    assert back[""]["x"] == 0.0
+    # deterministic per-partition names: a second write overwrites
+    names1 = sorted(f for f in os.listdir(path) if f.endswith(".avro"))
+    write_avro(df, path, codec="deflate")
+    names2 = sorted(f for f in os.listdir(path) if f.endswith(".avro"))
+    assert names1 == names2
+
+
+def test_upsert_sink_accepts_map_payload(spark, tmp_path):
+    """A MapType payload column must not brick the sink's tie-break
+    hash (xxhash64 rejects maps) — unhashable columns drop out of the
+    tie-break, hashable ones still pin the winner."""
+    from pyspark.sql import types as T
+
+    from hadoop_tools_spark.streaming.sinks import IdempotentUpsertSink
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("payload", T.StringType()),
+            T.StructField("attrs", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+    rows = [
+        ("u1", 5, "first", {"a": 1}),
+        ("u1", 5, "second", {"b": 2}),
+    ]
+    sink = IdempotentUpsertSink(
+        str(tmp_path / "map_tbl"), ["user_id"], ["ts"]
+    )
+    sink(spark.createDataFrame(rows, schema), 0)  # must not raise
+    got = sink.table.read(spark).collect()
+    assert len(got) == 1 and got[0]["user_id"] == "u1"
