@@ -578,6 +578,33 @@ def cmd_getmerge(args, spark=None, **_):
     return 0
 
 
+def cmd_df(args, spark=None, out=sys.stdout, **_):
+    """``hh df [-h] [PATH]``: filesystem capacity report (the
+    `hadoop fs -df` columns); ``-h`` human-readable units."""
+    zone, forced = posix_split(args)
+    human = "-h" in zone
+    pos = [a for a in zone if not a.startswith("-")] + forced
+    path = session_state.resolve(pos[0]) if pos else "/"
+    d = fsops.fs_df(_spark(spark), path)
+
+    def fmt(n: int) -> str:
+        if not human:
+            return str(n)
+        for unit in ("", "K", "M", "G", "T", "P"):
+            if abs(n) < 1024:
+                return f"{n:.1f}{unit}" if unit else str(n)
+            n /= 1024.0
+        return f"{n:.1f}E"
+
+    print("Filesystem  Size  Used  Available  Use%", file=out)
+    print(
+        f"{d['filesystem']}  {fmt(d['capacity'])}  {fmt(d['used'])}  "
+        f"{fmt(d['remaining'])}  {d['pct_used']:.0f}%",
+        file=out,
+    )
+    return 0
+
+
 def cmd_version(args, out=sys.stdout, **_):
     print(VERSION, file=out)
     return 0
@@ -605,6 +632,7 @@ COMMANDS = {
     "test": cmd_test,
     "cd": cmd_cd,
     "pwd": cmd_pwd,
+    "df": cmd_df,
     "version": cmd_version,
 }
 
@@ -645,6 +673,7 @@ CLI_SPEC = {
              "min_operands": 1},
     "cd": {"flags": set(), "value_opts": set(), "min_operands": 1},
     "pwd": {"flags": set(), "value_opts": set(), "min_operands": 0},
+    "df": {"flags": {"-h"}, "value_opts": set(), "min_operands": 0},
     "version": {"flags": set(), "value_opts": set(), "min_operands": 0},
 }
 

@@ -645,3 +645,85 @@ def join_bucketed(spark, sf_dir):
             F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
         ).alias("price_cents"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         j AS (
+            SELECT p.event_id, p.user_id, p.ts AS p_ts,
+                   c.event_id AS c_id, c.ts AS c_ts,
+                   ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                      ORDER BY c.ts DESC, c.event_id DESC)
+                       AS rn
+            FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts < p.ts
+         )
+    SELECT event_id, user_id,
+           CASE WHEN c_ts >= p_ts - INTERVAL 30 MINUTE THEN c_id END
+               AS prev_click_id,
+           CASE WHEN c_ts >= p_ts - INTERVAL 30 MINUTE
+                THEN epoch_us(p_ts) - epoch_us(c_ts) END AS gap_us
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof
+    (tolerance=...)`` / kdb wj semantics): the latest click strictly
+    before each purchase counts only if it happened within 30
+    minutes — older matches become NULL, exactly like no match. The
+    variant matters because an unbounded as-of silently attributes a
+    purchase to a click from weeks ago; attribution pipelines always
+    carry the window.
+
+    Same scale shape as `join_asof` (union + one window over the key
+    shuffle — no inequality join): the window carries a (ts, id)
+    struct so the tolerance is a post-filter on the MATCHED
+    timestamp, costing zero extra exchanges. The strict-< tie
+    discipline is inherited (purchases order before same-ts clicks).
+    """
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "click")
+    r = right.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("side"),
+        F.struct(
+            F.col("ts").alias("m_ts"), F.col("event_id").alias("m_id")
+        ).alias("_val"),
+    )
+    l = left.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("side"),
+        F.lit(None)
+        .cast("struct<m_ts:timestamp,m_id:bigint>")
+        .alias("_val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = l.unionByName(r).withColumn(
+        "m", F.last("_val", ignorenulls=True).over(w)
+    )
+    in_tol = F.col("m.m_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return (
+        merged.filter(F.col("side") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(in_tol, F.col("m.m_id")).alias("prev_click_id"),
+            F.when(
+                in_tol,
+                # timestampdiff handles TIMESTAMP_NTZ (events.ts via
+                # the nanosAsLong conf path), where unix_micros doesn't
+                F.expr("timestampdiff(MICROSECOND, m.m_ts, ts)"),
+            ).alias("gap_us"),
+        )
+    )

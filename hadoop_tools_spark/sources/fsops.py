@@ -154,3 +154,22 @@ def getmerge(
             finally:
                 stream.close()
     return len(parts)
+
+
+def fs_df(spark: SparkSession, path: str = "/") -> dict:
+    """`hh df PATH`: filesystem capacity report via
+    ``FileSystem.getStatus`` — the same numbers `hadoop fs -df`
+    prints (capacity / used / remaining, bytes). On HDFS this is one
+    NameNode RPC; on a local fs it reflects the backing volume."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    st = fs.getStatus(jpath)
+    cap = int(st.getCapacity())
+    used = int(st.getUsed())
+    rem = int(st.getRemaining())
+    return {
+        "filesystem": fs.getUri().toString(),
+        "capacity": cap,
+        "used": used,
+        "remaining": rem,
+        "pct_used": (round(100.0 * used / cap, 2) if cap else 0.0),
+    }

@@ -419,3 +419,24 @@ def test_cp_refuses_existing_destination_without_f(spark, ns):
     # copying INTO an existing dir guards the effective target too
     rc, _ = run(spark, "cp", src, f"{ns}/logs")
     assert rc == 1
+
+
+def test_df_reports_capacity(spark):
+    """`hh df` prints the `hadoop fs -df` columns with sane numbers;
+    -h switches to human units."""
+    rc, txt = run(spark, "df", "/")
+    assert rc == 0
+    lines = txt.strip().splitlines()
+    assert lines[0].split() == ["Filesystem", "Size", "Used",
+                                "Available", "Use%"]
+    parts = lines[1].split()
+    cap, used, avail = int(parts[1]), int(parts[2]), int(parts[3])
+    assert cap > 0 and 0 <= used <= cap and 0 <= avail <= cap
+    assert parts[4].endswith("%")
+    rc, txt = run(spark, "df", "-h")
+    assert rc == 0 and any(
+        u in txt for u in ("K", "M", "G", "T")
+    )
+    # operand gate: unknown option still rejected
+    rc, _ = run(spark, "df", "-z")
+    assert rc == 2
