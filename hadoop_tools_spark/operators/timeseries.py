@@ -1356,3 +1356,127 @@ def ts_ohlc_bars(spark, sf_dir):
         c("close_v").alias("close_c"),
         "n_events",
     )
+
+
+_TAU = 6.283185307179586  # pinned 2π literal — both engines parse the
+# same double; never engine pi() (one ulp there shifts every angle)
+_FOURIER_K = 8
+
+
+@query(
+    "ts_fourier_power",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS idx,
+             COUNT(*) AS x
+      FROM events GROUP BY event_type, idx
+    ),
+    g AS (SELECT MIN(idx) AS mn, MAX(idx) - MIN(idx) + 1 AS n FROM x),
+    terms AS (
+      SELECT event_type, k,
+             CAST(FLOOR(x * cos({_TAU} * k * (idx - mn) / n)
+                        * 1000000 + 0.5) AS BIGINT) AS c6,
+             CAST(FLOOR(x * sin({_TAU} * k * (idx - mn) / n)
+                        * 1000000 + 0.5) AS BIGINT) AS s6
+      FROM x CROSS JOIN g
+      CROSS JOIN (SELECT unnest(generate_series(1, {_FOURIER_K})) AS k) ks
+    ),
+    agg AS (
+      SELECT event_type, k, SUM(c6) AS sc6, SUM(s6) AS ss6
+      FROM terms GROUP BY event_type, k
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS k,
+           CAST(sc6 AS BIGINT) AS sc6, CAST(ss6 AS BIGINT) AS ss6,
+           ROUND((CAST(sc6 AS DOUBLE) / 1000000)
+                 * (CAST(sc6 AS DOUBLE) / 1000000)
+                 + (CAST(ss6 AS DOUBLE) / 1000000)
+                 * (CAST(ss6 AS DOUBLE) / 1000000), 6) AS power
+    FROM agg
+    """,
+)
+def ts_fourier_power(spark, sf_dir):
+    """Periodogram of the hourly event-rate series per event type —
+    the DFT power at the first {_FOURIER_K} frequencies, the spectral
+    seasonality detector next to `ts_seasonal_dow`'s calendar prior
+    (Schuster's periodogram; a daily cycle shows as a peak at
+    k = N/24 hours). The series is the DENSE hourly grid, but zero
+    hours contribute nothing to Σ x_t·cos/sin, so the aggregation
+    runs over OBSERVED (type, hour) counts only — no gap-fill join,
+    the zeros are free.
+
+    Exactness contract (the ts-family micro-unit convention): angles
+    derive from a PINNED 2π literal (never engine pi()), each term is
+    floored to 1e-6 fixed point so the cross-partition sum is an
+    exact BIGINT, and the reported power is one identical IEEE
+    expression over the two integer sums, ROUND(6). The cos/sin call
+    itself is the one libm dependency — both engines' doubles agreed
+    on every fixture angle (the ln() precedent from llm_bigram_lm).
+
+    Scale shape: one groupBy to hourly counts (map-side combined),
+    a 1-row global-extent broadcast, an 8-way frequency explode of
+    the SMALL hourly table, one more bounded groupBy — the corpus is
+    touched once; everything after is |types|·|hours|·k rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    x = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "timestampdiff(HOUR,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("idx"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.count("*").alias("x"))
+    )
+    g = x.agg(
+        F.min("idx").alias("mn"),
+        (F.max("idx") - F.min("idx") + 1).alias("n"),
+    )
+    th = (
+        F.lit(_TAU)
+        * F.col("k")
+        * (F.col("idx") - F.col("mn"))
+        / F.col("n")
+    )
+    terms = (
+        x.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_FOURIER_K))
+            ).alias("k"),
+            "x",
+            "idx",
+            "mn",
+            "n",
+        )
+        .select(
+            "event_type",
+            "k",
+            F.floor(F.col("x") * F.cos(th) * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("c6"),
+            F.floor(F.col("x") * F.sin(th) * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("s6"),
+        )
+    )
+    agg = terms.groupBy("event_type", "k").agg(
+        F.sum("c6").alias("sc6"), F.sum("s6").alias("ss6")
+    )
+    power = F.round(
+        (F.col("sc6").cast("double") / 1_000_000)
+        * (F.col("sc6").cast("double") / 1_000_000)
+        + (F.col("ss6").cast("double") / 1_000_000)
+        * (F.col("ss6").cast("double") / 1_000_000),
+        6,
+    )
+    return agg.select(
+        "event_type",
+        F.col("k").cast("long").alias("k"),
+        F.col("sc6").cast("long").alias("sc6"),
+        F.col("ss6").cast("long").alias("ss6"),
+        power.alias("power"),
+    )

@@ -278,3 +278,50 @@ def test_upsert_sink_accepts_map_payload(spark, tmp_path):
     sink(spark.createDataFrame(rows, schema), 0)  # must not raise
     got = sink.table.read(spark).collect()
     assert len(got) == 1 and got[0]["user_id"] == "u1"
+
+
+def test_fourier_power_exact_against_python_recount(spark, sf_dir):
+    """Recompute the periodogram in plain Python with the SAME pinned
+    2π literal and fixed-point term flooring; every BIGINT sum must
+    match exactly and the power must equal the identical IEEE
+    expression (pins that the angle convention, the grid origin, and
+    the fixed-point contract all survived the Spark plan)."""
+    import math
+    from collections import Counter
+
+    from hadoop_tools_spark.operators.timeseries import (
+        _FOURIER_K,
+        _TAU,
+        ts_fourier_power,
+    )
+
+    rows = ts_fourier_power(spark, sf_dir).collect()
+    assert rows and len(rows) % _FOURIER_K == 0
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    epoch = None
+    counts: Counter = Counter()
+    for e in ev:
+        idx = int(
+            (e["ts"] - __import__("datetime").datetime(1970, 1, 1))
+            .total_seconds() // 3600
+        )
+        counts[(e["event_type"], idx)] += 1
+    mn = min(i for _, i in counts)
+    n = max(i for _, i in counts) - mn + 1
+    sc: Counter = Counter()
+    ss: Counter = Counter()
+    for (et, idx), x in counts.items():
+        for k in range(1, _FOURIER_K + 1):
+            th = _TAU * k * (idx - mn) / n
+            sc[(et, k)] += int(math.floor(x * math.cos(th) * 1_000_000 + 0.5))
+            ss[(et, k)] += int(math.floor(x * math.sin(th) * 1_000_000 + 0.5))
+    for r in rows:
+        key = (r["event_type"], r["k"])
+        assert r["sc6"] == sc[key], (key, r["sc6"], sc[key])
+        assert r["ss6"] == ss[key], (key, r["ss6"], ss[key])
+        expect = round(
+            (sc[key] / 1_000_000) * (sc[key] / 1_000_000)
+            + (ss[key] / 1_000_000) * (ss[key] / 1_000_000),
+            6,
+        )
+        assert r["power"] == expect, (key, r["power"], expect)
