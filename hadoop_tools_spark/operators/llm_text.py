@@ -3065,3 +3065,51 @@ def llm_rouge_f1(spark, sf_dir):
             ).alias("rouge1_f1"),
         )
     )
+
+
+_BLOCKLIST = ("data", "http", "winner", "subscribe")
+_BLOCK_RE = "(" + "|".join(_BLOCKLIST) + ")"
+_BLOCK_MAX_HITS = 2
+
+
+@query(
+    "llm_blocklist_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BLOCK_RE}')) AS BIGINT)
+               AS n_hits,
+           CAST(len(regexp_extract_all(text, '{_BLOCK_RE}'))
+                > {_BLOCK_MAX_HITS} AS BIGINT) AS blocked,
+           NULLIF(regexp_extract(text, '{_BLOCK_RE}'), '') AS first_hit
+    FROM documents
+    """,
+)
+def llm_blocklist_filter(spark, sf_dir):
+    """Multi-pattern blocklist screening — the spam/boilerplate/URL
+    gate every crawl-ingest pipeline runs before quality scoring
+    (C4's badwords filter, RefinedWeb's URL blocklists, public
+    method). A pinned literal alternation counts non-overlapping
+    leftmost matches per document; more than {_BLOCK_MAX_HITS} hits
+    marks the doc blocked, and the first matched term surfaces for
+    the audit trail (NULL when clean — NULLIF pins the no-match
+    convention, where the engines' bare regexp_extract defaults
+    differ).
+
+    Scale shape: map-only regex projection, zero shuffle — the one
+    compiled automaton scans each document once (alternation of K
+    literals ≈ Aho-Corasick inside the regex engine); at 100 TB the
+    filter co-partitions with the scan and feeds the quality funnel
+    without an exchange. Cross-engine: literal alternations match
+    identically under Java regex and RE2-style engines (leftmost,
+    non-overlapping — no backtracking-dependent constructs).
+    """
+    d = load(spark, sf_dir, "documents")
+    n_hits = F.regexp_count(F.col("text"), F.lit(_BLOCK_RE))
+    return d.select(
+        "doc_id",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits > _BLOCK_MAX_HITS).cast("long").alias("blocked"),
+        F.nullif(
+            F.regexp_extract(F.col("text"), _BLOCK_RE, 1), F.lit("")
+        ).alias("first_hit"),
+    )

@@ -506,6 +506,30 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame) -> int:
         return self._commit_retry(df, keep_prev=False)
 
+    def restore(self, version: int, max_retries: int = 10) -> int:
+        """Delta ``RESTORE`` / Iceberg rollback: republish ``version``'s
+        manifest (file list + its stats/group_seq/deletes/blooms
+        subset) as a NEW commit at the head — time travel made
+        durable. No data file moves or rewrites: the commit costs one
+        manifest write regardless of table size, the restored state
+        stays reachable at its original version, and the rolled-back
+        versions remain time-travelable (an UNDO is another restore).
+        CAS-raced like every other commit."""
+        man = self._manifest(version)  # raises on an unpublished version
+        carry = {
+            k: man[k]
+            for k in ("stats", "group_seq", "deletes", "blooms")
+            if k in man
+        }
+        carry["restored_from"] = version
+        for _ in range(max_retries):
+            v = self.latest_version()
+            try:
+                return self._publish(man["files"], v + 1, extra=carry)
+            except CommitConflict:
+                continue
+        raise CommitConflict(self.latest_version() + 1)
+
     # -- merge-on-read row-level deletes -----------------------------
     @staticmethod
     def _seq_of(commit_dir: str) -> int:
@@ -1823,4 +1847,57 @@ def snapshot_branch_diff(spark, sf_dir):
         "change",
         "o_orderkey",
         F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@query(
+    "snapshot_restore",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM v0 GROUP BY o_orderstatus
+    """,
+)
+def snapshot_restore(spark, sf_dir):
+    """Durable rollback (Delta ``RESTORE`` / Iceberg rollback): after
+    a bad overwrite, ``restore(0)`` republishes v0's manifest as a NEW
+    head commit — the table reads as v0 again, the bad v1 stays
+    time-travelable, and no data file moved. The key builds
+    create → overwrite(corrupted) → restore(0) and returns the final
+    read's status histogram plus the version count, so the hash pins
+    BOTH that the restored content equals v0 exactly and that the
+    rollback was a commit (3 versions), not a destructive rewrite.
+
+    At 100 TB this is the incident-response primitive: a restore
+    costs one manifest write regardless of table size, and the
+    blast-radius analysis afterwards is `snapshot_changes` between
+    the bad version and its neighbors.
+    """
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v0_df = orders.filter(F.col("o_orderkey") % 3 == 0)
+    bad = v0_df.withColumn("o_orderstatus", F.lit("CORRUPT"))
+    table_path = os.path.join(SCRATCH, "snapshot_restore")
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    tbl.create(v0_df)
+    tbl.overwrite(bad)
+    tbl.restore(0)
+    n_versions = len(tbl.versions())
+    return (
+        tbl.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            F.lit(n_versions).cast("long").alias("n_versions"),
+        )
     )

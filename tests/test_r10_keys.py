@@ -325,3 +325,60 @@ def test_fourier_power_exact_against_python_recount(spark, sf_dir):
             6,
         )
         assert r["power"] == expect, (key, r["power"], expect)
+
+
+def test_snapshot_restore_roundtrip_and_history(spark, sf_dir, tmp_path):
+    """restore(v) makes the head read EQUAL the restored version
+    (exceptAll empty both ways), keeps the bad version time-travelable,
+    records restored_from in the manifest, and is itself undoable."""
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    ).limit(60)
+    from pyspark.sql import functions as F
+
+    bad = orders.withColumn("o_orderstatus", F.lit("CORRUPT"))
+    tbl = SnapshotTable(str(tmp_path / "restore_tbl"))
+    tbl.create(orders)
+    tbl.overwrite(bad)
+    v2 = tbl.restore(0)
+    head = tbl.read(spark)
+    v0 = tbl.read(spark, version=0)
+    assert head.exceptAll(v0).count() == 0
+    assert v0.exceptAll(head).count() == 0
+    assert tbl._manifest(v2)["restored_from"] == 0
+    # the bad version is still reachable
+    assert tbl.read(spark, version=1).filter(
+        F.col("o_orderstatus") == "CORRUPT"
+    ).count() == 60
+    # undo = restore the bad version again, as another commit
+    v3 = tbl.restore(1)
+    assert tbl._manifest(v3)["restored_from"] == 1
+    assert tbl.read(spark).filter(
+        F.col("o_orderstatus") == "CORRUPT"
+    ).count() == 60
+    assert tbl.versions() == [0, 1, 2, 3]
+
+
+def test_blocklist_hits_match_python_recount(spark, sf_dir):
+    """Hit counts equal a plain-Python non-overlapping scan and the
+    first_hit term is the leftmost match (NULL when clean)."""
+    import re
+
+    from hadoop_tools_spark.operators.llm_text import (
+        _BLOCK_RE,
+        llm_blocklist_filter,
+    )
+
+    rows = {r["doc_id"]: r for r in llm_blocklist_filter(spark, sf_dir).collect()}
+    pat = re.compile(_BLOCK_RE)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    blocked = 0
+    for d in docs:
+        hits = pat.findall(d["text"])
+        r = rows[d["doc_id"]]
+        assert r["n_hits"] == len(hits), d["doc_id"]
+        assert r["first_hit"] == (hits[0] if hits else None)
+        blocked += r["blocked"]
+    assert 0 < blocked < len(docs)  # the fixture exercises both sides
