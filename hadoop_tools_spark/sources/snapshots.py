@@ -688,6 +688,66 @@ class SnapshotTable:
                 continue
         raise CommitConflict(v + 1)
 
+    def apply_changes(self, changes: DataFrame, key_cols: list[str],
+                      op_col: str = "op", max_retries: int = 10) -> int:
+        """Mixed-op CDC apply in ONE commit (the Delta ``APPLY CHANGES
+        INTO`` primitive): ``changes`` carries upserts (``op='U'``)
+        and deletes (``op='D'``). The upsert rows stage as new data
+        files; ONE equality-delete file covers the keys of BOTH kinds
+        (an upsert retires the old row exactly like ``upsert``; a
+        delete retires it and stages nothing) — so the whole change
+        set lands atomically at one sequence, never a half-applied
+        batch. Commit cost O(|changes|), no data file rewritten.
+
+        Unknown op codes raise (a typo'd op silently dropped would be
+        a data-loss primitive)."""
+        ops = [
+            r[0]
+            for r in changes.select(op_col).distinct().collect()
+        ]  # bounded: |distinct op codes|
+        bad_ops = sorted(set(ops) - {"U", "D"})
+        if bad_ops:
+            raise ValueError(f"unknown change ops: {bad_ops}")
+        v = self.latest_version()
+        commit_id = f"{v + 1:05d}-{os.getpid()}-cdc"
+        upserts = changes.filter(F.col(op_col) == "U").drop(op_col)
+        staged = self._stage(upserts, commit_id)
+        staged_stats = self._collect_stats(staged)
+        del_staged = self._stage(
+            changes.select(*key_cols).distinct(), commit_id + "-eqdel"
+        )
+        for _ in range(max_retries):
+            v = self.latest_version()
+            man = self._manifest(v)
+            prev_stats = {
+                f: s
+                for f, s in man.get("stats", {}).items()
+                if f in man["files"]
+            }
+            entry = [
+                {"file": f, "cols": list(key_cols), "seq": v + 1}
+                for f in del_staged
+            ]
+            try:
+                return self._publish(
+                    man["files"] + staged, v + 1,
+                    extra={
+                        "stats": {**prev_stats, **staged_stats},
+                        "group_seq": {
+                            **{
+                                g: s
+                                for g, s in man.get("group_seq", {}).items()
+                                if g in self._groups_of(man["files"])
+                            },
+                            **{g: v + 1 for g in self._groups_of(staged)},
+                        },
+                        "deletes": man.get("deletes", []) + entry,
+                    },
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(v + 1)
+
     def _apply_deletes(
         self, spark: SparkSession, df: DataFrame, deletes: list[dict]
     ) -> DataFrame:
@@ -1901,3 +1961,56 @@ def snapshot_restore(spark, sf_dir):
             F.lit(n_versions).cast("long").alias("n_versions"),
         )
     )
+
+
+@query(
+    "merge_cdc_apply",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus
+    FROM v0 WHERE o_orderkey % 5 <> 0
+    """,
+)
+def merge_cdc_apply(spark, sf_dir):
+    """Mixed-op CDC batch applied in ONE commit (`apply_changes` — the
+    Delta ``APPLY CHANGES INTO`` shape): a change feed carrying both
+    updates (op='U', repriced rows) and tombstones (op='D') lands
+    atomically — one data stage for the upserts, ONE equality-delete
+    file covering the keys of both kinds, one manifest version. The
+    key returns the post-apply table; the oracle derives the same
+    state relationally, so the hash pins update-vs-delete routing AND
+    atomicity (a half-applied batch could never match).
+
+    This is the primitive `merge_upsert` (rewrite-partitions) and
+    `snapshot_row_deletes` compose into: at 100 TB the commit costs
+    O(|changes|) with zero data-file rewrites, and the read-side
+    merge stays the one anti-join pass of the merge-on-read contract.
+    """
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v0_df = orders.filter(F.col("o_orderkey") % 3 == 0)
+    changes = v0_df.filter(
+        (F.col("o_orderkey") % 5 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_orderstatus"))
+        .otherwise(F.lit("X"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    table_path = os.path.join(SCRATCH, "merge_cdc_apply")
+    shutil.rmtree(table_path, ignore_errors=True)
+    tbl = SnapshotTable(table_path)
+    tbl.create(v0_df)
+    tbl.apply_changes(changes, ["o_orderkey"], op_col="op")
+    return tbl.read(spark).select("o_orderkey", "o_orderstatus")

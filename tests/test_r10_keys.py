@@ -382,3 +382,51 @@ def test_blocklist_hits_match_python_recount(spark, sf_dir):
         assert r["first_hit"] == (hits[0] if hits else None)
         blocked += r["blocked"]
     assert 0 < blocked < len(docs)  # the fixture exercises both sides
+
+
+def test_apply_changes_atomic_and_rejects_bad_ops(spark, sf_dir, tmp_path):
+    """apply_changes lands updates+deletes at ONE version (atomicity),
+    routes ops correctly, raises on unknown op codes, and an
+    all-delete change set works (empty upsert stage)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    ).limit(40)
+    keys = [r["o_orderkey"] for r in base.collect()]
+    tbl = SnapshotTable(str(tmp_path / "cdc_apply"))
+    tbl.create(base)
+    ch = spark.createDataFrame(
+        [(keys[0], "X", "U"), (keys[1], None, "D")],
+        "o_orderkey long, o_orderstatus string, op string",
+    )
+    v = tbl.apply_changes(ch, ["o_orderkey"])
+    assert tbl.versions()[-1] == v  # one commit for the whole batch
+    got = {r["o_orderkey"]: r["o_orderstatus"]
+           for r in tbl.read(spark).collect()}
+    assert got[keys[0]] == "X"
+    assert keys[1] not in got
+    assert len(got) == len(keys) - 1
+    with pytest.raises(ValueError, match="unknown change ops"):
+        tbl.apply_changes(
+            spark.createDataFrame(
+                [(keys[2], "Y", "Z")],
+                "o_orderkey long, o_orderstatus string, op string",
+            ),
+            ["o_orderkey"],
+        )
+    # all-delete batch: no data rows staged, still one clean commit
+    v2 = tbl.apply_changes(
+        spark.createDataFrame(
+            [(keys[2], None, "D")],
+            "o_orderkey long, o_orderstatus string, op string",
+        ),
+        ["o_orderkey"],
+    )
+    assert tbl.versions()[-1] == v2
+    assert keys[2] not in {
+        r["o_orderkey"] for r in tbl.read(spark).collect()
+    }
