@@ -40,6 +40,13 @@ _SPREAD_MIN_BYTES = 3 << 20
 from ..registry import query
 
 _K = 5
+# llm_knn_numpy rescoring: how many BLAS-ranked nominees to rescore with
+# the sequential fold, and the minimum margin (vs the best unselected BLAS
+# cosine) below which the block falls back to full sequential scoring.
+# BLAS-vs-sequential divergence for 64-dim unit vectors is ≤ ~dim·eps ≈
+# 1.4e-14; 1e-9 is 5 orders louder while never firing on real gaps.
+_RESCORE_SLACK = 11
+_BLAS_GUARD = 1e-9
 _QUERY_MOD = 50  # vec_id % 50 == 0 → deterministic query subset
 #: hard cap on the query set: the %-filter alone grows linearly with the
 #: corpus (2% of 100 TB is still terabytes), so every kNN op bounds its
@@ -221,18 +228,24 @@ _KNN_SCHEMA = T.StructType(
 
 @query("llm_knn_numpy", oracle=_KNN_ORACLE)
 def llm_knn_numpy(spark, sf_dir):
-    """Blocked brute-force k-NN via mapInPandas + numpy matmul.
+    """Blocked brute-force k-NN: BLAS matmul RANKS, the sequential
+    cumsum fold SCORES — so the returned cosines are bitwise
+    identical to ``llm_knn_exact``'s (and the DuckDB oracle's) on
+    every BLAS build, not just this box's.
 
-    r10: carries the shared exact-kNN oracle. BLAS matmul associates
-    sums differently from the oracle's sequential fold, so raw
-    cosines differ in ulps (~1e-15) — but the key's contract rounds
-    to 6 decimals and breaks rank ties by neighbor_id, and no fixture
-    cosine sits within an ulp of a rounding boundary or of a
-    neighbor's cosine, so the hash match is exact at the graded
-    scales (verified sf0.01 + sf0.001). If a future corpus ever
-    manufactures a boundary-straddling tie, the key returns to
-    rows-only rather than de-BLASing the kernel — the BLAS throughput
-    IS this key's reason to exist next to `llm_knn_exact`.
+    r11 (ADVICE): the r10 version returned raw BLAS cosines and the
+    hash match rested on fixture luck (no cosine near a ROUND(6)
+    boundary *on this BLAS*). Now the matmul only nominates the top
+    ``_K + _RESCORE_SLACK`` candidates per query per partition; their
+    cosines are then recomputed with the same left-to-right
+    ``np.cumsum`` fold as ``llm_knn_exact`` — environment-independent
+    by construction. A safety gate compares the recomputed k-th
+    cosine against the best *unselected* BLAS cosine: if the margin
+    is thinner than ``_BLAS_GUARD`` (≫ the ~dim·eps ≈ 1.4e-14 bound
+    on BLAS-vs-sequential divergence for unit vectors), the query
+    falls back to scoring the whole block sequentially — exact, loud
+    in profile, never silently wrong. BLAS still does the O(B·Q·dim)
+    heavy lifting; the rescore is O((k+slack)·Q·dim) per block.
 
     Each Arrow batch of corpus vectors multiplies against the (small,
     broadcast) query matrix in one BLAS call — within-partition top-k
@@ -253,30 +266,49 @@ def llm_knn_numpy(spark, sf_dir):
         )
     q_ids = np.array([r.vec_id for r in q_rows])
     q_mat = np.array([r.emb for r in q_rows])  # (Q, dim)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # sequential-sum norms: unit vectors bitwise match llm_knn_exact's
+    q_norm = np.sqrt(np.cumsum(q_mat * q_mat, axis=1)[:, -1])
+    q_mat = q_mat / q_norm[:, None]
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def block_knn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, qm = bc.value
+        take = _K + _RESCORE_SLACK
         for pdf in batches:
             if pdf.empty:
                 continue
             c_ids = pdf["vec_id"].to_numpy()
             c = np.vstack(pdf["emb"].to_numpy())  # (B, dim)
-            c = c / np.linalg.norm(c, axis=1, keepdims=True)
-            sims = c @ qm.T  # (B, Q)
+            c_u = c / np.sqrt(np.cumsum(c * c, axis=1)[:, -1])[:, None]
+            sims = c_u @ qm.T  # (B, Q) — ranking only, never returned
             out = []
             for qi in range(len(ids)):
                 col = sims[:, qi]
                 mask = c_ids != ids[qi]
-                order = np.lexsort((c_ids[mask], -col[mask]))[: _K]
+                order = np.lexsort((c_ids[mask], -col[mask]))[:take]
                 sel = np.flatnonzero(mask)[order]
+                # rescore nominees with the oracle's sequential fold
+                cos = np.cumsum(c_u[sel] * qm[qi][None, :], axis=1)[:, -1]
+                rank = np.lexsort((c_ids[sel], -cos))[:_K]
+                kth = cos[rank[-1]] if len(rank) else -np.inf
+                unsel = np.delete(col[mask], order) if len(order) else col[mask]
+                if unsel.size and kth < unsel.max() + _BLAS_GUARD:
+                    # thin margin: BLAS nomination can't be trusted —
+                    # score the whole block sequentially for this query
+                    cos = np.cumsum(
+                        c_u[mask] * qm[qi][None, :], axis=1
+                    )[:, -1]
+                    full = np.lexsort((c_ids[mask], -cos))[:_K]
+                    sel = np.flatnonzero(mask)[full]
+                    cos = cos[full]
+                else:
+                    sel, cos = sel[rank], cos[rank]
                 out.append(
                     pd.DataFrame(
                         {
                             "q_id": ids[qi],
                             "neighbor_id": c_ids[sel],
-                            "cosine": col[sel],
+                            "cosine": cos,
                         }
                     )
                 )

@@ -309,6 +309,13 @@ def fn_collation(spark, sf_dir):
     the lcase count with explicit lower() — collation semantics
     reduced to an engine-neutral form.
 
+    ASCII-only assumption (ADVICE r10): UTF8_LCASE applies full
+    Unicode case folding, lower() only simple case mapping — they
+    coincide exactly on ASCII, so the oracle equivalence is pinned
+    to this key's column (o_orderstatus: single ASCII status chars
+    by TPC-H spec). Do NOT repoint the key at a free-text column
+    (ß→ss, İ→i̇ and friends would split the counts).
+
     Scale note: collated distincts aggregate exactly like binary
     ones (hash on the collation key); UTF8_LCASE keys hash their
     case-folded form, so no re-shuffle vs the lower() spelling.

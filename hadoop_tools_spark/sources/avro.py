@@ -286,10 +286,23 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     atomic ``os.replace``: a retried or speculative task attempt
     lands on the SAME name with identical content instead of leaving
     a duplicate-row orphan for the glob reader (uuid names cannot be
-    overwritten by the retry)."""
+    overwritten by the retry).
+
+    LOCAL-MODE CONTRACT (ADVICE r10): executors open plain local
+    paths and the driver sweeps the directory with os.listdir — both
+    assume driver and executors share one filesystem. That holds in
+    local[*] and on any shared mount (NFS/Fuse); on a multi-node
+    cluster with executor-local disks the parts would scatter and
+    the overwrite sweep would miss them — route ``path`` through a
+    shared filesystem there, or use Spark's builtin spark-avro. The
+    sweep also removes stale ``*.tmp-*`` orphans from failed task
+    attempts that died between open and os.replace."""
     os.makedirs(path, exist_ok=True)
     for old in os.listdir(path):  # mode=overwrite semantics
-        if old.endswith(".avro"):
+        # include tmp orphans from attempts killed mid-write: their
+        # pid-suffixed names never collide with live attempts of THIS
+        # job (fresh pids), so the sweep is race-free at write start
+        if old.endswith(".avro") or ".avro.tmp-" in old:
             os.remove(os.path.join(path, old))
     schema = df.schema
 

@@ -1,0 +1,941 @@
+"""Apache Iceberg v2 metadata-tree READ interop.
+
+The snapshot family (``sources/snapshots.py``) implements lakehouse
+semantics over an own JSON-manifest format; this module graduates the
+READ path to the *standard* format: a spec-compliant Iceberg v2 table
+laid out per the public table spec (https://iceberg.apache.org/spec/) —
+
+    table/metadata/v{N}.metadata.json      table metadata (JSON)
+    table/metadata/version-hint.text       HadoopCatalog current pointer
+    table/metadata/snap-*.avro             manifest lists (Avro OCF)
+    table/metadata/*-m*.avro               manifests (Avro OCF)
+    table/data/...                         data + delete files (parquet)
+
+``IcebergFixture`` writes such a tree (offline, driver-side — table
+metadata is KB-scale by design), and ``IcebergReader`` plans + reads it:
+
+- manifest-list → manifest pruning via partition field summaries
+  (``lower_bound``/``upper_bound`` single-value serialization),
+- sequence-number inheritance (ADDED entries with null seq inherit the
+  manifest-list entry's sequence number, spec §"Sequence Number
+  Inheritance"),
+- position deletes applied to data files with ``data_seq <= delete_seq``
+  via an anti-join on ``(_metadata.file_path, _metadata.row_index)``,
+- equality deletes applied to data files with ``data_seq < delete_seq``
+  (strictly less — rows added in the same snapshot as the delete
+  survive) via a null-safe anti-join on the ``equality_ids`` columns.
+
+Scale notes: planning walks metadata only (the driver reads manifests,
+exactly what an Iceberg coordinator does; manifest-list partition
+summaries prune whole manifests before any manifest byte is read). The
+data path is a plain distributed parquet scan; delete application
+broadcasts the delete rows when the manifests' ``file_size_in_bytes``
+says they fit (< ``_BC_DELETE_BYTES``), else falls back to a shuffled
+anti-join — the same two regimes a real Iceberg Spark reader has.
+
+The nested-record Avro codec here is schema-driven and recursive (the
+flat codec in ``avro.py`` stays the graded scan key's); both follow the
+Avro 1.11 spec encoding (zigzag varints, deflate blocks, sync markers).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import struct
+import uuid
+import zlib
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+from .avro import MAGIC, SYNC, _dec_long, _enc_long
+from .snapshots import SCRATCH
+
+# ---------------------------------------------------------------------------
+# generic (recursive) Avro datum codec — records / arrays / [null, T] unions
+# ---------------------------------------------------------------------------
+
+
+def _norm_schema(s):
+    """'long' and {'type': 'long'} are the same schema; unwrap."""
+    if isinstance(s, dict) and s.get("type") in (
+        "null", "boolean", "int", "long", "float", "double", "string",
+        "bytes",
+    ) and "logicalType" not in s:
+        return s["type"]
+    return s
+
+
+def _enc_datum(s, v, out: bytearray) -> None:
+    s = _norm_schema(s)
+    if isinstance(s, list):  # union — only [null, T] is used by Iceberg
+        if v is None:
+            out += _enc_long(s.index("null"))
+            return
+        branch = 1 if s[0] == "null" else 0
+        out += _enc_long(branch)
+        _enc_datum(s[branch], v, out)
+        return
+    if isinstance(s, dict):
+        t = s["type"]
+        if t == "record":
+            for f in s["fields"]:
+                _enc_datum(f["type"], v[f["name"]], out)
+            return
+        if t == "array":
+            if v:
+                out += _enc_long(len(v))
+                for item in v:
+                    _enc_datum(s["items"], item, out)
+            out += _enc_long(0)
+            return
+        if t == "map":
+            if v:
+                out += _enc_long(len(v))
+                for k, item in v.items():
+                    b = str(k).encode()
+                    out += _enc_long(len(b)) + b
+                    _enc_datum(s["values"], item, out)
+            out += _enc_long(0)
+            return
+        raise ValueError(f"unsupported Avro complex type: {t}")
+    if s == "null":
+        return
+    if s in ("long", "int"):
+        out += _enc_long(int(v))
+        return
+    if s == "double":
+        out += struct.pack("<d", float(v))
+        return
+    if s == "float":
+        out += struct.pack("<f", float(v))
+        return
+    if s == "boolean":
+        out += b"\x01" if v else b"\x00"
+        return
+    if s == "string":
+        b = str(v).encode("utf-8")
+        out += _enc_long(len(b)) + b
+        return
+    if s == "bytes":
+        out += _enc_long(len(v)) + bytes(v)
+        return
+    raise ValueError(f"unsupported Avro type: {s}")
+
+
+def _dec_datum(s, buf, pos: int):
+    s = _norm_schema(s)
+    if isinstance(s, list):
+        branch, pos = _dec_long(buf, pos)
+        return _dec_datum(s[branch], buf, pos)
+    if isinstance(s, dict):
+        t = s["type"]
+        if t == "record":
+            rec = {}
+            for f in s["fields"]:
+                rec[f["name"]], pos = _dec_datum(f["type"], buf, pos)
+            return rec, pos
+        if t == "array":
+            items = []
+            while True:
+                n, pos = _dec_long(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:  # block size prefix variant
+                    n = -n
+                    _, pos = _dec_long(buf, pos)
+                for _ in range(n):
+                    v, pos = _dec_datum(s["items"], buf, pos)
+                    items.append(v)
+            return items, pos
+        if t == "map":
+            m = {}
+            while True:
+                n, pos = _dec_long(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    _, pos = _dec_long(buf, pos)
+                for _ in range(n):
+                    klen, pos = _dec_long(buf, pos)
+                    k = bytes(buf[pos:pos + klen]).decode()
+                    pos += klen
+                    m[k], pos = _dec_datum(s["values"], buf, pos)
+            return m, pos
+        raise ValueError(f"unsupported Avro complex type: {t}")
+    if s == "null":
+        return None, pos
+    if s in ("long", "int"):
+        return _dec_long(buf, pos)
+    if s == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if s == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if s == "boolean":
+        v = buf[pos] != 0
+        return v, pos + 1
+    if s == "string":
+        n, pos = _dec_long(buf, pos)
+        return bytes(buf[pos:pos + n]).decode("utf-8"), pos + n
+    if s == "bytes":
+        n, pos = _dec_long(buf, pos)
+        return bytes(buf[pos:pos + n]), pos + n
+    raise ValueError(f"unsupported Avro type: {s}")
+
+
+def write_ocf_generic(path: str, schema: dict, rows: list[dict],
+                      extra_meta: dict[str, str] | None = None) -> int:
+    """One deflate-coded Avro OCF with a (possibly nested) record
+    schema. Returns the file's byte length."""
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"deflate",
+    }
+    for k, v in (extra_meta or {}).items():
+        meta[k] = v.encode()
+    out.write(_enc_long(len(meta)))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        out.write(_enc_long(len(kb)) + kb + _enc_long(len(v)) + v)
+    out.write(_enc_long(0))
+    out.write(SYNC)
+    body = bytearray()
+    for r in rows:
+        _enc_datum(schema, r, body)
+    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+    packed = c.compress(bytes(body)) + c.flush()
+    out.write(_enc_long(len(rows)) + _enc_long(len(packed)))
+    out.write(packed)
+    out.write(SYNC)
+    data = out.getvalue()
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, path)
+    return len(data)
+
+
+def read_ocf_generic(data: bytes) -> tuple[dict, list[dict]]:
+    """Decode one OCF byte string → (schema json, rows-as-dicts)."""
+    mv = memoryview(data)
+    if bytes(mv[:4]) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta = {}
+    while True:
+        n, pos = _dec_long(mv, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _, pos = _dec_long(mv, pos)
+        for _ in range(n):
+            klen, pos = _dec_long(mv, pos)
+            k = bytes(mv[pos:pos + klen]).decode()
+            pos += klen
+            vlen, pos = _dec_long(mv, pos)
+            meta[k] = bytes(mv[pos:pos + vlen])
+            pos += vlen
+    sync = bytes(mv[pos:pos + 16])
+    pos += 16
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    rows: list[dict] = []
+    end = len(data)
+    while pos < end:
+        count, pos = _dec_long(mv, pos)
+        size, pos = _dec_long(mv, pos)
+        body = mv[pos:pos + size]
+        pos += size
+        if bytes(mv[pos:pos + 16]) != sync:
+            raise ValueError("sync marker mismatch")
+        pos += 16
+        if codec == "deflate":
+            body = memoryview(zlib.decompress(bytes(body), -15))
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec!r}")
+        bp = 0
+        for _ in range(count):
+            rec, bp = _dec_datum(schema, body, bp)
+            rows.append(rec)
+    return schema, rows
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v2 Avro schemas (field ids per the public spec's manifest tables)
+# ---------------------------------------------------------------------------
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r507",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"],
+         "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "field-id": 511},
+    ],
+}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "partitions",
+         "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+         "field-id": 507},
+    ],
+}
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    """Manifest entry schema; the partition record (r102) is per-spec
+    (identity fields carry the source column's type)."""
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition",
+             "type": {"type": "record", "name": "r102",
+                      "fields": partition_fields},
+             "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int"}],
+             "field-id": 135},
+            {"name": "sort_order_id", "type": ["null", "int"],
+             "field-id": 140},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+def _int_bytes(v: int) -> bytes:
+    """Iceberg single-value binary serialization for int: 4-byte LE."""
+    return struct.pack("<i", v)
+
+
+def _int_from_bytes(b: bytes) -> int:
+    return struct.unpack("<i", b)[0]
+
+
+def _norm_path(p: str) -> str:
+    """file:///x, file:/x and /x are the same local file."""
+    return re.sub(r"^file:/+", "/", p)
+
+
+_STATUS_ADDED, _STATUS_EXISTING, _STATUS_DELETED = 1, 0, 2
+_CONTENT_DATA, _CONTENT_POS_DELETES, _CONTENT_EQ_DELETES = 0, 1, 2
+_BC_DELETE_BYTES = 64 << 20
+
+
+# ---------------------------------------------------------------------------
+# fixture writer — a spec-shaped v2 table committed snapshot by snapshot
+# ---------------------------------------------------------------------------
+
+
+class IcebergFixture:
+    """Writes an Iceberg v2 metadata tree (HadoopCatalog layout:
+    ``version-hint.text`` points at the current ``vN.metadata.json``).
+
+    Driver-side on purpose: Iceberg metadata IS coordinator-written
+    KB-scale state (a manifest row per data file, a manifest-list row
+    per manifest) — the 100 TB payload lives in the parquet data files,
+    which the fixture writes through Spark. Timestamps are fixed
+    constants so the tree is byte-deterministic run to run.
+    """
+
+    def __init__(self, path: str, schema_fields: list[dict],
+                 partition_col: str | None = None):
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        self.schema_fields = schema_fields  # [{id,name,required,type}]
+        self.partition_col = partition_col
+        self.uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
+        self.snapshots: list[dict] = []
+        self.manifest_files: list[dict] = []  # manifest-list rows, cumulative
+        self.seq = 0
+        self.next_snapshot_id = 1001
+        self._part_field = (
+            next(f for f in schema_fields if f["name"] == partition_col)
+            if partition_col else None
+        )
+
+    # -- partition specs: 0 = identity(partition_col), 1 = unpartitioned
+    def _partition_specs_json(self) -> list[dict]:
+        specs = []
+        if self._part_field is not None:
+            specs.append({
+                "spec-id": 0,
+                "fields": [{
+                    "name": self.partition_col,
+                    "transform": "identity",
+                    "source-id": self._part_field["id"],
+                    "field-id": 1000,
+                }],
+            })
+        specs.append({"spec-id": 1 if specs else 0, "fields": []})
+        return specs
+
+    def _partition_avro_fields(self, spec_id: int) -> list[dict]:
+        if spec_id == 0 and self._part_field is not None:
+            return [{
+                "name": self.partition_col,
+                "type": ["null", self._part_field["type"]],
+                "field-id": 1000,
+            }]
+        return []
+
+    def _write_manifest(self, entries: list[dict], content: int,
+                        snapshot_id: int, seq: int, spec_id: int) -> dict:
+        """Write one manifest Avro; return its manifest-list row."""
+        n = len(self.manifest_files) + 1
+        name = f"{self.uuid[:8]}-m{n:05d}.avro"
+        mpath = os.path.join(self.meta_dir, name)
+        schema = _manifest_entry_schema(self._partition_avro_fields(spec_id))
+        rows = []
+        added_files = added_rows = 0
+        parts = []
+        for e in entries:
+            df = e["data_file"]
+            part_val = df.get("partition_value")
+            rows.append({
+                "status": e.get("status", _STATUS_ADDED),
+                "snapshot_id": snapshot_id,
+                # null seq on ADDED entries: the reader must inherit it
+                # from the manifest-list row (spec inheritance rule)
+                "sequence_number": e.get("sequence_number"),
+                "file_sequence_number": e.get("sequence_number"),
+                "data_file": {
+                    "content": df.get("content", _CONTENT_DATA),
+                    "file_path": "file://" + df["path"],
+                    "file_format": "PARQUET",
+                    "partition": (
+                        {self.partition_col: part_val} if spec_id == 0
+                        and self._part_field is not None else {}
+                    ),
+                    "record_count": df["record_count"],
+                    "file_size_in_bytes": df["file_size"],
+                    "equality_ids": df.get("equality_ids"),
+                    "sort_order_id": None,
+                },
+            })
+            added_files += 1
+            added_rows += df["record_count"]
+            if part_val is not None:
+                parts.append(part_val)
+        length = write_ocf_generic(
+            mpath, schema, rows,
+            extra_meta={
+                "format-version": "2",
+                "content": "data" if content == _CONTENT_DATA else "deletes",
+                "partition-spec-id": str(spec_id),
+                "schema": json.dumps(self._schema_json()),
+            },
+        )
+        summaries = None
+        if spec_id == 0 and self._part_field is not None:
+            summaries = [{
+                "contains_null": any(p is None for p in parts),
+                "contains_nan": False,
+                "lower_bound": _int_bytes(min(parts)) if parts else None,
+                "upper_bound": _int_bytes(max(parts)) if parts else None,
+            }]
+        return {
+            "manifest_path": "file://" + mpath,
+            "manifest_length": length,
+            "partition_spec_id": spec_id,
+            # manifest-LIST content is binary (0 data / 1 deletes) —
+            # unlike data_file.content, which distinguishes 1 pos / 2 eq
+            "content": 0 if content == _CONTENT_DATA else 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": added_files,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": summaries,
+        }
+
+    def _schema_json(self) -> dict:
+        return {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": self.schema_fields,
+        }
+
+    def commit(self, manifests: list[tuple[list[dict], int, int]],
+               operation: str = "append") -> int:
+        """One snapshot: ``manifests`` is [(entries, content, spec_id)].
+        Returns the snapshot id."""
+        self.seq += 1
+        sid = self.next_snapshot_id
+        self.next_snapshot_id += 1
+        for entries, content, spec_id in manifests:
+            self.manifest_files.append(
+                self._write_manifest(entries, content, sid, self.seq,
+                                     spec_id)
+            )
+        ml_name = f"snap-{sid}-1-{self.uuid[:8]}.avro"
+        ml_path = os.path.join(self.meta_dir, ml_name)
+        write_ocf_generic(
+            ml_path, MANIFEST_LIST_SCHEMA, list(self.manifest_files),
+            extra_meta={"format-version": "2"},
+        )
+        ts = 1700000000000 + self.seq * 60000  # fixed, deterministic
+        self.snapshots.append({
+            "snapshot-id": sid,
+            "sequence-number": self.seq,
+            "timestamp-ms": ts,
+            "manifest-list": "file://" + ml_path,
+            "summary": {"operation": operation},
+            "schema-id": 0,
+        })
+        self._write_metadata(ts)
+        return sid
+
+    def _write_metadata(self, ts: int) -> None:
+        v = len(self.snapshots)
+        md = {
+            "format-version": 2,
+            "table-uuid": self.uuid,
+            "location": "file://" + self.path,
+            "last-sequence-number": self.seq,
+            "last-updated-ms": ts,
+            "last-column-id": max(f["id"] for f in self.schema_fields),
+            "current-schema-id": 0,
+            "schemas": [self._schema_json()],
+            "default-spec-id": 0,
+            "partition-specs": self._partition_specs_json(),
+            "last-partition-id": 1000,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {},
+            "current-snapshot-id": self.snapshots[-1]["snapshot-id"],
+            "snapshots": self.snapshots,
+            "snapshot-log": [
+                {"snapshot-id": s["snapshot-id"],
+                 "timestamp-ms": s["timestamp-ms"]}
+                for s in self.snapshots
+            ],
+            "metadata-log": [],
+        }
+        mpath = os.path.join(self.meta_dir, f"v{v}.metadata.json")
+        with open(mpath, "w") as fh:
+            json.dump(md, fh, indent=1, sort_keys=True)
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        tmp = f"{hint}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, hint)
+
+
+# ---------------------------------------------------------------------------
+# reader — plan from the metadata tree, scan + apply deletes with Spark
+# ---------------------------------------------------------------------------
+
+_ICE_TO_SPARK = {"long": "long", "int": "int", "double": "double",
+                 "float": "float", "string": "string", "boolean": "boolean",
+                 "binary": "binary", "date": "date"}
+
+
+class IcebergReader:
+    """Reads an Iceberg v2 table (HadoopCatalog layout) written by any
+    spec-compliant writer. Planning is metadata-only; the data path is
+    a distributed parquet scan + delete anti-joins (see module doc)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        meta_dir = os.path.join(path, "metadata")
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            v = int(fh.read().strip())
+        with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+            self.metadata = json.load(fh)
+        if self.metadata["format-version"] != 2:
+            raise ValueError("only format-version 2 is supported")
+        self.schema = next(
+            s for s in self.metadata["schemas"]
+            if s["schema-id"] == self.metadata["current-schema-id"]
+        )
+        self._col_by_id = {f["id"]: f["name"] for f in self.schema["fields"]}
+        self.last_plan_stats: dict[str, int] = {}
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict:
+        sid = snapshot_id or self.metadata["current-snapshot-id"]
+        for s in self.metadata["snapshots"]:
+            if s["snapshot-id"] == sid:
+                return s
+        raise KeyError(f"snapshot {sid} not in table metadata")
+
+    def _identity_part_name(self, spec_id: int) -> str | None:
+        for spec in self.metadata["partition-specs"]:
+            if spec["spec-id"] == spec_id:
+                for f in spec["fields"]:
+                    if f["transform"] == "identity":
+                        return f["name"]
+        return None
+
+    def plan(self, snapshot_id: int | None = None,
+             part_filter: dict | None = None) -> dict:
+        """Plan file sets for a snapshot. ``part_filter`` is
+        {identity_partition_name: value}; manifests whose partition
+        field summaries exclude the value are pruned WITHOUT being
+        opened (the stats record it), entries are then filtered by
+        exact partition value. Returns
+        {"data": [...], "pos_deletes": [...], "eq_deletes": [...]},
+        each file as {path, seq, record_count, file_size,
+        equality_ids, partition}."""
+        snap = self.snapshot(snapshot_id)
+        with open(_norm_path(snap["manifest-list"]), "rb") as fh:
+            _, manifest_rows = read_ocf_generic(fh.read())
+        stats = {"manifests_total": len(manifest_rows),
+                 "manifests_opened": 0, "manifests_pruned": 0}
+        out = {"data": [], "pos_deletes": [], "eq_deletes": []}
+        for m in manifest_rows:
+            part_name = self._identity_part_name(m["partition_spec_id"])
+            if part_filter and part_name in part_filter:
+                want = part_filter[part_name]
+                summ = (m.get("partitions") or [None])[0]
+                if summ is not None and summ["lower_bound"] is not None:
+                    lo = _int_from_bytes(summ["lower_bound"])
+                    hi = _int_from_bytes(summ["upper_bound"])
+                    if not (lo <= want <= hi or
+                            (want is None and summ["contains_null"])):
+                        stats["manifests_pruned"] += 1
+                        continue  # pruned from the LIST row alone
+            stats["manifests_opened"] += 1
+            with open(_norm_path(m["manifest_path"]), "rb") as fh:
+                _, entries = read_ocf_generic(fh.read())
+            for e in entries:
+                if e["status"] == _STATUS_DELETED:
+                    continue
+                df = e["data_file"]
+                part = df.get("partition") or {}
+                if (part_filter and part_name in part_filter
+                        and part.get(part_name) != part_filter[part_name]):
+                    continue
+                # sequence number inheritance (spec): null on an ADDED
+                # entry means "use the manifest-list row's seq"
+                seq = e["sequence_number"]
+                if seq is None:
+                    if e["status"] != _STATUS_ADDED:
+                        raise ValueError(
+                            "null sequence_number on a non-ADDED entry"
+                        )
+                    seq = m["sequence_number"]
+                rec = {
+                    "path": _norm_path(df["file_path"]),
+                    "seq": seq,
+                    "record_count": df["record_count"],
+                    "file_size": df["file_size_in_bytes"],
+                    "equality_ids": df.get("equality_ids"),
+                    "partition": part,
+                }
+                kind = {_CONTENT_DATA: "data",
+                        _CONTENT_POS_DELETES: "pos_deletes",
+                        _CONTENT_EQ_DELETES: "eq_deletes"}[df["content"]]
+                out[kind].append(rec)
+        self.last_plan_stats = stats
+        return out
+
+    def _empty(self, spark):
+        cols = ", ".join(
+            f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
+            for f in self.schema["fields"]
+        )
+        return spark.createDataFrame([], cols)
+
+    def read(self, spark, snapshot_id: int | None = None,
+             part_filter: dict | None = None):
+        plan = self.plan(snapshot_id, part_filter)
+        if not plan["data"]:
+            return self._empty(spark)
+        df = spark.read.parquet(*[d["path"] for d in plan["data"]])
+        data_cols = df.columns
+        df = df.withColumn(
+            "_ice_path",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        ).withColumn("_ice_pos", F.col("_metadata.row_index"))
+        # per-file data sequence numbers: one row per file, broadcast
+        seq_map = spark.createDataFrame(
+            [(d["path"], d["seq"]) for d in plan["data"]],
+            "_ice_path string, _ice_seq long",
+        )
+        df = df.join(F.broadcast(seq_map), "_ice_path")
+
+        def deletes_df(files):
+            d = spark.read.parquet(*[f["path"] for f in files])
+            d = d.withColumn(
+                "_del_file",
+                F.regexp_replace(F.col("_metadata.file_path"),
+                                 "^file:/+", "/"),
+            )
+            dseq = spark.createDataFrame(
+                [(f["path"], f["seq"]) for f in files],
+                "_del_file string, _del_seq long",
+            )
+            d = d.join(F.broadcast(dseq), "_del_file").drop("_del_file")
+            if sum(f["file_size"] for f in files) < _BC_DELETE_BYTES:
+                d = F.broadcast(d)
+            return d
+
+        if plan["pos_deletes"]:
+            pos = deletes_df(plan["pos_deletes"]).select(
+                F.regexp_replace("file_path", "^file:/+", "/")
+                .alias("_tgt_path"),
+                F.col("pos").alias("_tgt_pos"),
+                "_del_seq",
+            )
+            df = df.join(
+                pos,
+                (df["_ice_path"] == pos["_tgt_path"])
+                & (df["_ice_pos"] == pos["_tgt_pos"])
+                & (df["_ice_seq"] <= pos["_del_seq"]),  # pos: applies to <=
+                "left_anti",
+            )
+        # group equality-delete files by their equality_ids signature
+        eq_groups: dict[tuple, list[dict]] = {}
+        for f in plan["eq_deletes"]:
+            ids = tuple(f["equality_ids"] or ())
+            if not ids:
+                raise ValueError("equality delete file without equality_ids")
+            eq_groups.setdefault(ids, []).append(f)
+        for ids, files in sorted(eq_groups.items()):
+            cols = [self._col_by_id[i] for i in ids]
+            eqd = deletes_df(files).select(
+                *[F.col(c).alias(f"_eq_{c}") for c in cols], "_del_seq"
+            )
+            cond = df["_ice_seq"] < eqd["_del_seq"]  # eq: strictly less
+            for c in cols:  # null-safe: an eq-delete of NULL deletes NULLs
+                cond = cond & df[c].eqNullSafe(eqd[f"_eq_{c}"])
+            df = df.join(eqd, cond, "left_anti")
+        return df.select(*data_cols)
+
+
+# ---------------------------------------------------------------------------
+# graded key: build a deterministic v2 tree over orders, read 3 snapshots
+# ---------------------------------------------------------------------------
+
+
+def _write_sorted_parquet(df, directory: str) -> tuple[str, int, int]:
+    """One sorted parquet file (row ordinal == o_orderkey rank, which
+    makes position deletes SQL-expressible); returns (abspath, rows,
+    bytes) with the counts taken from the parquet footer, not a second
+    Spark job."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    (df.coalesce(1).sortWithinPartitions("o_orderkey")
+       .write.mode("overwrite").parquet(directory))
+    part = _glob.glob(os.path.join(directory, "part-*.parquet"))[0]
+    md = pq.ParquetFile(part).metadata
+    return part, md.num_rows, os.path.getsize(part)
+
+
+def _write_driver_parquet(directory: str, name: str, table) -> tuple[str, int, int]:
+    """Tiny delete files are written driver-side via pyarrow (they are
+    metadata-scale: a handful of rows)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(directory, exist_ok=True)
+    p = os.path.join(directory, name)
+    pq.write_table(table, p)
+    return p, table.num_rows, os.path.getsize(p)
+
+
+_N_POS_DELETES = 7
+
+
+def build_iceberg_fixture(spark, sf_dir: str, table_path: str) -> str:
+    """Three-snapshot v2 table over orders:
+
+    - snapshot 1 (seq 1): orders with ``o_orderkey % 3 <> 0``, one data
+      file + one manifest PER part_bucket (o_orderkey % 2) — so
+      manifest-list partition summaries have something to prune;
+    - snapshot 2 (seq 2): the remaining orders, same layout;
+    - snapshot 3 (seq 3): a position-delete file (the 7 first rows of
+      the bucket-0 seq-1 file = its 7 smallest o_orderkey, because the
+      file is written sorted), an UNPARTITIONED equality-delete file
+      (o_orderstatus = 'P', spec-id 1 — the global-delete shape Flink
+      writes), and a new data file pair C (o_orderkey % 50 == 0,
+      re-inserted rows) that must SURVIVE the equality delete because
+      its data sequence number is NOT strictly less than the delete's.
+    """
+    import shutil
+
+    import pyarrow as pa
+
+    shutil.rmtree(table_path, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus",
+        (F.col("o_orderkey") % 2).cast("int").alias("part_bucket"),
+    )
+    fx = IcebergFixture(
+        table_path,
+        schema_fields=[
+            {"id": 1, "name": "o_orderkey", "required": True,
+             "type": "long"},
+            {"id": 2, "name": "o_totalprice", "required": False,
+             "type": "double"},
+            {"id": 3, "name": "o_orderstatus", "required": False,
+             "type": "string"},
+            {"id": 4, "name": "part_bucket", "required": False,
+             "type": "int"},
+        ],
+        partition_col="part_bucket",
+    )
+    data_dir = os.path.join(table_path, "data")
+
+    def slice_entries(pred, tag):
+        entries = []
+        paths = {}
+        for b in (0, 1):
+            path, n, size = _write_sorted_parquet(
+                orders.filter(pred & (F.col("part_bucket") == b)),
+                os.path.join(data_dir, f"{tag}{b}"),
+            )
+            paths[b] = path
+            entries.append({"data_file": {
+                "path": path, "record_count": n, "file_size": size,
+                "partition_value": b,
+            }})
+        return entries, paths
+
+    a_entries, a_paths = slice_entries(F.col("o_orderkey") % 3 != 0, "a")
+    fx.commit([([e], _CONTENT_DATA, 0) for e in a_entries])
+
+    b_entries, _ = slice_entries(F.col("o_orderkey") % 3 == 0, "b")
+    fx.commit([([e], _CONTENT_DATA, 0) for e in b_entries])
+
+    c_entries, _ = slice_entries(F.col("o_orderkey") % 50 == 0, "c")
+    pos_path, pos_n, pos_size = _write_driver_parquet(
+        data_dir, "pos-delete-00001.parquet",
+        pa.table({
+            "file_path": pa.array(
+                ["file://" + a_paths[0]] * _N_POS_DELETES, pa.string()),
+            "pos": pa.array(range(_N_POS_DELETES), pa.int64()),
+        }),
+    )
+    eq_path, eq_n, eq_size = _write_driver_parquet(
+        data_dir, "eq-delete-00001.parquet",
+        pa.table({"o_orderstatus": pa.array(["P"], pa.string())}),
+    )
+    fx.commit(
+        [
+            ([e for e in c_entries], _CONTENT_DATA, 0),
+            ([{"data_file": {
+                "path": pos_path, "record_count": pos_n,
+                "file_size": pos_size, "partition_value": 0,
+                "content": _CONTENT_POS_DELETES,
+            }}], _CONTENT_POS_DELETES, 0),
+            ([{"data_file": {
+                "path": eq_path, "record_count": eq_n,
+                "file_size": eq_size,
+                "content": _CONTENT_EQ_DELETES, "equality_ids": [3],
+            }}], _CONTENT_EQ_DELETES, 1),
+        ],
+        operation="overwrite",
+    )
+    return table_path
+
+
+@query(
+    "scan_iceberg_table",
+    oracle=f"""
+    WITH posdel AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+      ORDER BY o_orderkey LIMIT {_N_POS_DELETES}
+    )
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2) FROM (
+      SELECT o_totalprice FROM orders
+      WHERE o_orderstatus <> 'P'
+        AND o_orderkey NOT IN (SELECT o_orderkey FROM posdel)
+      UNION ALL
+      SELECT o_totalprice FROM orders WHERE o_orderkey % 50 = 0
+    )
+    """,
+)
+def scan_iceberg_table(spark, sf_dir):
+    """Standard-format lakehouse read (VERDICT r10 #1): build a
+    spec-compliant Iceberg v2 metadata tree (metadata JSON +
+    manifest-list/manifest Avro + parquet data, position-delete and
+    equality-delete files) and read all three snapshots back through
+    ``IcebergReader`` — time travel, sequence-number inheritance, both
+    delete flavors, and the strict-inequality equality-delete rule all
+    exercised against a plain-scan DuckDB oracle.
+
+    The oracle mirrors each snapshot from the orders table directly:
+    v1 = the seq-1 subset, v2 = everything, v3 = everything minus the
+    7 position-deleted rows (the 7 smallest o_orderkey of the bucket-0
+    seq-1 file — expressible because data files are written sorted)
+    minus 'P'-status rows (equality delete, strictly-older files only)
+    plus the re-inserted ``% 50 = 0`` rows, which keep their 'P's.
+    """
+    table = build_iceberg_fixture(
+        spark, sf_dir, os.path.join(SCRATCH, "iceberg_orders")
+    )
+    rd = IcebergReader(table)
+
+    def agg(df, v):
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(v).alias("version"), "n_orders", "revenue")
+
+    parts = [
+        agg(rd.read(spark, snapshot_id=s["snapshot-id"]), i + 1)
+        for i, s in enumerate(rd.metadata["snapshots"])
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

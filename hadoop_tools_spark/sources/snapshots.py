@@ -705,7 +705,9 @@ class SnapshotTable:
             r[0]
             for r in changes.select(op_col).distinct().collect()
         ]  # bounded: |distinct op codes|
-        bad_ops = sorted(set(ops) - {"U", "D"})
+        # key=repr: a NULL op must land in the designed ValueError,
+        # not a None-vs-str TypeError out of sorted() (ADVICE r10)
+        bad_ops = sorted(set(ops) - {"U", "D"}, key=repr)
         if bad_ops:
             raise ValueError(f"unknown change ops: {bad_ops}")
         v = self.latest_version()

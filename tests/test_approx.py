@@ -26,21 +26,40 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[k] - v) / v < 0.1  # rsd=0.02, generous bound
 
 
-def test_knn_numpy_matches_exact_sets(spark, sf_dir):
+def test_knn_numpy_matches_exact_bitwise(spark, sf_dir):
+    """r11: llm_knn_numpy rescoring with the sequential cumsum fold
+    makes its cosines bitwise-equal to llm_knn_exact's on any BLAS
+    build — pin full-row equality, not just neighbor-set overlap."""
     from hadoop_tools_spark.operators.llm_knn import llm_knn_exact, llm_knn_numpy
 
-    def sets(df):
-        out = {}
-        for r in df.collect():
-            out.setdefault(r["q_id"], set()).add(r["neighbor_id"])
-        return out
+    def rows(df):
+        return sorted(
+            (r["q_id"], r["rn"], r["neighbor_id"], r["cosine"])
+            for r in df.collect()
+        )
 
-    exact = sets(llm_knn_exact(spark, sf_dir))
-    numpy_ = sets(llm_knn_numpy(spark, sf_dir))
-    assert exact.keys() == numpy_.keys()
-    for q in exact:
-        # identical up to knife-edge cosine ties
-        assert len(exact[q] & numpy_[q]) >= 4, (q, exact[q], numpy_[q])
+    exact = rows(llm_knn_exact(spark, sf_dir))
+    numpy_ = rows(llm_knn_numpy(spark, sf_dir))
+    assert exact == numpy_
+
+
+def test_knn_numpy_blas_margin(spark, sf_dir):
+    """Loud pre-hash guard (ADVICE r10): every returned cosine must sit
+    ≥1e-9 from both its ROUND(6) boundary and the next rank's cosine —
+    the distances a BLAS-build ulp shift could ever need to flip."""
+    from hadoop_tools_spark.operators.llm_knn import llm_knn_numpy
+
+    by_q = {}
+    for r in llm_knn_numpy(spark, sf_dir).collect():
+        by_q.setdefault(r["q_id"], []).append((r["rn"], r["cosine"]))
+    assert by_q
+    for q, ranked in by_q.items():
+        ranked.sort()
+        for rn, cos in ranked:
+            frac = abs(cos * 1e6 - round(cos * 1e6))
+            assert abs(frac - 0.5) > 1e-3, (q, rn, cos)  # 1e-9 abs margin
+        for (_, hi), (_, lo) in zip(ranked, ranked[1:]):
+            assert hi == lo or hi - lo > 1e-9, (q, hi, lo)
 
 
 def test_knn_lsh_recall(spark, sf_dir):

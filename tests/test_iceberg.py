@@ -1,0 +1,165 @@
+"""Iceberg v2 read interop (VERDICT r10 #1): generic Avro codec
+roundtrip, metadata-tree shape, manifest-list pruning, sequence-number
+inheritance, and both delete flavors' sequence rules."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def ice_table(spark, sf_dir, tmp_path_factory):
+    from hadoop_tools_spark.sources.iceberg import build_iceberg_fixture
+
+    path = str(tmp_path_factory.mktemp("ice") / "orders_table")
+    return build_iceberg_fixture(spark, sf_dir, path)
+
+
+def test_generic_avro_nested_roundtrip(tmp_path):
+    """Records in records, arrays of records, maps, [null, T] unions —
+    everything the manifest schemas need — survive an OCF roundtrip."""
+    from hadoop_tools_spark.sources.iceberg import (
+        read_ocf_generic,
+        write_ocf_generic,
+    )
+
+    schema = {
+        "type": "record", "name": "outer",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "tag", "type": ["null", "string"]},
+            {"name": "inner", "type": {
+                "type": "record", "name": "inner_r",
+                "fields": [
+                    {"name": "b", "type": "bytes"},
+                    {"name": "flag", "type": "boolean"},
+                ],
+            }},
+            {"name": "xs", "type": {"type": "array", "items": ["null", "int"]}},
+            {"name": "m", "type": ["null", {"type": "map", "values": "double"}]},
+        ],
+    }
+    rows = [
+        {"k": 1, "tag": "a", "inner": {"b": b"\x00\xff", "flag": True},
+         "xs": [1, None, -3], "m": {"x": 1.5, "y": -0.0}},
+        {"k": -9223372036854775808, "tag": None,
+         "inner": {"b": b"", "flag": False}, "xs": [], "m": None},
+    ]
+    p = str(tmp_path / "t.avro")
+    n = write_ocf_generic(p, schema, rows)
+    assert n == os.path.getsize(p)
+    with open(p, "rb") as fh:
+        got_schema, got = read_ocf_generic(fh.read())
+    assert got_schema == schema
+    assert got == rows
+
+
+def test_metadata_tree_is_spec_shaped(ice_table):
+    """HadoopCatalog layout: version-hint → vN.metadata.json, snap-*
+    manifest lists, *-m* manifests; manifest Avro schemas carry the
+    spec's field-ids."""
+    from hadoop_tools_spark.sources.iceberg import read_ocf_generic
+
+    md_dir = os.path.join(ice_table, "metadata")
+    with open(os.path.join(md_dir, "version-hint.text")) as fh:
+        v = int(fh.read())
+    assert v == 3  # three snapshots → three metadata versions
+    with open(os.path.join(md_dir, f"v{v}.metadata.json")) as fh:
+        md = json.load(fh)
+    assert md["format-version"] == 2
+    assert len(md["snapshots"]) == 3
+    assert [s["sequence-number"] for s in md["snapshots"]] == [1, 2, 3]
+    ml = md["snapshots"][-1]["manifest-list"]
+    assert ml.startswith("file://")
+    with open(ml.replace("file://", ""), "rb") as fh:
+        schema, rows = read_ocf_generic(fh.read())
+    ids = {f["name"]: f.get("field-id") for f in schema["fields"]}
+    assert ids["manifest_path"] == 500 and ids["content"] == 517
+    # snapshot 3's list: 2 + 2 + 1 data manifests, 1 pos + 1 eq deletes
+    assert len(rows) == 7
+    assert sum(1 for r in rows if r["content"] == 1) == 2  # delete manifests
+
+
+def test_manifest_list_pruning(ice_table):
+    """A partition filter must prune bucket-0 manifests from their
+    manifest-LIST field summaries alone — without opening them."""
+    from hadoop_tools_spark.sources.iceberg import IcebergReader
+
+    rd = IcebergReader(ice_table)
+    sid = rd.metadata["snapshots"][1]["snapshot-id"]  # A+B, 4 manifests
+    plan = rd.plan(snapshot_id=sid, part_filter={"part_bucket": 1})
+    st = rd.last_plan_stats
+    assert st["manifests_total"] == 4
+    assert st["manifests_pruned"] == 2  # both bucket-0 manifests
+    assert st["manifests_opened"] == 2
+    assert {d["partition"]["part_bucket"] for d in plan["data"]} == {1}
+    # unfiltered plan opens everything
+    rd.plan(snapshot_id=sid)
+    assert rd.last_plan_stats["manifests_opened"] == 4
+
+
+def test_snapshot_reads_and_delete_sequence_rules(spark, sf_dir, ice_table):
+    from hadoop_tools_spark.sources.iceberg import (
+        _N_POS_DELETES,
+        IcebergReader,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_all = orders.count()
+    n_s1 = orders.filter(F.col("o_orderkey") % 3 != 0).count()
+    rd = IcebergReader(ice_table)
+    snaps = [s["snapshot-id"] for s in rd.metadata["snapshots"]]
+
+    assert rd.read(spark, snapshot_id=snaps[0]).count() == n_s1
+    assert rd.read(spark, snapshot_id=snaps[1]).count() == n_all
+
+    s3 = rd.read(spark, snapshot_id=snaps[2])  # also the current default
+    # position deletes: the 7 smallest keys of the bucket-0 seq-1 file
+    posdel = [
+        r["o_orderkey"]
+        for r in orders.filter(
+            (F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 2 == 0)
+        ).orderBy("o_orderkey").limit(_N_POS_DELETES).collect()
+    ]
+    assert s3.filter(F.col("o_orderkey").isin(posdel)).count() == sum(
+        1 for r in orders.filter(F.col("o_orderkey").isin(posdel))
+        .collect() if r["o_orderkey"] % 50 == 0
+    )  # only a re-inserted C copy may remain
+    # equality delete is STRICTLY older-files-only: every surviving
+    # 'P' row comes from the seq-3 C file (o_orderkey % 50 == 0)
+    p_rows = s3.filter(F.col("o_orderstatus") == "P")
+    assert p_rows.count() == orders.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 50 == 0)
+    ).count()
+    assert p_rows.filter(F.col("o_orderkey") % 50 != 0).count() == 0
+    # re-inserted non-deleted C rows appear twice (multiset semantics)
+    dup = (
+        s3.groupBy("o_orderkey").count().filter("count = 2")
+    )
+    expect_dup = orders.filter(
+        (F.col("o_orderkey") % 50 == 0)
+        & (F.col("o_orderstatus") != "P")
+        & ~F.col("o_orderkey").isin(posdel)
+    ).count()
+    assert dup.count() == expect_dup
+
+
+def test_partition_filtered_read(spark, ice_table):
+    """End-to-end read with a partition filter returns only that
+    bucket and still applies the bucket's deletes."""
+    from hadoop_tools_spark.sources.iceberg import IcebergReader
+
+    rd = IcebergReader(ice_table)
+    df = rd.read(spark, part_filter={"part_bucket": 0})
+    st = rd.last_plan_stats
+    assert st["manifests_pruned"] >= 2  # bucket-1 data manifests skipped
+    assert df.filter(F.col("o_orderkey") % 2 != 0).count() == 0
+    # the equality delete (unpartitioned spec) still applies in-bucket:
+    # surviving 'P' rows are exactly C's bucket-0 'P' rows
+    assert df.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 50 != 0)
+    ).count() == 0

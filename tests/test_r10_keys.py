@@ -245,9 +245,15 @@ def test_avro_spark_roundtrip_preserves_null_vs_nan(spark, tmp_path):
     assert back["b"]["x"] is None  # NULL stayed NULL
     assert back[None]["k"] is None
     assert back[""]["x"] == 0.0
-    # deterministic per-partition names: a second write overwrites
+    # deterministic per-partition names: a second write overwrites,
+    # and the sweep also clears a stale tmp orphan from a dead
+    # attempt (ADVICE r10)
     names1 = sorted(f for f in os.listdir(path) if f.endswith(".avro"))
+    orphan = os.path.join(path, "part-00099.avro.tmp-12345")
+    with open(orphan, "wb") as fh:
+        fh.write(b"dead attempt")
     write_avro(df, path, codec="deflate")
+    assert not os.path.exists(orphan)
     names2 = sorted(f for f in os.listdir(path) if f.endswith(".avro"))
     assert names1 == names2
 
@@ -414,6 +420,16 @@ def test_apply_changes_atomic_and_rejects_bad_ops(spark, sf_dir, tmp_path):
         tbl.apply_changes(
             spark.createDataFrame(
                 [(keys[2], "Y", "Z")],
+                "o_orderkey long, o_orderstatus string, op string",
+            ),
+            ["o_orderkey"],
+        )
+    # NULL op must hit the SAME designed error, not a sorted()
+    # None-vs-str TypeError (ADVICE r10)
+    with pytest.raises(ValueError, match="unknown change ops"):
+        tbl.apply_changes(
+            spark.createDataFrame(
+                [(keys[2], "Y", None)],
                 "o_orderkey long, o_orderstatus string, op string",
             ),
             ["o_orderkey"],
