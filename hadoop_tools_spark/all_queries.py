@@ -25,7 +25,7 @@ from .operators import (  # noqa: F401
     timeseries,
     windows,
 )
-from .sources import avro, fed, iceberg, pyds, roundtrip, snapshots  # noqa: F401
+from .sources import avro, deltalog, fed, iceberg, pyds, roundtrip, snapshots  # noqa: F401
 from .streaming import ops as streaming_ops  # noqa: F401
 
 #: key of the flagship query used by ``entry(spark)``.

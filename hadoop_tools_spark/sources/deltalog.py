@@ -1,0 +1,369 @@
+"""Delta Lake ``_delta_log`` READ interop (VERDICT r10 #2).
+
+Companion to ``sources/iceberg.py``: the same "own semantics →
+standard format" graduation for the Delta transaction-log protocol
+(public spec: https://github.com/delta-io/delta/blob/master/PROTOCOL.md).
+Layout written and read here:
+
+    table/part-*.parquet                          data (paths RELATIVE
+                                                  to the table root,
+                                                  per the protocol)
+    table/_delta_log/{N:020d}.json                commits: one JSON
+                                                  action per line
+                                                  (commitInfo /
+                                                  protocol / metaData /
+                                                  add / remove)
+    table/_delta_log/{N:020d}.checkpoint.parquet  full state at N as
+                                                  one action per row
+                                                  (nullable structs)
+    table/_delta_log/_last_checkpoint             {"version", "size"}
+
+``DeltaLogFixture`` writes such a log; ``DeltaLogReader`` reconstructs
+any version's file set by loading the newest checkpoint ≤ v and
+replaying only the JSON commits after it (``last_plan_stats`` counts
+the log files actually opened — the pytest pins that a checkpointed
+read does NOT reopen older commits). Data reading is a plain
+distributed parquet scan over the live ``add`` paths.
+
+Scale notes: log replay is driver-side file-list state — exactly what
+every Delta reader does (the log is KB per thousand files); checkpoints
+exist precisely so the replay cost is O(commits since checkpoint), not
+O(table history). The 100 TB payload stays in parquet and is scanned
+distributed with normal pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import query
+from .snapshots import SCRATCH
+
+_SCHEMA_STRING = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "o_orderkey", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "o_totalprice", "type": "double", "nullable": True,
+         "metadata": {}},
+        {"name": "o_orderstatus", "type": "string", "nullable": True,
+         "metadata": {}},
+    ],
+})
+
+
+class DeltaLogFixture:
+    """Writes a protocol-shaped ``_delta_log``. Commits carry
+    commitInfo + the data actions; version 0 also carries protocol and
+    metaData (required by the protocol's "first commit" rule).
+    Timestamps are fixed constants so the tree is deterministic."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_delta_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.version = -1
+        self.live: dict[str, dict] = {}  # rel path -> add action
+        self.table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
+
+    def _ts(self) -> int:
+        return 1700000000000 + (self.version + 1) * 60000
+
+    def _meta_actions(self) -> list[dict]:
+        return [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {
+                "id": self.table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _SCHEMA_STRING,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": self._ts(),
+            }},
+        ]
+
+    def commit(self, adds: list[dict], removes: list[str]) -> int:
+        """``adds``: [{path(rel), size, numRecords}]; ``removes``:
+        relative paths. Returns the new version."""
+        ts = self._ts()
+        actions = [{"commitInfo": {
+            "timestamp": ts,
+            "operation": "WRITE" if not removes else "MERGE",
+        }}]
+        if self.version < 0:
+            actions += self._meta_actions()
+        for a in adds:
+            act = {
+                "path": a["path"],
+                "partitionValues": {},
+                "size": a["size"],
+                "modificationTime": ts,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": a["numRecords"]}),
+            }
+            actions.append({"add": act})
+            self.live[a["path"]] = act
+        for p in removes:
+            self.live.pop(p)
+            actions.append({"remove": {
+                "path": p, "deletionTimestamp": ts, "dataChange": True,
+            }})
+        self.version += 1
+        fn = os.path.join(self.log_dir, f"{self.version:020d}.json")
+        tmp = f"{fn}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            for act in actions:
+                fh.write(json.dumps(act, sort_keys=True) + "\n")
+        os.replace(tmp, fn)
+        return self.version
+
+    def checkpoint(self) -> None:
+        """Materialize the current state as ``N.checkpoint.parquet``
+        (one nullable-struct action per row) + ``_last_checkpoint``."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        kv = pa.map_(pa.string(), pa.string())
+        t_protocol = pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])
+        t_meta = pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", kv),
+            ("createdTime", pa.int64()),
+        ])
+        t_add = pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", kv),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])
+        t_remove = pa.struct([
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])
+        rows: list[dict] = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+             "metaData": None, "add": None, "remove": None},
+            {"protocol": None,
+             "metaData": {
+                 "id": self.table_id,
+                 "format": {"provider": "parquet"},
+                 "schemaString": _SCHEMA_STRING,
+                 "partitionColumns": [],
+                 "configuration": [],
+                 "createdTime": self._ts(),
+             },
+             "add": None, "remove": None},
+        ]
+        for act in sorted(self.live.values(), key=lambda a: a["path"]):
+            a = dict(act)
+            a["partitionValues"] = []
+            rows.append({"protocol": None, "metaData": None,
+                         "add": a, "remove": None})
+        table = pa.table({
+            "protocol": pa.array([r["protocol"] for r in rows], t_protocol),
+            "metaData": pa.array([r["metaData"] for r in rows], t_meta),
+            "add": pa.array([r["add"] for r in rows], t_add),
+            "remove": pa.array([r["remove"] for r in rows], t_remove),
+        })
+        cp = os.path.join(
+            self.log_dir, f"{self.version:020d}.checkpoint.parquet"
+        )
+        pq.write_table(table, cp)
+        last = os.path.join(self.log_dir, "_last_checkpoint")
+        tmp = f"{last}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": self.version, "size": len(rows)}, fh)
+        os.replace(tmp, last)
+
+
+class DeltaLogReader:
+    """Replays a ``_delta_log`` to a version's live file set, starting
+    from the newest checkpoint ≤ v when one exists."""
+
+    _JSON_RE = re.compile(r"^(\d{20})\.json$")
+    _CP_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_delta_log")
+        self.commits: dict[int, str] = {}
+        self.checkpoints: dict[int, str] = {}
+        for fn in os.listdir(self.log_dir):
+            m = self._JSON_RE.match(fn)
+            if m:
+                self.commits[int(m.group(1))] = os.path.join(
+                    self.log_dir, fn)
+            m = self._CP_RE.match(fn)
+            if m:
+                self.checkpoints[int(m.group(1))] = os.path.join(
+                    self.log_dir, fn)
+        if not self.commits and not self.checkpoints:
+            raise FileNotFoundError(f"no commits under {self.log_dir}")
+        self.latest = max(self.commits.keys() | self.checkpoints.keys())
+        self.last_plan_stats: dict[str, int] = {}
+
+    def _checkpoint_state(self, cp_path: str) -> dict[str, dict]:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(cp_path, columns=["add"])
+        state = {}
+        for a in t.column("add").to_pylist():
+            if a is not None:
+                state[a["path"]] = a
+        return state
+
+    def plan(self, version: int | None = None) -> dict:
+        """Live file set at ``version`` (default latest):
+        {rel_path: add_action}. Counts opened log files."""
+        v = self.latest if version is None else version
+        if version is not None and v not in self.commits and (
+                v not in self.checkpoints):
+            raise KeyError(f"version {v} not in the log")
+        stats = {"checkpoint_used": 0, "json_commits_read": 0}
+        usable = [c for c in self.checkpoints if c <= v]
+        state: dict[str, dict] = {}
+        start = 0
+        if usable:
+            cp = max(usable)
+            state = self._checkpoint_state(self.checkpoints[cp])
+            stats["checkpoint_used"] = 1
+            start = cp + 1
+        for i in range(start, v + 1):
+            if i not in self.commits:
+                if i in self.checkpoints:
+                    continue  # state already covered by the checkpoint
+                raise FileNotFoundError(f"missing commit {i}")
+            stats["json_commits_read"] += 1
+            with open(self.commits[i]) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    if "add" in act:
+                        state[act["add"]["path"]] = act["add"]
+                    elif "remove" in act:
+                        state.pop(act["remove"]["path"], None)
+                    # commitInfo / protocol / metaData / txn: no file
+                    # effect — skipped like any reader does
+        self.last_plan_stats = stats
+        return state
+
+    def read(self, spark, version: int | None = None):
+        state = self.plan(version)
+        if not state:
+            schema = json.loads(_SCHEMA_STRING)
+            cols = ", ".join(
+                f"{f['name']} {f['type']}" for f in schema["fields"]
+            )
+            return spark.createDataFrame([], cols)
+        paths = [os.path.join(self.path, p) for p in sorted(state)]
+        return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# graded key
+# ---------------------------------------------------------------------------
+
+
+def build_delta_fixture(spark, sf_dir: str, table_path: str) -> str:
+    """v0: add a1 (even keys, %3<>0) + a2 (odd keys, %3<>0);
+    v1: add b (%3==0), REMOVE a1, then checkpoint;
+    v2: add c (%50==0 re-inserted rows — duplicates, multiset
+    semantics, same shape as the Iceberg fixture's C)."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(table_path, ignore_errors=True)
+    os.makedirs(table_path, exist_ok=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+    def write_slice(pred, tag) -> dict:
+        d = os.path.join(table_path, f"_stage_{tag}")
+        (orders.filter(pred).coalesce(1)
+         .sortWithinPartitions("o_orderkey")
+         .write.mode("overwrite").parquet(d))
+        part = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        rel = f"{tag}.parquet"
+        dst = os.path.join(table_path, rel)
+        os.replace(part, dst)
+        shutil.rmtree(d)
+        return {"path": rel, "size": os.path.getsize(dst),
+                "numRecords": pq.ParquetFile(dst).metadata.num_rows}
+
+    k = F.col("o_orderkey")
+    a1 = write_slice((k % 3 != 0) & (k % 2 == 0), "a1")
+    a2 = write_slice((k % 3 != 0) & (k % 2 == 1), "a2")
+    b = write_slice(k % 3 == 0, "b")
+    c = write_slice(k % 50 == 0, "c")
+    fx = DeltaLogFixture(table_path)
+    fx.commit([a1, a2], [])
+    fx.commit([b], [a1["path"]])
+    fx.checkpoint()
+    fx.commit([c], [])
+    return table_path
+
+
+@query(
+    "scan_delta_log",
+    oracle="""
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders
+    WHERE (o_orderkey % 3 <> 0 AND o_orderkey % 2 = 1)
+       OR o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2) FROM (
+      SELECT o_totalprice FROM orders
+      WHERE (o_orderkey % 3 <> 0 AND o_orderkey % 2 = 1)
+         OR o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_totalprice FROM orders WHERE o_orderkey % 50 = 0
+    )
+    """,
+)
+def scan_delta_log(spark, sf_dir):
+    """Standard-format transaction-log read: build a protocol-shaped
+    Delta table (JSON commits, a remove action, a checkpoint parquet +
+    ``_last_checkpoint``) and read versions 0, 1 and latest back by
+    replaying the log — checkpointed replay, add/remove semantics and
+    time travel all hash-checked against a plain-scan oracle. The
+    sibling pytest pins that the latest read starts from the
+    checkpoint and opens only the post-checkpoint commit."""
+    table = build_delta_fixture(
+        spark, sf_dir, os.path.join(SCRATCH, "delta_orders")
+    )
+    rd = DeltaLogReader(table)
+
+    def agg(df, v):
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(v).alias("version"), "n_orders", "revenue")
+
+    return (
+        agg(rd.read(spark, 0), 0)
+        .unionAll(agg(rd.read(spark, 1), 1))
+        .unionAll(agg(rd.read(spark), 2))
+    )

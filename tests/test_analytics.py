@@ -495,3 +495,23 @@ def test_modularity_identities(spark, sf_dir):
         assert r.contrib_scaled == r.in_edges * m2 - r.deg_sum**2
     q = sum(r.contrib_scaled for r in rows) / (m2 * m2)
     assert -0.5 <= q <= 1.0
+
+
+def test_lpa_label_memo_shared_and_clearcache_safe(spark, sf_dir):
+    """r11: graph_label_prop and graph_modularity share ONE label
+    vector via _LPA_CACHE; a memo hit returns the same persisted DF,
+    and an external clearCache() is healed by re-persisting (the
+    CacheManager probe, same contract as _graph_base)."""
+    from hadoop_tools_spark.operators import analytics as A
+
+    A._LPA_CACHE.clear()
+    labels1, _ = A._lpa_labels(spark, sf_dir)
+    labels1.count()
+    labels2, _ = A._lpa_labels(spark, sf_dir)
+    assert labels2 is labels1  # memo hit, not a rebuild
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.lookupCachedData(labels2._jdf).isEmpty()
+    spark.catalog.clearCache()
+    labels3, _ = A._lpa_labels(spark, sf_dir)
+    assert labels3 is labels1
+    assert not cm.lookupCachedData(labels3._jdf).isEmpty()  # re-persisted
