@@ -123,7 +123,13 @@ def get_spark(app_name: str = "hadoop-tools-spark") -> SparkSession:
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench hygiene); SPARK_GRAFT_UI=1 enables it
+        # so the scale rehearsals can read per-stage spill bytes from
+        # the REST status API (tools/rehearse_sf1.py)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
     )
     for k, v in _RUNTIME_CONFS.items():

@@ -33,6 +33,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# defaults; override with --src DIR / --copies N (e.g. the sf10 rung
+# re-amplifies /tmp/sf1 by another 10 copies: --src /tmp/sf1)
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
 
@@ -169,7 +171,17 @@ def main(dest: str, constant_rate: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--constant-rate"]
+    argv = []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--constant-rate":
+            continue
+        elif a == "--src":
+            SRC = next(it)
+        elif a == "--copies":
+            COPIES = int(next(it))
+        else:
+            argv.append(a)
     main(
         argv[0] if argv else "/tmp/sf1",
         constant_rate="--constant-rate" in sys.argv[1:],

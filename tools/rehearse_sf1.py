@@ -40,6 +40,31 @@ def jvm_peak_heap_mb(spark) -> float:
     return total / (1024 * 1024)
 
 
+def cumulative_spill_bytes(spark) -> int | None:
+    """Sum of memory+disk spill across all completed stages, read from
+    the UI REST status API (r11 verdict ask #4: record spill per key).
+    Needs SPARK_GRAFT_UI=1 (the runner sets it before the session is
+    built); returns None when the UI is off so old runs stay readable."""
+    import json as _json
+    import urllib.request
+
+    u = spark.sparkContext.uiWebUrl
+    if not u:
+        return None
+    try:
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{u}/api/v1/applications/{app}/stages", timeout=10
+        ) as fh:
+            stages = _json.load(fh)
+        return sum(
+            s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+            for s in stages
+        )
+    except Exception:
+        return None
+
+
 #: whole-board gate (VERDICT r8 ask #6): a key whose sf1 wall exceeds
 #: this multiple of the prior board's recorded wall is flagged — a
 #: scale regression in a mid-cost key can no longer hide below the
@@ -68,6 +93,7 @@ def main() -> int:
     sf_dir = args[0] if args else "/tmp/sf1"
     keys = args[1:] or (None if run_all else DEFAULT_KEYS)
 
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")  # spill via REST
     import __spark_entry__ as entry_mod
     from hadoop_tools_spark.session import get_spark
 
@@ -76,6 +102,7 @@ def main() -> int:
     if keys is None:
         keys = sorted(qs)
     results = {}
+    spill_before = cumulative_spill_bytes(spark)
     for key in keys:
         t0 = time.time()
         try:
@@ -84,6 +111,7 @@ def main() -> int:
         except Exception as e:
             n, err = -1, f"{type(e).__name__}: {str(e)[:150]}"
         wall = time.time() - t0
+        spill_after = cumulative_spill_bytes(spark)
         results[key] = {
             "wall_s": round(wall, 2),
             "rows": n,
@@ -92,7 +120,13 @@ def main() -> int:
                 resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
             ),
             "jvm_peak_heap_mb": round(jvm_peak_heap_mb(spark), 1),
+            "spill_mb": (
+                round((spill_after - spill_before) / 1048576, 1)
+                if spill_after is not None and spill_before is not None
+                else None
+            ),
         }
+        spill_before = spill_after
         print(key, json.dumps(results[key]))
         spark.catalog.clearCache()
     print(json.dumps({"sf_dir": sf_dir, "results": results}))
