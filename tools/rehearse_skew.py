@@ -42,6 +42,19 @@ DEFAULT_KEYS = {
     "llm_embed_neardup_lsh": "LSH bucket sizes under a 30% hot cluster",
     "graph_label_prop": "edge-stationary rounds + (node,label)-keyed "
     "mode agg (<=7 labels/node) vs zipfian degrees",
+    # r11 verdict ask #5: the remaining top-10 shuffle keys
+    "graph_pagerank": "per-round contribution agg on src-hash-partitioned "
+    "cached edges; hot srcs partial-aggregate map-side",
+    "graph_modularity": "LPA rounds + degree-pair recount on the shared "
+    "cached edge set vs zipfian degrees",
+    "llm_tokenize_apply": "broadcast vocab + per-doc flatMap (no "
+    "token-keyed shuffle); hot tokens hit map-side partial agg",
+    "llm_substring_dedup_sa": "prefix-doubling (rank,next) re-ranking "
+    "under stopword-hot prefixes; equality-only _class_ids densification",
+    "llm_substring_dedup_hashed": "hashed-window twin: window-hash "
+    "groupBy under hot repeated substrings",
+    "llm_ccnet_thresholds": "per-lang quantile thresholds with zipf "
+    "token mass shifting LM scores; lang key cardinality stays bounded",
 }
 
 
