@@ -245,8 +245,8 @@ class DeltaLogReader:
             start = cp + 1
         for i in range(start, v + 1):
             if i not in self.commits:
-                if i in self.checkpoints:
-                    continue  # state already covered by the checkpoint
+                # every i here is > the chosen checkpoint by
+                # construction, so a gap is always a torn log
                 raise FileNotFoundError(f"missing commit {i}")
             stats["json_commits_read"] += 1
             with open(self.commits[i]) as fh:

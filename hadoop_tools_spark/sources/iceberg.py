@@ -459,8 +459,7 @@ class IcebergFixture:
             })
             added_files += 1
             added_rows += df["record_count"]
-            if part_val is not None:
-                parts.append(part_val)
+            parts.append(part_val)  # None kept: feeds contains_null
         length = write_ocf_generic(
             mpath, schema, rows,
             extra_meta={
@@ -472,11 +471,12 @@ class IcebergFixture:
         )
         summaries = None
         if spec_id == 0 and self._part_field is not None:
+            nn = [p for p in parts if p is not None]
             summaries = [{
                 "contains_null": any(p is None for p in parts),
                 "contains_nan": False,
-                "lower_bound": _int_bytes(min(parts)) if parts else None,
-                "upper_bound": _int_bytes(max(parts)) if parts else None,
+                "lower_bound": _int_bytes(min(nn)) if nn else None,
+                "upper_bound": _int_bytes(max(nn)) if nn else None,
             }]
         return {
             "manifest_path": "file://" + mpath,
@@ -601,7 +601,10 @@ class IcebergReader:
         self.last_plan_stats: dict[str, int] = {}
 
     def snapshot(self, snapshot_id: int | None = None) -> dict:
-        sid = snapshot_id or self.metadata["current-snapshot-id"]
+        # `is None`, not falsy: 0 is a legal snapshot id for external
+        # writers and must KeyError below, not silently read current
+        sid = (self.metadata["current-snapshot-id"]
+               if snapshot_id is None else snapshot_id)
         for s in self.metadata["snapshots"]:
             if s["snapshot-id"] == sid:
                 return s
@@ -636,11 +639,17 @@ class IcebergReader:
             if part_filter and part_name in part_filter:
                 want = part_filter[part_name]
                 summ = (m.get("partitions") or [None])[0]
-                if summ is not None and summ["lower_bound"] is not None:
-                    lo = _int_from_bytes(summ["lower_bound"])
-                    hi = _int_from_bytes(summ["upper_bound"])
-                    if not (lo <= want <= hi or
-                            (want is None and summ["contains_null"])):
+                if summ is not None:
+                    # None filter first: `lo <= None` would TypeError
+                    if want is None:
+                        keep = summ["contains_null"]
+                    elif summ["lower_bound"] is not None:
+                        lo = _int_from_bytes(summ["lower_bound"])
+                        hi = _int_from_bytes(summ["upper_bound"])
+                        keep = lo <= want <= hi
+                    else:  # bounds absent (all-null file set)
+                        keep = False
+                    if not keep:
                         stats["manifests_pruned"] += 1
                         continue  # pruned from the LIST row alone
             stats["manifests_opened"] += 1
@@ -685,6 +694,15 @@ class IcebergReader:
         )
         return spark.createDataFrame([], cols)
 
+    @staticmethod
+    def _norm_path_col(c):
+        """`_metadata.file_path` is a percent-encoded URI while plan
+        paths are raw os paths (review find: a table dir with a space
+        made every join miss silently). Decode %XX JVM-side; literal
+        '+' is pre-escaped because url_decode is form-decoding."""
+        c = F.regexp_replace(c, r"\+", "%2B")
+        return F.url_decode(F.regexp_replace(c, "^file:/+", "/"))
+
     def read(self, spark, snapshot_id: int | None = None,
              part_filter: dict | None = None):
         plan = self.plan(snapshot_id, part_filter)
@@ -693,8 +711,7 @@ class IcebergReader:
         df = spark.read.parquet(*[d["path"] for d in plan["data"]])
         data_cols = df.columns
         df = df.withColumn(
-            "_ice_path",
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            "_ice_path", self._norm_path_col(F.col("_metadata.file_path"))
         ).withColumn("_ice_pos", F.col("_metadata.row_index"))
         # per-file data sequence numbers: one row per file, broadcast
         seq_map = spark.createDataFrame(
@@ -707,8 +724,7 @@ class IcebergReader:
             d = spark.read.parquet(*[f["path"] for f in files])
             d = d.withColumn(
                 "_del_file",
-                F.regexp_replace(F.col("_metadata.file_path"),
-                                 "^file:/+", "/"),
+                self._norm_path_col(F.col("_metadata.file_path")),
             )
             dseq = spark.createDataFrame(
                 [(f["path"], f["seq"]) for f in files],
@@ -720,6 +736,9 @@ class IcebergReader:
             return d
 
         if plan["pos_deletes"]:
+            # pos-delete file_path VALUES are writer-side URIs (not
+            # Spark-scan metadata), so only the scheme prefix needs
+            # stripping — writers store the path verbatim
             pos = deletes_df(plan["pos_deletes"]).select(
                 F.regexp_replace("file_path", "^file:/+", "/")
                 .alias("_tgt_path"),

@@ -163,3 +163,38 @@ def test_partition_filtered_read(spark, ice_table):
     assert df.filter(
         (F.col("o_orderstatus") == "P") & (F.col("o_orderkey") % 50 != 0)
     ).count() == 0
+
+
+def test_plan_null_filter_and_zero_snapshot_id(spark, ice_table):
+    """r11 review fixes: a None partition-filter value prunes via
+    contains_null instead of raising TypeError, and snapshot_id=0 is
+    looked up (KeyError), not silently coerced to current."""
+    from hadoop_tools_spark.sources.iceberg import IcebergReader
+
+    rd = IcebergReader(ice_table)
+    plan = rd.plan(part_filter={"part_bucket": None})
+    # fixture has no null partitions: every spec-0 manifest pruned,
+    # only the unpartitioned eq-delete manifest is opened
+    assert plan["data"] == []
+    assert rd.last_plan_stats["manifests_pruned"] >= 5
+    with pytest.raises(KeyError):
+        rd.plan(snapshot_id=0)
+
+
+def test_read_survives_uri_hostile_table_path(spark, sf_dir, tmp_path):
+    """r11 review fix: a table directory containing a space must not
+    silently drop every row through the URI-encoded _metadata path
+    join — the smallest fixture that reproduces the old miss."""
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader,
+        build_iceberg_fixture,
+    )
+
+    path = str(tmp_path / "dir with space" / "orders_table")
+    build_iceberg_fixture(spark, sf_dir, path)
+    rd = IcebergReader(path)
+    first = rd.metadata["snapshots"][0]["snapshot-id"]
+    n = rd.read(spark, snapshot_id=first).count()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert n == orders.filter("o_orderkey % 3 <> 0").count()
+    assert n > 0

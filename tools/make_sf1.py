@@ -177,9 +177,14 @@ if __name__ == "__main__":
         if a == "--constant-rate":
             continue
         elif a == "--src":
-            SRC = next(it)
+            SRC = next(it, None)
+            if SRC is None:
+                sys.exit("--src needs a directory argument")
         elif a == "--copies":
-            COPIES = int(next(it))
+            c = next(it, None)
+            if c is None or not c.isdigit():
+                sys.exit("--copies needs an integer argument")
+            COPIES = int(c)
         else:
             argv.append(a)
     main(

@@ -126,7 +126,8 @@ def main() -> int:
                 else None
             ),
         }
-        spill_before = spill_after
+        if spill_after is not None:  # a transient REST miss must not
+            spill_before = spill_after  # poison the NEXT key's delta
         print(key, json.dumps(results[key]))
         spark.catalog.clearCache()
     print(json.dumps({"sf_dir": sf_dir, "results": results}))
