@@ -958,3 +958,58 @@ def scan_iceberg_table(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "scan_iceberg_pruned",
+    oracle=f"""
+    WITH posdel AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+      ORDER BY o_orderkey LIMIT {_N_POS_DELETES}
+    )
+    SELECT CAST(2 AS INT) AS snapshot_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2) FROM (
+      SELECT o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_orderstatus <> 'P'
+        AND o_orderkey NOT IN (SELECT o_orderkey FROM posdel)
+      UNION ALL
+      SELECT o_totalprice FROM orders
+      WHERE o_orderkey % 50 = 0 AND o_orderkey % 2 = 0
+    )
+    """,
+)
+def scan_iceberg_pruned(spark, sf_dir):
+    """Partition-pruned Iceberg read, driver-graded (the pytest pins
+    the open COUNTS; this key pins the pruned RESULTS): snapshot 2
+    read with ``part_bucket = 1`` (odd keys, no deletes yet) and the
+    current snapshot with ``part_bucket = 0`` (even keys — position
+    deletes hit this bucket, the unpartitioned equality delete still
+    applies, C's even rows re-insert). Bucket-excluded manifests are
+    never opened — the plan stats assert it here too, inside the
+    graded key, so a pruning regression fails the hash AND the check.
+    """
+    table = build_iceberg_fixture(
+        spark, sf_dir, os.path.join(SCRATCH, "iceberg_orders_pruned")
+    )
+    rd = IcebergReader(table)
+    snaps = rd.metadata["snapshots"]
+
+    def agg(df, v):
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(v).alias("snapshot_seq"), "n_orders", "revenue")
+
+    odd = rd.read(
+        spark, snapshot_id=snaps[1]["snapshot-id"],
+        part_filter={"part_bucket": 1},
+    )
+    if rd.last_plan_stats["manifests_pruned"] < 2:
+        raise AssertionError("manifest-list pruning did not engage")
+    even = rd.read(spark, part_filter={"part_bucket": 0})
+    return agg(odd, 2).unionAll(agg(even, 3))
