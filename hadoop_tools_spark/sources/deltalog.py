@@ -64,13 +64,14 @@ class DeltaLogFixture:
     metaData (required by the protocol's "first commit" rule).
     Timestamps are fixed constants so the tree is deterministic."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, schema_string: str | None = None):
         self.path = path
         self.log_dir = os.path.join(path, "_delta_log")
         os.makedirs(self.log_dir, exist_ok=True)
         self.version = -1
         self.live: dict[str, dict] = {}  # rel path -> add action
         self.table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
+        self.schema_string = schema_string or _SCHEMA_STRING
 
     def _ts(self) -> int:
         return 1700000000000 + (self.version + 1) * 60000
@@ -81,7 +82,7 @@ class DeltaLogFixture:
             {"metaData": {
                 "id": self.table_id,
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": _SCHEMA_STRING,
+                "schemaString": self.schema_string,
                 "partitionColumns": [],
                 "configuration": {},
                 "createdTime": self._ts(),
@@ -162,7 +163,7 @@ class DeltaLogFixture:
              "metaData": {
                  "id": self.table_id,
                  "format": {"provider": "parquet"},
-                 "schemaString": _SCHEMA_STRING,
+                 "schemaString": self.schema_string,
                  "partitionColumns": [],
                  "configuration": [],
                  "createdTime": self._ts(),
@@ -263,10 +264,20 @@ class DeltaLogReader:
         self.last_plan_stats = stats
         return state
 
+    def _log_schema_string(self) -> str:
+        """schemaString from commit 0's metaData action (the protocol
+        guarantees it is there) — used only for empty-state reads."""
+        with open(self.commits[min(self.commits)]) as fh:
+            for line in fh:
+                act = json.loads(line) if line.strip() else {}
+                if "metaData" in act:
+                    return act["metaData"]["schemaString"]
+        raise ValueError("no metaData action in the first commit")
+
     def read(self, spark, version: int | None = None):
         state = self.plan(version)
         if not state:
-            schema = json.loads(_SCHEMA_STRING)
+            schema = json.loads(self._log_schema_string())
             cols = ", ".join(
                 f"{f['name']} {f['type']}" for f in schema["fields"]
             )
@@ -367,3 +378,133 @@ def scan_delta_log(spark, sf_dir):
         .unionAll(agg(rd.read(spark, 1), 1))
         .unionAll(agg(rd.read(spark), 2))
     )
+
+
+# ---------------------------------------------------------------------------
+# write path: DataFrame-level commits (r11)
+# ---------------------------------------------------------------------------
+
+
+class DeltaTable(DeltaLogFixture):
+    """DataFrame-level writer over the protocol-shaped log — the real
+    Delta commit split: executors write the parquet data files
+    (distributed), the driver appends one JSON commit (or a checkpoint)
+    with the add/remove actions. ``DeltaLogReader`` (or any protocol
+    reader) replays the result.
+
+    Files land under ``s{N}/`` subdirectories with RELATIVE paths in
+    the log, per the protocol; per-file stats (`numRecords`) come from
+    the parquet footers, no second scan. ``overwrite`` is a
+    metadata-only commit: adds the new file set, removes every live
+    path, rewrites no surviving data."""
+
+    @classmethod
+    def create(cls, spark, path: str, df, overwrite: bool = False
+               ) -> "DeltaTable":
+        import shutil
+
+        if overwrite:
+            shutil.rmtree(path, ignore_errors=True)
+        tbl = cls(path, schema_string=df.schema.json())
+        tbl.append(spark, df)
+        return tbl
+
+    def _stage(self, spark, df) -> list[dict]:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        sub = f"s{self.version + 1:04d}"
+        stage = os.path.join(self.path, sub)
+        df.write.mode("overwrite").parquet(stage)
+        adds = []
+        for part in sorted(
+            _glob.glob(os.path.join(stage, "part-*.parquet"))
+        ):
+            md = pq.ParquetFile(part).metadata
+            adds.append({
+                "path": f"{sub}/{os.path.basename(part)}",
+                "size": os.path.getsize(part),
+                "numRecords": md.num_rows,
+            })
+        return adds
+
+    def append(self, spark, df) -> int:
+        return self.commit(self._stage(spark, df), [])
+
+    def overwrite_with(self, spark, df) -> int:
+        old = list(self.live)
+        return self.commit(self._stage(spark, df), old)
+
+
+@query(
+    "sink_delta_append",
+    oracle="""
+    SELECT CAST(0 AS INT) AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def sink_delta_append(spark, sf_dir):
+    """WRITE-path interop twin of `scan_delta_log`: create a Delta
+    table from a DataFrame, append a second commit, checkpoint, then
+    OVERWRITE with a small slice (metadata-only: adds + removes in one
+    commit, no surviving file rewritten). All three versions read back
+    through ``DeltaLogReader`` replay and hash-check against plain-scan
+    oracles; the checkpoint ensures the overwrite replay starts from
+    parquet state, exercising checkpoint + post-checkpoint-commit
+    composition on a WRITTEN table, not just the fixture."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = os.path.join(SCRATCH, "delta_sink")
+    tbl = DeltaTable.create(
+        spark, path, orders.filter(F.col("o_orderkey") % 3 != 0),
+        overwrite=True,
+    )
+    tbl.append(spark, orders.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.checkpoint()
+    tbl.overwrite_with(spark, orders.filter(F.col("o_orderkey") % 7 == 0))
+    rd = DeltaLogReader(path)
+
+    def agg(df, v):
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(v).alias("version"), "n_orders", "revenue")
+
+    return (
+        agg(rd.read(spark, 0), 0)
+        .unionAll(agg(rd.read(spark, 1), 1))
+        .unionAll(agg(rd.read(spark), 2))
+    )
+
+
+def version_as_of(reader: DeltaLogReader, ts_ms: int) -> int:
+    """``TIMESTAMP AS OF``: latest version whose commitInfo timestamp
+    is <= ts_ms. Commit timestamps come from the commitInfo action of
+    each JSON commit (driver-side KB-scale scan of the log, the same
+    walk Delta's own history() does). Raises if the table is younger
+    than ts."""
+    best = None
+    for v in sorted(reader.commits):
+        ts = None
+        with open(reader.commits[v]) as fh:
+            for line in fh:
+                act = json.loads(line) if line.strip() else {}
+                if "commitInfo" in act:
+                    ts = act["commitInfo"].get("timestamp")
+                    break
+        if ts is not None and ts <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at or before {ts_ms} (table created later)"
+        )
+    return best

@@ -1013,3 +1013,194 @@ def scan_iceberg_pruned(spark, sf_dir):
         raise AssertionError("manifest-list pruning did not engage")
     even = rd.read(spark, part_filter={"part_bucket": 0})
     return agg(odd, 2).unionAll(agg(even, 3))
+
+
+# ---------------------------------------------------------------------------
+# write path: DataFrame-level append / equality-delete commits (r11)
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICE = {"bigint": "long", "int": "int", "double": "double",
+                 "float": "float", "string": "string", "boolean": "boolean",
+                 "binary": "binary", "date": "date"}
+
+
+class IcebergTable(IcebergFixture):
+    """DataFrame-level writer over the same spec-shaped tree the
+    fixture emits — the real Iceberg commit shape: executors write the
+    parquet data files (distributed, partitioned layout), the driver
+    writes KB-scale metadata (manifests + manifest list + metadata
+    JSON) and publishes the new version. ``IcebergReader`` (or any
+    spec reader) reads the result back.
+
+    Scale notes: the data write is a plain ``partitionBy`` parquet
+    write — Spark parallelism end to end; per-file stats come from the
+    parquet FOOTERS (no second scan); commit cost is O(#files) driver
+    work, the same as a real Iceberg commit. Equality deletes are
+    O(|delete rows|) — no data file is rewritten.
+    """
+
+    @classmethod
+    def create(cls, spark, path: str, df, partition_col: str | None = None,
+               overwrite: bool = False) -> "IcebergTable":
+        import shutil
+
+        if overwrite:
+            shutil.rmtree(path, ignore_errors=True)
+        fields = []
+        for i, f in enumerate(df.schema.fields, start=1):
+            t = _SPARK_TO_ICE.get(f.dataType.simpleString())
+            if t is None:
+                raise ValueError(
+                    f"unsupported Iceberg column type: {f.dataType}"
+                )
+            fields.append({"id": i, "name": f.name,
+                           "required": not f.nullable, "type": t})
+        tbl = cls(path, fields, partition_col=partition_col)
+        tbl.append(spark, df)
+        return tbl
+
+    def _stage_data_files(self, spark, df) -> list[dict]:
+        """Distributed parquet write → manifest entries with
+        footer-read stats. Partitioned tables use a hive-style
+        ``partitionBy`` layout (the partition column is ALSO kept in
+        the file, matching the fixture's identity-source contract)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        n = sum(1 for _ in _glob.glob(os.path.join(self.path, "data", "s*")))
+        stage = os.path.join(self.path, "data", f"s{n:04d}-{self.seq + 1}")
+        writer = df.write.mode("overwrite")
+        if self.partition_col is not None:
+            # keep the column in the file too: write a duplicate
+            # hive column, then rely on the data column for reads
+            writer = (
+                df.withColumn("_p", F.col(self.partition_col))
+                .repartition(F.col(self.partition_col))
+                .write.mode("overwrite").partitionBy("_p")
+            )
+        writer.parquet(stage)
+        entries = []
+        for part in sorted(
+            _glob.glob(os.path.join(stage, "**", "part-*.parquet"),
+                       recursive=True)
+        ):
+            md = pq.ParquetFile(part).metadata
+            part_val = None
+            if self.partition_col is not None:
+                seg = [s for s in part.split(os.sep)
+                       if s.startswith("_p=")][0]
+                raw = seg[3:]
+                part_val = None if raw == "__HIVE_DEFAULT_PARTITION__" \
+                    else int(raw)
+            entries.append({"data_file": {
+                "path": part, "record_count": md.num_rows,
+                "file_size": os.path.getsize(part),
+                "partition_value": part_val,
+            }})
+        return entries
+
+    def append(self, spark, df) -> int:
+        """One append snapshot; returns the snapshot id."""
+        entries = self._stage_data_files(spark, df)
+        return self.commit([(entries, _CONTENT_DATA, 0)])
+
+    def delete_where_equal(self, spark, delete_rows) -> int:
+        """Equality-delete commit: ``delete_rows`` is a DataFrame whose
+        columns name the equality columns; one delete file covers the
+        whole batch (unpartitioned spec — the global-delete shape).
+        Applies to STRICTLY older data files per the spec."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        name_to_id = {f["name"]: f["id"] for f in self.schema_fields}
+        eq_ids = [name_to_id[c] for c in delete_rows.columns]
+        stage = os.path.join(self.path, "data", f"eqdel-{self.seq + 1}")
+        delete_rows.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        md = pq.ParquetFile(part).metadata
+        entry = {"data_file": {
+            "path": part, "record_count": md.num_rows,
+            "file_size": os.path.getsize(part),
+            "content": _CONTENT_EQ_DELETES, "equality_ids": eq_ids,
+        }}
+        spec_unpart = 1 if self._part_field is not None else 0
+        return self.commit(
+            [([entry], _CONTENT_EQ_DELETES, spec_unpart)],
+            operation="delete",
+        )
+
+
+@query(
+    "sink_iceberg_append",
+    oracle="""
+    SELECT CAST(1 AS INT) AS version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2) FROM (
+      SELECT o_totalprice FROM orders WHERE o_orderstatus <> 'O'
+      UNION ALL
+      SELECT o_totalprice FROM orders
+      WHERE o_orderkey % 100 = 0 AND o_orderstatus = 'O'
+    )
+    """,
+)
+def sink_iceberg_append(spark, sf_dir):
+    """WRITE-path interop twin of `scan_iceberg_table`: create an
+    Iceberg v2 table from a DataFrame (distributed partitionBy parquet
+    write + driver metadata commit), append a second snapshot, commit
+    an equality delete (o_orderstatus = 'O'), then append rows that
+    REINSTATE some 'O' rows — newer than the delete, so they survive
+    the strictly-older rule. Every read goes back through
+    ``IcebergReader`` over the standard metadata tree, hash-checked
+    per snapshot against a plain-scan oracle."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus",
+        (F.col("o_orderkey") % 2).cast("int").alias("part_bucket"),
+    )
+    path = os.path.join(SCRATCH, "iceberg_sink")
+    tbl = IcebergTable.create(
+        spark, path, orders.filter(F.col("o_orderkey") % 3 != 0),
+        partition_col="part_bucket", overwrite=True,
+    )
+    tbl.append(spark, orders.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.delete_where_equal(
+        spark, spark.createDataFrame([("O",)], "o_orderstatus string")
+    )
+    tbl.append(spark, orders.filter(
+        (F.col("o_orderkey") % 100 == 0) & (F.col("o_orderstatus") == "O")
+    ))
+    rd = IcebergReader(path)
+    snaps = [s["snapshot-id"] for s in rd.metadata["snapshots"]]
+
+    def agg(df, v):
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(v).alias("version"), "n_orders", "revenue")
+
+    return (
+        agg(rd.read(spark, snapshot_id=snaps[0]), 1)
+        .unionAll(agg(rd.read(spark, snapshot_id=snaps[1]), 2))
+        .unionAll(agg(rd.read(spark), 3))
+    )
+
+
+def snapshot_as_of(reader: IcebergReader, ts_ms: int) -> int:
+    """``FOR TIMESTAMP AS OF``: latest snapshot whose commit time is
+    <= ts_ms, resolved from the metadata's snapshot-log (KB-scale,
+    no manifest opened). Raises if the table is younger than ts."""
+    eligible = [
+        s for s in reader.metadata["snapshot-log"]
+        if s["timestamp-ms"] <= ts_ms
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no snapshot at or before {ts_ms} (table created later)"
+        )
+    return max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]

@@ -75,3 +75,52 @@ def test_remove_action_and_timetravel(spark, sf_dir, delta_table):
     assert dup == orders.filter(
         (k % 50 == 0) & (((k % 3 != 0) & (k % 2 == 1)) | (k % 3 == 0))
     ).count()
+
+
+def test_delta_write_read_interop(spark, sf_dir, tmp_path):
+    """r11 write path: create/append/checkpoint/overwrite through
+    DeltaTable, replay through DeltaLogReader — the overwrite is
+    metadata-only (adds + removes in one commit) and the post-
+    checkpoint replay opens exactly one JSON commit."""
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader,
+        DeltaTable,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "written_delta")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 != 0))
+    tbl.append(spark, orders.filter(k % 3 == 0))
+    tbl.checkpoint()
+    tbl.overwrite_with(spark, orders.filter(k % 7 == 0))
+
+    rd = DeltaLogReader(path)
+    assert rd.read(spark).count() == orders.filter(k % 7 == 0).count()
+    assert rd.last_plan_stats == {
+        "checkpoint_used": 1, "json_commits_read": 1,
+    }
+    assert rd.read(spark, 1).count() == orders.count()
+    # overwrite removed every pre-existing live path
+    state2 = rd.plan(2)
+    assert all(p.startswith("s0002/") for p in state2)
+    # schema for an empty state comes from the log's metaData
+    assert "o_totalprice" in rd._log_schema_string()
+
+
+def test_timestamp_time_travel(spark, delta_table):
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader,
+        version_as_of,
+    )
+
+    rd = DeltaLogReader(delta_table)
+    # fixture commits are 60 s apart starting at the fixed anchor
+    t0 = 1700000000000
+    assert version_as_of(rd, t0) == 0
+    assert version_as_of(rd, t0 + 90000) == 1
+    assert version_as_of(rd, t0 + 10**9) == 2
+    with pytest.raises(ValueError, match="created later"):
+        version_as_of(rd, t0 - 1)

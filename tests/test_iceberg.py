@@ -198,3 +198,74 @@ def test_read_survives_uri_hostile_table_path(spark, sf_dir, tmp_path):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     assert n == orders.filter("o_orderkey % 3 <> 0").count()
     assert n > 0
+
+
+def test_iceberg_write_read_interop(spark, sf_dir, tmp_path):
+    """r11 write path: DataFrame-level create/append/delete commits
+    produce a tree the standard reader replays — including partition
+    pruning on the WRITTEN layout and the strictly-older equality
+    rule against a post-delete append."""
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader,
+        IcebergTable,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus",
+        (F.col("o_orderkey") % 2).cast("int").alias("part_bucket"),
+    )
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "written_table")
+    tbl = IcebergTable.create(
+        spark, path, orders.filter(k % 3 != 0), partition_col="part_bucket"
+    )
+    tbl.append(spark, orders.filter(k % 3 == 0))
+    tbl.delete_where_equal(
+        spark, spark.createDataFrame([("O",)], "o_orderstatus string")
+    )
+    reinstated = orders.filter((k % 100 == 0) & (F.col("o_orderstatus") == "O"))
+    tbl.append(spark, reinstated)
+
+    rd = IcebergReader(path)
+    cur = rd.read(spark)
+    n_non_o = orders.filter("o_orderstatus <> 'O'").count()
+    assert cur.count() == n_non_o + reinstated.count()
+    # every surviving 'O' row postdates the delete
+    assert cur.filter(
+        (F.col("o_orderstatus") == "O") & (k % 100 != 0)
+    ).count() == 0
+    # the create/append manifests span both buckets (summary [0,1] —
+    # entry-level filter applies), but the reinstated slice is
+    # %100==0 → even keys only → its manifest summary is [0,0] and a
+    # bucket-1 filter prunes that WHOLE manifest from the list row
+    odd = rd.read(spark, part_filter={"part_bucket": 1})
+    assert rd.last_plan_stats["manifests_pruned"] == 1
+    assert odd.filter(k % 2 == 0).count() == 0
+    assert odd.count() == cur.filter(k % 2 == 1).count()
+
+
+def test_iceberg_write_rejects_unsupported_type(spark, tmp_path):
+    from hadoop_tools_spark.sources.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, [1, 2])], "k long, xs array<int>")
+    with pytest.raises(ValueError, match="unsupported Iceberg column"):
+        IcebergTable.create(spark, str(tmp_path / "t"), df)
+
+
+def test_timestamp_time_travel(spark, ice_table):
+    """FOR TIMESTAMP AS OF: resolved from the snapshot-log without
+    opening any manifest; between-commit timestamps round DOWN."""
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader,
+        snapshot_as_of,
+    )
+
+    rd = IcebergReader(ice_table)
+    log = rd.metadata["snapshot-log"]
+    ts0, ts1 = log[0]["timestamp-ms"], log[1]["timestamp-ms"]
+    assert snapshot_as_of(rd, ts0) == log[0]["snapshot-id"]
+    assert snapshot_as_of(rd, (ts0 + ts1) // 2) == log[0]["snapshot-id"]
+    assert snapshot_as_of(rd, ts1) == log[1]["snapshot-id"]
+    assert snapshot_as_of(rd, 10**15) == log[-1]["snapshot-id"]
+    with pytest.raises(ValueError, match="created later"):
+        snapshot_as_of(rd, ts0 - 1)
