@@ -269,3 +269,52 @@ def test_timestamp_time_travel(spark, ice_table):
     assert snapshot_as_of(rd, 10**15) == log[-1]["snapshot-id"]
     with pytest.raises(ValueError, match="created later"):
         snapshot_as_of(rd, ts0 - 1)
+
+
+def test_murmur3_spec_vectors():
+    """Iceberg spec appendix B published vectors for the 32-bit
+    hash of int/long values (ints widen to long before hashing)."""
+    from hadoop_tools_spark.sources.iceberg import (
+        iceberg_bucket_long,
+        murmur3_32_longs,
+    )
+
+    assert int(murmur3_32_longs([34])[0]) == 2017239379
+    # bucket = (hash & Integer.MAX_VALUE) % N
+    assert iceberg_bucket_long(34, 16) == (2017239379 & 0x7FFFFFFF) % 16
+    # negative longs hash over their two's-complement LE bytes
+    vals = [-1, 0, 1, 2**62, -(2**62)]
+    hs = murmur3_32_longs(vals)
+    assert len(set(int(h) for h in hs)) == len(vals)  # no collisions here
+
+
+def test_bucketed_write_filter_exact(spark, sf_dir, tmp_path):
+    """A bucket-filtered read returns EXACTLY the rows whose murmur3
+    ordinal matches — membership recomputed independently in Python."""
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader,
+        IcebergTable,
+        iceberg_bucket_long,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(2000)
+    path = str(tmp_path / "bucketed")
+    IcebergTable.create(spark, path, orders, bucket=("o_orderkey", 8))
+    rd = IcebergReader(path)
+    spec = rd.metadata["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "bucket[8]"
+    assert spec["name"] == "o_orderkey_bucket"
+    want_bucket = 3
+    got = {
+        r["o_orderkey"]
+        for r in rd.read(
+            spark, part_filter={"o_orderkey_bucket": want_bucket}
+        ).collect()
+    }
+    expect = {
+        r["o_orderkey"] for r in orders.collect()
+        if iceberg_bucket_long(r["o_orderkey"], 8) == want_bucket
+    }
+    assert got == expect and got
