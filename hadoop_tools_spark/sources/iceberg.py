@@ -355,6 +355,28 @@ def _int_from_bytes(b: bytes) -> int:
     return struct.unpack("<i", b)[0]
 
 
+def _part_value_bytes(v, t: str) -> bytes:
+    """Single-value serialization for the partition types used here
+    (spec appendix D): int 4-byte LE, long 8-byte LE, string UTF-8."""
+    if t == "int":
+        return struct.pack("<i", v)
+    if t == "long":
+        return struct.pack("<q", v)
+    if t == "string":
+        return str(v).encode("utf-8")
+    raise ValueError(f"unsupported partition value type: {t}")
+
+
+def _part_value_from_bytes(b: bytes, t: str):
+    if t == "int":
+        return struct.unpack("<i", b)[0]
+    if t == "long":
+        return struct.unpack("<q", b)[0]
+    if t == "string":
+        return b.decode("utf-8")
+    raise ValueError(f"unsupported partition value type: {t}")
+
+
 def _norm_path(p: str) -> str:
     """file:///x, file:/x and /x are the same local file."""
     return re.sub(r"^file:/+", "/", p)
@@ -422,15 +444,18 @@ class IcebergFixture:
         specs.append({"spec-id": 1 if specs else 0, "fields": []})
         return specs
 
+    def _part_value_type(self) -> str:
+        """Transform result type: bucket[N] → int, identity/truncate →
+        the source column's type (spec table of transform results)."""
+        if self.partition_transform.startswith("bucket"):
+            return "int"
+        return self._part_field["type"]
+
     def _partition_avro_fields(self, spec_id: int) -> list[dict]:
         if spec_id == 0 and self._part_field is not None:
-            # bucket[N] partition values are ints regardless of the
-            # source type (spec: transform result type)
-            t = ("int" if self.partition_transform.startswith("bucket")
-                 else self._part_field["type"])
             return [{
                 "name": self.partition_col,
-                "type": ["null", t],
+                "type": ["null", self._part_value_type()],
                 "field-id": 1000,
             }]
         return []
@@ -484,11 +509,12 @@ class IcebergFixture:
         summaries = None
         if spec_id == 0 and self._part_field is not None:
             nn = [p for p in parts if p is not None]
+            pt = self._part_value_type()
             summaries = [{
                 "contains_null": any(p is None for p in parts),
                 "contains_nan": False,
-                "lower_bound": _int_bytes(min(nn)) if nn else None,
-                "upper_bound": _int_bytes(max(nn)) if nn else None,
+                "lower_bound": _part_value_bytes(min(nn), pt) if nn else None,
+                "upper_bound": _part_value_bytes(max(nn), pt) if nn else None,
             }]
         return {
             "manifest_path": "file://" + mpath,
@@ -633,6 +659,21 @@ class IcebergReader:
                     return f["name"]
         return None
 
+    def _part_value_type(self, spec_id: int) -> str:
+        """Transform result type for bound decoding: bucket[N] → int,
+        identity/truncate → the SOURCE column's schema type."""
+        for spec in self.metadata["partition-specs"]:
+            if spec["spec-id"] == spec_id:
+                f = spec["fields"][0]
+                if f["transform"].startswith("bucket"):
+                    return "int"
+                src = next(
+                    x for x in self.schema["fields"]
+                    if x["id"] == f["source-id"]
+                )
+                return src["type"]
+        raise KeyError(f"unknown partition spec {spec_id}")
+
     def plan(self, snapshot_id: int | None = None,
              part_filter: dict | None = None) -> dict:
         """Plan file sets for a snapshot. ``part_filter`` is
@@ -659,8 +700,9 @@ class IcebergReader:
                     if want is None:
                         keep = summ["contains_null"]
                     elif summ["lower_bound"] is not None:
-                        lo = _int_from_bytes(summ["lower_bound"])
-                        hi = _int_from_bytes(summ["upper_bound"])
+                        pt = self._part_value_type(m["partition_spec_id"])
+                        lo = _part_value_from_bytes(summ["lower_bound"], pt)
+                        hi = _part_value_from_bytes(summ["upper_bound"], pt)
                         keep = lo <= want <= hi
                     else:  # bounds absent (all-null file set)
                         keep = False
@@ -1057,11 +1099,15 @@ class IcebergTable(IcebergFixture):
     @classmethod
     def create(cls, spark, path: str, df, partition_col: str | None = None,
                bucket: tuple | None = None,
+               truncate: tuple | None = None,
                overwrite: bool = False) -> "IcebergTable":
         """``partition_col`` = identity partitioning on a schema
         column; ``bucket=(source_col, n)`` = bucket[n] partitioning
         (murmur3 ordinals, the 100 TB layout — balanced partitions on
-        a high-cardinality key). Mutually exclusive."""
+        a high-cardinality key); ``truncate=(source_col, w)`` =
+        truncate[w] (floor-to-multiple for long, first-w-codepoints
+        for string — RANGE-prunable, unlike bucket). Mutually
+        exclusive."""
         import shutil
 
         if overwrite:
@@ -1075,18 +1121,28 @@ class IcebergTable(IcebergFixture):
                 )
             fields.append({"id": i, "name": f.name,
                            "required": not f.nullable, "type": t})
+        if sum(x is not None for x in (partition_col, bucket,
+                                       truncate)) > 1:
+            raise ValueError(
+                "partition_col, bucket and truncate are exclusive"
+            )
         if bucket is not None:
-            if partition_col is not None:
-                raise ValueError("partition_col and bucket are exclusive")
             src, n = bucket
             tbl = cls(path, fields,
                       partition_col=f"{src}_bucket",
                       partition_transform=f"bucket[{n}]",
                       partition_source=src)
-            tbl._bucket = (src, int(n))
+            tbl._bucket, tbl._truncate = (src, int(n)), None
+        elif truncate is not None:
+            src, w = truncate
+            tbl = cls(path, fields,
+                      partition_col=f"{src}_trunc",
+                      partition_transform=f"truncate[{w}]",
+                      partition_source=src)
+            tbl._bucket, tbl._truncate = None, (src, int(w))
         else:
             tbl = cls(path, fields, partition_col=partition_col)
-            tbl._bucket = None
+            tbl._bucket = tbl._truncate = None
         tbl.append(spark, df)
         return tbl
 
@@ -1112,6 +1168,20 @@ class IcebergTable(IcebergFixture):
                 .repartition("_p")
                 .write.mode("overwrite").partitionBy("_p")
             )
+        elif getattr(self, "_truncate", None) is not None:
+            src, w = self._truncate
+            if self._part_field["type"] == "string":
+                pcol = F.substring(F.col(src), 1, w)
+            else:
+                # floor-to-multiple incl. negatives (spec: truncate
+                # rounds toward -inf) — pure JVM column math, pmod
+                # keeps the remainder non-negative
+                pcol = F.col(src) - F.pmod(F.col(src), F.lit(w))
+            writer = (
+                df.withColumn("_p", pcol)
+                .repartition("_p")
+                .write.mode("overwrite").partitionBy("_p")
+            )
         elif self.partition_col is not None:
             # keep the column in the file too: write a duplicate
             # hive column, then rely on the data column for reads
@@ -1132,8 +1202,17 @@ class IcebergTable(IcebergFixture):
                 seg = [s for s in part.split(os.sep)
                        if s.startswith("_p=")][0]
                 raw = seg[3:]
-                part_val = None if raw == "__HIVE_DEFAULT_PARTITION__" \
-                    else int(raw)
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    part_val = None
+                elif self._part_value_type() == "string":
+                    # hive dir values are URL-escaped for reserved
+                    # chars; truncate prefixes here are plain, but
+                    # unquote keeps hostile values correct
+                    import urllib.parse
+
+                    part_val = urllib.parse.unquote(raw)
+                else:
+                    part_val = int(raw)
             entries.append({"data_file": {
                 "path": part, "record_count": md.num_rows,
                 "file_size": os.path.getsize(part),

@@ -318,3 +318,46 @@ def test_bucketed_write_filter_exact(spark, sf_dir, tmp_path):
         if iceberg_bucket_long(r["o_orderkey"], 8) == want_bucket
     }
     assert got == expect and got
+
+
+def test_truncate_transform_long_and_string(spark, sf_dir, tmp_path):
+    """truncate[W]: floor-to-multiple for longs (negatives round
+    toward -inf), first-W-codepoints for strings; summaries carry
+    type-aware single-value bounds and RANGE pruning engages."""
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader,
+        IcebergTable,
+    )
+
+    # long: include negatives to pin the floor semantics
+    df = spark.createDataFrame(
+        [(v, float(v)) for v in (-25, -10, -1, 0, 9, 10, 25, 99)],
+        "k long, x double",
+    )
+    path = str(tmp_path / "trunc_long")
+    IcebergTable.create(spark, path, df, truncate=("k", 10))
+    rd = IcebergReader(path)
+    spec = rd.metadata["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "truncate[10]"
+    buckets = {d["partition"]["k_trunc"] for d in rd.plan()["data"]}
+    assert buckets == {-30, -10, 0, 10, 20, 90}  # floor(-25/10)·10=-30
+    got = {r["k"] for r in rd.read(
+        spark, part_filter={"k_trunc": -30}).collect()}
+    assert got == {-25}
+
+    # string: prefix partitioning, pruned by lexicographic bounds
+    sdf = spark.createDataFrame(
+        [("alpha",), ("alpine",), ("beta",), ("bet",), ("gamma",)],
+        "s string",
+    )
+    spath = str(tmp_path / "trunc_str")
+    IcebergTable.create(spark, spath, sdf, truncate=("s", 2))
+    srd = IcebergReader(spath)
+    parts = {d["partition"]["s_trunc"] for d in srd.plan()["data"]}
+    assert parts == {"al", "be", "ga"}
+    got = {r["s"] for r in srd.read(
+        spark, part_filter={"s_trunc": "al"}).collect()}
+    assert got == {"alpha", "alpine"}
+    # a value outside the [al, ga] summary range prunes the manifest
+    srd.plan(part_filter={"s_trunc": "zz"})
+    assert srd.last_plan_stats["manifests_pruned"] >= 1
