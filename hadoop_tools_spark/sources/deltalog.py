@@ -194,10 +194,35 @@ class DeltaLogFixture:
 
 class DeltaLogReader:
     """Replays a ``_delta_log`` to a version's live file set, starting
-    from the newest checkpoint ≤ v when one exists."""
+    from the newest checkpoint ≤ v when one exists.
+
+    Protocol gate (r11 verdict #3): the ``protocol`` action is PARSED,
+    not skipped — a reader that ignores it will silently mis-read
+    tables using reader features it does not implement (deletion
+    vectors, column mapping, v2 checkpoints...). This reader supports
+    ``minReaderVersion`` 1 and the empty reader-feature set; anything
+    newer raises instead of returning wrong rows."""
 
     _JSON_RE = re.compile(r"^(\d{20})\.json$")
     _CP_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+    _MAX_READER_VERSION = 1
+
+    @classmethod
+    def _check_protocol(cls, p: dict) -> None:
+        v = p.get("minReaderVersion", 1)
+        if v > cls._MAX_READER_VERSION:
+            raise ValueError(
+                f"unsupported Delta minReaderVersion {v} "
+                f"(supported: <= {cls._MAX_READER_VERSION}); refusing "
+                "to read rather than risk silent wrong results"
+            )
+        feats = p.get("readerFeatures") or []
+        if feats:
+            raise ValueError(
+                f"unsupported Delta readerFeatures {sorted(feats)}; "
+                "this reader implements none"
+            )
 
     def __init__(self, path: str):
         self.path = path
@@ -221,7 +246,16 @@ class DeltaLogReader:
     def _checkpoint_state(self, cp_path: str) -> dict[str, dict]:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(cp_path, columns=["add"])
+        pf = pq.ParquetFile(cp_path)
+        cols = ["add"]
+        has_protocol = "protocol" in pf.schema_arrow.names
+        if has_protocol:
+            cols.append("protocol")
+        t = pf.read(columns=cols)
+        if has_protocol:
+            for p in t.column("protocol").to_pylist():
+                if p is not None:
+                    self._check_protocol(p)
         state = {}
         for a in t.column("add").to_pylist():
             if a is not None:
@@ -256,11 +290,19 @@ class DeltaLogReader:
                         continue
                     act = json.loads(line)
                     if "add" in act:
+                        if act["add"].get("deletionVector"):
+                            # belt-and-braces: a DV requires reader v3,
+                            # so the protocol gate should already have
+                            # fired — never merge-on-read blindly
+                            raise ValueError(
+                                "deletion vectors are not supported"
+                            )
                         state[act["add"]["path"]] = act["add"]
                     elif "remove" in act:
                         state.pop(act["remove"]["path"], None)
-                    # commitInfo / protocol / metaData / txn: no file
-                    # effect — skipped like any reader does
+                    elif "protocol" in act:
+                        self._check_protocol(act["protocol"])
+                    # commitInfo / metaData / txn: no file effect
         self.last_plan_stats = stats
         return state
 

@@ -361,3 +361,236 @@ def test_truncate_transform_long_and_string(spark, sf_dir, tmp_path):
     # a value outside the [al, ga] summary range prunes the manifest
     srd.plan(part_filter={"s_trunc": "zz"})
     assert srd.last_plan_stats["manifests_pruned"] >= 1
+
+
+def test_unknown_part_filter_key_raises(ice_table):
+    """r12 (ADVICE medium): a typo'd partition-filter key must raise,
+    not silently return the unfiltered table."""
+    from hadoop_tools_spark.sources.iceberg import IcebergReader
+
+    rd = IcebergReader(ice_table)
+    with pytest.raises(KeyError, match="unknown partition filter"):
+        rd.plan(part_filter={"part_bucketz": 1})
+    with pytest.raises(KeyError, match="unknown partition filter"):
+        rd.plan(part_filter={"part_bucket": 1, "nope": 0})
+    # the valid key still plans
+    assert rd.plan(part_filter={"part_bucket": 1})["data"]
+
+
+def test_part_filter_on_unpartitioned_table_raises(spark, tmp_path):
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader,
+        IcebergTable,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, x double")
+    path = str(tmp_path / "unpart")
+    IcebergTable.create(spark, path, df)
+    rd = IcebergReader(path)
+    with pytest.raises(KeyError, match="unknown partition filter"):
+        rd.plan(part_filter={"k": 1})
+
+
+def test_bucketed_write_routes_nulls_to_null_partition(spark, tmp_path):
+    """r12 (ADVICE): a NULL bucket-source key must not crash the
+    distributed write — it lands in the null partition (identity-path
+    parity) and survives the roundtrip."""
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader,
+        IcebergTable,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (None, 3.0), (None, 4.0)], "k long, x double"
+    )
+    path = str(tmp_path / "bucketed_nulls")
+    IcebergTable.create(spark, path, df, bucket=("k", 4))
+    rd = IcebergReader(path)
+    got = rd.read(spark)
+    assert got.count() == 4
+    assert got.filter(F.col("k").isNull()).count() == 2
+    # the null partition is recorded as such in the manifests
+    plan = rd.plan(part_filter={"k_bucket": None})
+    assert sum(d["record_count"] for d in plan["data"]) == 2
+
+
+def test_empty_string_partition_value_rejected(spark, tmp_path):
+    """r12 (ADVICE): hive staging conflates '' with NULL in partition
+    dirs — the writer fails closed instead of mis-recording them."""
+    from hadoop_tools_spark.sources.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("", 2.0)], "s string, x double"
+    )
+    with pytest.raises(ValueError, match="empty-string partition"):
+        IcebergTable.create(spark, str(tmp_path / "t1"), df,
+                            partition_col="s")
+    with pytest.raises(ValueError, match="empty-string partition"):
+        IcebergTable.create(spark, str(tmp_path / "t2"), df,
+                            truncate=("s", 2))
+    # NULL string partitions remain allowed (they have a real home)
+    df2 = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0)], "s string, x double"
+    )
+    from hadoop_tools_spark.sources.iceberg import IcebergReader
+
+    path = str(tmp_path / "t3")
+    IcebergTable.create(spark, path, df2, partition_col="s")
+    assert IcebergReader(path).read(spark).count() == 2
+
+
+@pytest.fixture(scope="module")
+def evolved_table(spark, sf_dir, tmp_path_factory):
+    """create(2 cols, evens) → add status → append(odds) → rename
+    o_totalprice→price → append(%50) → drop status."""
+    from hadoop_tools_spark.sources.iceberg import IcebergTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    path = str(tmp_path_factory.mktemp("ice_evo") / "t")
+    tbl = IcebergTable.create(
+        spark, path,
+        orders.select("o_orderkey", "o_totalprice").filter(k % 2 == 0),
+    )
+    tbl.add_column("o_orderstatus", "string")
+    tbl.append(spark, orders.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus").filter(k % 2 == 1))
+    tbl.rename_column("o_totalprice", "price")
+    tbl.append(spark, orders.select(
+        "o_orderkey", F.col("o_totalprice").alias("price"),
+        "o_orderstatus").filter(k % 50 == 0))
+    tbl.drop_column("o_orderstatus")
+    return path
+
+
+def test_schema_evolution_read_by_field_id(spark, sf_dir, evolved_table):
+    """r12 VERDICT #1: renames resolve by field id (old files found
+    under their write-time name), added columns NULL-fill
+    pre-evolution files, drops hide the column on current reads."""
+    from hadoop_tools_spark.sources.iceberg import IcebergReader
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    rd = IcebergReader(evolved_table)
+    snaps = [s["snapshot-id"] for s in rd.metadata["snapshots"]]
+
+    # current read: renamed column carries values from BOTH eras
+    cur = rd.read(spark)
+    assert cur.columns == ["o_orderkey", "price"]
+    want_sum = (orders.agg(F.sum("o_totalprice")).collect()[0][0]
+                + orders.filter(k % 50 == 0)
+                .agg(F.sum("o_totalprice")).collect()[0][0])
+    got_sum = cur.agg(F.sum("price")).collect()[0][0]
+    assert abs(got_sum - want_sum) < 1e-6 * abs(want_sum)
+    assert cur.filter(F.col("price").isNull()).count() == 0
+
+    # value-level rename check on a sampled key from a PRE-rename file
+    some = orders.filter(k % 2 == 0).select(
+        "o_orderkey", "o_totalprice").limit(3).collect()
+    for r in some:
+        got = cur.filter(
+            (k == r["o_orderkey"]) & (F.col("price") == r["o_totalprice"])
+        ).count()
+        assert got >= 1
+
+    # added column NULL-fills exactly the pre-add files
+    s2 = rd.read(spark, snapshot_id=snaps[1])
+    assert set(s2.columns) == {"o_orderkey", "o_totalprice",
+                               "o_orderstatus"}
+    n_even = orders.filter(k % 2 == 0).count()
+    assert s2.filter(F.col("o_orderstatus").isNull()).count() == n_even
+
+    # time travel uses the SNAPSHOT's schema, not the current one
+    s1 = rd.read(spark, snapshot_id=snaps[0])
+    assert s1.columns == ["o_orderkey", "o_totalprice"]
+    assert s1.count() == n_even
+
+    # v3 time travel sees the renamed column WITH status still present
+    s3 = rd.read(spark, snapshot_id=snaps[2])
+    assert set(s3.columns) == {"o_orderkey", "price", "o_orderstatus"}
+
+
+def test_schema_evolution_append_guard_and_errors(spark, tmp_path):
+    from hadoop_tools_spark.sources.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, x double")
+    tbl = IcebergTable.create(spark, str(tmp_path / "t"), df)
+    with pytest.raises(ValueError, match="append columns"):
+        tbl.append(spark, spark.createDataFrame([(2,)], "k long"))
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.add_column("x", "double")
+    with pytest.raises(KeyError):
+        tbl.rename_column("nope", "y")
+    with pytest.raises(KeyError):
+        tbl.drop_column("nope")
+    tbl.add_column("y", "string")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.rename_column("x", "y")
+    # field ids never recycle: y got id 3; drop it, re-add → id 4
+    tbl.drop_column("y")
+    tbl.add_column("z", "string")
+    assert [f["id"] for f in tbl.schema_fields] == [1, 2, 4]
+
+
+def test_eq_delete_written_after_rename_applies_to_old_files(
+        spark, tmp_path):
+    """Equality deletes key on FIELD IDS: a delete committed after a
+    rename (delete file written under the new name) still deletes
+    rows in files written under the old name."""
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader,
+        IcebergTable,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k long, tag string"
+    )
+    path = str(tmp_path / "t")
+    tbl = IcebergTable.create(spark, path, df)
+    tbl.rename_column("tag", "label")
+    tbl.delete_where_equal(
+        spark, spark.createDataFrame([("a",)], "label string")
+    )
+    rd = IcebergReader(path)
+    got = {(r["k"], r["label"]) for r in rd.read(spark).collect()}
+    assert got == {(2, "b")}
+
+
+def test_iceberg_incremental_changes(spark, sf_dir, tmp_path):
+    """changes(from, to] returns exactly the appended rows; windows
+    containing a non-append snapshot fail closed."""
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader,
+        IcebergTable,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "t")
+    tbl = IcebergTable.create(spark, path, orders.filter(k % 3 == 0))
+    tbl.append(spark, orders.filter(k % 3 == 1))
+    tbl.append(spark, orders.filter(k % 3 == 2))
+    rd = IcebergReader(path)
+    s = [x["snapshot-id"] for x in rd.metadata["snapshots"]]
+
+    got = {r["o_orderkey"] for r in rd.changes(spark, s[0], s[1]).collect()}
+    want = {r["o_orderkey"]
+            for r in orders.filter(k % 3 == 1).collect()}
+    assert got == want
+    # empty window
+    assert rd.changes(spark, s[2], s[2]).count() == 0
+    # to < from
+    with pytest.raises(ValueError, match="predates"):
+        rd.changes(spark, s[2], s[0])
+    # a delete snapshot poisons any window crossing it
+    tbl.delete_where_equal(
+        spark, spark.createDataFrame([("P",)], "o_orderstatus string")
+    )
+    rd = IcebergReader(path)
+    s = [x["snapshot-id"] for x in rd.metadata["snapshots"]]
+    with pytest.raises(ValueError, match="not append"):
+        rd.changes(spark, s[1])
+    # windows BEFORE the delete still work
+    assert rd.changes(spark, s[0], s[1]).count() == len(want)

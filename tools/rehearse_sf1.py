@@ -103,6 +103,7 @@ def main() -> int:
         keys = sorted(qs)
     results = {}
     spill_before = cumulative_spill_bytes(spark)
+    spill_span = 1  # keys covered by the next valid spill delta
     for key in keys:
         t0 = time.time()
         try:
@@ -126,8 +127,17 @@ def main() -> int:
                 else None
             ),
         }
-        if spill_after is not None:  # a transient REST miss must not
-            spill_before = spill_after  # poison the NEXT key's delta
+        # ADVICE r11: on a transient REST miss the baseline is NOT
+        # advanced, so the NEXT valid delta folds this key's spill in
+        # — mark such readings with the number of keys they span
+        # instead of silently misattributing them to one key
+        if results[key]["spill_mb"] is not None and spill_span > 1:
+            results[key]["spill_mb_span"] = spill_span
+        if spill_after is not None:
+            spill_before = spill_after
+            spill_span = 1
+        else:
+            spill_span += 1
         print(key, json.dumps(results[key]))
         spark.catalog.clearCache()
     print(json.dumps({"sf_dir": sf_dir, "results": results}))
