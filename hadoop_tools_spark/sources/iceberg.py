@@ -668,6 +668,13 @@ class IcebergFixture:
             raise KeyError(f"no column {name!r}")
         self._commit_schema(fields)
 
+    #: manifest fan-out (r12, VERDICT #5): a commit adding more files
+    #: than this splits into several manifests, keeping each manifest
+    #: bounded (real Iceberg targets manifest BYTES; an entry-count
+    #: cap is the same control) — bounded Avro decode per manifest
+    #: open, and per-chunk partition summaries prune TIGHTER.
+    MANIFEST_MAX_ENTRIES = 5000
+
     def commit(self, manifests: list[tuple[list[dict], int, int]],
                operation: str = "append") -> int:
         """One snapshot: ``manifests`` is [(entries, content, spec_id)].
@@ -675,11 +682,17 @@ class IcebergFixture:
         self.seq += 1
         sid = self.next_snapshot_id
         self.next_snapshot_id += 1
+        cap = self.MANIFEST_MAX_ENTRIES
         for entries, content, spec_id in manifests:
-            self.manifest_files.append(
-                self._write_manifest(entries, content, sid, self.seq,
-                                     spec_id)
+            chunks = (
+                [entries[i:i + cap] for i in range(0, len(entries), cap)]
+                if len(entries) > cap else [entries]
             )
+            for chunk in chunks:
+                self.manifest_files.append(
+                    self._write_manifest(chunk, content, sid, self.seq,
+                                         spec_id)
+                )
         ml_name = f"snap-{sid}-1-{self.uuid[:8]}.avro"
         ml_path = os.path.join(self.meta_dir, ml_name)
         write_ocf_generic(
