@@ -64,7 +64,8 @@ class DeltaLogFixture:
     metaData (required by the protocol's "first commit" rule).
     Timestamps are fixed constants so the tree is deterministic."""
 
-    def __init__(self, path: str, schema_string: str | None = None):
+    def __init__(self, path: str, schema_string: str | None = None,
+                 partition_cols: list[str] | None = None):
         self.path = path
         self.log_dir = os.path.join(path, "_delta_log")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -72,6 +73,7 @@ class DeltaLogFixture:
         self.live: dict[str, dict] = {}  # rel path -> add action
         self.table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
         self.schema_string = schema_string or _SCHEMA_STRING
+        self.partition_cols = list(partition_cols or [])
 
     def _ts(self) -> int:
         return 1700000000000 + (self.version + 1) * 60000
@@ -83,7 +85,7 @@ class DeltaLogFixture:
                 "id": self.table_id,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": self.schema_string,
-                "partitionColumns": [],
+                "partitionColumns": self.partition_cols,
                 "configuration": {},
                 "createdTime": self._ts(),
             }},
@@ -102,7 +104,9 @@ class DeltaLogFixture:
         for a in adds:
             act = {
                 "path": a["path"],
-                "partitionValues": {},
+                # protocol: partition values are STRINGS keyed by the
+                # real column name; null partitions carry null
+                "partitionValues": a.get("partitionValues", {}),
                 "size": a["size"],
                 "modificationTime": ts,
                 "dataChange": True,
@@ -164,7 +168,7 @@ class DeltaLogFixture:
                  "id": self.table_id,
                  "format": {"provider": "parquet"},
                  "schemaString": self.schema_string,
-                 "partitionColumns": [],
+                 "partitionColumns": self.partition_cols,
                  "configuration": [],
                  "createdTime": self._ts(),
              },
@@ -172,7 +176,9 @@ class DeltaLogFixture:
         ]
         for act in sorted(self.live.values(), key=lambda a: a["path"]):
             a = dict(act)
-            a["partitionValues"] = []
+            a["partitionValues"] = sorted(
+                (a.get("partitionValues") or {}).items()
+            )
             rows.append({"protocol": None, "metaData": None,
                          "add": a, "remove": None})
         table = pa.table({
@@ -259,12 +265,35 @@ class DeltaLogReader:
         state = {}
         for a in t.column("add").to_pylist():
             if a is not None:
+                # pyarrow maps round-trip as pair lists; normalize to
+                # the dict shape JSON commits carry
+                pv = a.get("partitionValues")
+                if isinstance(pv, list):
+                    a = dict(a, partitionValues=dict(pv))
                 state[a["path"]] = a
         return state
 
-    def plan(self, version: int | None = None) -> dict:
+    def plan(self, version: int | None = None,
+             part_filter: dict | None = None) -> dict:
         """Live file set at ``version`` (default latest):
-        {rel_path: add_action}. Counts opened log files."""
+        {rel_path: add_action}. Counts opened log files.
+
+        ``part_filter`` ({col: str|None}) keeps only files whose
+        logged ``partitionValues`` match — the Delta twin of
+        ``IcebergReader.plan``'s pruning, operating purely on
+        driver-side log state (no data file is opened to decide).
+        Values compare as the protocol's string serialization; None
+        matches the null partition. Unknown keys raise ``KeyError``
+        (same fail-closed contract as the Iceberg reader: a typo'd
+        key must never silently return the full table)."""
+        if part_filter:
+            known = set(self._table_meta()[1])
+            unknown = sorted(set(part_filter) - known)
+            if unknown:
+                raise KeyError(
+                    f"unknown partition filter keys {unknown}; table "
+                    f"partitionColumns are {sorted(known)}"
+                )
         v = self.latest if version is None else version
         if version is not None and v not in self.commits and (
                 v not in self.checkpoints):
@@ -303,29 +332,140 @@ class DeltaLogReader:
                     elif "protocol" in act:
                         self._check_protocol(act["protocol"])
                     # commitInfo / metaData / txn: no file effect
+        if part_filter:
+            n_all = len(state)
+            state = {
+                p: a for p, a in state.items()
+                if all(
+                    (a.get("partitionValues") or {}).get(c) == w
+                    for c, w in part_filter.items()
+                )
+            }
+            stats["files_skipped"] = n_all - len(state)
+        stats["files_read"] = len(state)
         self.last_plan_stats = stats
         return state
 
-    def _log_schema_string(self) -> str:
-        """schemaString from commit 0's metaData action (the protocol
-        guarantees it is there) — used only for empty-state reads."""
-        with open(self.commits[min(self.commits)]) as fh:
-            for line in fh:
-                act = json.loads(line) if line.strip() else {}
-                if "metaData" in act:
-                    return act["metaData"]["schemaString"]
-        raise ValueError("no metaData action in the first commit")
+    def _table_meta(self) -> tuple[list[dict], list[str]]:
+        """(schema fields, partitionColumns) from the newest metaData
+        action in the JSON commits, falling back to the newest
+        checkpoint for all-checkpoint logs. Cached: the log is
+        immutable once listed."""
+        meta = getattr(self, "_meta_cache", None)
+        if meta is None:
+            for v in sorted(self.commits, reverse=True):
+                with open(self.commits[v]) as fh:
+                    for line in fh:
+                        act = json.loads(line) if line.strip() else {}
+                        if "metaData" in act:
+                            meta = act["metaData"]
+                            break
+                if meta:
+                    break
+            if meta is None and self.checkpoints:
+                import pyarrow.parquet as pq
 
-    def read(self, spark, version: int | None = None):
-        state = self.plan(version)
+                cp = self.checkpoints[max(self.checkpoints)]
+                col = pq.ParquetFile(cp).read(columns=["metaData"])
+                for m in col.column("metaData").to_pylist():
+                    if m is not None:
+                        meta = m
+                        break
+            if meta is None:
+                raise ValueError("no metaData action in the log")
+            self._meta_cache = meta
+        fields = json.loads(meta["schemaString"])["fields"]
+        return fields, list(meta.get("partitionColumns") or [])
+
+    def read(self, spark, version: int | None = None,
+             part_filter: dict | None = None):
+        """Distributed scan over the planned live files. Partitioned
+        tables (protocol: ``partitionBy`` data files do NOT store the
+        partition columns) re-inject each column as a literal cast to
+        its schema type, grouping files by partition tuple — exactly
+        how Delta readers materialize partition values from the log
+        instead of the footers. Output columns follow schema order for
+        every layout."""
+        state = self.plan(version, part_filter)
+        return self._read_adds(spark, state)
+
+    def _read_adds(self, spark, state: dict):
+        """Scan an {rel_path: add_action} set with partition-column
+        re-injection (shared by ``read`` and ``changes``)."""
+        fields, pcols = self._table_meta()
         if not state:
-            schema = json.loads(self._log_schema_string())
             cols = ", ".join(
-                f"{f['name']} {f['type']}" for f in schema["fields"]
+                f"`{f['name']}` {f['type']}" for f in fields
             )
             return spark.createDataFrame([], cols)
-        paths = [os.path.join(self.path, p) for p in sorted(state)]
-        return spark.read.parquet(*paths)
+        if not pcols:
+            paths = [os.path.join(self.path, p) for p in sorted(state)]
+            return spark.read.parquet(*paths)
+        types = {f["name"]: f["type"] for f in fields}
+        groups: dict[tuple, list[str]] = {}
+        for rel, a in sorted(state.items()):
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in pcols)
+            groups.setdefault(key, []).append(
+                os.path.join(self.path, rel))
+        parts = []
+        for key, paths in groups.items():
+            df = spark.read.parquet(*paths)
+            for c, v in zip(pcols, key):
+                df = df.withColumn(c, F.lit(v).cast(types[c]))
+            parts.append(df.select(*[f["name"] for f in fields]))
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
+
+    def changes(self, spark, from_version: int,
+                to_version: int | None = None):
+        """Incremental APPEND scan over (from, to] — the Delta twin of
+        ``IcebergReader.changes``: replay ONLY the window's JSON
+        commits (never a checkpoint, never pre-window history) and
+        scan exactly the files they added. A ``dataChange`` remove in
+        the window raises — a delete/overwrite cannot be expressed as
+        an append diff (the same fail-closed contract as Spark's
+        incremental scans); protocol upgrades in the window still
+        gate. Cost: planning ∝ window commits (driver KB), scan ∝
+        changed files only."""
+        v1 = self.latest if to_version is None else to_version
+        for v in (from_version, v1):
+            if v not in self.commits and v not in self.checkpoints:
+                raise KeyError(f"version {v} not in the log")
+        if v1 < from_version:
+            raise ValueError(
+                f"to-version {v1} predates from-version {from_version}"
+            )
+        stats = {"checkpoint_used": 0, "json_commits_read": 0}
+        added: dict[str, dict] = {}
+        for i in range(from_version + 1, v1 + 1):
+            if i not in self.commits:
+                # the window must replay from JSON; a vacuumed or torn
+                # commit means the diff cannot be reconstructed
+                raise FileNotFoundError(f"missing commit {i}")
+            stats["json_commits_read"] += 1
+            with open(self.commits[i]) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    if "add" in act:
+                        added[act["add"]["path"]] = act["add"]
+                    elif "remove" in act:
+                        if act["remove"].get("dataChange", True):
+                            raise ValueError(
+                                f"commit {i} removes data "
+                                f"({act['remove']['path']!r}) — an "
+                                "incremental append scan cannot "
+                                "express deletes/overwrites"
+                            )
+                    elif "protocol" in act:
+                        self._check_protocol(act["protocol"])
+        stats["files_read"] = len(added)
+        self.last_plan_stats = stats
+        return self._read_adds(spark, added)
 
 
 # ---------------------------------------------------------------------------
@@ -441,34 +581,67 @@ class DeltaTable(DeltaLogFixture):
     path, rewrites no surviving data."""
 
     @classmethod
-    def create(cls, spark, path: str, df, overwrite: bool = False
-               ) -> "DeltaTable":
+    def create(cls, spark, path: str, df, overwrite: bool = False,
+               partition_by: list[str] | None = None) -> "DeltaTable":
         import shutil
 
         if overwrite:
             shutil.rmtree(path, ignore_errors=True)
-        tbl = cls(path, schema_string=df.schema.json())
+        tbl = cls(path, schema_string=df.schema.json(),
+                  partition_cols=partition_by)
         tbl.append(spark, df)
         return tbl
 
     def _stage(self, spark, df) -> list[dict]:
         import glob as _glob
+        import urllib.parse
 
         import pyarrow.parquet as pq
 
         sub = f"s{self.version + 1:04d}"
         stage = os.path.join(self.path, sub)
-        df.write.mode("overwrite").parquet(stage)
+        writer = df.write.mode("overwrite")
+        if self.partition_cols:
+            # same fail-closed guard as the Iceberg writer (ADVICE
+            # r11): hive staging maps '' and NULL to the same
+            # directory, so '' would come back as a null partition
+            for c in self.partition_cols:
+                if dict(df.dtypes)[c] == "string" and (
+                        df.where(F.col(c) == "").take(1)):
+                    raise ValueError(
+                        f"empty-string partition value in column "
+                        f"{c!r}: hive-style staging cannot "
+                        "distinguish '' from NULL"
+                    )
+            writer = (df.repartition(*[F.col(c)
+                                       for c in self.partition_cols])
+                      .write.mode("overwrite")
+                      .partitionBy(*self.partition_cols))
+        writer.parquet(stage)
         adds = []
         for part in sorted(
-            _glob.glob(os.path.join(stage, "part-*.parquet"))
+            _glob.glob(os.path.join(stage, "**", "part-*.parquet"),
+                       recursive=True)
         ):
             md = pq.ParquetFile(part).metadata
-            adds.append({
-                "path": f"{sub}/{os.path.basename(part)}",
+            rel = os.path.relpath(part, self.path)
+            add = {
+                "path": rel,
                 "size": os.path.getsize(part),
                 "numRecords": md.num_rows,
-            })
+            }
+            if self.partition_cols:
+                segs = dict(
+                    s.split("=", 1) for s in rel.split(os.sep)
+                    if "=" in s
+                )
+                add["partitionValues"] = {
+                    c: (None
+                        if segs[c] == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(segs[c]))
+                    for c in self.partition_cols
+                }
+            adds.append(add)
         return adds
 
     def append(self, spark, df) -> int:
@@ -525,6 +698,113 @@ def sink_delta_append(spark, sf_dir):
         agg(rd.read(spark, 0), 0)
         .unionAll(agg(rd.read(spark, 1), 1))
         .unionAll(agg(rd.read(spark), 2))
+    )
+
+
+@query(
+    "sink_delta_partitioned",
+    oracle="""
+    SELECT 'full' AS scope, NULLIF(o_orderstatus, 'P') AS status_part,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY NULLIF(o_orderstatus, 'P')
+    UNION ALL
+    SELECT 'pruned_F', 'F', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def sink_delta_partitioned(spark, sf_dir):
+    """Partitioned Delta WRITE + READ round-trip: ``partitionBy`` a
+    derived status column ('P' → NULL so the null partition /
+    ``__HIVE_DEFAULT_PARTITION__`` path is exercised, not just
+    declared), then read back (a) the FULL table — partition values
+    re-materialized from the log, since partitioned data files do not
+    store the column — grouped per partition, and (b) a PRUNED read
+    via ``part_filter`` that plans only the matching files. Both legs
+    hash-check against plain-scan oracles; the sibling pytest pins
+    ``files_skipped`` > 0 and the unknown-key ``KeyError`` gate."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).withColumn(
+        "status_part",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+         .otherwise(F.col("o_orderstatus")),
+    )
+    path = os.path.join(SCRATCH, "delta_part_sink")
+    DeltaTable.create(spark, path, orders, overwrite=True,
+                      partition_by=["status_part"])
+    rd = DeltaLogReader(path)
+    full = (
+        rd.read(spark)
+        .groupBy("status_part")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(F.lit("full").alias("scope"), "status_part",
+                "n_orders", "revenue")
+    )
+    pruned = (
+        rd.read(spark, part_filter={"status_part": "F"})
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(F.lit("pruned_F").alias("scope"),
+                F.lit("F").alias("status_part"), "n_orders", "revenue")
+    )
+    return full.unionAll(pruned)
+
+
+@query(
+    "scan_delta_changes",
+    oracle="""
+    SELECT CAST(12 AS INT) AS window, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT 23, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT 13, CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey % 3 IN (1, 2)
+    """,
+)
+def scan_delta_changes(spark, sf_dir):
+    """Incremental append scan between Delta versions — the Delta twin
+    of ``scan_iceberg_changes``: three appends split orders by
+    ``o_orderkey % 3`` into a PARTITIONED table (by o_orderstatus, so
+    every window read must re-materialize the partition column from
+    the log — ``n_status`` pins that); each (from, to] window replays
+    only its own JSON commits and scans exactly the files they added.
+    The pytest pins that a window containing an overwrite raises and
+    that planning never touches a checkpoint."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    path = os.path.join(SCRATCH, "delta_changes")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 == 0),
+                            overwrite=True,
+                            partition_by=["o_orderstatus"])
+    tbl.append(spark, orders.filter(k % 3 == 1))
+    tbl.append(spark, orders.filter(k % 3 == 2))
+    rd = DeltaLogReader(path)
+
+    def agg(df, w):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(w).alias("window"), "n_rows", "n_status",
+                 "revenue")
+
+    return (
+        agg(rd.changes(spark, 0, 1), 12)
+        .unionAll(agg(rd.changes(spark, 1, 2), 23))
+        .unionAll(agg(rd.changes(spark, 0), 13))
     )
 
 

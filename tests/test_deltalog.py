@@ -44,12 +44,13 @@ def test_checkpointed_replay_skips_old_commits(delta_table):
     state = rd.plan()  # latest
     assert rd.last_plan_stats == {
         "checkpoint_used": 1, "json_commits_read": 1,  # only v2.json
+        "files_read": 3,
     }
     assert set(state) == {"a2.parquet", "b.parquet", "c.parquet"}
     # pre-checkpoint version: pure JSON replay
     state0 = rd.plan(0)
     assert rd.last_plan_stats == {
-        "checkpoint_used": 0, "json_commits_read": 1,
+        "checkpoint_used": 0, "json_commits_read": 1, "files_read": 2,
     }
     assert set(state0) == {"a1.parquet", "a2.parquet"}
     with pytest.raises(KeyError):
@@ -99,15 +100,16 @@ def test_delta_write_read_interop(spark, sf_dir, tmp_path):
 
     rd = DeltaLogReader(path)
     assert rd.read(spark).count() == orders.filter(k % 7 == 0).count()
-    assert rd.last_plan_stats == {
-        "checkpoint_used": 1, "json_commits_read": 1,
-    }
+    assert rd.last_plan_stats["checkpoint_used"] == 1
+    assert rd.last_plan_stats["json_commits_read"] == 1
     assert rd.read(spark, 1).count() == orders.count()
     # overwrite removed every pre-existing live path
     state2 = rd.plan(2)
     assert all(p.startswith("s0002/") for p in state2)
-    # schema for an empty state comes from the log's metaData
-    assert "o_totalprice" in rd._log_schema_string()
+    # schema (used for empty-state reads) comes from the log's metaData
+    fields, pcols = rd._table_meta()
+    assert "o_totalprice" in {f["name"] for f in fields}
+    assert pcols == []
 
 
 def test_timestamp_time_travel(spark, delta_table):
@@ -199,3 +201,163 @@ def test_protocol_gate_supported_table_still_reads(delta_table, spark):
 
     rd = DeltaLogReader(delta_table)
     assert rd.plan() and rd.plan(0)
+
+
+# ---------------------------------------------------------------------------
+# partitioned tables (r12)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def delta_partitioned(spark, sf_dir, tmp_path_factory):
+    """orders partitioned by a derived status column with 'P' mapped
+    to NULL, so the table has a real null partition."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.deltalog import DeltaTable
+
+    path = str(tmp_path_factory.mktemp("deltap") / "orders_part")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).withColumn(
+        "status_part",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+         .otherwise(F.col("o_orderstatus")),
+    )
+    DeltaTable.create(spark, path, orders, overwrite=True,
+                      partition_by=["status_part"])
+    return path, orders
+
+
+def test_partitioned_layout_and_log(delta_partitioned):
+    path, _ = delta_partitioned
+    with open(os.path.join(path, "_delta_log",
+                           f"{0:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh]
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["partitionColumns"] == ["status_part"]
+    adds = [a["add"] for a in acts if "add" in a]
+    vals = {a["partitionValues"]["status_part"] for a in adds}
+    assert vals == {"F", "O", None}  # 'P' rows in the null partition
+    # protocol: partitioned data files live in hive-style dirs and
+    # their paths are RELATIVE to the table root
+    for a in adds:
+        assert not a["path"].startswith("/")
+        assert "status_part=" in a["path"]
+
+
+def test_partitioned_read_reinjects_values(spark, delta_partitioned):
+    from hadoop_tools_spark.sources.deltalog import DeltaLogReader
+
+    path, orders = delta_partitioned
+    got = DeltaLogReader(path).read(spark)
+    # schema order preserved; partition col materialized from the log
+    assert got.columns == orders.columns
+    exp = {tuple(r) for r in orders.collect()}
+    assert {tuple(r) for r in got.collect()} == exp
+
+
+def test_partitioned_pruned_read_and_stats(spark, delta_partitioned):
+    from hadoop_tools_spark.sources.deltalog import DeltaLogReader
+
+    path, orders = delta_partitioned
+    rd = DeltaLogReader(path)
+    got = rd.read(spark, part_filter={"status_part": "F"})
+    st = rd.last_plan_stats
+    assert st["files_skipped"] > 0
+    assert st["files_read"] >= 1
+    n_exp = orders.where(F.col("status_part") == "F").count()
+    assert got.count() == n_exp
+    # null partition addressable through the filter too
+    got_null = rd.read(spark, part_filter={"status_part": None})
+    assert got_null.count() == orders.where(
+        F.col("status_part").isNull()).count()
+    assert got_null.filter(F.col("status_part").isNotNull()).count() == 0
+
+
+def test_partition_filter_unknown_key_fails_closed(delta_partitioned,
+                                                   delta_table):
+    from hadoop_tools_spark.sources.deltalog import DeltaLogReader
+
+    path, _ = delta_partitioned
+    with pytest.raises(KeyError, match="status_prat"):
+        DeltaLogReader(path).plan(part_filter={"status_prat": "F"})
+    # unpartitioned table: ANY filter key is unknown
+    with pytest.raises(KeyError):
+        DeltaLogReader(delta_table).plan(
+            part_filter={"o_orderstatus": "F"})
+
+
+def test_partitioned_checkpoint_roundtrip(spark, delta_partitioned,
+                                          tmp_path):
+    """Checkpoint a partitioned table; replay from the checkpoint must
+    keep partitionValues (pyarrow maps come back as pair lists and are
+    normalized) and still prune."""
+    import shutil
+
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader, DeltaTable)
+
+    src, orders = delta_partitioned
+    path = str(tmp_path / "cp_part")
+    shutil.copytree(src, path)
+    tbl = DeltaTable(path, partition_cols=["status_part"])
+    rd0 = DeltaLogReader(path)
+    tbl.version = rd0.latest
+    tbl.live = rd0.plan()
+    tbl.checkpoint()
+    rd = DeltaLogReader(path)
+    state = rd.plan()
+    assert rd.last_plan_stats["checkpoint_used"] == 1
+    assert rd.last_plan_stats["json_commits_read"] == 0
+    assert all(isinstance(a.get("partitionValues"), dict)
+               for a in state.values())
+    got = rd.read(spark, part_filter={"status_part": "O"})
+    assert got.count() == orders.where(
+        F.col("status_part") == "O").count()
+
+
+def test_empty_string_partition_value_rejected(spark, tmp_path):
+    from hadoop_tools_spark.sources.deltalog import DeltaTable
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "")], "k long, p string")
+    with pytest.raises(ValueError, match="empty-string"):
+        DeltaTable.create(spark, str(tmp_path / "t"), df,
+                          partition_by=["p"])
+
+
+def test_changes_window_semantics(spark, sf_dir, tmp_path):
+    """(from, to] append windows replay only their own JSON commits —
+    never a checkpoint — and a window containing an overwrite or any
+    dataChange remove fails closed."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader, DeltaTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "chg")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 == 0))
+    tbl.append(spark, orders.filter(k % 3 == 1))
+    tbl.checkpoint()  # must NOT be consulted by changes()
+    tbl.append(spark, orders.filter(k % 3 == 2))
+    tbl.overwrite_with(spark, orders.filter(k % 50 == 0))
+
+    rd = DeltaLogReader(path)
+    got = rd.changes(spark, 0, 2)
+    assert rd.last_plan_stats["checkpoint_used"] == 0
+    assert rd.last_plan_stats["json_commits_read"] == 2
+    assert rd.last_plan_stats["files_read"] >= 2
+    assert got.count() == orders.filter(k % 3 != 0).count()
+    # empty window
+    assert rd.changes(spark, 1, 1).count() == 0
+    # window crossing the overwrite: fail closed
+    with pytest.raises(ValueError, match="append scan cannot"):
+        rd.changes(spark, 2, 3)
+    with pytest.raises(ValueError, match="append scan cannot"):
+        rd.changes(spark, 0)  # defaults to latest
+    with pytest.raises(KeyError):
+        rd.changes(spark, 99)
+    with pytest.raises(ValueError, match="predates"):
+        rd.changes(spark, 2, 1)
