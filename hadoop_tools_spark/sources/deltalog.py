@@ -91,14 +91,20 @@ class DeltaLogFixture:
             }},
         ]
 
-    def commit(self, adds: list[dict], removes: list[str]) -> int:
+    def commit(self, adds: list[dict], removes: list[str],
+               data_change: bool = True) -> int:
         """``adds``: [{path(rel), size, numRecords}]; ``removes``:
-        relative paths. Returns the new version."""
+        relative paths. Returns the new version. ``data_change=False``
+        marks a rearrangement commit (OPTIMIZE): the file set changes
+        but the logical content does not, so incremental scans skip
+        it (protocol: dataChange=false actions MUST NOT be surfaced
+        as changed data)."""
         ts = self._ts()
-        actions = [{"commitInfo": {
-            "timestamp": ts,
-            "operation": "WRITE" if not removes else "MERGE",
-        }}]
+        if not data_change:
+            op = "OPTIMIZE"
+        else:
+            op = "WRITE" if not removes else "MERGE"
+        actions = [{"commitInfo": {"timestamp": ts, "operation": op}}]
         if self.version < 0:
             actions += self._meta_actions()
         for a in adds:
@@ -109,7 +115,7 @@ class DeltaLogFixture:
                 "partitionValues": a.get("partitionValues", {}),
                 "size": a["size"],
                 "modificationTime": ts,
-                "dataChange": True,
+                "dataChange": data_change,
                 "stats": json.dumps({"numRecords": a["numRecords"]}),
             }
             actions.append({"add": act})
@@ -117,7 +123,8 @@ class DeltaLogFixture:
         for p in removes:
             self.live.pop(p)
             actions.append({"remove": {
-                "path": p, "deletionTimestamp": ts, "dataChange": True,
+                "path": p, "deletionTimestamp": ts,
+                "dataChange": data_change,
             }})
         self.version += 1
         fn = os.path.join(self.log_dir, f"{self.version:020d}.json")
@@ -452,7 +459,15 @@ class DeltaLogReader:
                         continue
                     act = json.loads(line)
                     if "add" in act:
-                        added[act["add"]["path"]] = act["add"]
+                        # dataChange=false adds are OPTIMIZE output:
+                        # rearranged copies of rows that were already
+                        # live, never new data. The window's original
+                        # dataChange adds stay scannable on disk (no
+                        # vacuum here), so skipping the copies keeps
+                        # the diff exact even when a compaction lands
+                        # mid-window.
+                        if act["add"].get("dataChange", True):
+                            added[act["add"]["path"]] = act["add"]
                     elif "remove" in act:
                         if act["remove"].get("dataChange", True):
                             raise ValueError(
@@ -651,6 +666,49 @@ class DeltaTable(DeltaLogFixture):
         old = list(self.live)
         return self.commit(self._stage(spark, df), old)
 
+    def optimize(self, spark, min_files: int = 2) -> int | None:
+        """OPTIMIZE (bin-packing compaction): rewrite every partition
+        holding >= ``min_files`` live files into one file and commit
+        the swap with ``dataChange=false`` — the logical content is
+        untouched, so incremental scans skip the commit entirely while
+        plain reads and time travel see the new layout. Partitions
+        already compact are left alone (at 100 TB only the small-file
+        tail is rewritten, never the table). Returns the new version,
+        or None when nothing needed compacting."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        groups: dict[tuple, list[str]] = {}
+        for rel, a in sorted(self.live.items()):
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in self.partition_cols)
+            groups.setdefault(key, []).append(rel)
+        sub = f"s{self.version + 1:04d}"
+        adds, removes = [], []
+        for i, (key, rels) in enumerate(sorted(groups.items(),
+                                               key=lambda kv: repr(kv))):
+            if len(rels) < min_files:
+                continue
+            stage = os.path.join(self.path, sub, f"g{i:04d}")
+            (spark.read.parquet(
+                *[os.path.join(self.path, r) for r in rels])
+             .coalesce(1).write.mode("overwrite").parquet(stage))
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            add = {
+                "path": os.path.relpath(part, self.path),
+                "size": os.path.getsize(part),
+                "numRecords": pq.ParquetFile(part).metadata.num_rows,
+            }
+            if self.partition_cols:
+                add["partitionValues"] = dict(
+                    zip(self.partition_cols, key))
+            adds.append(add)
+            removes.extend(rels)
+        if not adds:
+            return None
+        return self.commit(adds, removes, data_change=False)
+
 
 @query(
     "sink_delta_append",
@@ -806,6 +864,68 @@ def scan_delta_changes(spark, sf_dir):
         .unionAll(agg(rd.changes(spark, 1, 2), 23))
         .unionAll(agg(rd.changes(spark, 0), 13))
     )
+
+
+@query(
+    "sink_delta_optimize",
+    oracle="""
+    SELECT 'post_optimize' AS leg, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'changes_skip_opt', 'ALL',
+           CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM (
+      SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 2
+      UNION ALL
+      SELECT o_totalprice FROM orders WHERE o_orderkey % 50 = 0
+    )
+    """,
+)
+def sink_delta_optimize(spark, sf_dir):
+    """OPTIMIZE compaction with ``dataChange=false`` semantics: three
+    appends leave every status partition with multiple small files;
+    ``optimize`` rewrites each partition to ONE file in a single
+    rearrangement commit. Leg 1 reads the post-optimize version in
+    full — identical content, new layout (the in-key assert pins one
+    live file per partition, so a compaction regression fails the
+    run, not just a pytest). Leg 2 runs ``changes`` over a window that
+    CONTAINS the optimize plus a real append on each side — the diff
+    must surface only the appended rows, never the rearranged copies
+    (the protocol's dataChange contract)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    path = os.path.join(SCRATCH, "delta_optimize")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 == 0),
+                            overwrite=True,
+                            partition_by=["o_orderstatus"])
+    tbl.append(spark, orders.filter(k % 3 == 1))          # v1
+    tbl.append(spark, orders.filter(k % 3 == 2))          # v2
+    n_before = len(tbl.live)
+    v_opt = tbl.optimize(spark)                           # v3
+    assert v_opt == 3 and len(tbl.live) == 3 < n_before, \
+        "optimize must leave exactly one live file per partition"
+    tbl.append(spark, orders.filter(k % 50 == 0))         # v4
+    rd = DeltaLogReader(path)
+    full = (
+        rd.read(spark, v_opt)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(F.lit("post_optimize").alias("leg"), "o_orderstatus",
+                "n_rows", "revenue")
+    )
+    diff = (
+        rd.changes(spark, 1)  # (1, 4]: v2 append + OPTIMIZE + v4 append
+        .agg(F.count("*").alias("n_rows"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(F.lit("changes_skip_opt").alias("leg"),
+                F.lit("ALL").alias("o_orderstatus"), "n_rows", "revenue")
+    )
+    return full.unionAll(diff)
 
 
 def version_as_of(reader: DeltaLogReader, ts_ms: int) -> int:

@@ -361,3 +361,47 @@ def test_changes_window_semantics(spark, sf_dir, tmp_path):
         rd.changes(spark, 99)
     with pytest.raises(ValueError, match="predates"):
         rd.changes(spark, 2, 1)
+
+
+def test_optimize_datachange_false_semantics(spark, sf_dir, tmp_path):
+    """OPTIMIZE swaps the layout without changing content: plain reads
+    and time travel see identical rows before/after, changes() windows
+    crossing it surface nothing from it, and partitions already
+    compact are not rewritten."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader, DeltaTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "opt")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 == 0),
+                            partition_by=["o_orderstatus"])
+    tbl.append(spark, orders.filter(k % 3 != 0))
+    rd0 = DeltaLogReader(path)
+    before = {tuple(r) for r in rd0.read(spark).collect()}
+
+    v = tbl.optimize(spark)
+    assert v == 2 and len(tbl.live) == 3
+    rd = DeltaLogReader(path)
+    # content unchanged, layout compacted
+    assert {tuple(r) for r in rd.read(spark).collect()} == before
+    assert rd.last_plan_stats["files_read"] == 3
+    # pre-optimize version still time-travels to the old layout
+    assert rd.read(spark, 1).count() == len(before)
+    # the OPTIMIZE commit is invisible to incremental scans
+    assert rd.changes(spark, 1, 2).count() == 0
+    assert rd.changes(spark, 0, 2).count() == orders.filter(
+        k % 3 != 0).count()
+    # the commit actions really carry dataChange=false
+    with open(os.path.join(path, "_delta_log",
+                           f"{2:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh]
+    assert all(not a["add"]["dataChange"] for a in acts if "add" in a)
+    assert all(not a["remove"]["dataChange"]
+               for a in acts if "remove" in a)
+    assert next(a for a in acts if "commitInfo" in a)[
+        "commitInfo"]["operation"] == "OPTIMIZE"
+    # idempotent: everything is already one file per partition
+    assert tbl.optimize(spark) is None
