@@ -116,7 +116,14 @@ class DeltaLogFixture:
                 "size": a["size"],
                 "modificationTime": ts,
                 "dataChange": data_change,
-                "stats": json.dumps({"numRecords": a["numRecords"]}),
+                # per-file stats power data skipping; date/timestamp
+                # bounds serialize as ISO strings (default=str)
+                "stats": json.dumps(
+                    {"numRecords": a["numRecords"],
+                     **({"minValues": a["minValues"],
+                         "maxValues": a["maxValues"]}
+                        if "minValues" in a else {})},
+                    default=str),
             }
             actions.append({"add": act})
             self.live[a["path"]] = act
@@ -205,6 +212,32 @@ class DeltaLogFixture:
         os.replace(tmp, last)
 
 
+def _footer_min_max(pf) -> tuple[dict, dict]:
+    """Per-column min/max aggregated across a parquet file's row
+    groups (footer-only — no data pages read). Columns without
+    usable statistics are simply absent; byte-string stats decode to
+    text when possible (parquet stores UTF-8 min/max as bytes)."""
+    mins: dict = {}
+    maxs: dict = {}
+    md = pf.metadata
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            name = col.path_in_schema
+            if st is None or not st.has_min_max or "." in name:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return mins, maxs
+
+
 class DeltaLogReader:
     """Replays a ``_delta_log`` to a version's live file set, starting
     from the newest checkpoint ≤ v when one exists.
@@ -281,7 +314,8 @@ class DeltaLogReader:
         return state
 
     def plan(self, version: int | None = None,
-             part_filter: dict | None = None) -> dict:
+             part_filter: dict | None = None,
+             range_filter: dict | None = None) -> dict:
         """Live file set at ``version`` (default latest):
         {rel_path: add_action}. Counts opened log files.
 
@@ -292,7 +326,15 @@ class DeltaLogReader:
         Values compare as the protocol's string serialization; None
         matches the null partition. Unknown keys raise ``KeyError``
         (same fail-closed contract as the Iceberg reader: a typo'd
-        key must never silently return the full table)."""
+        key must never silently return the full table).
+
+        ``range_filter`` ({col: (lo, hi)}, either bound None for
+        unbounded) is DATA SKIPPING over the per-file min/max recorded
+        in each add action's ``stats`` JSON: a file is skipped only
+        when its bounds PROVE it cannot contain a match, so missing or
+        uncomparable stats keep the file (fail open — skipping is a
+        plan optimization, never a row filter; the caller still
+        applies the exact predicate). Unknown columns raise."""
         if part_filter:
             known = set(self._table_meta()[1])
             unknown = sorted(set(part_filter) - known)
@@ -300,6 +342,16 @@ class DeltaLogReader:
                 raise KeyError(
                     f"unknown partition filter keys {unknown}; table "
                     f"partitionColumns are {sorted(known)}"
+                )
+        if range_filter:
+            fields, pcols = self._table_meta()
+            known = {f["name"] for f in fields} - set(pcols)
+            unknown = sorted(set(range_filter) - known)
+            if unknown:
+                raise KeyError(
+                    f"unknown data-skipping columns {unknown}; "
+                    f"stats-bearing columns are {sorted(known)} "
+                    "(partition columns prune via part_filter)"
                 )
         v = self.latest if version is None else version
         if version is not None and v not in self.commits and (
@@ -349,9 +401,42 @@ class DeltaLogReader:
                 )
             }
             stats["files_skipped"] = n_all - len(state)
+        if range_filter:
+            n_all = len(state)
+            state = {
+                p: a for p, a in state.items()
+                if self._bounds_may_match(a, range_filter)
+            }
+            stats["files_skipped"] = (
+                stats.get("files_skipped", 0) + n_all - len(state))
         stats["files_read"] = len(state)
         self.last_plan_stats = stats
         return state
+
+    @staticmethod
+    def _bounds_may_match(add: dict, range_filter: dict) -> bool:
+        """True unless the file's recorded min/max PROVE no row can
+        satisfy every (lo, hi) interval. Absent stats, absent columns
+        and uncomparable types all keep the file."""
+        raw = add.get("stats")
+        if not raw:
+            return True
+        try:
+            st = json.loads(raw) if isinstance(raw, str) else raw
+        except ValueError:
+            return True
+        mins = st.get("minValues") or {}
+        maxs = st.get("maxValues") or {}
+        for col, (lo, hi) in range_filter.items():
+            mn, mx = mins.get(col), maxs.get(col)
+            try:
+                if hi is not None and mn is not None and mn > hi:
+                    return False
+                if lo is not None and mx is not None and mx < lo:
+                    return False
+            except TypeError:
+                continue
+        return True
 
     def _table_meta(self) -> tuple[list[dict], list[str]]:
         """(schema fields, partitionColumns) from the newest metaData
@@ -385,7 +470,8 @@ class DeltaLogReader:
         return fields, list(meta.get("partitionColumns") or [])
 
     def read(self, spark, version: int | None = None,
-             part_filter: dict | None = None):
+             part_filter: dict | None = None,
+             range_filter: dict | None = None):
         """Distributed scan over the planned live files. Partitioned
         tables (protocol: ``partitionBy`` data files do NOT store the
         partition columns) re-inject each column as a literal cast to
@@ -393,7 +479,7 @@ class DeltaLogReader:
         how Delta readers materialize partition values from the log
         instead of the footers. Output columns follow schema order for
         every layout."""
-        state = self.plan(version, part_filter)
+        state = self.plan(version, part_filter, range_filter)
         return self._read_adds(spark, state)
 
     def _read_adds(self, spark, state: dict):
@@ -638,12 +724,16 @@ class DeltaTable(DeltaLogFixture):
             _glob.glob(os.path.join(stage, "**", "part-*.parquet"),
                        recursive=True)
         ):
-            md = pq.ParquetFile(part).metadata
+            pf = pq.ParquetFile(part)
+            md = pf.metadata
             rel = os.path.relpath(part, self.path)
+            mins, maxs = _footer_min_max(pf)
             add = {
                 "path": rel,
                 "size": os.path.getsize(part),
                 "numRecords": md.num_rows,
+                "minValues": mins,
+                "maxValues": maxs,
             }
             if self.partition_cols:
                 segs = dict(
@@ -695,10 +785,14 @@ class DeltaTable(DeltaLogFixture):
                 *[os.path.join(self.path, r) for r in rels])
              .coalesce(1).write.mode("overwrite").parquet(stage))
             part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            pf = pq.ParquetFile(part)
+            mins, maxs = _footer_min_max(pf)
             add = {
                 "path": os.path.relpath(part, self.path),
                 "size": os.path.getsize(part),
-                "numRecords": pq.ParquetFile(part).metadata.num_rows,
+                "numRecords": pf.metadata.num_rows,
+                "minValues": mins,
+                "maxValues": maxs,
             }
             if self.partition_cols:
                 add["partitionValues"] = dict(
@@ -926,6 +1020,59 @@ def sink_delta_optimize(spark, sf_dir):
                 F.lit("ALL").alias("o_orderstatus"), "n_rows", "revenue")
     )
     return full.unionAll(diff)
+
+
+@query(
+    "scan_delta_skipping",
+    oracle="""
+    SELECT 'key_range' AS leg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+    UNION ALL
+    SELECT 'price_range', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_totalprice BETWEEN 100000 AND 200000
+    """,
+)
+def scan_delta_skipping(spark, sf_dir):
+    """Stats-based data skipping: the writer records per-file
+    min/max from the parquet footers in each add action's ``stats``
+    JSON; a range-clustered table (``repartitionByRange`` on
+    o_orderkey → near-disjoint per-file key ranges) then serves a key
+    window by opening only the overlapping files — the in-key assert
+    pins ``files_skipped`` ≥ 1, so a skipping regression fails the
+    run. The second leg filters on the UNclustered price column,
+    where bounds overlap everywhere: skipping is fail-open, so the
+    answer stays exact and only the speedup disappears. Both legs
+    re-apply the exact predicate after pruning (skipping is a plan
+    optimization, never a row filter)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = os.path.join(SCRATCH, "delta_skipping")
+    DeltaTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey"),
+        overwrite=True,
+    )
+    rd = DeltaLogReader(path)
+
+    def agg(df, leg):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(leg).alias("leg"), "n_rows", "revenue")
+
+    k = F.col("o_orderkey")
+    keyed = rd.read(spark, range_filter={"o_orderkey": (1000, 5000)})
+    assert rd.last_plan_stats["files_skipped"] >= 1, \
+        "range-clustered key window must skip at least one file"
+    leg1 = agg(keyed.where(k.between(1000, 5000)), "key_range")
+    p = F.col("o_totalprice")
+    priced = rd.read(
+        spark, range_filter={"o_totalprice": (100000.0, 200000.0)})
+    leg2 = agg(priced.where(p.between(100000.0, 200000.0)),
+               "price_range")
+    return leg1.unionAll(leg2)
 
 
 def version_as_of(reader: DeltaLogReader, ts_ms: int) -> int:

@@ -405,3 +405,42 @@ def test_optimize_datachange_false_semantics(spark, sf_dir, tmp_path):
         "commitInfo"]["operation"] == "OPTIMIZE"
     # idempotent: everything is already one file per partition
     assert tbl.optimize(spark) is None
+
+
+def test_data_skipping_bounds_and_failopen(spark, sf_dir, tmp_path):
+    """Zone-map semantics: per-file min/max land in the stats JSON,
+    disjoint windows skip everything, stats-free adds are kept (fail
+    open), unknown columns raise, and partition columns are routed to
+    part_filter instead."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader, DeltaTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    path = str(tmp_path / "skip")
+    tbl = DeltaTable.create(
+        spark, path, orders.repartitionByRange(4, "o_orderkey"))
+    rd = DeltaLogReader(path)
+    rd.plan()
+    assert rd.last_plan_stats["files_read"] == 4
+    # stats JSON carries real bounds
+    add = next(iter(rd.plan().values()))
+    st = json.loads(add["stats"])
+    assert st["minValues"]["o_orderkey"] <= st["maxValues"]["o_orderkey"]
+    # a window beyond the key domain skips every file
+    assert rd.plan(range_filter={"o_orderkey": (10**15, None)}) == {}
+    assert rd.last_plan_stats["files_skipped"] == 4
+    # half-open windows work
+    lo_all = rd.plan(range_filter={"o_orderkey": (None, 10**15)})
+    assert len(lo_all) == 4
+    # unknown column fails closed
+    with pytest.raises(KeyError, match="o_orderkye"):
+        rd.plan(range_filter={"o_orderkye": (1, 2)})
+    # a stats-free add action is kept, not skipped (fail open)
+    tbl.commit([{"path": "ghost.parquet", "size": 1, "numRecords": 0}],
+               [])
+    # overwrite the stats field with a no-bounds payload via a raw add
+    rd2 = DeltaLogReader(path)
+    kept = rd2.plan(range_filter={"o_orderkey": (10**15, None)})
+    assert set(kept) == {"ghost.parquet"}
