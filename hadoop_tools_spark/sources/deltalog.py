@@ -803,6 +803,47 @@ class DeltaTable(DeltaLogFixture):
             return None
         return self.commit(adds, removes, data_change=False)
 
+    def vacuum(self, retain_versions: int = 2,
+               dry_run: bool = False) -> list[str]:
+        """Physically delete data files no RETAINED version references
+        — tombstoned files past the retention window plus write-stage
+        orphans (``_SUCCESS`` markers, crash leftovers). The newest
+        ``retain_versions`` versions stay fully time-travelable;
+        older versions keep their metadata but their reads fail once
+        their files are gone (exactly Delta VACUUM's trade). The log
+        itself is never touched. Returns the deleted relative paths
+        (``dry_run`` only reports).
+
+        Scale: referenced-set construction is log replay (driver KB);
+        the listing walk is one pass over the table tree — the same
+        cost every VACUUM implementation pays."""
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        rd = DeltaLogReader(self.path)
+        lo = max(0, rd.latest - retain_versions + 1)
+        referenced: set[str] = set()
+        for v in range(lo, rd.latest + 1):
+            referenced.update(rd.plan(v))
+        doomed = []
+        for root, dirs, files in os.walk(self.path):
+            if os.path.basename(root) == "_delta_log":
+                dirs[:] = []
+                continue
+            for fn in files:
+                rel = os.path.relpath(os.path.join(root, fn), self.path)
+                if rel not in referenced and not rel.startswith(
+                        "_delta_log"):
+                    doomed.append(rel)
+        if not dry_run:
+            for rel in doomed:
+                os.remove(os.path.join(self.path, rel))
+            for root, dirs, files in os.walk(self.path, topdown=False):
+                if "_delta_log" in root:
+                    continue
+                if not os.listdir(root) and root != self.path:
+                    os.rmdir(root)
+        return sorted(doomed)
+
 
 @query(
     "sink_delta_append",
@@ -1073,6 +1114,43 @@ def scan_delta_skipping(spark, sf_dir):
     leg2 = agg(priced.where(p.between(100000.0, 200000.0)),
                "price_range")
     return leg1.unionAll(leg2)
+
+
+@query(
+    "sink_delta_vacuum",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def sink_delta_vacuum(spark, sf_dir):
+    """VACUUM: after an overwrite tombstones the first two versions'
+    files, physical cleanup deletes everything outside the retention
+    window (plus write-stage orphans like ``_SUCCESS``) while the
+    retained head stays byte-identical — the hash leg reads the
+    post-vacuum table against a plain-scan oracle. In-key asserts pin
+    that data files actually left the disk and that the live set
+    survived untouched; the sibling pytest pins the flip side (an
+    expired version's read now fails, dry_run deletes nothing)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    path = os.path.join(SCRATCH, "delta_vacuum")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 != 0),
+                            overwrite=True)
+    tbl.append(spark, orders.filter(k % 3 == 0))
+    tbl.overwrite_with(spark, orders.filter(k % 7 == 0))
+    deleted = tbl.vacuum(retain_versions=1)
+    assert any(p.endswith(".parquet") for p in deleted), \
+        "vacuum must delete the tombstoned versions' data files"
+    assert not any(p in tbl.live for p in deleted), \
+        "vacuum must never touch the retained live set"
+    return DeltaLogReader(path).read(spark).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
 
 
 def version_as_of(reader: DeltaLogReader, ts_ms: int) -> int:

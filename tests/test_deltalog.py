@@ -444,3 +444,51 @@ def test_data_skipping_bounds_and_failopen(spark, sf_dir, tmp_path):
     rd2 = DeltaLogReader(path)
     kept = rd2.plan(range_filter={"o_orderkey": (10**15, None)})
     assert set(kept) == {"ghost.parquet"}
+
+
+def test_vacuum_retention_and_orphans(spark, sf_dir, tmp_path):
+    """VACUUM deletes tombstoned files outside the retention window
+    plus stage orphans, never log files or the retained live set;
+    expired versions' reads fail afterwards while retained ones keep
+    working; dry_run reports without deleting."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader, DeltaTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "vac")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 != 0))
+    tbl.append(spark, orders.filter(k % 3 == 0))
+    tbl.overwrite_with(spark, orders.filter(k % 7 == 0))
+    # an orphan from a crashed write
+    with open(os.path.join(path, "s9999_orphan.parquet"), "w") as fh:
+        fh.write("junk")
+
+    planned = tbl.vacuum(retain_versions=2, dry_run=True)
+    assert "s9999_orphan.parquet" in planned
+    assert os.path.exists(os.path.join(path, "s9999_orphan.parquet"))
+
+    deleted = tbl.vacuum(retain_versions=2)
+    assert deleted == planned
+    # v1 and v2 both retained: v1 references everything, so only the
+    # orphan and _SUCCESS markers go
+    assert all(not p.startswith("s000") or not p.endswith(".parquet")
+               for p in deleted)
+    rd = DeltaLogReader(path)
+    assert rd.read(spark, 1).count() == orders.count()
+
+    # retain only the head: v0/v1-only files now go
+    deleted2 = tbl.vacuum(retain_versions=1)
+    assert any(p.endswith(".parquet") for p in deleted2)
+    rd = DeltaLogReader(path)
+    assert rd.read(spark).count() == orders.filter(k % 7 == 0).count()
+    # the expired version still PLANS (metadata intact) but can't read
+    assert rd.plan(1)
+    with pytest.raises(Exception):
+        rd.read(spark, 1).count()
+    # the log itself is untouched
+    assert sorted(rd.commits) == [0, 1, 2]
+    with pytest.raises(ValueError):
+        tbl.vacuum(retain_versions=0)
