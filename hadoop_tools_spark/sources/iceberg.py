@@ -711,6 +711,66 @@ class IcebergFixture:
         self._write_metadata(ts)
         return sid
 
+    def expire_snapshots(self, retain_last: int = 1) -> list[str]:
+        """Expire history: keep the newest ``retain_last`` snapshots,
+        drop the rest from the metadata (snapshots + snapshot-log) and
+        delete their now-unreachable manifest-LIST files; commit the
+        trim as a new metadata.json version, so readers of the new
+        head simply cannot time-travel past the horizon (snapshot
+        lookups KeyError — fail closed, never a partial read). This
+        writer's manifest lists are cumulative, so every data/delete
+        manifest stays reachable from the retained head and only list
+        files are deleted here; physically unreferenced DATA files are
+        ``remove_orphan_files``'s job (the same split real Iceberg
+        makes). Returns deleted paths."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        if len(self.snapshots) <= retain_last:
+            return []
+        expired = self.snapshots[:-retain_last]
+        self.snapshots = self.snapshots[-retain_last:]
+        keep = {s["manifest-list"] for s in self.snapshots}
+        removed = []
+        for s in expired:
+            if s["manifest-list"] in keep:
+                continue
+            p = _norm_path(s["manifest-list"])
+            if os.path.exists(p):
+                os.remove(p)
+                removed.append(p)
+        self._write_metadata(self.snapshots[-1]["timestamp-ms"])
+        return sorted(removed)
+
+    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+        """Delete files under the table's data tree that no surviving
+        snapshot's manifests reference — crash leftovers, `_SUCCESS`
+        markers, files stranded by ``expire_snapshots``. Planning is
+        pure metadata (every retained snapshot's plan, driver KB); the
+        listing walk is one pass over the data tree. The metadata
+        directory is never touched. Returns the (relative) deleted
+        paths; ``dry_run`` only reports."""
+        rd = IcebergReader(self.path)
+        referenced: set[str] = set()
+        for s in rd.metadata["snapshots"]:
+            plan = rd.plan(s["snapshot-id"])
+            for kind in ("data", "pos_deletes", "eq_deletes"):
+                for f in plan[kind]:
+                    referenced.add(os.path.realpath(f["path"]))
+        data_root = os.path.join(self.path, "data")
+        doomed = []
+        for root, _dirs, files in os.walk(data_root):
+            for fn in files:
+                p = os.path.join(root, fn)
+                if os.path.realpath(p) not in referenced:
+                    doomed.append(os.path.relpath(p, self.path))
+        if not dry_run:
+            for rel in doomed:
+                os.remove(os.path.join(self.path, rel))
+            for root, _dirs, _files in os.walk(data_root, topdown=False):
+                if not os.listdir(root) and root != data_root:
+                    os.rmdir(root)
+        return sorted(doomed)
+
     def _write_metadata(self, ts: int) -> None:
         self.metadata_version += 1
         v = self.metadata_version
@@ -1980,3 +2040,56 @@ def sink_iceberg_multispec(spark, sf_dir):
         ).select(F.lit(month).alias("sel_month"), "n_rows", "revenue")
 
     return month_via_buckets(3).unionAll(month_via_buckets(8))
+
+
+@query(
+    "sink_iceberg_expire",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    """,
+)
+def sink_iceberg_expire(spark, sf_dir):
+    """Snapshot expiry + orphan cleanup — the table-maintenance pair
+    every long-lived 100 TB table runs on a schedule: two appends
+    build history, ``expire_snapshots(retain_last=1)`` trims the
+    snapshot list and deletes the expired manifest-LIST file, and
+    ``remove_orphan_files`` sweeps crash leftovers (a planted fake
+    data file and Spark's ``_SUCCESS`` markers) that no surviving
+    manifest references. The hash leg reads the post-maintenance head
+    against a plain full-scan oracle; in-key asserts pin that exactly
+    one snapshot survives, the orphan left the disk, and time travel
+    past the horizon fails closed (KeyError, never a partial read)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    path = os.path.join(SCRATCH, "iceberg_expire")
+    tbl = IcebergTable.create(spark, path, orders.filter(k % 3 != 0),
+                              overwrite=True)
+    tbl.append(spark, orders.filter(k % 3 == 0))
+    orphan = os.path.join(path, "data", "stranded-000.parquet")
+    with open(orphan, "w") as fh:
+        fh.write("crash leftover")
+
+    expired_sid = IcebergReader(path).metadata["snapshots"][0][
+        "snapshot-id"]
+    removed_lists = tbl.expire_snapshots(retain_last=1)
+    assert len(removed_lists) == 1, "expired manifest list must go"
+    swept = tbl.remove_orphan_files()
+    assert "data/stranded-000.parquet" in swept, \
+        "orphan sweep must delete the planted leftover"
+
+    rd = IcebergReader(path)
+    assert len(rd.metadata["snapshots"]) == 1
+    try:
+        rd.plan(expired_sid)
+    except KeyError:
+        pass
+    else:
+        raise AssertionError("expired snapshot must not be plannable")
+    return rd.read(spark).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -663,3 +663,54 @@ def test_multi_field_partition_spec(spark, sf_dir, tmp_path):
     # unknown key still raises on the composite spec
     with pytest.raises(KeyError, match="unknown partition filter"):
         rd.plan(part_filter={"month": 3})
+
+
+def test_expire_snapshots_and_orphan_sweep(spark, sf_dir, tmp_path):
+    """Expiry trims history fail-closed (expired ids KeyError; the
+    head keeps reading), never deletes manifests the head still needs,
+    and the orphan sweep removes only unreferenced files; both are
+    no-ops when there is nothing to do."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader, IcebergTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "expire")
+    tbl = IcebergTable.create(spark, path, orders.filter(k % 3 == 0))
+    tbl.append(spark, orders.filter(k % 3 == 1))
+    tbl.append(spark, orders.filter(k % 3 == 2))
+
+    # nothing to expire when everything is retained
+    assert tbl.expire_snapshots(retain_last=3) == []
+    with pytest.raises(ValueError):
+        tbl.expire_snapshots(retain_last=0)
+
+    sids = [s["snapshot-id"] for s in IcebergReader(path).metadata[
+        "snapshots"]]
+    removed = tbl.expire_snapshots(retain_last=2)
+    assert len(removed) == 1 and all(p.endswith(".avro")
+                                     for p in removed)
+    rd = IcebergReader(path)
+    assert [s["snapshot-id"] for s in rd.metadata["snapshots"]] == \
+        sids[1:]
+    with pytest.raises(KeyError):
+        rd.plan(sids[0])
+    # the middle snapshot still time-travels, the head still reads all
+    assert rd.read(spark, sids[1]).count() == orders.filter(
+        k % 3 != 2).count()
+    assert rd.read(spark).count() == orders.count()
+
+    # orphan sweep: dry run reports, wet run deletes, data survives
+    orphan = os.path.join(path, "data", "leftover.parquet")
+    with open(orphan, "w") as fh:
+        fh.write("junk")
+    planned = tbl.remove_orphan_files(dry_run=True)
+    assert "data/leftover.parquet" in planned
+    assert os.path.exists(orphan)
+    swept = tbl.remove_orphan_files()
+    assert swept == planned and not os.path.exists(orphan)
+    assert IcebergReader(path).read(spark).count() == orders.count()
+    # second sweep is a no-op
+    assert tbl.remove_orphan_files() == []
