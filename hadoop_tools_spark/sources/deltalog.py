@@ -214,27 +214,39 @@ class DeltaLogFixture:
 
 def _footer_min_max(pf) -> tuple[dict, dict]:
     """Per-column min/max aggregated across a parquet file's row
-    groups (footer-only — no data pages read). Columns without
-    usable statistics are simply absent; byte-string stats decode to
-    text when possible (parquet stores UTF-8 min/max as bytes)."""
+    groups (footer-only — no data pages read). A column's bounds are
+    recorded ONLY when every row group contributed usable statistics:
+    partial bounds would be narrower than the file's actual data and
+    make skipping unsound (silently dropped rows), so any stats-less
+    or undecodable row group disqualifies the column entirely.
+    Byte-string stats decode to text (parquet stores UTF-8 min/max as
+    bytes)."""
     mins: dict = {}
     maxs: dict = {}
+    bad: set = set()
     md = pf.metadata
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
             st = col.statistics
             name = col.path_in_schema
-            if st is None or not st.has_min_max or "." in name:
+            if "." in name:
+                continue
+            if st is None or not st.has_min_max:
+                bad.add(name)
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
+                    bad.add(name)
                     continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    for name in bad:
+        mins.pop(name, None)
+        maxs.pop(name, None)
     return mins, maxs
 
 
@@ -305,6 +317,13 @@ class DeltaLogReader:
         state = {}
         for a in t.column("add").to_pylist():
             if a is not None:
+                # same belt-and-braces as the JSON replay: a DV-bearing
+                # add must never be merged blindly, whatever path the
+                # state arrives by
+                if a.get("deletionVector"):
+                    raise ValueError(
+                        "deletion vectors are not supported"
+                    )
                 # pyarrow maps round-trip as pair lists; normalize to
                 # the dict shape JSON commits carry
                 pv = a.get("partitionValues")
@@ -342,6 +361,17 @@ class DeltaLogReader:
                 raise KeyError(
                     f"unknown partition filter keys {unknown}; table "
                     f"partitionColumns are {sorted(known)}"
+                )
+            # values compare against the log's STRING serialization;
+            # a typed value (int month vs '3') would match nothing —
+            # fail loud, same contract as the unknown-key gate
+            bad = sorted(c for c, v in part_filter.items()
+                         if v is not None and not isinstance(v, str))
+            if bad:
+                raise TypeError(
+                    f"part_filter values must be the protocol's "
+                    f"string serialization (or None for the null "
+                    f"partition); got non-string values for {bad}"
                 )
         if range_filter:
             fields, pcols = self._table_meta()
@@ -545,6 +575,10 @@ class DeltaLogReader:
                         continue
                     act = json.loads(line)
                     if "add" in act:
+                        if act["add"].get("deletionVector"):
+                            raise ValueError(
+                                "deletion vectors are not supported"
+                            )
                         # dataChange=false adds are OPTIMIZE output:
                         # rearranged copies of rows that were already
                         # live, never new data. The window's original

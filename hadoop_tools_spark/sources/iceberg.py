@@ -509,9 +509,6 @@ class IcebergFixture:
             return "int"
         return pf["src"]["type"]
 
-    def _part_value_type(self) -> str:
-        return self._field_value_type(self.part_fields[0])
-
     def _partition_avro_fields(self, spec_id: int) -> list[dict]:
         if spec_id == 0 and self.part_fields:
             return [{
@@ -622,9 +619,9 @@ class IcebergFixture:
     # remove the field but never recycle its id.
 
     def _commit_schema(self, fields: list[dict]) -> None:
-        self.schema_fields = fields
-        self.current_schema_id = len(self.all_schemas)
-        self.all_schemas.append(self._schema_json())
+        # validate BEFORE mutating: a rejected evolution must leave
+        # the table exactly as it was, not half-committed
+        new_srcs = {}
         for pf in self.part_fields:
             pid = pf["src"]["id"]
             src = next((f for f in fields if f["id"] == pid), None)
@@ -632,7 +629,12 @@ class IcebergFixture:
                 raise ValueError(
                     "cannot drop the partition source column"
                 )
-            pf["src"] = src
+            new_srcs[pid] = src
+        self.schema_fields = fields
+        self.current_schema_id = len(self.all_schemas)
+        self.all_schemas.append(self._schema_json())
+        for pf in self.part_fields:
+            pf["src"] = new_srcs[pf["src"]["id"]]
         self._part_field = (
             self.part_fields[0]["src"] if self.part_fields else None
         )
@@ -785,7 +787,10 @@ class IcebergFixture:
             "schemas": self.all_schemas,
             "default-spec-id": 0,
             "partition-specs": self._partition_specs_json(),
-            "last-partition-id": 1000,
+            # spec: highest assigned partition field id across all
+            # specs (fields are allocated 1000+i); 999 when
+            # unpartitioned, matching reference writers
+            "last-partition-id": 999 + len(self.part_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {},
@@ -837,7 +842,6 @@ class IcebergReader:
             s["schema-id"]: s for s in self.metadata["schemas"]
         }
         self.schema = self.schemas_by_id[self.metadata["current-schema-id"]]
-        self._col_by_id = {f["id"]: f["name"] for f in self.schema["fields"]}
         self.last_plan_stats: dict[str, int] = {}
 
     def _target_fields(self, snapshot_id: int | None) -> list[dict]:
@@ -1175,7 +1179,11 @@ class IcebergReader:
                     "an incremental append scan cannot express it"
                 )
         plan = self.plan(to_snap["snapshot-id"])
-        target = self._target_fields(to_snap["snapshot-id"])
+        # schema: mirror read() — a None `to` means "the table now"
+        # and must use the CURRENT schema even when the latest schema
+        # change published no snapshot; an explicit `to` time-travels
+        # with that snapshot's recorded schema
+        target = self._target_fields(to_snapshot_id)
         added = [d for d in plan["data"] if from_seq < d["seq"] <= to_seq]
         if not added:
             return self._empty(spark, target)

@@ -492,3 +492,111 @@ def test_vacuum_retention_and_orphans(spark, sf_dir, tmp_path):
     assert sorted(rd.commits) == [0, 1, 2]
     with pytest.raises(ValueError):
         tbl.vacuum(retain_versions=0)
+
+
+def test_part_filter_typed_value_fails_loud(spark, delta_partitioned):
+    """A known key with a non-string value would match nothing against
+    the log's string serialization — raise instead of returning an
+    empty table (code-review r12)."""
+    from hadoop_tools_spark.sources.deltalog import DeltaLogReader
+
+    path, _ = delta_partitioned
+    with pytest.raises(TypeError, match="string serialization"):
+        DeltaLogReader(path).plan(part_filter={"status_part": 3})
+
+
+def test_changes_and_checkpoint_refuse_deletion_vectors(tmp_path):
+    """The DV belt-and-braces gate holds on every state path: JSON
+    replay (already pinned), the changes() window walk, and a FOREIGN
+    checkpoint whose add rows carry a deletionVector column
+    (code-review r12)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_tools_spark.sources.deltalog import DeltaLogReader
+
+    log_dir = tmp_path / "t" / "_delta_log"
+    os.makedirs(log_dir)
+    meta = {"metaData": {
+        "id": "x", "format": {"provider": "parquet"},
+        "schemaString": json.dumps(
+            {"type": "struct",
+             "fields": [{"name": "k", "type": "long",
+                         "nullable": True, "metadata": {}}]}),
+        "partitionColumns": [], "configuration": {}, "createdTime": 0,
+    }}
+    dv = {"storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+          "sizeInBytes": 1, "cardinality": 1}
+    with open(log_dir / f"{0:020d}.json", "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta,
+            {"add": {"path": "z.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    with open(log_dir / f"{1:020d}.json", "w") as fh:
+        fh.write(json.dumps(
+            {"add": {"path": "a.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True, "deletionVector": dv}}) + "\n")
+    rd = DeltaLogReader(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="deletion vectors"):
+        rd.changes(spark=None, from_version=0, to_version=1)
+    os.remove(log_dir / f"{1:020d}.json")
+
+    # foreign checkpoint carrying a DV struct on its add rows
+    t_dv = pa.struct([("storageType", pa.string()),
+                      ("cardinality", pa.int64())])
+    t_add = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string()),
+        ("deletionVector", t_dv),
+    ])
+    add_row = {"path": "a.parquet", "partitionValues": [], "size": 1,
+               "modificationTime": 0, "dataChange": True,
+               "stats": "{}",
+               "deletionVector": {"storageType": "u", "cardinality": 1}}
+    table = pa.table({
+        "add": pa.array([add_row, None], t_add),
+        "protocol": pa.array(
+            [None, {"minReaderVersion": 1, "minWriterVersion": 2}],
+            pa.struct([("minReaderVersion", pa.int32()),
+                       ("minWriterVersion", pa.int32())])),
+    })
+    pq.write_table(table, str(log_dir / f"{0:020d}.checkpoint.parquet"))
+    with open(log_dir / "_last_checkpoint", "w") as fh:
+        json.dump({"version": 0, "size": 2}, fh)
+    rd = DeltaLogReader(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="deletion vectors"):
+        rd.plan()
+
+
+def test_skipping_disabled_stats_fail_open(spark, tmp_path):
+    """A file written without parquet statistics records no bounds, so
+    every range_filter keeps it (fail open, code-review r12)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader, DeltaTable)
+
+    path = str(tmp_path / "nostats")
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "k long, v double").coalesce(1)
+    tbl = DeltaTable.create(spark, path, df)
+    # replace the staged file with a stats-free rewrite of itself
+    rel = next(iter(tbl.live))
+    full = os.path.join(path, rel)
+    pq.write_table(pa.table({"k": list(range(100)),
+                             "v": [float(i) for i in range(100)]}),
+                   full, write_statistics=False)
+    tbl.live[rel]["stats"] = json.dumps({"numRecords": 100})
+    tbl.checkpoint()
+    rd = DeltaLogReader(path)
+    kept = rd.plan(range_filter={"k": (10**12, None)})
+    assert set(kept) == {rel}
+    assert rd.last_plan_stats["files_skipped"] == 0

@@ -714,3 +714,75 @@ def test_expire_snapshots_and_orphan_sweep(spark, sf_dir, tmp_path):
     assert IcebergReader(path).read(spark).count() == orders.count()
     # second sweep is a no-op
     assert tbl.remove_orphan_files() == []
+
+
+def test_commit_schema_rejection_is_atomic(spark, sf_dir, tmp_path):
+    """A rejected evolution (dropping a partition source) must leave
+    the table untouched — schema, schema-id and later commits all
+    still work (code-review r12)."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader, IcebergTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    path = str(tmp_path / "atomic")
+    tbl = IcebergTable.create(spark, path, orders,
+                              partition_col="o_orderstatus")
+    before_schema = [dict(f) for f in tbl.schema_fields]
+    before_sid = tbl.current_schema_id
+    before_n = len(tbl.all_schemas)
+    with pytest.raises(ValueError, match="partition source"):
+        tbl.drop_column("o_orderstatus")
+    assert tbl.schema_fields == before_schema
+    assert tbl.current_schema_id == before_sid
+    assert len(tbl.all_schemas) == before_n
+    # the table still commits and reads normally afterwards
+    tbl.append(spark, orders.limit(0))
+    assert IcebergReader(path).read(spark).count() == orders.count()
+
+
+def test_last_partition_id_tracks_spec(spark, sf_dir, tmp_path):
+    """metadata.json's last-partition-id must be the highest assigned
+    partition field id: 999 unpartitioned, 1000 single-field, 1001 for
+    a two-field composite spec (code-review r12)."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader, IcebergTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    p0 = str(tmp_path / "plain")
+    IcebergTable.create(spark, p0, orders)
+    assert IcebergReader(p0).metadata["last-partition-id"] == 999
+    p2 = str(tmp_path / "multi")
+    IcebergTable.create(
+        spark, p2, orders,
+        partition_fields=[("o_orderkey", "bucket[4]"),
+                          ("o_orderkey", "truncate[1000]")])
+    assert IcebergReader(p2).metadata["last-partition-id"] == 1001
+
+
+def test_changes_to_none_uses_current_schema(spark, sf_dir, tmp_path):
+    """changes(from) with no explicit `to` must read with the CURRENT
+    schema, matching read() — even when the latest schema change
+    published no snapshot (code-review r12)."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader, IcebergTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "chg_schema")
+    tbl = IcebergTable.create(spark, path, orders.filter(k % 2 == 0))
+    tbl.append(spark, orders.filter(k % 2 == 1))
+    tbl.drop_column("o_orderstatus")  # metadata-only, no snapshot
+    rd = IcebergReader(path)
+    s0 = rd.metadata["snapshots"][0]["snapshot-id"]
+    got = rd.changes(spark, s0)
+    assert got.columns == rd.read(spark).columns
+    assert "o_orderstatus" not in got.columns
+    # an explicit `to` still time-travels with that snapshot's schema
+    s1 = rd.metadata["snapshots"][1]["snapshot-id"]
+    assert "o_orderstatus" in rd.changes(spark, s0, s1).columns
