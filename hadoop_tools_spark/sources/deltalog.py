@@ -468,15 +468,24 @@ class DeltaLogReader:
                 continue
         return True
 
-    def _table_meta(self) -> tuple[list[dict], list[str]]:
-        """(schema fields, partitionColumns) from the newest metaData
-        action in the JSON commits, falling back to the newest
-        checkpoint for all-checkpoint logs. Cached: the log is
+    def _table_meta(self, version: int | None = None
+                    ) -> tuple[list[dict], list[str]]:
+        """(schema fields, partitionColumns) AS OF ``version`` (None =
+        latest): the newest metaData action at a commit <= version,
+        falling back to the newest usable checkpoint for
+        all-checkpoint logs. Version-aware on purpose — after a
+        schema evolution, time travel must read with the schema that
+        version actually had. Cached per version: the log is
         immutable once listed."""
-        meta = getattr(self, "_meta_cache", None)
+        v = self.latest if version is None else version
+        cache = getattr(self, "_meta_cache", None)
+        if cache is None:
+            cache = self._meta_cache = {}
+        meta = cache.get(v)
         if meta is None:
-            for v in sorted(self.commits, reverse=True):
-                with open(self.commits[v]) as fh:
+            for c in sorted((x for x in self.commits if x <= v),
+                            reverse=True):
+                with open(self.commits[c]) as fh:
                     for line in fh:
                         act = json.loads(line) if line.strip() else {}
                         if "metaData" in act:
@@ -484,18 +493,20 @@ class DeltaLogReader:
                             break
                 if meta:
                     break
-            if meta is None and self.checkpoints:
+            if meta is None:
                 import pyarrow.parquet as pq
 
-                cp = self.checkpoints[max(self.checkpoints)]
-                col = pq.ParquetFile(cp).read(columns=["metaData"])
-                for m in col.column("metaData").to_pylist():
-                    if m is not None:
-                        meta = m
-                        break
+                usable = [c for c in self.checkpoints if c <= v]
+                if usable:
+                    cp = self.checkpoints[max(usable)]
+                    col = pq.ParquetFile(cp).read(columns=["metaData"])
+                    for m in col.column("metaData").to_pylist():
+                        if m is not None:
+                            meta = m
+                            break
             if meta is None:
                 raise ValueError("no metaData action in the log")
-            self._meta_cache = meta
+            cache[v] = meta
         fields = json.loads(meta["schemaString"])["fields"]
         return fields, list(meta.get("partitionColumns") or [])
 
@@ -510,21 +521,32 @@ class DeltaLogReader:
         instead of the footers. Output columns follow schema order for
         every layout."""
         state = self.plan(version, part_filter, range_filter)
-        return self._read_adds(spark, state)
+        return self._read_adds(spark, state, version)
 
-    def _read_adds(self, spark, state: dict):
+    def _read_adds(self, spark, state: dict,
+                   version: int | None = None):
         """Scan an {rel_path: add_action} set with partition-column
-        re-injection (shared by ``read`` and ``changes``)."""
-        fields, pcols = self._table_meta()
+        re-injection (shared by ``read`` and ``changes``). The scan
+        is pinned to the version's schema (``spark.read.schema``), so
+        files written BEFORE an additive schema evolution NULL-fill
+        the added columns — name-based resolution, exactly what a
+        minReaderVersion-1 Delta table supports (renames/drops need
+        the columnMapping reader feature, which the protocol gate
+        refuses)."""
+        from pyspark.sql.types import StructType
+
+        fields, pcols = self._table_meta(version)
+        st = StructType.fromJson({"type": "struct", "fields": fields})
         if not state:
-            cols = ", ".join(
-                f"`{f['name']}` {f['type']}" for f in fields
-            )
-            return spark.createDataFrame([], cols)
+            return spark.createDataFrame([], st)
         if not pcols:
             paths = [os.path.join(self.path, p) for p in sorted(state)]
-            return spark.read.parquet(*paths)
+            return spark.read.schema(st).parquet(*paths)
         types = {f["name"]: f["type"] for f in fields}
+        file_schema = StructType.fromJson({
+            "type": "struct",
+            "fields": [f for f in fields if f["name"] not in pcols],
+        })
         groups: dict[tuple, list[str]] = {}
         for rel, a in sorted(state.items()):
             pv = a.get("partitionValues") or {}
@@ -533,7 +555,7 @@ class DeltaLogReader:
                 os.path.join(self.path, rel))
         parts = []
         for key, paths in groups.items():
-            df = spark.read.parquet(*paths)
+            df = spark.read.schema(file_schema).parquet(*paths)
             for c, v in zip(pcols, key):
                 df = df.withColumn(c, F.lit(v).cast(types[c]))
             parts.append(df.select(*[f["name"] for f in fields]))
@@ -600,7 +622,9 @@ class DeltaLogReader:
                         self._check_protocol(act["protocol"])
         stats["files_read"] = len(added)
         self.last_plan_stats = stats
-        return self._read_adds(spark, added)
+        # schema: None `to` reads with the current schema (mirrors
+        # read()); an explicit `to` uses that version's schema
+        return self._read_adds(spark, added, to_version)
 
 
 # ---------------------------------------------------------------------------
@@ -789,6 +813,37 @@ class DeltaTable(DeltaLogFixture):
     def overwrite_with(self, spark, df) -> int:
         old = list(self.live)
         return self.commit(self._stage(spark, df), old)
+
+    def add_column(self, name: str, col_type: str) -> int:
+        """Additive schema evolution: commit a new schemaString in a
+        metaData-only commit (what ALTER TABLE ADD COLUMNS writes —
+        no data file is touched; existing files NULL-fill the column
+        on read by name resolution). Non-additive changes
+        (rename/drop) need the columnMapping reader feature this
+        implementation deliberately refuses, so only adds exist
+        here. Returns the new version."""
+        schema = json.loads(self.schema_string)
+        if any(f["name"] == name for f in schema["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        schema["fields"].append({
+            "name": name, "type": col_type, "nullable": True,
+            "metadata": {},
+        })
+        self.schema_string = json.dumps(schema)
+        self.version += 1
+        ts = self._ts()
+        actions = [
+            {"commitInfo": {"timestamp": ts,
+                            "operation": "ADD COLUMNS"}},
+            self._meta_actions()[1],  # metaData only: protocol unchanged
+        ]
+        fn = os.path.join(self.log_dir, f"{self.version:020d}.json")
+        tmp = f"{fn}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            for act in actions:
+                fh.write(json.dumps(act, sort_keys=True) + "\n")
+        os.replace(tmp, fn)
+        return self.version
 
     def optimize(self, spark, min_files: int = 2) -> int | None:
         """OPTIMIZE (bin-packing compaction): rewrite every partition
@@ -1185,6 +1240,61 @@ def sink_delta_vacuum(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "scan_delta_schema_evolution",
+    oracle="""
+    SELECT 'v0' AS leg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(-1 AS BIGINT) AS n_status,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'latest', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END)
+                AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders
+    """,
+)
+def scan_delta_schema_evolution(spark, sf_dir):
+    """Additive schema evolution — the Delta twin of
+    ``scan_iceberg_schema_evolution``: v0 writes a 2-column table,
+    ``add_column`` commits a metaData-only schema change (no data file
+    touched), v2 appends 3-column files. The latest read pins the scan
+    to the evolved schema, so v0's files NULL-fill the added column
+    (``n_status`` counts non-null values = only the post-evolution
+    rows — hash-pinned); time travel to v0 reads with v0's OWN schema
+    (the in-key assert pins the added column is absent there, so a
+    version-blind metaData lookup fails the run)."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    path = os.path.join(SCRATCH, "delta_evolution")
+    tbl = DeltaTable.create(
+        spark, path,
+        orders.select("o_orderkey", "o_totalprice").filter(k % 2 == 0),
+        overwrite=True,
+    )
+    tbl.add_column("o_orderstatus", "string")
+    tbl.append(spark, orders.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).filter(k % 2 == 1))
+    rd = DeltaLogReader(path)
+    v0 = rd.read(spark, 0)
+    assert "o_orderstatus" not in v0.columns, \
+        "time travel must use the version's own schema"
+    leg0 = v0.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(F.lit("v0").alias("leg"), "n_rows",
+             F.lit(-1).cast("long").alias("n_status"), "revenue")
+    leg1 = rd.read(spark).agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderstatus").alias("n_status"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(F.lit("latest").alias("leg"), "n_rows", "n_status",
+             "revenue")
+    return leg0.unionAll(leg1)
 
 
 def version_as_of(reader: DeltaLogReader, ts_ms: int) -> int:

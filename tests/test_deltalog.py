@@ -600,3 +600,55 @@ def test_skipping_disabled_stats_fail_open(spark, tmp_path):
     kept = rd.plan(range_filter={"k": (10**12, None)})
     assert set(kept) == {rel}
     assert rd.last_plan_stats["files_skipped"] == 0
+
+
+def test_schema_evolution_nullfill_and_composition(spark, sf_dir,
+                                                   tmp_path):
+    """Additive evolution composes with the rest of the surface:
+    pre-evolution files NULL-fill on partitioned tables too, changes()
+    windows crossing the evolution read with the right schema,
+    checkpoints after the evolution carry the new schemaString, and a
+    duplicate add_column raises."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader, DeltaTable)
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "evo")
+    tbl = DeltaTable.create(
+        spark, path,
+        orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .filter(k % 2 == 0),
+        partition_by=["o_orderstatus"],
+    )
+    tbl.add_column("o_orderpriority", "string")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.add_column("o_orderpriority", "string")
+    tbl.append(spark, orders.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    ).filter(k % 2 == 1))
+    tbl.checkpoint()
+
+    rd = DeltaLogReader(path)
+    latest = rd.read(spark)
+    assert latest.columns == [
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+    assert latest.count() == orders.count()
+    # pre-evolution files NULL-fill the added column
+    assert latest.filter(F.col("o_orderpriority").isNull()).count() == \
+        orders.filter(k % 2 == 0).count()
+    # partition re-injection survived the evolution
+    assert latest.filter(F.col("o_orderstatus").isNull()).count() == 0
+    # time travel reads v0 with v0's schema
+    assert "o_orderpriority" not in rd.read(spark, 0).columns
+    # a window crossing the evolution carries the current schema
+    got = rd.changes(spark, 0)
+    assert "o_orderpriority" in got.columns
+    assert got.count() == orders.filter(k % 2 == 1).count()
+    # the checkpoint metaData carries the evolved schemaString
+    rd2 = DeltaLogReader(path)
+    rd2.commits.clear()  # force the checkpoint metaData path
+    fields, pcols = rd2._table_meta()
+    assert "o_orderpriority" in {f["name"] for f in fields}
+    assert pcols == ["o_orderstatus"]
