@@ -92,7 +92,8 @@ class DeltaLogFixture:
         ]
 
     def commit(self, adds: list[dict], removes: list[str],
-               data_change: bool = True) -> int:
+               data_change: bool = True,
+               extra_actions: list[dict] | None = None) -> int:
         """``adds``: [{path(rel), size, numRecords}]; ``removes``:
         relative paths. Returns the new version. ``data_change=False``
         marks a rearrangement commit (OPTIMIZE): the file set changes
@@ -105,6 +106,7 @@ class DeltaLogFixture:
         else:
             op = "WRITE" if not removes else "MERGE"
         actions = [{"commitInfo": {"timestamp": ts, "operation": op}}]
+        actions += list(extra_actions or [])
         if self.version < 0:
             actions += self._meta_actions()
         for a in adds:
@@ -814,6 +816,57 @@ class DeltaTable(DeltaLogFixture):
         old = list(self.live)
         return self.commit(self._stage(spark, df), old)
 
+    def append_txn(self, spark, df, app_id: str,
+                   txn_version: int) -> int | None:
+        """Idempotent append — the protocol's ``txn`` action, the
+        mechanism streaming sinks use for exactly-once: the commit
+        carries {appId, version}, and a retry whose txn version is <=
+        the app's highest recorded version is a NO-OP (returns None,
+        writes nothing — not even stage files). The version must
+        advance monotonically per app; readers replaying the log see
+        each micro-batch exactly once no matter how many times the
+        writer crashed and retried."""
+        latest = self.latest_txn_version(app_id)
+        if latest is not None and txn_version <= latest:
+            return None
+        adds = self._stage(spark, df)
+        # the txn action rides IN the data commit (one atomic
+        # os.replace) — a crash before it leaves no trace, a crash
+        # after it leaves the txn recorded, so the retry either
+        # re-runs cleanly or no-ops; never a duplicate
+        return self.commit(adds, [], extra_actions=[{"txn": {
+            "appId": app_id, "version": txn_version,
+            "lastUpdated": self._ts(),
+        }}])
+
+    def latest_txn_version(self, app_id: str) -> int | None:
+        """Highest txn version this app has committed, from a full
+        log replay (driver KB — the same walk Delta's
+        txnVersion(appId) does). None if the app never committed.
+        This writer never truncates the JSON log, so the walk is
+        complete; a checkpoint-truncating writer must carry txn state
+        into the checkpoint per the protocol."""
+        best = None
+        for v in sorted(self.log_versions()):
+            with open(os.path.join(
+                    self.log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    act = json.loads(line) if line.strip() else {}
+                    t = act.get("txn")
+                    if t and t.get("appId") == app_id:
+                        if best is None or t["version"] > best:
+                            best = t["version"]
+        return best
+
+    def log_versions(self) -> list[int]:
+        """Versions with a JSON commit on disk."""
+        out = []
+        for fn in os.listdir(self.log_dir):
+            m = re.match(r"^(\d{20})\.json$", fn)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
     def add_column(self, name: str, col_type: str) -> int:
         """Additive schema evolution: commit a new schemaString in a
         metaData-only commit (what ALTER TABLE ADD COLUMNS writes —
@@ -1295,6 +1348,47 @@ def scan_delta_schema_evolution(spark, sf_dir):
     ).select(F.lit("latest").alias("leg"), "n_rows", "n_status",
              "revenue")
     return leg0.unionAll(leg1)
+
+
+@query(
+    "sink_delta_txn",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM (
+      SELECT o_totalprice FROM orders
+      UNION ALL
+      SELECT o_totalprice FROM orders WHERE o_orderkey % 50 = 0
+    )
+    """,
+)
+def sink_delta_txn(spark, sf_dir):
+    """Idempotent streaming-sink commits (the protocol's ``txn``
+    action): micro-batch 1 appends under (appId, version 1); the
+    RETRY of the same batch — what an exactly-once sink replays after
+    a crash — is a committed-nothing no-op (in-key assert pins it
+    returned None AND the log grew by zero commits); batch 2 under
+    version 2 lands normally. The hash leg proves the table holds each
+    batch exactly once: all orders plus one copy of the %50 slice,
+    never two."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    path = os.path.join(SCRATCH, "delta_txn")
+    tbl = DeltaTable.create(spark, path,
+                            orders.filter(k % 2 == 0), overwrite=True)
+    tbl.append_txn(spark, orders.filter(k % 2 == 1), "loader", 1)
+    n_commits = len(tbl.log_versions())
+    retry = tbl.append_txn(spark, orders.filter(k % 2 == 1),
+                           "loader", 1)
+    assert retry is None and len(tbl.log_versions()) == n_commits, \
+        "a replayed txn version must commit nothing"
+    tbl.append_txn(spark, orders.filter(k % 50 == 0), "loader", 2)
+    return DeltaLogReader(path).read(spark).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
 
 
 def version_as_of(reader: DeltaLogReader, ts_ms: int) -> int:

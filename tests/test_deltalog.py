@@ -652,3 +652,39 @@ def test_schema_evolution_nullfill_and_composition(spark, sf_dir,
     fields, pcols = rd2._table_meta()
     assert "o_orderpriority" in {f["name"] for f in fields}
     assert pcols == ["o_orderstatus"]
+
+
+def test_txn_idempotence_per_app(spark, sf_dir, tmp_path):
+    """txn versions are tracked PER appId: a stale retry no-ops, a
+    lower version from a different app still commits, and the reader
+    replays the result like any other commits."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader, DeltaTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "txn")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 == 0))
+    assert tbl.latest_txn_version("loader") is None
+    v1 = tbl.append_txn(spark, orders.filter(k % 3 == 1), "loader", 5)
+    assert v1 == 1 and tbl.latest_txn_version("loader") == 5
+    # stale and equal versions both no-op
+    assert tbl.append_txn(spark, orders.filter(k % 3 == 1),
+                          "loader", 5) is None
+    assert tbl.append_txn(spark, orders.filter(k % 3 == 1),
+                          "loader", 4) is None
+    # a different app has its own sequence
+    v2 = tbl.append_txn(spark, orders.filter(k % 3 == 2),
+                        "backfill", 1)
+    assert v2 == 2 and tbl.latest_txn_version("backfill") == 1
+    assert tbl.latest_txn_version("loader") == 5
+    # the txn action is in the commit file itself (atomic commit)
+    with open(os.path.join(path, "_delta_log",
+                           f"{1:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh]
+    txns = [a["txn"] for a in acts if "txn" in a]
+    assert txns == [{"appId": "loader", "version": 5,
+                     "lastUpdated": txns[0]["lastUpdated"]}]
+    assert DeltaLogReader(path).read(spark).count() == orders.count()
