@@ -84,7 +84,12 @@ def _enc_datum(s, v, out: bytearray) -> None:
         t = s["type"]
         if t == "record":
             for f in s["fields"]:
-                _enc_datum(f["type"], v[f["name"]], out)
+                ft = f["type"]
+                if f["name"] not in v and not (
+                        isinstance(ft, list) and "null" in ft):
+                    # only optional (null-union) fields may be absent
+                    raise KeyError(f["name"])
+                _enc_datum(ft, v.get(f["name"]), out)
             return
         if t == "array":
             if v:
@@ -338,6 +343,27 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
              "field-id": 135},
             {"name": "sort_order_id", "type": ["null", "int"],
              "field-id": 140},
+            # per-column bounds, keyed by FIELD ID (spec: Avro maps
+            # with non-string keys serialize as key/value record
+            # arrays with logicalType map)
+            {"name": "lower_bounds", "type": ["null", {
+                "type": "array", "logicalType": "map",
+                "items": {"type": "record", "name": "k126_v127",
+                          "fields": [
+                              {"name": "key", "type": "int",
+                               "field-id": 126},
+                              {"name": "value", "type": "bytes",
+                               "field-id": 127}]}}],
+             "field-id": 125},
+            {"name": "upper_bounds", "type": ["null", {
+                "type": "array", "logicalType": "map",
+                "items": {"type": "record", "name": "k129_v130",
+                          "fields": [
+                              {"name": "key", "type": "int",
+                               "field-id": 129},
+                              {"name": "value", "type": "bytes",
+                               "field-id": 130}]}}],
+             "field-id": 128},
         ],
     }
     return {
@@ -365,12 +391,17 @@ def _int_from_bytes(b: bytes) -> int:
 
 
 def _part_value_bytes(v, t: str) -> bytes:
-    """Single-value serialization for the partition types used here
-    (spec appendix D): int 4-byte LE, long 8-byte LE, string UTF-8."""
+    """Single-value serialization for the value types used here
+    (spec appendix D): int 4-byte LE, long 8-byte LE, double 8-byte
+    IEEE LE, string UTF-8."""
     if t == "int":
         return struct.pack("<i", v)
     if t == "long":
         return struct.pack("<q", v)
+    if t == "double":
+        return struct.pack("<d", v)
+    if t == "float":
+        return struct.pack("<f", v)
     if t == "string":
         return str(v).encode("utf-8")
     raise ValueError(f"unsupported partition value type: {t}")
@@ -381,6 +412,10 @@ def _part_value_from_bytes(b: bytes, t: str):
         return struct.unpack("<i", b)[0]
     if t == "long":
         return struct.unpack("<q", b)[0]
+    if t == "double":
+        return struct.unpack("<d", b)[0]
+    if t == "float":
+        return struct.unpack("<f", b)[0]
     if t == "string":
         return b.decode("utf-8")
     raise ValueError(f"unsupported partition value type: {t}")
@@ -389,6 +424,33 @@ def _part_value_from_bytes(b: bytes, t: str):
 def _norm_path(p: str) -> str:
     """file:///x, file:/x and /x are the same local file."""
     return re.sub(r"^file:/+", "/", p)
+
+
+def _bounds_exclude(data_file: dict, rf: dict) -> bool:
+    """True only when the data file's recorded bounds PROVE no row can
+    satisfy every (lo, hi) interval in ``rf`` ({field_id: (type, lo,
+    hi)}). Absent bounds, absent columns and undecodable values all
+    keep the file — skipping must be provably safe, never guessed."""
+    lob = data_file.get("lower_bounds")
+    upb = data_file.get("upper_bounds")
+    if not lob or not upb:
+        return False
+    lo_map = {p["key"]: p["value"] for p in lob}
+    hi_map = {p["key"]: p["value"] for p in upb}
+    for fid, (t, lo, hi) in rf.items():
+        bl, bh = lo_map.get(fid), hi_map.get(fid)
+        if bl is None or bh is None:
+            continue
+        try:
+            mn = _part_value_from_bytes(bl, t)
+            mx = _part_value_from_bytes(bh, t)
+            if hi is not None and mn > hi:
+                return True
+            if lo is not None and mx < lo:
+                return True
+        except (ValueError, TypeError, struct.error):
+            continue
+    return False
 
 
 _STATUS_ADDED, _STATUS_EXISTING, _STATUS_DELETED = 1, 0, 2
@@ -557,6 +619,8 @@ class IcebergFixture:
                     "file_size_in_bytes": df["file_size"],
                     "equality_ids": df.get("equality_ids"),
                     "sort_order_id": None,
+                    "lower_bounds": df.get("lower_bounds"),
+                    "upper_bounds": df.get("upper_bounds"),
                 },
             })
             added_files += 1
@@ -888,7 +952,8 @@ class IcebergReader:
         raise KeyError(f"unknown partition source id {f['source-id']}")
 
     def plan(self, snapshot_id: int | None = None,
-             part_filter: dict | None = None) -> dict:
+             part_filter: dict | None = None,
+             range_filter: dict | None = None) -> dict:
         """Plan file sets for a snapshot. ``part_filter`` is
         {identity_partition_name: value}; manifests whose partition
         field summaries exclude the value are pruned WITHOUT being
@@ -901,7 +966,35 @@ class IcebergReader:
         Unknown filter keys raise ``KeyError`` (ADVICE r11: a typo'd
         key — or any field of a spec this reader does not expose —
         must fail loudly, not silently return the unfiltered table).
+
+        ``range_filter`` ({column: (lo, hi)}, either bound None) is
+        DATA SKIPPING over the manifests' per-column
+        ``lower_bounds``/``upper_bounds`` (field-id keyed, appendix-D
+        decoded): a DATA file is dropped only when its bounds PROVE no
+        row can match; absent bounds keep the file (fail open — the
+        caller still applies the exact predicate). Delete files are
+        never skipped (a skipped delete would resurrect rows).
         """
+        rf = None
+        if range_filter:
+            target = {f["name"]: f
+                      for f in self._target_fields(snapshot_id)}
+            unknown = sorted(set(range_filter) - set(target))
+            if unknown:
+                raise KeyError(
+                    f"unknown data-skipping column(s) {unknown}; "
+                    f"schema columns: {sorted(target)}"
+                )
+            rf = {}
+            for c, (lo, hi) in range_filter.items():
+                t = target[c]["type"]
+                if t not in ("int", "long", "double", "float",
+                             "string"):
+                    raise ValueError(
+                        f"range_filter on {c!r}: type {t!r} has no "
+                        "single-value bound serialization here"
+                    )
+                rf[target[c]["id"]] = (t, lo, hi)
         if part_filter:
             known = {
                 f["name"]
@@ -919,6 +1012,8 @@ class IcebergReader:
             _, manifest_rows = read_ocf_generic(fh.read())
         stats = {"manifests_total": len(manifest_rows),
                  "manifests_opened": 0, "manifests_pruned": 0}
+        if rf:
+            stats["files_skipped_bounds"] = 0
         out = {"data": [], "pos_deletes": [], "eq_deletes": []}
         for m in manifest_rows:
             spec_fields = self._spec_fields(m["partition_spec_id"])
@@ -996,6 +1091,9 @@ class IcebergReader:
                 kind = {_CONTENT_DATA: "data",
                         _CONTENT_POS_DELETES: "pos_deletes",
                         _CONTENT_EQ_DELETES: "eq_deletes"}[df["content"]]
+                if rf and kind == "data" and _bounds_exclude(df, rf):
+                    stats["files_skipped_bounds"] += 1
+                    continue
                 out[kind].append(rec)
         self.last_plan_stats = stats
         return out
@@ -1067,8 +1165,9 @@ class IcebergReader:
         return F.url_decode(F.regexp_replace(c, "^file:/+", "/"))
 
     def read(self, spark, snapshot_id: int | None = None,
-             part_filter: dict | None = None):
-        plan = self.plan(snapshot_id, part_filter)
+             part_filter: dict | None = None,
+             range_filter: dict | None = None):
+        plan = self.plan(snapshot_id, part_filter, range_filter)
         target = self._target_fields(snapshot_id)
         if not plan["data"]:
             return self._empty(spark, target)
@@ -1553,6 +1652,34 @@ class IcebergTable(IcebergFixture):
             return F.col(src) - F.pmod(F.col(src), F.lit(w))
         raise ValueError(f"unsupported transform {t!r}")
 
+    def _column_bounds(self, pf) -> tuple[list | None, list | None]:
+        """Per-column lower/upper bounds for one staged parquet file,
+        keyed by FIELD ID (spec manifest fields 125/128), serialized
+        per appendix D. Bounds come from the parquet footers via the
+        same all-or-nothing aggregation the Delta writer uses — a
+        column with any stats-less row group is omitted entirely,
+        since partial bounds would make skipping unsound. Unsupported
+        types are skipped (absent bounds = the reader keeps the
+        file)."""
+        from .deltalog import _footer_min_max
+
+        mins, maxs = _footer_min_max(pf)
+        by_name = {f["name"]: f for f in self.schema_fields}
+        lob, upb = [], []
+        for name, mn in mins.items():
+            fld = by_name.get(name)
+            if fld is None or fld["type"] not in (
+                    "int", "long", "double", "float", "string"):
+                continue
+            try:
+                lo = _part_value_bytes(mn, fld["type"])
+                hi = _part_value_bytes(maxs[name], fld["type"])
+            except (ValueError, struct.error):
+                continue
+            lob.append({"key": fld["id"], "value": lo})
+            upb.append({"key": fld["id"], "value": hi})
+        return (lob or None), (upb or None)
+
     def _stage_data_files(self, spark, df) -> list[dict]:
         """Distributed parquet write → manifest entries with
         footer-read stats. Partitioned tables use a hive-style
@@ -1606,10 +1733,12 @@ class IcebergTable(IcebergFixture):
                     else:
                         v = int(raw)
                     part_val[pf["name"]] = v
+            lob, upb = self._column_bounds(pq.ParquetFile(part))
             entries.append({"data_file": {
                 "path": part, "record_count": md.num_rows,
                 "file_size": os.path.getsize(part),
                 "partition_value": part_val,
+                "lower_bounds": lob, "upper_bounds": upb,
             }})
         return entries
 
@@ -2101,3 +2230,55 @@ def sink_iceberg_expire(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "scan_iceberg_skipping",
+    oracle="""
+    SELECT 'key_range' AS leg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+    UNION ALL
+    SELECT 'price_range', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_totalprice BETWEEN 100000 AND 200000
+    """,
+)
+def scan_iceberg_skipping(spark, sf_dir):
+    """Column-bounds data skipping — the Iceberg twin of
+    ``scan_delta_skipping``: the writer records per-column
+    lower/upper bounds in the manifests (field-id keyed, appendix-D
+    serialized, footer-sourced with the all-or-nothing soundness
+    rule); a range-clustered table then serves a key window opening
+    only the overlapping data files (in-key assert pins
+    ``files_skipped_bounds`` ≥ 1). The second leg filters the
+    UNclustered price column — bounds overlap everywhere, skipping is
+    fail-open, the answer stays exact. Both legs re-apply the exact
+    predicate; delete files are never skipped by design."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = os.path.join(SCRATCH, "iceberg_skipping")
+    IcebergTable.create(
+        spark, path, orders.repartitionByRange(8, "o_orderkey"),
+        overwrite=True,
+    )
+    rd = IcebergReader(path)
+
+    def agg(df, leg):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(leg).alias("leg"), "n_rows", "revenue")
+
+    k = F.col("o_orderkey")
+    keyed = rd.read(spark, range_filter={"o_orderkey": (1000, 5000)})
+    assert rd.last_plan_stats["files_skipped_bounds"] >= 1, \
+        "range-clustered key window must skip at least one file"
+    leg1 = agg(keyed.where(k.between(1000, 5000)), "key_range")
+    p = F.col("o_totalprice")
+    priced = rd.read(
+        spark, range_filter={"o_totalprice": (100000.0, 200000.0)})
+    leg2 = agg(priced.where(p.between(100000.0, 200000.0)),
+               "price_range")
+    return leg1.unionAll(leg2)

@@ -786,3 +786,46 @@ def test_changes_to_none_uses_current_schema(spark, sf_dir, tmp_path):
     # an explicit `to` still time-travels with that snapshot's schema
     s1 = rd.metadata["snapshots"][1]["snapshot-id"]
     assert "o_orderstatus" in rd.changes(spark, s0, s1).columns
+
+
+def test_column_bounds_skipping(spark, sf_dir, tmp_path):
+    """Manifest column bounds: recorded field-id-keyed per data file,
+    disjoint windows skip, half-open windows work, unknown columns and
+    unsupported types fail loud, delete files are never skipped, and
+    bounds-free entries are kept (fail open)."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader, IcebergTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    path = str(tmp_path / "bounds")
+    tbl = IcebergTable.create(
+        spark, path, orders.repartitionByRange(4, "o_orderkey"))
+    rd = IcebergReader(path)
+    n_all = len(rd.plan()["data"])
+    assert n_all == 4
+
+    # beyond-domain window skips everything
+    plan = rd.plan(range_filter={"o_orderkey": (10**15, None)})
+    assert plan["data"] == []
+    assert rd.last_plan_stats["files_skipped_bounds"] == 4
+    # half-open low side keeps everything
+    plan = rd.plan(range_filter={"o_orderkey": (None, 10**15)})
+    assert len(plan["data"]) == 4
+    # unknown column / unsupported type fail loud
+    with pytest.raises(KeyError, match="o_orderkye"):
+        rd.plan(range_filter={"o_orderkye": (1, 2)})
+
+    # equality-delete files are never skipped even under a window
+    # that excludes every data file's keys
+    tbl.delete_where_equal(spark, spark.createDataFrame(
+        [(1,)], "o_orderkey long"))
+    rd = IcebergReader(path)
+    plan = rd.plan(range_filter={"o_orderkey": (10**15, None)})
+    assert plan["data"] == [] and len(plan["eq_deletes"]) == 1
+
+    # the filtered read still applies deletes inside the window
+    got = rd.read(spark, range_filter={"o_orderkey": (None, 10**9)})
+    assert got.filter(F.col("o_orderkey") == 1).count() == 0
+    assert got.count() == orders.count() - 1
