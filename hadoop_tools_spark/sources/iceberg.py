@@ -514,26 +514,16 @@ class IcebergFixture:
             self._legacy_field_name = partition_col
         else:
             self._legacy_field_name = None
-        self.part_fields: list[dict] = []
-        for spec in (partition_fields or []):
-            src_name, transform = spec[0], spec[1]
-            src = next(
-                (f for f in schema_fields if f["name"] == src_name), None)
-            if src is None:
-                raise KeyError(f"no schema column {src_name!r}")
-            if transform == "identity":
-                name = src_name
-            elif transform.startswith("bucket"):
-                name = f"{src_name}_bucket"
-            elif transform.startswith("truncate"):
-                name = f"{src_name}_trunc"
-            else:
-                raise ValueError(f"unsupported transform {transform!r}")
-            if self._legacy_field_name is not None:
-                name = self._legacy_field_name
-            self.part_fields.append(
-                {"name": name, "transform": transform, "src": src}
-            )
+        self.part_fields: list[dict] = self._parse_part_fields(
+            partition_fields or [], 1000, self._legacy_field_name)
+        # spec registry: 0 is the table's initial spec; partitioned
+        # tables also carry an empty spec (delete files commit under
+        # it); update_partition_spec appends evolved specs
+        self.current_spec_id = 0
+        self.empty_spec_id = 1 if self.part_fields else 0
+        self.specs_by_id: dict[int, list[dict]] = {0: self.part_fields}
+        if self.empty_spec_id != 0:
+            self.specs_by_id[self.empty_spec_id] = []
         # legacy single-field attributes (fixture builders still use)
         self.partition_col = (
             self.part_fields[0]["name"] if self.part_fields else None
@@ -547,21 +537,93 @@ class IcebergFixture:
         )
         self.all_schemas: list[dict] = [self._schema_json()]
 
+    def _parse_part_fields(self, partition_fields: list[tuple],
+                           start_field_id: int,
+                           legacy_name: str | None = None
+                           ) -> list[dict]:
+        """(source, transform) tuples → partition field dicts with
+        assigned partition FIELD IDS (spec: unique across all specs,
+        allocated from 1000 upward and never reused)."""
+        out: list[dict] = []
+        for i, spec in enumerate(partition_fields):
+            src_name, transform = spec[0], spec[1]
+            src = next(
+                (f for f in self.schema_fields
+                 if f["name"] == src_name), None)
+            if src is None:
+                raise KeyError(f"no schema column {src_name!r}")
+            if transform == "identity":
+                name = src_name
+            elif transform.startswith("bucket"):
+                name = f"{src_name}_bucket"
+            elif transform.startswith("truncate"):
+                name = f"{src_name}_trunc"
+            else:
+                raise ValueError(f"unsupported transform {transform!r}")
+            if legacy_name is not None:
+                name = legacy_name
+            out.append({"name": name, "transform": transform,
+                        "src": src, "field_id": start_field_id + i})
+        return out
+
+    def update_partition_spec(self, partition_fields: list[tuple]
+                              ) -> int:
+        """Partition evolution (spec §Partition Evolution): register a
+        NEW spec (new spec-id, fresh partition field-ids), make it the
+        default for future writes, and commit the change as a new
+        metadata.json — no data file is touched. Files written under
+        old specs keep their manifests' per-spec partition records; a
+        `part_filter` on a new field constrains only new-spec
+        manifests (old files are unpartitioned w.r.t. it and are
+        always kept — the caller's exact predicate still applies),
+        exactly real Iceberg's behavior. This is how a growing table
+        repartitions without a rewrite. Returns the new spec id."""
+        parsed = self._parse_part_fields(partition_fields, 0)
+        # spec rule: a field with the same name must BE the same field
+        # (same source + transform) and keeps its id across specs (the
+        # "keep the date, add a bucket" evolution); a name reused for
+        # a different definition is an error, and truly-new fields get
+        # fresh never-reused ids
+        existing = {
+            pf["name"]: pf
+            for fields in self.specs_by_id.values() for pf in fields
+        }
+        next_fid = max(
+            (pf["field_id"] for pf in existing.values()), default=999
+        ) + 1
+        for pf in parsed:
+            old = existing.get(pf["name"])
+            if old is not None:
+                if (old["src"]["id"] != pf["src"]["id"]
+                        or old["transform"] != pf["transform"]):
+                    raise ValueError(
+                        f"partition field {pf['name']!r} already "
+                        "names a different (source, transform); "
+                        "pick a distinct name"
+                    )
+                pf["field_id"] = old["field_id"]
+            else:
+                pf["field_id"] = next_fid
+                next_fid += 1
+        new_id = max(self.specs_by_id) + 1
+        self.specs_by_id[new_id] = parsed
+        self.current_spec_id = new_id
+        self.part_fields = parsed
+        self._part_field = parsed[0]["src"] if parsed else None
+        self._write_metadata(1700000000000 + self.seq * 60000 + new_id)
+        return new_id
+
     # -- partition specs: 0 = [<transform>(source), ...], 1 = unpartitioned
     def _partition_specs_json(self) -> list[dict]:
-        specs = []
-        if self.part_fields:
-            specs.append({
-                "spec-id": 0,
-                "fields": [{
-                    "name": pf["name"],
-                    "transform": pf["transform"],
-                    "source-id": pf["src"]["id"],
-                    "field-id": 1000 + i,
-                } for i, pf in enumerate(self.part_fields)],
-            })
-        specs.append({"spec-id": 1 if specs else 0, "fields": []})
-        return specs
+        return [{
+            "spec-id": sid,
+            "fields": [{
+                "name": pf["name"],
+                "transform": pf["transform"],
+                "source-id": pf["src"]["id"],
+                "field-id": pf["field_id"],
+            } for pf in self.specs_by_id[sid]],
+        } for sid in sorted(self.specs_by_id)]
 
     @staticmethod
     def _field_value_type(pf: dict) -> str:
@@ -572,12 +634,13 @@ class IcebergFixture:
         return pf["src"]["type"]
 
     def _partition_avro_fields(self, spec_id: int) -> list[dict]:
-        if spec_id == 0 and self.part_fields:
+        pfs = self.specs_by_id.get(spec_id)
+        if pfs:
             return [{
                 "name": pf["name"],
                 "type": ["null", self._field_value_type(pf)],
-                "field-id": 1000 + i,
-            } for i, pf in enumerate(self.part_fields)]
+                "field-id": pf["field_id"],
+            } for pf in pfs]
         return []
 
     def _write_manifest(self, entries: list[dict], content: int,
@@ -593,13 +656,14 @@ class IcebergFixture:
         for e in entries:
             df = e["data_file"]
             part_val = df.get("partition_value")
-            if spec_id == 0 and self.part_fields:
+            pfs = self.specs_by_id.get(spec_id)
+            if pfs:
                 # back-compat: a bare value means "the first field"
                 if not isinstance(part_val, dict):
-                    part_val = {self.part_fields[0]["name"]: part_val}
+                    part_val = {pfs[0]["name"]: part_val}
                 partition = {
                     pf["name"]: part_val.get(pf["name"])
-                    for pf in self.part_fields
+                    for pf in pfs
                 }
             else:
                 partition = {}
@@ -636,9 +700,9 @@ class IcebergFixture:
             },
         )
         summaries = None
-        if spec_id == 0 and self.part_fields:
+        if self.specs_by_id.get(spec_id):
             summaries = []
-            for pf in self.part_fields:
+            for pf in self.specs_by_id[spec_id]:
                 vals = [p.get(pf["name"]) for p in parts]
                 nn = [v for v in vals if v is not None]
                 pt = self._field_value_type(pf)
@@ -686,19 +750,21 @@ class IcebergFixture:
         # validate BEFORE mutating: a rejected evolution must leave
         # the table exactly as it was, not half-committed
         new_srcs = {}
-        for pf in self.part_fields:
-            pid = pf["src"]["id"]
-            src = next((f for f in fields if f["id"] == pid), None)
-            if src is None:
-                raise ValueError(
-                    "cannot drop the partition source column"
-                )
-            new_srcs[pid] = src
+        for pfs in self.specs_by_id.values():
+            for pf in pfs:
+                pid = pf["src"]["id"]
+                src = next((f for f in fields if f["id"] == pid), None)
+                if src is None:
+                    raise ValueError(
+                        "cannot drop the partition source column"
+                    )
+                new_srcs[pid] = src
         self.schema_fields = fields
         self.current_schema_id = len(self.all_schemas)
         self.all_schemas.append(self._schema_json())
-        for pf in self.part_fields:
-            pf["src"] = new_srcs[pf["src"]["id"]]
+        for pfs in self.specs_by_id.values():
+            for pf in pfs:
+                pf["src"] = new_srcs[pf["src"]["id"]]
         self._part_field = (
             self.part_fields[0]["src"] if self.part_fields else None
         )
@@ -849,12 +915,15 @@ class IcebergFixture:
             "last-column-id": self._last_column_id(),
             "current-schema-id": self.current_schema_id,
             "schemas": self.all_schemas,
-            "default-spec-id": 0,
+            "default-spec-id": self.current_spec_id,
             "partition-specs": self._partition_specs_json(),
-            # spec: highest assigned partition field id across all
-            # specs (fields are allocated 1000+i); 999 when
-            # unpartitioned, matching reference writers
-            "last-partition-id": 999 + len(self.part_fields),
+            # spec: highest assigned partition field id across ALL
+            # specs; 999 when unpartitioned, matching reference
+            # writers
+            "last-partition-id": max(
+                (pf["field_id"]
+                 for fields in self.specs_by_id.values()
+                 for pf in fields), default=999),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {},
@@ -1755,7 +1824,8 @@ class IcebergTable(IcebergFixture):
                 f"{sorted(want)}"
             )
         entries = self._stage_data_files(spark, df)
-        return self.commit([(entries, _CONTENT_DATA, 0)])
+        return self.commit(
+            [(entries, _CONTENT_DATA, self.current_spec_id)])
 
     def delete_where_equal(self, spark, delete_rows) -> int:
         """Equality-delete commit: ``delete_rows`` is a DataFrame whose
@@ -1777,7 +1847,7 @@ class IcebergTable(IcebergFixture):
             "file_size": os.path.getsize(part),
             "content": _CONTENT_EQ_DELETES, "equality_ids": eq_ids,
         }}
-        spec_unpart = 1 if self._part_field is not None else 0
+        spec_unpart = self.empty_spec_id
         return self.commit(
             [([entry], _CONTENT_EQ_DELETES, spec_unpart)],
             operation="delete",
@@ -2282,3 +2352,76 @@ def scan_iceberg_skipping(spark, sf_dir):
     leg2 = agg(priced.where(p.between(100000.0, 200000.0)),
                "price_range")
     return leg1.unionAll(leg2)
+
+
+@query(
+    "sink_iceberg_spec_evolution",
+    oracle="""
+    SELECT CAST(3 AS INT) AS sel_month, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders WHERE month(o_orderdate) = 3
+    UNION ALL
+    SELECT 8, CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE month(o_orderdate) = 8
+    """,
+)
+def sink_iceberg_spec_evolution(spark, sf_dir):
+    """Partition evolution — how a growing 100 TB table repartitions
+    WITHOUT a rewrite: the first half of the year lands under
+    ``identity(o_month)``; ``update_partition_spec`` then registers
+    ``identity(o_month) × bucket[4](o_orderkey)`` (new spec-id, the
+    month field KEEPS its partition field-id per the spec, the bucket
+    gets a fresh one, no data file touched); the second half lands
+    under the composite spec. Month 3 reads prune through the OLD
+    spec's summaries, month 8 is recomputed as the union of its four
+    (month, bucket) reads through the NEW spec — both against
+    plain-scan oracles, with in-key asserts on the spec registry
+    (3 specs, evolved default) and on manifest pruning engaging for
+    every leg."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.month("o_orderdate").cast("int").alias("o_month"),
+    )
+    path = os.path.join(SCRATCH, "iceberg_spec_evo")
+    m = F.col("o_month")
+    tbl = IcebergTable.create(
+        spark, path, orders.filter(m <= 6),
+        partition_fields=[("o_month", "identity")],
+        overwrite=True,
+    )
+    new_spec = tbl.update_partition_spec(
+        [("o_month", "identity"), ("o_orderkey", "bucket[4]")])
+    tbl.append(spark, orders.filter(m > 6))
+
+    rd = IcebergReader(path)
+    assert rd.metadata["default-spec-id"] == new_spec == 2
+    assert len(rd.metadata["partition-specs"]) == 3
+    fids = {f["name"]: f["field-id"]
+            for s in rd.metadata["partition-specs"]
+            for f in s["fields"]}
+    assert fids == {"o_month": 1000, "o_orderkey_bucket": 1001}, \
+        "evolved spec must reuse the month field-id"
+
+    def agg(df, month):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).select(F.lit(month).alias("sel_month"), "n_rows", "revenue")
+
+    # month 3: old-spec data; the new-spec manifest prunes on its
+    # month summary from the LIST row alone
+    df3 = rd.read(spark, part_filter={"o_month": 3})
+    assert rd.last_plan_stats["manifests_pruned"] >= 1
+    leg3 = agg(df3, 3)
+
+    # month 8: new-spec data via its 4 buckets (disjoint + complete)
+    parts = []
+    for b in range(4):
+        df = rd.read(spark, part_filter={"o_month": 8,
+                                         "o_orderkey_bucket": b})
+        assert rd.last_plan_stats["manifests_pruned"] >= 1
+        parts.append(df)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return leg3.unionAll(agg(u, 8))

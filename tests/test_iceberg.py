@@ -829,3 +829,57 @@ def test_column_bounds_skipping(spark, sf_dir, tmp_path):
     got = rd.read(spark, range_filter={"o_orderkey": (None, 10**9)})
     assert got.filter(F.col("o_orderkey") == 1).count() == 0
     assert got.count() == orders.count() - 1
+
+
+def test_partition_spec_evolution(spark, sf_dir, tmp_path):
+    """Spec evolution: old-spec files are never rewritten and a
+    part_filter on a NEW field keeps them (they are unpartitioned
+    w.r.t. it); shared fields keep their ids, conflicting redefinition
+    raises, equality deletes still commit under the empty spec and
+    apply across both eras."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.iceberg import (
+        IcebergReader, IcebergTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "specevo")
+    tbl = IcebergTable.create(spark, path, orders.filter(k % 2 == 0))
+    files_before = {d["path"]
+                    for d in IcebergReader(path).plan()["data"]}
+    spec_id = tbl.update_partition_spec(
+        [("o_orderkey", "bucket[4]")])
+    assert spec_id == 1  # unpartitioned tables have no extra empty spec
+    tbl.append(spark, orders.filter(k % 2 == 1))
+
+    rd = IcebergReader(path)
+    # no old file rewritten
+    assert files_before <= {d["path"] for d in rd.plan()["data"]}
+    # bucket filter: old-spec files all kept, new-spec files filtered
+    full = rd.read(spark)
+    got = 0
+    for b in range(4):
+        df = rd.read(spark, part_filter={"o_orderkey_bucket": b})
+        n = df.count()
+        assert n >= orders.filter(k % 2 == 0).count()
+        got += n
+    # each bucket read = all old files + one bucket of new files
+    assert got == 3 * orders.filter(k % 2 == 0).count() + full.count()
+
+    # redefining a name with a different transform raises
+    with pytest.raises(ValueError, match="different"):
+        tbl.update_partition_spec([("o_orderkey", "bucket[8]")])
+    # same definition is reusable (id kept)
+    sid2 = tbl.update_partition_spec(
+        [("o_orderkey", "bucket[4]"), ("o_orderkey", "truncate[100]")])
+    specs = {s["spec-id"]: s for s in IcebergReader(path).metadata[
+        "partition-specs"]}
+    assert specs[sid2]["fields"][0]["field-id"] == \
+        specs[1]["fields"][0]["field-id"]
+
+    # equality delete still lands under the empty spec and hits both eras
+    tbl.delete_where_equal(spark, spark.createDataFrame(
+        [(2,), (3,)], "o_orderkey long"))
+    rd = IcebergReader(path)
+    assert rd.read(spark).count() == orders.count() - 2
