@@ -144,6 +144,23 @@ class DeltaLogFixture:
         os.replace(tmp, fn)
         return self.version
 
+    def _newest_txns(self) -> list[dict]:
+        """Newest txn action per appId across the JSON log, in appId
+        order (checkpoints must carry them per the protocol)."""
+        best: dict[str, dict] = {}
+        for fn in sorted(os.listdir(self.log_dir)):
+            if not re.match(r"^\d{20}\.json$", fn):
+                continue
+            with open(os.path.join(self.log_dir, fn)) as fh:
+                for line in fh:
+                    act = json.loads(line) if line.strip() else {}
+                    t = act.get("txn")
+                    if t and (t["appId"] not in best
+                              or t["version"] >
+                              best[t["appId"]]["version"]):
+                        best[t["appId"]] = t
+        return [best[k] for k in sorted(best)]
+
     def checkpoint(self) -> None:
         """Materialize the current state as ``N.checkpoint.parquet``
         (one nullable-struct action per row) + ``_last_checkpoint``."""
@@ -176,10 +193,17 @@ class DeltaLogFixture:
             ("deletionTimestamp", pa.int64()),
             ("dataChange", pa.bool_()),
         ])
+        t_txn = pa.struct([
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ])
+        base = {"protocol": None, "metaData": None, "add": None,
+                "remove": None, "txn": None}
         rows: list[dict] = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-             "metaData": None, "add": None, "remove": None},
-            {"protocol": None,
+            {**base,
+             "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {**base,
              "metaData": {
                  "id": self.table_id,
                  "format": {"provider": "parquet"},
@@ -187,21 +211,25 @@ class DeltaLogFixture:
                  "partitionColumns": self.partition_cols,
                  "configuration": [],
                  "createdTime": self._ts(),
-             },
-             "add": None, "remove": None},
+             }},
         ]
+        # protocol: checkpoints must preserve the newest txn per app —
+        # a checkpoint-truncating reader would otherwise lose the
+        # idempotence watermarks
+        for t in self._newest_txns():
+            rows.append({**base, "txn": t})
         for act in sorted(self.live.values(), key=lambda a: a["path"]):
             a = dict(act)
             a["partitionValues"] = sorted(
                 (a.get("partitionValues") or {}).items()
             )
-            rows.append({"protocol": None, "metaData": None,
-                         "add": a, "remove": None})
+            rows.append({**base, "add": a})
         table = pa.table({
             "protocol": pa.array([r["protocol"] for r in rows], t_protocol),
             "metaData": pa.array([r["metaData"] for r in rows], t_meta),
             "add": pa.array([r["add"] for r in rows], t_add),
             "remove": pa.array([r["remove"] for r in rows], t_remove),
+            "txn": pa.array([r["txn"] for r in rows], t_txn),
         })
         cp = os.path.join(
             self.log_dir, f"{self.version:020d}.checkpoint.parquet"

@@ -688,3 +688,29 @@ def test_txn_idempotence_per_app(spark, sf_dir, tmp_path):
     assert txns == [{"appId": "loader", "version": 5,
                      "lastUpdated": txns[0]["lastUpdated"]}]
     assert DeltaLogReader(path).read(spark).count() == orders.count()
+
+
+def test_checkpoint_preserves_txn_watermarks(spark, sf_dir, tmp_path):
+    """Checkpoints carry the newest txn per app (protocol rule), so a
+    checkpoint-only reader of the tree still sees the idempotence
+    watermarks."""
+    import pyarrow.parquet as pq
+
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.deltalog import DeltaTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "cptxn")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 == 0))
+    tbl.append_txn(spark, orders.filter(k % 3 == 1), "loader", 3)
+    tbl.append_txn(spark, orders.filter(k % 3 == 2), "loader", 7)
+    tbl.append_txn(spark, orders.filter(k % 50 == 0), "backfill", 1)
+    tbl.checkpoint()
+    cp = os.path.join(path, "_delta_log",
+                      f"{tbl.version:020d}.checkpoint.parquet")
+    txns = [t for t in pq.ParquetFile(cp).read(columns=["txn"])
+            .column("txn").to_pylist() if t is not None]
+    assert sorted((t["appId"], t["version"]) for t in txns) == [
+        ("backfill", 1), ("loader", 7)]
