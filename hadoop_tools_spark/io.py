@@ -96,6 +96,33 @@ def load_tables(
     return out
 
 
+def local_rows_df(
+    spark: SparkSession, rows, schema, slices: int | None = None
+) -> DataFrame:
+    """``createDataFrame`` for driver-local row lists WITHOUT the
+    defaultParallelism fan-out.
+
+    ``spark.createDataFrame(rows)`` parallelizes into
+    defaultParallelism slices even for a 1-row list; every action on
+    that frame then pays one Python-runner round-trip PER SLICE —
+    measured 5–7 s for a single-row frame under ``coalesce(1)`` on
+    local[32] (32 sequential runner round-trips inside one task), and
+    ~0.8 s per broadcast build. Sizing the slice count to the data
+    (default: one slice per 10k rows, floor 1) makes the same frame
+    cost ~0.1–0.3 s with identical contents. Callers that parallelize
+    driver-held WORK ITEMS (e.g. file paths fanned out one task per
+    path batch) pass ``slices`` explicitly.
+    """
+    n = slices or max(1, min(
+        len(rows) // 10_000 + 1, spark.sparkContext.defaultParallelism
+    ))
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema
+    )
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Cache AND eagerly populate — required before self-joins.
 

@@ -633,9 +633,12 @@ def parquet_meta(spark, sf_dir):
     )
     if not listed:  # empty dir: empty result, not an infer-schema crash
         return spark.createDataFrame([], _META_SCHEMA)
-    paths_df = spark.createDataFrame(
-        [(p,) for p in listed], "path string"
-    ).repartition(min(len(listed), sc.defaultParallelism))
+    from ..io import local_rows_df
+
+    paths_df = local_rows_df(
+        spark, [(p,) for p in listed], "path string",
+        slices=min(len(listed), sc.defaultParallelism),
+    )
 
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os

@@ -30,7 +30,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import load, materialize
+from ..io import load, local_rows_df, materialize
 from ..io import table_bytes as io_table_bytes
 
 #: below this input size the round-robin spread before BLAS scoring
@@ -453,7 +453,8 @@ def llm_embed_neardup(
             "int"
         ),
     )
-    pair_table = spark.createDataFrame(
+    pair_table = local_rows_df(
+        spark,
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int",
     )
@@ -977,7 +978,8 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(f"{index_path}/corpus")
     )
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "cell int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{index_path}/centroids")
@@ -1037,7 +1039,7 @@ def ivf_search(spark, index_path: str, queries_df, k: int = _K, nprobe: int = _I
         for c in c_ids[order]:
             probe_rows.append((r.q_id, int(c)))
             probed_cells.add(int(c))
-    probes = spark.createDataFrame(probe_rows, "q_id long, cell int")
+    probes = local_rows_df(spark, probe_rows, "q_id long, cell int")
 
     corpus = spark.read.parquet(f"{index_path}/corpus").filter(
         F.col("cell").isin(sorted(probed_cells))

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load, load_spread, materialize
+from ..io import load, load_spread, local_rows_df, materialize
 from ..registry import query
 
 #: tiny function-word list present in the fixture vocabulary —
@@ -2634,8 +2634,8 @@ def llm_unigram_learn(spark, sf_dir):
         .groupBy("piece")
         .agg(F.count("*").alias("c"))
     )
-    vdf = spark.createDataFrame(
-        sorted(vocab.items()), "piece string, score long"
+    vdf = local_rows_df(
+        spark, sorted(vocab.items()), "piece string, score long"
     )
     return (
         vdf.join(usage, "piece", "left")

@@ -50,7 +50,7 @@ import zlib
 
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, local_rows_df
 from ..registry import query
 from .avro import MAGIC, SYNC, _dec_long, _enc_long
 from .snapshots import SCRATCH
@@ -1243,7 +1243,8 @@ class IcebergReader:
         df = self._read_data_entries(spark, plan["data"], target)
         data_cols = [f["name"] for f in target]
         # per-file data sequence numbers: one row per file, broadcast
-        seq_map = spark.createDataFrame(
+        seq_map = local_rows_df(
+            spark,
             [(d["path"], d["seq"]) for d in plan["data"]],
             "_ice_path string, _ice_seq long",
         )
@@ -1255,7 +1256,8 @@ class IcebergReader:
                 "_del_file",
                 self._norm_path_col(F.col("_metadata.file_path")),
             )
-            dseq = spark.createDataFrame(
+            dseq = local_rows_df(
+                spark,
                 [(f["path"], f["seq"]) for f in files],
                 "_del_file string, _del_seq long",
             )
@@ -1900,7 +1902,7 @@ def sink_iceberg_append(spark, sf_dir):
     )
     tbl.append(spark, orders.filter(F.col("o_orderkey") % 3 == 0))
     tbl.delete_where_equal(
-        spark, spark.createDataFrame([("O",)], "o_orderstatus string")
+        spark, local_rows_df(spark, [("O",)], "o_orderstatus string")
     )
     tbl.append(spark, orders.filter(
         (F.col("o_orderkey") % 100 == 0) & (F.col("o_orderstatus") == "O")

@@ -138,7 +138,9 @@ def list_status_df(
                 stack.append(st.getPath())
             if rx is None or rx.match(row[1]):
                 rows.append(row)
-    return spark.createDataFrame(rows, FILE_STATUS_SCHEMA)
+    from ..io import local_rows_df
+
+    return local_rows_df(spark, rows, FILE_STATUS_SCHEMA)
 
 
 def _scan_local_dirs(paths):

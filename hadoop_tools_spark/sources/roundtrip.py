@@ -374,7 +374,10 @@ def sink_rolling_files(spark, sf_dir):
         for f in os.listdir(path)
         if f.endswith(".parquet")
     )
-    return spark.createDataFrame(
+    from ..io import local_rows_df
+
+    return local_rows_df(
+        spark,
         [(len(sizes), sum(sizes), min(sizes))],
         "n_files long, n_rows long, last_file_rows long",
     )
