@@ -330,6 +330,15 @@ def udf_grouped_map(spark, sf_dir):
         )
         return pdf[["user_id", "event_id", "cents", "delta_from_mean6"]]
 
+    # Pin the exchange width: AQE sizes post-shuffle partitions from
+    # COMPRESSED map-output bytes, which under-parallelizes a stage
+    # whose cost is Python CPU per row, not bytes (measured: the whole
+    # 1M-row pandas pass coalesced onto 2 tasks). An explicit
+    # repartition on the SAME key is reused by the groupBy — still one
+    # exchange — and scales with the session's core count.
+    ev = ev.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     return ev.groupBy("user_id").applyInPandas(
         center,
         "user_id long, event_id long, cents long, delta_from_mean6 double",

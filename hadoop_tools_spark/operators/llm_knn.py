@@ -345,8 +345,14 @@ def llm_knn_lsh(spark, sf_dir):
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
+    # spread the single-row-group fixture scan (same reason as
+    # llm_embed_neardup_lsh): the approxSimilarityJoin otherwise runs
+    # single-task on the scan's one partition; seeded per-row hashes
+    # make the result partitioning-independent
+    from ..io import load_spread
+
     e = (
-        load(spark, sf_dir, "embeddings")
+        load_spread(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
             array_to_vector(F.col("embedding").cast("array<double>")).alias(
@@ -1079,7 +1085,14 @@ def llm_embed_neardup_lsh(spark, sf_dir):
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    e = load(spark, sf_dir, "embeddings").select(
+    # spread the single-row-group fixture scan BEFORE the LSH
+    # self-join: approxSimilarityJoin's explode+join otherwise runs
+    # on the scan's one partition (measured: a 5.2 s single-task
+    # stage carrying the whole key). Hashes are seeded per row, so
+    # partitioning cannot change the candidate set.
+    from ..io import load_spread
+
+    e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("raw"),
     )

@@ -389,7 +389,14 @@ def scan_avro_roundtrip(spark, sf_dir):
             T.StructField("o_totalprice", T.DoubleType()),
         ]
     )
-    o = load(spark, sf_dir, "orders").select(
+    # spread before the OCF write: one container file per input
+    # partition means the single-row-group fixture scan would encode
+    # (and later decode) the whole table in ONE task; spreading makes
+    # both sides of the roundtrip parallel (the 100 TB input is
+    # already multi-partition — load_spread is the local analogue)
+    from ..io import load_spread
+
+    o = load_spread(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     write_avro(o, path, codec="deflate")

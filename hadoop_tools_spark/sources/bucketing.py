@@ -43,8 +43,14 @@ def write_bucketed(
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jpath):
         fs.delete(jpath, True)
+    # pre-partition on the bucket expression: repartition(n, col) and
+    # bucketBy(n, col) share Spark's HashPartitioning, so each write
+    # task owns exactly one bucket and writes one file — the sort and
+    # encode parallelize across buckets instead of running inside the
+    # scan's (single) input partition, and the file count stays n
     writer = (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, df[bucket_col])
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, bucket_col)
     )
