@@ -1137,3 +1137,38 @@ def test_upsert_rejects_reserved_extra_keys(spark, sf_dir, tmp_path):
     v = tbl.upsert(orders.limit(5), ["o_orderkey"],
                    extra={"batch_id": 7})
     assert tbl._manifest(v)["batch_id"] == 7
+
+
+def test_bloom_int64_fast_path_consistency(tmp_path):
+    """The vectorized int64 bloom (murmur3 double-hashing, r13 opt)
+    must be deterministic, build/probe-consistent (no false
+    negatives by construction), and tagged so md5 blooms from older
+    manifests and non-int columns still probe via the md5 path."""
+    import numpy as np
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    vals = np.array([0, 1, -1, 5000, 2**62, -(2**62)], dtype=np.int64)
+    m, k = 640, 4
+    p1 = SnapshotTable._bloom_positions_int64(vals, m, k)
+    p2 = SnapshotTable._bloom_positions_int64(vals, m, k)
+    assert all((a == b).all() for a, b in zip(p1, p2))  # deterministic
+    assert all((pos >= 0).all() and (pos < m).all() for pos in p1)
+
+    # build a bloom the way _collect_blooms does and probe every value
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for pos in p1:
+        np.bitwise_or.at(
+            bits, pos >> 3,
+            np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)),
+        )
+    bloom = {"m": m, "k": k, "fn": "mm3_64", "bits": bits.tobytes().hex()}
+    tbl = SnapshotTable.__new__(SnapshotTable)  # no table needed
+    for v in vals.tolist():
+        assert tbl._bloom_maybe_contains(bloom, v)  # never a miss
+    # a non-int probe of an int bloom stays conservative (keeps file)
+    assert tbl._bloom_maybe_contains(bloom, "not-an-int")
+
+    # legacy md5 blooms (no fn tag) still probe via the md5 path
+    legacy = {"m": 64, "k": 2, "bits": "ff" * 8}
+    assert tbl._bloom_maybe_contains(legacy, 123)
