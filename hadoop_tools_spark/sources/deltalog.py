@@ -71,6 +71,11 @@ class DeltaLogFixture:
         os.makedirs(self.log_dir, exist_ok=True)
         self.version = -1
         self.live: dict[str, dict] = {}  # rel path -> add action
+        # un-expired remove tombstones (rel path -> remove action):
+        # the protocol requires checkpoints to carry remove actions
+        # until tombstone retention expires, so external readers /
+        # VACUUM replaying from a checkpoint see them (ADVICE r12)
+        self.tombstones: dict[str, dict] = {}
         self.table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, path))
         self.schema_string = schema_string or _SCHEMA_STRING
         self.partition_cols = list(partition_cols or [])
@@ -129,12 +134,16 @@ class DeltaLogFixture:
             }
             actions.append({"add": act})
             self.live[a["path"]] = act
+            # a re-add supersedes any earlier tombstone for the path
+            self.tombstones.pop(a["path"], None)
         for p in removes:
             self.live.pop(p)
-            actions.append({"remove": {
+            rm = {
                 "path": p, "deletionTimestamp": ts,
                 "dataChange": data_change,
-            }})
+            }
+            self.tombstones[p] = rm
+            actions.append({"remove": rm})
         self.version += 1
         fn = os.path.join(self.log_dir, f"{self.version:020d}.json")
         tmp = f"{fn}.tmp-{os.getpid()}"
@@ -224,6 +233,17 @@ class DeltaLogFixture:
                 (a.get("partitionValues") or {}).items()
             )
             rows.append({**base, "add": a})
+        # un-expired remove tombstones (protocol: checkpoints MUST
+        # carry them until retention expires, or an external reader /
+        # VACUUM replaying from this checkpoint sees a tombstone-less,
+        # protocol-divergent state). Default retention mirrors Delta's
+        # deletedFileRetentionDuration (1 week) against the newest
+        # commit timestamp.
+        horizon = self._ts() - 7 * 24 * 3600 * 1000
+        for rm in sorted(self.tombstones.values(),
+                         key=lambda r: r["path"]):
+            if rm["deletionTimestamp"] >= horizon:
+                rows.append({**base, "remove": rm})
         table = pa.table({
             "protocol": pa.array([r["protocol"] for r in rows], t_protocol),
             "metaData": pa.array([r["metaData"] for r in rows], t_meta),
@@ -384,8 +404,14 @@ class DeltaLogReader:
         uncomparable stats keep the file (fail open — skipping is a
         plan optimization, never a row filter; the caller still
         applies the exact predicate). Unknown columns raise."""
+        v = self.latest if version is None else version
+        # validate filter keys against the metadata AS OF the planned
+        # version (ADVICE r12): a column added by later schema
+        # evolution must not pass validation for a time-travel read of
+        # a version where it cannot exist (it would silently keep
+        # every file instead of raising like any other unknown key)
         if part_filter:
-            known = set(self._table_meta()[1])
+            known = set(self._table_meta(v)[1])
             unknown = sorted(set(part_filter) - known)
             if unknown:
                 raise KeyError(
@@ -404,7 +430,7 @@ class DeltaLogReader:
                     f"partition); got non-string values for {bad}"
                 )
         if range_filter:
-            fields, pcols = self._table_meta()
+            fields, pcols = self._table_meta(v)
             known = {f["name"] for f in fields} - set(pcols)
             unknown = sorted(set(range_filter) - known)
             if unknown:
@@ -413,7 +439,6 @@ class DeltaLogReader:
                     f"stats-bearing columns are {sorted(known)} "
                     "(partition columns prune via part_filter)"
                 )
-        v = self.latest if version is None else version
         if version is not None and v not in self.commits and (
                 v not in self.checkpoints):
             raise KeyError(f"version {v} not in the log")
@@ -939,6 +964,23 @@ class DeltaTable(DeltaLogFixture):
 
         import pyarrow.parquet as pq
 
+        from pyspark.sql.types import StructType
+
+        # Pin the CURRENT table schema on the compaction read (ADVICE
+        # r12, medium): a partition mixing files written before and
+        # after add_column() would otherwise take its schema from one
+        # footer — when inference picks a pre-evolution file, the
+        # evolved column's values are silently dropped from the
+        # compacted output inside a dataChange=false commit. Partition
+        # columns are excluded exactly as _read_adds does (they are
+        # not stored in the data files).
+        file_schema = StructType.fromJson({
+            "type": "struct",
+            "fields": [
+                f for f in json.loads(self.schema_string)["fields"]
+                if f["name"] not in (self.partition_cols or [])
+            ],
+        })
         groups: dict[tuple, list[str]] = {}
         for rel, a in sorted(self.live.items()):
             pv = a.get("partitionValues") or {}
@@ -951,7 +993,7 @@ class DeltaTable(DeltaLogFixture):
             if len(rels) < min_files:
                 continue
             stage = os.path.join(self.path, sub, f"g{i:04d}")
-            (spark.read.parquet(
+            (spark.read.schema(file_schema).parquet(
                 *[os.path.join(self.path, r) for r in rels])
              .coalesce(1).write.mode("overwrite").parquet(stage))
             part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]

@@ -981,12 +981,22 @@ class IcebergReader:
         """Read schema: the CURRENT schema for a plain read, the
         snapshot's recorded schema for time travel (what Spark's
         Iceberg source does). Foreign snapshots may omit schema-id —
-        fall back to current."""
+        only then fall back to current; a schema-id that is PRESENT
+        but unknown fails closed (ADVICE r12: time-traveling with the
+        wrong schema is worse than refusing — consistent with the
+        reader's other protocol gates)."""
         if snapshot_id is None:
             return self.schema["fields"]
         snap = self.snapshot(snapshot_id)
         sid = snap.get("schema-id")
-        return self.schemas_by_id.get(sid, self.schema)["fields"]
+        if sid is None:
+            return self.schema["fields"]
+        if sid not in self.schemas_by_id:
+            raise KeyError(
+                f"snapshot {snapshot_id} references schema-id {sid} "
+                "absent from table metadata"
+            )
+        return self.schemas_by_id[sid]["fields"]
 
     def snapshot(self, snapshot_id: int | None = None) -> dict:
         # `is None`, not falsy: 0 is a legal snapshot id for external

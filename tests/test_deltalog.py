@@ -714,3 +714,108 @@ def test_checkpoint_preserves_txn_watermarks(spark, sf_dir, tmp_path):
             .column("txn").to_pylist() if t is not None]
     assert sorted((t["appId"], t["version"]) for t in txns) == [
         ("backfill", 1), ("loader", 7)]
+
+
+def test_optimize_pins_schema_across_evolution(spark, sf_dir, tmp_path):
+    """ADVICE r12 (medium): OPTIMIZE over a partition mixing pre- and
+    post-evolution files must read with the CURRENT table schema, not
+    one sampled footer — otherwise the evolved column's values are
+    silently dropped inside a dataChange=false commit."""
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader, DeltaTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "opt_evo")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 == 0))
+    tbl.add_column("o_flag", "long")
+    evolved = orders.filter(k % 3 == 1).withColumn(
+        "o_flag", k * 10)
+    tbl.append(spark, evolved)
+    want_flags = {tuple(r) for r in evolved.select(
+        "o_orderkey", "o_flag").collect()}
+
+    v = tbl.optimize(spark, min_files=2)
+    assert v is not None
+    rd = DeltaLogReader(path)
+    got = rd.read(spark).select("o_orderkey", "o_flag").filter(
+        F.col("o_flag").isNotNull())
+    # the evolved column's values survive the compaction verbatim
+    assert {tuple(r) for r in got.collect()} == want_flags
+
+
+def test_checkpoint_carries_remove_tombstones(spark, sf_dir, tmp_path):
+    """ADVICE r12 (low): checkpoints must carry un-expired remove
+    actions — an external reader/VACUUM replaying from the checkpoint
+    otherwise sees a tombstone-less, protocol-divergent state."""
+    import pyarrow.parquet as pq
+
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader, DeltaTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "cp_tomb")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 == 0))
+    tbl.append(spark, orders.filter(k % 3 != 0))
+    removed_before = set(tbl.live)
+    tbl.overwrite_with(spark, orders.filter(k % 2 == 0))
+    tbl.checkpoint()
+
+    cp = os.path.join(
+        tbl.log_dir, f"{tbl.version:020d}.checkpoint.parquet")
+    removes = [
+        r for r in pq.read_table(cp, columns=["remove"])
+        .column("remove").to_pylist() if r is not None
+    ]
+    assert {r["path"] for r in removes} == removed_before
+    assert all(r["deletionTimestamp"] is not None for r in removes)
+    # replay from the checkpoint still yields the live set only
+    rd = DeltaLogReader(path)
+    plan = rd.plan()
+    assert rd.last_plan_stats["checkpoint_used"] == 1
+    assert set(plan) == set(tbl.live)
+    # a re-added path sheds its tombstone: append one removed file's
+    # rows again and re-checkpoint — the new checkpoint must not list
+    # a tombstone for any live path
+    tbl.append(spark, orders.filter(k % 3 == 0))
+    tbl.checkpoint()
+    cp2 = os.path.join(
+        tbl.log_dir, f"{tbl.version:020d}.checkpoint.parquet")
+    removes2 = {
+        r["path"] for r in pq.read_table(cp2, columns=["remove"])
+        .column("remove").to_pylist() if r is not None
+    }
+    assert not (removes2 & set(tbl.live))
+
+
+def test_plan_filter_validation_is_version_aware(spark, sf_dir,
+                                                 tmp_path):
+    """ADVICE r12 (low): plan() must validate range_filter keys against
+    the metadata AS OF the planned version — a column added by later
+    evolution cannot exist at version 0 and must raise KeyError, not
+    silently keep every file."""
+    import pytest
+
+    from hadoop_tools_spark.io import load
+    from hadoop_tools_spark.sources.deltalog import (
+        DeltaLogReader, DeltaTable)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    path = str(tmp_path / "ver_filter")
+    tbl = DeltaTable.create(spark, path, orders.filter(k % 3 == 0))
+    tbl.add_column("o_flag", "long")
+    tbl.append(spark, orders.filter(k % 3 == 1).withColumn(
+        "o_flag", k))
+    rd = DeltaLogReader(path)
+    # latest: the evolved column validates
+    rd.plan(range_filter={"o_flag": (0, 10)})
+    # version 0 predates the evolution: same key must fail closed
+    with pytest.raises(KeyError, match="o_flag"):
+        rd.plan(version=0, range_filter={"o_flag": (0, 10)})

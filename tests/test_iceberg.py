@@ -883,3 +883,46 @@ def test_partition_spec_evolution(spark, sf_dir, tmp_path):
         [(2,), (3,)], "o_orderkey long"))
     rd = IcebergReader(path)
     assert rd.read(spark).count() == orders.count() - 2
+
+
+def test_target_fields_unknown_schema_id_fails_closed(tmp_path):
+    """ADVICE r12 (low): a snapshot referencing a schema-id ABSENT
+    from the metadata must fail closed, not silently time-travel with
+    the current schema; an omitted schema-id still falls back."""
+    import json
+
+    import pytest
+
+    from hadoop_tools_spark.sources.iceberg import IcebergReader
+
+    meta_dir = tmp_path / "t" / "metadata"
+    meta_dir.mkdir(parents=True)
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"}]}
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": str(tmp_path / "t"),
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "schema": schema,
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "schema-id": 99,
+             "manifest-list": "missing.avro"},
+            {"snapshot-id": 2,
+             "manifest-list": "missing.avro"},
+        ],
+        "snapshot-log": [],
+    }
+    p = meta_dir / "v1.metadata.json"
+    p.write_text(json.dumps(metadata))
+    (meta_dir / "version-hint.text").write_text("1")
+    rd = IcebergReader(str(tmp_path / "t"))
+    # present-but-unknown schema-id: refuse
+    with pytest.raises(KeyError, match="schema-id 99"):
+        rd._target_fields(1)
+    # omitted schema-id: current-schema fallback still applies
+    assert rd._target_fields(2) == schema["fields"]
