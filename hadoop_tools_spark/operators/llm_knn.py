@@ -1328,6 +1328,11 @@ def llm_kmeans(spark, sf_dir):
     """
     import math
 
+    # (r13: tried load_spread here — the exchange cost 1.25× at
+    # sf0.1's 0.8 MB embeddings; the rounds' wall is driver-side
+    # expression compile, not the single-partition scan. Same verdict
+    # as llm_knn_numpy's spread gate — don't re-try without
+    # re-measuring.)
     e = materialize(
         load(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("u")
