@@ -29,6 +29,15 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE sizes post-shuffle stages from COMPRESSED map-output bytes
+    # with a 1 MB minimum partition size; expression- or Python-heavy
+    # stages over well-compressed columnar data get starved of
+    # parallelism long before that floor matters for shuffle
+    # efficiency (profiled r13: whole-stage joins running on 3 tasks
+    # at local[32]). A 256 KB floor keeps small-data stages wide;
+    # at cluster scale partitions are advisory-sized (64 MB default)
+    # and a lower floor is a no-op.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
     # One state-store backend for the WHOLE session, set before any
     # streaming query starts: transformWithState requires RocksDB
     # (per-variable column families), and RocksDB is the 100 TB choice
