@@ -824,6 +824,11 @@ def llm_substring_dedup_hashed(spark, sf_dir):
             F.sequence(F.lit(1), F.col("n_chars") - _SUB_K + 1)
         ).alias("p"),
     )
+    # (r13: tried materializing this two-consumer branch — the cache
+    # write plus materialize's extra count() pass cost MORE than
+    # recomputing the cheap explode+xxhash lineage, 1.1–1.3× solo.
+    # The suffix-array twin's window-sort lineage is the expensive
+    # kind that does pay; this one is not.)
     hashed = pos.select(
         "doc_id",
         "p",
@@ -962,12 +967,17 @@ def llm_substring_dedup_sa(spark, sf_dir):
         )
 
     cols = ["a", "b", "c2", "d2"]
-    paired = chars.select(
+    # materialized: `paired` feeds BOTH the distinct (class ids) and
+    # the probe side of the rank join — uncached, the explode +
+    # window sort of n char rows ran twice (profiled r13: the two
+    # ~1.9 s stages repeated). The cache holds exactly the n narrow
+    # rows the scale contract already budgets for, spill-safe.
+    paired = materialize(chars.select(
         "doc_id",
         "n_chars",
         "p",
         *[_pack(j).alias(n) for j, n in enumerate(cols)],
-    )
+    ))
     # shuffle_hash, not merge: both joins here are equality-only, so
     # the sort-merge strategy's full sort of the n-row probe side buys
     # nothing; the build side (distinct tuples / duplicate classes) is
@@ -987,7 +997,9 @@ def llm_substring_dedup_sa(spark, sf_dir):
     # checkpoint + merge-join chain (the whole fixed overhead the r8
     # bench flagged: measured 8.85 s → this form re-measured below)
     rcols = ["r0", "r1", "r2", "r3", "r4"]
-    windows = (
+    # same two-consumer shape as `paired`: `windows` feeds the dup
+    # grouping AND the flagged semi-join probe
+    windows = materialize(
         r8.select(
             "doc_id",
             "n_chars",
