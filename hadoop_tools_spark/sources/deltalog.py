@@ -987,11 +987,21 @@ class DeltaTable(DeltaLogFixture):
             key = tuple(pv.get(c) for c in self.partition_cols)
             groups.setdefault(key, []).append(rel)
         sub = f"s{self.version + 1:04d}"
-        adds, removes = [], []
-        for i, (key, rels) in enumerate(sorted(groups.items(),
-                                               key=lambda kv: repr(kv))):
-            if len(rels) < min_files:
-                continue
+        todo = [
+            (i, key, rels)
+            for i, (key, rels) in enumerate(sorted(
+                groups.items(), key=lambda kv: repr(kv)))
+            if len(rels) >= min_files
+        ]
+        if not todo:
+            return None
+
+        # each partition's rewrite targets its own staging dir and the
+        # commit happens once afterwards, so the compaction jobs are
+        # independent — overlap them (guide §2.6) instead of paying
+        # each single-file write's latency in sequence
+        def compact_one(item):
+            i, key, rels = item
             stage = os.path.join(self.path, sub, f"g{i:04d}")
             (spark.read.schema(file_schema).parquet(
                 *[os.path.join(self.path, r) for r in rels])
@@ -1009,10 +1019,15 @@ class DeltaTable(DeltaLogFixture):
             if self.partition_cols:
                 add["partitionValues"] = dict(
                     zip(self.partition_cols, key))
-            adds.append(add)
-            removes.extend(rels)
-        if not adds:
-            return None
+            return add, rels
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        adds, removes = [], []
+        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
+            for add, rels in pool.map(compact_one, todo):
+                adds.append(add)
+                removes.extend(rels)
         return self.commit(adds, removes, data_change=False)
 
     def vacuum(self, retain_versions: int = 2,

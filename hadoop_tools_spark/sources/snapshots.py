@@ -268,9 +268,17 @@ class SnapshotTable:
         once written — the manifest publish is the only mutation
         point."""
         sub = f"data-{commit_id}"
-        writer = df.write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            # spread the write across partition values: a single-input-
+            # partition frame otherwise writes EVERY col=value dir from
+            # one task (profiled r13: 1.6 s single-task job for an
+            # 80-partition commit). Hash-repartitioning on the
+            # partition columns gives each task its own value set and
+            # keeps one file per partition value.
+            df = df.repartition(*[F.col(c) for c in partition_by])
+            writer = df.write.mode("overwrite").partitionBy(*partition_by)
+        else:
+            writer = df.write.mode("overwrite")
         writer.parquet(os.path.join(self.path, sub))
         root = os.path.join(self.path, sub)
         names = []
