@@ -1100,9 +1100,15 @@ def llm_containment(spark, sf_dir):
     )
     shk = sh.join(keep.select("g"), "g", "left_semi")
     a, b = shk.alias("a"), shk.alias("b")
+    # shuffle_hash, not merge (r13, measured 0.65×): the join is
+    # equality-on-g with a residual, so sort-merge's full sort of the
+    # shingle stream buys nothing; per-partition hash build is the
+    # same spill-safe, never-broadcast strategy the suffix-array twin
+    # pins, and per-key build volume is capped by the stop-shingle
+    # guard (df·10 ≤ N) plus AQE skew splitting.
     inter = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
