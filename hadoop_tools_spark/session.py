@@ -38,6 +38,12 @@ _RUNTIME_CONFS = {
     # at cluster scale partitions are advisory-sized (64 MB default)
     # and a lower floor is a no-op.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
+    # let the planner pick shuffled-hash join when its size conditions
+    # hold (build side fits a per-partition local map) — sort-merge
+    # stays the plan whenever sizes are uncertain or large, so the
+    # 100 TB shape is unchanged; at small-to-medium per-partition
+    # builds SHJ skips both sides' sorts (guide §3.1/§9)
+    "spark.sql.join.preferSortMergeJoin": "false",
     # One state-store backend for the WHOLE session, set before any
     # streaming query starts: transformWithState requires RocksDB
     # (per-variable column families), and RocksDB is the 100 TB choice
