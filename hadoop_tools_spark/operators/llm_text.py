@@ -1046,54 +1046,88 @@ def llm_repetition_quality(spark, sf_dir):
     degenerate-text detectors a training-data pipeline runs alongside
     the length/charset filters (llm_quality_filter).
 
-    Scale shape: words explode once, partially aggregate by
-    (doc_id, word) — map-side combine collapses the ~100x blowup
-    before the shuffle — then one reduce by doc_id; the bigram branch
-    mirrors it. Both branches derive from the same scan and join on
-    doc_id. Thresholds (`keep`) are exact integer-ratio comparisons,
-    deterministic across engines.
+    Scale shape: every signal is per-document, so nothing ever leaves
+    the scan — multiplicity statistics come from equal-run lengths
+    over the SORTED token/bigram arrays (longest run = top word count,
+    total length of runs > 1 = duplicate-bigram mass, array_distinct =
+    distinct words), computed row-side with array kernels. Zero
+    exchanges at any scale: the earlier explode → (doc_id, word)
+    partial-agg → doc_id reduce → rejoin form shuffled the distinct
+    (doc, term) pairs twice and joined the branches back; this one is
+    a pure projection riding the ingest scan. Thresholds (`keep`) are
+    exact ratio comparisons on the same values, deterministic across
+    engines.
     """
     d = load_spread(spark, sf_dir, "documents")
     words = F.split("text", " ")
+    lzero = F.lit(0).cast("long")
+    lone = F.lit(1).cast("long")
 
-    wc = (
-        d.select("doc_id", F.explode(words).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("n"))
-    )
-    ws = wc.groupBy("doc_id").agg(
-        F.sum("n").alias("n_words"),
-        F.count("*").alias("n_distinct"),
-        F.max("n").alias("top_n"),
-    )
+    def _longest_run(arr):
+        # max element multiplicity == longest equal-run once sorted
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            lzero.alias("run"),
+            lzero.alias("best"),
+        )
 
-    gc = (
-        d.select("doc_id", F.explode(_bigrams_expr(words)).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("n"))
-    )
-    gs = gc.groupBy("doc_id").agg(
-        F.sum("n").alias("n_bigrams"),
-        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias(
-            "dup_bigrams"
-        ),
+        def step(a, w):
+            run2 = F.when(a.prev.eqNullSafe(w), a.run + 1).otherwise(lone)
+            return F.struct(
+                w.alias("prev"),
+                run2.alias("run"),
+                F.greatest(a.best, run2).alias("best"),
+            )
+
+        return F.aggregate(F.sort_array(arr), zero, step, lambda a: a.best)
+
+    def _dup_run_total(arr):
+        # Σ multiplicity over elements occurring more than once ==
+        # total length of equal-runs longer than 1 (a run reaching 2
+        # contributes both members, each further member adds itself)
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            lzero.alias("run"),
+            lzero.alias("dup"),
+        )
+
+        def step(a, w):
+            run2 = F.when(a.prev.eqNullSafe(w), a.run + 1).otherwise(lone)
+            inc = (
+                F.when(run2 == 2, F.lit(2).cast("long"))
+                .when(run2 > 2, lone)
+                .otherwise(lzero)
+            )
+            return F.struct(
+                w.alias("prev"),
+                run2.alias("run"),
+                (a.dup + inc).alias("dup"),
+            )
+
+        return F.aggregate(F.sort_array(arr), zero, step, lambda a: a.dup)
+
+    base = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        _longest_run(words).alias("top_n"),
+        F.size(_bigrams_expr(words)).cast("long").alias("n_bigrams"),
+        _dup_run_total(_bigrams_expr(words)).alias("dup_bigrams"),
     )
 
     nw = F.col("n_words").cast("double")
     frac_top = F.col("top_n") / nw
-    frac_dup2 = F.coalesce(
-        F.col("dup_bigrams") / F.col("n_bigrams").cast("double"), F.lit(0.0)
-    )
-    return (
-        ws.join(gs, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            F.round(1.0 - F.col("n_distinct") / nw, 6).alias("frac_dup_words"),
-            F.round(frac_top, 6).alias("frac_top_word"),
-            F.round(frac_dup2, 6).alias("frac_dup_2grams"),
-            ((frac_top <= 0.2) & (frac_dup2 <= 0.6)).alias("keep"),
-        )
+    frac_dup2 = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("dup_bigrams") / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round(1.0 - F.col("n_distinct") / nw, 6).alias("frac_dup_words"),
+        F.round(frac_top, 6).alias("frac_top_word"),
+        F.round(frac_dup2, 6).alias("frac_dup_2grams"),
+        ((frac_top <= 0.2) & (frac_dup2 <= 0.6)).alias("keep"),
     )
 
 
@@ -3011,11 +3045,18 @@ def llm_rouge_f1(spark, sf_dir):
     buckets, embedding neighbors) in front of it unchanged.
 
     Scale shape: token counts are one exploding groupBy keyed
-    (doc, word); the overlap join hash-partitions on doc_id so each
-    pair's word-count rows co-locate; totals re-agg the same counts.
-    Zero-overlap pairs survive via the left join (F1 = 0 rows are the
-    decontamination signal, not noise). All-integer counts; the F1
-    division is one identical IEEE expression, ROUND(8).
+    (doc, word), immediately re-shaped to ONE word→count map per
+    document; each pair then joins the two doc-grain maps and the
+    multiset overlap Σ least(c_a, c_b) is a row-side map_zip_with
+    reduction. That keeps every exchange at document grain — the
+    earlier per-word form shuffled the token-grain counts twice more
+    (the (b_id, word) overlap join and its pair-grain re-aggregation)
+    and re-aggregated tc for totals, which are really just
+    size(split(text)) on the scan. Zero-overlap pairs fall out as a
+    natural 0 (every doc tokenizes to ≥ 1 word, so no pair is lost —
+    F1 = 0 rows are the decontamination signal, not noise).
+    All-integer counts; the F1 division is one identical IEEE
+    expression, ROUND(8).
     """
     docs = load_spread(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
@@ -3026,49 +3067,65 @@ def llm_rouge_f1(spark, sf_dir):
         )
         .filter(F.col("b_id").isNotNull())
     )
-    tc = materialize(
+    # built once, consumed as BOTH pair sides — cache the doc-grain
+    # maps, not the token-grain counts (same bytes, half the rows)
+    wcmap = materialize(
         docs.select(
             "doc_id", F.explode(F.split("text", " ")).alias("w")
         )
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
-    )
-    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    a = tc.select(
-        F.col("doc_id").alias("a_id"), F.col("w").alias("w"),
-        F.col("c").alias("ca"),
-    )
-    b = tc.select(
-        F.col("doc_id").alias("bb_id"), F.col("w").alias("wb"),
-        F.col("c").alias("cb"),
-    )
-    ov = (
-        pairs.join(a, "a_id")
-        .join(
-            b,
-            (F.col("b_id") == F.col("bb_id"))
-            & (F.col("w") == F.col("wb")),
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "c"))
+            ).alias("wc"),
+            F.sum("c").alias("n"),
         )
-        .groupBy("a_id", "b_id")
-        .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
     )
-    ta = tot.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
-    tb = tot.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    ma = wcmap.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("wc").alias("wc_a"),
+        F.col("n").alias("n_a"),
+    )
+    mb = wcmap.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("wc").alias("wc_b"),
+        F.col("n").alias("n_b"),
+    )
+    lzero = F.lit(0).cast("long")
+    overlap = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "wc_a",
+                "wc_b",
+                lambda k, x, y: F.when(
+                    x.isNotNull() & y.isNotNull(), F.least(x, y)
+                ).otherwise(lzero),
+            )
+        ),
+        lzero,
+        lambda acc, v: acc + v,
+    )
     return (
-        pairs.join(ta, "a_id")
-        .join(tb, "b_id")
-        .join(ov, ["a_id", "b_id"], "left")
+        pairs.join(ma, "a_id")
+        .join(mb, "b_id")
         .select(
             "a_id",
             "b_id",
-            F.coalesce(F.col("overlap"), F.lit(0))
-            .cast("long")
-            .alias("overlap"),
+            overlap.alias("overlap"),
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "overlap",
+            "n_a",
+            "n_b",
             F.round(
                 F.lit(2.0)
-                * F.coalesce(F.col("overlap"), F.lit(0))
+                * F.col("overlap")
                 / (F.col("n_a") + F.col("n_b")),
                 8,
             ).alias("rouge1_f1"),

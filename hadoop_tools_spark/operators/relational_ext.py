@@ -954,11 +954,16 @@ def q21_waiting_supplier(spark, sf_dir):
     ("no OTHER supplier was late") both collapse to ONE order-grain
     aggregate: an order qualifies iff distinct-late-suppliers == 1
     and distinct-suppliers > 1, and the sole late supplier is then
-    min(late suppkey) — all three from conditional aggregates over a
-    single lineitem⋈orders pass (the earlier two-aggregation form
-    scanned and shuffled the fact twice; this one scans once, and the
-    aggregation rides the join's orderkey partitioning with no extra
-    exchange). No semi/anti joins, no cached projection — every
+    min(late suppkey). The distinct counts are computed as TWO stacked
+    plain aggregations — (orderkey, suppkey, max(late)) then
+    order-grain count/sum/min — instead of two countDistinct in one
+    groupBy: multiple distinct aggregates plan as an Expand that
+    triples every joined fact row before any reduction and then
+    deduplicates on a 4-part key, while the stacked form gets map-side
+    partial aggregation at the supplier grain and (at fact scale,
+    where lineitem⋈orders is a co-partitioned SMJ on orderkey) both
+    aggregations ride the join's orderkey partitioning with no extra
+    exchange. No semi/anti joins, no cached projection — every
     exchange carries aggregates, the shape that survives a fact-sized
     corpus.
     Every join is deliberately unhinted: orders is a fact table
@@ -976,21 +981,24 @@ def q21_waiting_supplier(spark, sf_dir):
     is_late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
-    # ONE fact pass: join once, then both distinct counts (all
-    # suppliers, late suppliers) and the sole-late supplier id come
-    # from a single order-grain aggregation — the SMJ leaves rows
-    # partitioned by orderkey, so the aggregation adds no exchange
-    qualifying = (
+    # ONE fact pass: join once, reduce to the (order, supplier) grain
+    # with a plain max, then take the order-grain counts from that —
+    # no countDistinct, so no Expand: partial aggregation shrinks the
+    # fact rows before any shuffle, and partitioning by orderkey (the
+    # SMJ output at fact scale) satisfies both group-bys
+    pair = (
         li.join(o2, li.l_orderkey == o2.o_orderkey)
         .select("l_orderkey", "l_suppkey", is_late.alias("is_late"))
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("late"))
+    )
+    qualifying = (
+        pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(
-                F.when(F.col("is_late"), F.col("l_suppkey"))
-            ).alias("n_late"),
+            F.count("*").alias("n_supp"),
+            F.sum(F.col("late").cast("int")).alias("n_late"),
             F.min(
-                F.when(F.col("is_late"), F.col("l_suppkey"))
+                F.when(F.col("late"), F.col("l_suppkey"))
             ).alias("suppkey"),
         )
         .filter((F.col("n_late") == 1) & (F.col("n_supp") > 1))

@@ -291,10 +291,43 @@ def test_q21_order_grain_aggregates(spark, sf_dir):
     assert "LeftAnti" not in p, p
     assert "InMemoryTableScan" not in p, p
     assert "CartesianProduct" not in p
+    # the distinct counts are stacked plain aggregations, never a
+    # multi-countDistinct Expand (which would triple the fact rows
+    # before any reduction)
+    assert "Expand" not in p, p
     # no static hint survives optimization: AQE owns every decision
     opt = optimized_str(df)
     hinted = [ln for ln in opt.splitlines() if "strategy=broadcast" in ln]
     assert not hinted, opt
+
+
+def test_repetition_quality_zero_shuffle(spark, sf_dir):
+    """llm_repetition_quality: every signal is per-document sorted-run
+    arithmetic on the scan — the plan must carry NO exchange at any
+    scale (the old explode → groupBy → rejoin form shuffled the
+    distinct (doc, term) pairs twice and joined the branches back)."""
+    from hadoop_tools_spark.operators.llm_text import llm_repetition_quality
+
+    p = plan_str(llm_repetition_quality(spark, sf_dir))
+    # the only admissible exchange is load_spread's round-robin input
+    # widening — never a hash/range shuffle of computed data
+    for ln in p.splitlines():
+        if "Exchange" in ln:
+            assert "RoundRobinPartitioning" in ln, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_rouge_f1_doc_grain_joins(spark, sf_dir):
+    """llm_rouge_f1: the multiset overlap is a row-side map_zip_with
+    over per-doc word-count maps — the pair join happens at document
+    grain, never re-shuffling token-grain counts per pair."""
+    from hadoop_tools_spark.operators.llm_text import llm_rouge_f1
+
+    df = llm_rouge_f1(spark, sf_dir)
+    assert "map_zip_with" in optimized_str(df)
+    # the word-count maps are built once and read back for both pair
+    # sides from the cache
+    assert plan_str(df).count("InMemoryTableScan") >= 2
 
 
 def test_q20_fact_scanned_once(spark, sf_dir):
