@@ -2143,17 +2143,14 @@ def _ccnet_scored(spark, sf_dir):
     twin rank on exactly this frame, so they cannot drift."""
     d = load_spread(spark, sf_dir, "documents")
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    # Aggregate BEFORE the shuffle (guide: shuffle fewer bytes): the
-    # word join only needs per-(doc, word) COUNTS, not the raw token
-    # stream — Σ_tokens unit(word) ≡ Σ_(doc,word) c·unit(word) exactly
-    # (integer units × integer count). The single cached (doc, word)
-    # frame also replaces the THREE explode passes the old w→cnt /
-    # w→tot / w→join lineages each recomputed.
-    dw = materialize(
-        w.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
-    )
-    cnt = dw.groupBy("word").agg(F.sum("c").alias("n"))
-    tot = dw.agg(F.sum("c").alias("n_total"))
+    # NOTE (r13): a (doc, word)-count pre-aggregation before the vocab
+    # join — cached and uncached — was measured at 1.1-1.7x on BOTH
+    # ccnet keys across repeated same-box A/Bs (the explode + map-side
+    # partial agg lineages below are cheaper to recompute than the
+    # extra (doc_id, word) exchange + cache costs at report scale);
+    # reverted to the three shared-scan lineages. Do not re-try blind.
+    cnt = w.groupBy("word").agg(F.count("*").alias("n"))
+    tot = w.agg(F.count("*").alias("n_total"))
     v = cnt.agg(F.count("*").alias("n_vocab"))
     lp_units = F.floor(
         F.log((F.col("n") + 1.0) / (F.col("n_total") + F.col("n_vocab")))
@@ -2165,13 +2162,13 @@ def _ccnet_scored(spark, sf_dir):
     # llm_substring_dedup_hashed); pin sort-merge so it spills instead.
     # Only the 1-row tot/v aggregates stay broadcast.
     scored = (
-        dw.join(cnt.hint("merge"), "word")
+        w.join(cnt.hint("merge"), "word")
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
-            F.sum(lp_units * F.col("c")).alias("sum_units"),
-            F.sum("c").alias("n_tokens"),
+            F.sum(lp_units).alias("sum_units"),
+            F.count("*").alias("n_tokens"),
         )
     )
     return scored.join(d.select("doc_id", "lang"), "doc_id").selectExpr(
