@@ -73,6 +73,12 @@ class SnapshotTable:
         #: columns to build per-file bloom filters for at commit time
         #: (point-lookup skipping; [] = feature off, zero overhead)
         self.bloom_cols = list(bloom_cols or [])
+        #: inferred read schema per (commit dir, mergeSchema, file set)
+        #: — commit dirs are immutable once written (every commit gets
+        #: a fresh subdir), so re-reads of the same group can skip the
+        #: driver-side footer schema-inference pass. Instance-local:
+        #: dropped with the table object, never crosses a bench run.
+        self._group_schema_cache: dict = {}
 
     # -- metadata ----------------------------------------------------
     def versions(self) -> list[int]:
@@ -1046,7 +1052,18 @@ class SnapshotTable:
             )
             if merge_schema:
                 reader = reader.option("mergeSchema", "true")
+            # Re-reads of an identical immutable group skip footer
+            # schema inference (~0.1 s of driver wall per relation
+            # build); the cache key pins the exact file set so a
+            # pruned subset or a different mergeSchema mode never
+            # reuses a mismatched schema.
+            ck = (commit_dir, merge_schema, frozenset(groups[commit_dir]))
+            cached = self._group_schema_cache.get(ck)
+            if cached is not None:
+                reader = reader.schema(cached)
             part = reader.parquet(*groups[commit_dir])
+            if cached is None:
+                self._group_schema_cache[ck] = part.schema
             if with_pos:
                 # table-relative file path + within-file row ordinal
                 # from the scan's _metadata columns (position-delete

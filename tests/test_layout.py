@@ -1172,3 +1172,41 @@ def test_bloom_int64_fast_path_consistency(tmp_path):
     # legacy md5 blooms (no fn tag) still probe via the md5 path
     legacy = {"m": 64, "k": 2, "bits": "ff" * 8}
     assert tbl._bloom_maybe_contains(legacy, 123)
+
+
+def test_snapshot_group_schema_cache_reuses_and_isolates(spark, sf_dir, tmp_path):
+    """_read_files caches each immutable commit group's inferred
+    schema per (commit dir, mergeSchema, exact file set): a repeated
+    read reuses the schema (skipping footer inference) with identical
+    results, while a pruned subset or a different mergeSchema mode
+    gets its own entry and can never reuse a mismatched schema."""
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = SnapshotTable(str(tmp_path / "schemacache"))
+    # first commit holds TWO files so a pruned subset below is a
+    # proper subset of its group
+    tbl.create(orders.filter("o_orderkey % 2 = 0").repartition(2))
+    tbl.append(orders.filter("o_orderkey % 2 = 1"))
+
+    first = tbl.read(spark)
+    n_entries = len(tbl._group_schema_cache)
+    assert n_entries >= 2  # one per commit group
+    again = tbl.read(spark)
+    # cache hit: no new entries, same schema, same contents
+    assert len(tbl._group_schema_cache) == n_entries
+    assert again.schema == first.schema
+    assert again.count() == first.count()
+
+    # a subset of one group's files must key separately
+    files = tbl.files()
+    subset = files[:1]
+    tbl._read_files(spark, subset)
+    assert len(tbl._group_schema_cache) > n_entries
+
+    # mergeSchema mode keys separately from the plain read
+    before = len(tbl._group_schema_cache)
+    tbl._read_files(spark, files, merge_schema=True)
+    assert len(tbl._group_schema_cache) > before
