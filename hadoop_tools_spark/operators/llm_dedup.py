@@ -1242,7 +1242,15 @@ def llm_minhash_estimate(spark, sf_dir):
     )
     # one md5 yields TWO 64-bit signature slots (its halves) — the
     # digest work halves vs hashing per slot; the oracle derives the
-    # identical values with j//2 salts and j%2 slicing
+    # identical values with j//2 salts and j%2 slicing. The 32 slots
+    # stay COLUMNS of the (doc, shingle) row all the way through the
+    # reduction: 32 MIN aggregates over one row per shingle replace
+    # the earlier explode x32 -> groupBy (doc, j) (32x the rows into
+    # the aggregation), and the mins compare the fixed-width lowercase
+    # hex slices directly — 16-char hex is lexicographically monotone
+    # with its numeric value, so MIN(hex) picks the element DuckDB's
+    # ::UBIGINT MIN picks, and only the docsx32 winners pay conv() +
+    # the DECIMAL(20,0) cast (16 hex digits exceed BIGINT).
     half = F.array(*[F.lit(m) for m in range(_MH_K // 2)])
     sig = (
         sh.select("doc_id", F.explode(half).alias("m"), "g")
@@ -1268,17 +1276,16 @@ def llm_minhash_estimate(spark, sf_dir):
                 )
             ).alias("s"),
         )
+        .select("doc_id", F.col("s.j").alias("j"), F.col("s.hx").alias("hx"))
+        .groupBy("doc_id", "j")
+        .agg(F.min("hx").alias("hx"))
         .select(
             "doc_id",
-            F.col("s.j").alias("j"),
-            F.conv(F.col("s.hx"), 16, 10).alias("mh"),
+            "j",
+            F.conv(F.col("hx"), 16, 10)
+            .cast("decimal(20,0)")
+            .alias("mh"),
         )
-        .groupBy("doc_id", "j")
-        # conv() returns a STRING; MIN must be numeric (string MIN would
-        # order '9' > '10'). 16 hex digits exceed BIGINT, so the
-        # unsigned value lives in DECIMAL(20,0) — DuckDB's ::UBIGINT
-        # MIN picks the identical element
-        .agg(F.min(F.col("mh").cast("decimal(20,0)")).alias("mh"))
     )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mh_a")
