@@ -873,6 +873,12 @@ def llm_bigram_lm(spark, sf_dir):
             ).alias("bg"),
         ).select("doc_id", "bg.w1", "bg.w2")
     )
+    # NOTE (r13): two restructures were measured SLOWER here — (a)
+    # deriving c1/c2/nbg from c12 (each reference re-computes the c12
+    # aggregation from bb: no subplan CSE, 1.4-1.6x), and (b) scoring
+    # at bigram-TYPE grain then one occurrence join (1.0-1.14x across
+    # three solo A/Bs: the count tables already ride broadcast joins,
+    # so the restructure only added plan depth). Do not re-try blind.
     c12 = bb.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
     c1 = bb.groupBy("w1").agg(F.count("*").alias("n1"))
     c2 = bb.groupBy("w2").agg(F.count("*").alias("n2"))
@@ -1755,8 +1761,21 @@ def _bpe_run(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     chars = F.split("word", "")
-    state = w.select(
-        "word", "n", F.concat(F.lit(" "), F.array_join(chars, " ")).alias("seq")
+    # materialize: the vocabulary state table is consumed by EVERY
+    # round's pair aggregate AND the final segmentation (4 consumers in
+    # the apply key) — uncached, each consumer re-runs the corpus-sized
+    # explode + word groupBy from scratch (r13 profile: the word-count
+    # exchange executed once per round). The cache holds only the
+    # DISTINCT-word table ("millions of rows, not billions" at 100 TB —
+    # exactly the intermediate a real tokenizer trainer keeps resident);
+    # per-round folds over it are cheap to recompute, so only the base
+    # is pinned.
+    state = materialize(
+        w.select(
+            "word",
+            "n",
+            F.concat(F.lit(" "), F.array_join(chars, " ")).alias("seq"),
+        )
     )
     out = None
     for r in range(1, _BPE_ROUNDS + 1):

@@ -636,3 +636,25 @@ def test_asof_nearest_is_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
         "ShuffledHashJoin" in p
     ), p
+
+
+def test_bpe_state_cached_corpus_scanned_once(spark, sf_dir):
+    """_bpe_run: the vocabulary state table is materialized, so every
+    merge round's pair aggregate and the apply key's vocab join read
+    the cache — the corpus explode + word groupBy lineage must appear
+    in the final apply plan only through InMemoryTableScan, with the
+    documents scan paid exactly once (the docw side). Before r13 the
+    uncached state re-ran the corpus aggregation once per consumer
+    (4x in the apply key)."""
+    from hadoop_tools_spark.operators.llm_text import llm_tokenize_apply
+
+    df = llm_tokenize_apply(spark, sf_dir)
+    # collectLeaves stops at InMemoryTableScan (a leaf), so cached
+    # lineages don't count: the only parquet leaf is the docw side
+    # (initialPlan: the AQE wrapper is itself a leaf until executed)
+    leaves = (
+        df._jdf.queryExecution().executedPlan().initialPlan().collectLeaves()
+    )
+    names = [leaves.apply(i).nodeName().strip() for i in range(leaves.size())]
+    assert names.count("Scan parquet") == 1, names
+    assert "InMemoryTableScan" in names, names
