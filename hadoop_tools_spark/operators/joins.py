@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, table_bytes
 from ..registry import query
 
 
@@ -353,6 +353,14 @@ def join_range_bucketed(spark, sf_dir):
         .select("o_orderdate")
     )
     li = load(spark, sf_dir, "lineitem").select("l_shipdate")
+    # spread the single-row-group fixture scan: the bucket join fans
+    # every lineitem row out to its bucket's order population (~20x
+    # candidate pairs) and that compute otherwise runs on the scan's
+    # 1-3 partitions (profiled r13: a 1.75 s 3-task join job on a
+    # 32-core session). Same gate + threshold as agg_median /
+    # llm_knn_numpy so a tiny input skips the exchange.
+    if table_bytes(sf_dir, "lineitem") >= 3 << 20:
+        li = li.repartition(spark.sparkContext.defaultParallelism)
     epoch = F.lit("1970-01-01")
     o_bucket = F.floor(F.datediff(F.col("o_orderdate"), epoch) / width)
     o_b = o.withColumn(

@@ -412,7 +412,7 @@ def llm_knn_lsh(spark, sf_dir):
     """,
 )
 def llm_embed_neardup(
-    spark, sf_dir, n_blocks: int = 8, max_rows: int = EMBED_NEARDUP_MAX_ROWS
+    spark, sf_dir, n_blocks: int = 16, max_rows: int = EMBED_NEARDUP_MAX_ROWS
 ):
     """Embedding-cosine near-duplicate pairs (cos > 0.4), exact.
 
@@ -531,6 +531,16 @@ def llm_embed_neardup(
              "cos": pd.Series(dtype="float64")}
         )
 
+    # pin the group exchange at the session's parallelism: AQE sizes
+    # the post-shuffle stage by compressed bytes and coalesced the 36
+    # numpy-bound block-pair groups onto 14 tasks (profiled r13:
+    # 1.98 s). Same-key repartition is REUSED by the groupBy — still
+    # one exchange — and the 16-block grid (136 groups, ~4 per task)
+    # keeps per-task pair counts balanced; block-pair results are
+    # independent of the grid, so the declared rows are unchanged.
+    rep = rep.repartition(
+        spark.sparkContext.defaultParallelism, "bi", "bj"
+    )
     pairs = rep.groupBy("bi", "bj").applyInPandas(
         score_block_pair, schema=out_schema
     )
