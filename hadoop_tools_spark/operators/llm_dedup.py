@@ -1242,15 +1242,14 @@ def llm_minhash_estimate(spark, sf_dir):
     )
     # one md5 yields TWO 64-bit signature slots (its halves) — the
     # digest work halves vs hashing per slot; the oracle derives the
-    # identical values with j//2 salts and j%2 slicing. The 32 slots
-    # stay COLUMNS of the (doc, shingle) row all the way through the
-    # reduction: 32 MIN aggregates over one row per shingle replace
-    # the earlier explode x32 -> groupBy (doc, j) (32x the rows into
-    # the aggregation), and the mins compare the fixed-width lowercase
-    # hex slices directly — 16-char hex is lexicographically monotone
-    # with its numeric value, so MIN(hex) picks the element DuckDB's
-    # ::UBIGINT MIN picks, and only the docsx32 winners pay conv() +
-    # the DECIMAL(20,0) cast (16 hex digits exceed BIGINT).
+    # identical values with j//2 salts and j%2 slicing. The per-slot
+    # MIN compares the fixed-width lowercase hex slices directly —
+    # 16-char hex is lexicographically monotone with its numeric
+    # value, so MIN(hex) picks the element DuckDB's ::UBIGINT MIN
+    # picks, and only the docs x 32 winners pay conv() + the
+    # DECIMAL(20,0) cast (16 hex digits exceed BIGINT). A no-explode
+    # variant keeping the 32 slots as COLUMNS with 32 MIN aggregates
+    # was measured 1.2-1.8x and rejected (r13).
     half = F.array(*[F.lit(m) for m in range(_MH_K // 2)])
     sig = (
         sh.select("doc_id", F.explode(half).alias("m"), "g")
@@ -1287,6 +1286,11 @@ def llm_minhash_estimate(spark, sf_dir):
             .alias("mh"),
         )
     )
+    # materialize: sig feeds BOTH sides of the agree self-join —
+    # uncached, the 16-md5-per-shingle + double-explode + 32-slot MIN
+    # lineage re-ran once per side (profiled: the two ~0.8 s signature
+    # jobs repeated). The cache holds |candidate docs| x 32 rows.
+    sig = materialize(sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mh_a")
     )
