@@ -1286,11 +1286,16 @@ def llm_minhash_estimate(spark, sf_dir):
             .alias("mh"),
         )
     )
-    # materialize: sig feeds BOTH sides of the agree self-join —
-    # uncached, the 16-md5-per-shingle + double-explode + 32-slot MIN
-    # lineage re-ran once per side (profiled: the two ~0.8 s signature
-    # jobs repeated). The cache holds |candidate docs| x 32 rows.
-    sig = materialize(sig)
+    # NOT materialized (r13, measured both ways on two box states):
+    # sig feeds both sides of the agree self-join, and caching it
+    # looked 0.61-0.85x on one box — but re-measured 1.13-1.18x on a
+    # re-provisioned box across three solo A/Bs (control HEAD-vs-HEAD
+    # 0.98-1.05x), because the eager count() pass plus cache write
+    # costs about what ONE extra signature pass costs: the lineage
+    # rides the already-cached `sh`, so each side only re-pays the
+    # md5 + double-explode + slot-MIN stage. Per the round's noise
+    # rule (repeat A/Bs beat a single run) the cache is OFF; at
+    # cluster scale `sh` staying cached is what bounds the re-compute.
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mh_a")
     )
