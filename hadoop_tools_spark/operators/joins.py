@@ -482,7 +482,17 @@ def join_fuzzy_match(spark, sf_dir):
     p = load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type"
     )
-    a, b = p.alias("a"), p.alias("b")
+    # spread the probe side: candidate volume is Σ|block|² — QUADRATIC
+    # in rows per block — so even a small-bytes part table generates
+    # real DP compute (profiled r13: the whole 2.7M-pair levenshtein
+    # pass ran as ONE 1.5 s task off the single-row-group scan). The
+    # gate is lower than the byte gates guarding linear operators
+    # because bytes understate quadratic fan-out; a truly tiny table
+    # still skips the exchange. Build side stays unspread (broadcast).
+    probe = p
+    if table_bytes(sf_dir, "part") >= 64 << 10:
+        probe = p.repartition(spark.sparkContext.defaultParallelism)
+    a, b = probe.alias("a"), p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2)
     return (
         a.join(

@@ -1468,6 +1468,16 @@ def llm_embed_gram(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("u")
     )
+    # spread the single-row-group fixture scan: the per-batch outer-
+    # product accumulation does dim²=4096 multiplies PER ROW (compute
+    # 64x the scanned bytes), and unspread it all lands in ONE
+    # mapInPandas task (profiled r13: a 1.2 s single-task stage).
+    # Partials are fixed-point integers, so the batch grid cannot
+    # change the summed result. Gate below the 3 MB linear-operator
+    # threshold because compute here is 64x bytes (the fuzzy-match
+    # quadratic-gate argument); tiny fixtures still skip the exchange.
+    if io_table_bytes(sf_dir, "embeddings") >= 256 << 10:
+        e = e.repartition(spark.sparkContext.defaultParallelism)
 
     out_schema = T.StructType(
         [
