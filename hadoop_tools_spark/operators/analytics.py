@@ -1084,8 +1084,15 @@ def agg_count_min(spark, sf_dir):
         F.explode(js).alias("j"),
     ).select("j", slice_bucket(F.col("h"), F.col("j")).alias("bucket"))
     sketch = inc.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    # probes reads the UNSPREAD scan: the %100 filter keeps ~1% of
+    # rows and runs scan-side, so routing this branch through li's
+    # round-robin exchange would shuffle 600k rows to discard 99% of
+    # them (profiled r13: the spread's 1-task map side re-paid per
+    # branch); the 6k survivors aggregate fine at scan parallelism
     probes = (
-        li.filter(F.col("l_partkey") % 100 == 7)
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .filter(F.col("l_partkey") % 100 == 7)
         .groupBy(F.col("l_partkey").alias("part_key"))
         .agg(F.count("*").alias("true_cnt"))
     )

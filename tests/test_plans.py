@@ -658,3 +658,29 @@ def test_bpe_state_cached_corpus_scanned_once(spark, sf_dir):
     names = [leaves.apply(i).nodeName().strip() for i in range(leaves.size())]
     assert names.count("Scan parquet") == 1, names
     assert "InMemoryTableScan" in names, names
+
+
+def test_quadratic_fanout_spreads_gated(spark, sf_dir):
+    """Quadratic-fan-out operators spread their compute side when the
+    fixture is big enough to pay: at sf0.1 join_fuzzy_match's probe
+    and llm_embed_gram's mapInPandas input each carry a round-robin
+    exchange (the per-row work is |block|- resp. dim²-proportional,
+    so the single-row-group scan would otherwise run the whole pass
+    on one task), while agg_count_min's probes branch reads the scan
+    directly instead of routing through the spread (one round-robin
+    in the whole plan). At the tiny default test SF the byte gates
+    skip the exchanges for fuzzy/gram — the same plans stay
+    spread-free. Plan-shape only: nothing executes at sf0.1 here."""
+    from hadoop_tools_spark.operators.analytics import agg_count_min
+    from hadoop_tools_spark.operators.joins import join_fuzzy_match
+    from hadoop_tools_spark.operators.llm_knn import llm_embed_gram
+
+    big = "/root/testdata/sf0.1"
+    for fn in (join_fuzzy_match, llm_embed_gram):
+        p = plan_str(fn(spark, big))
+        assert "RoundRobinPartitioning" in p, (fn.__name__, p)
+        p_small = plan_str(fn(spark, sf_dir))
+        assert "RoundRobinPartitioning" not in p_small, (fn.__name__, p_small)
+    p = plan_str(agg_count_min(spark, big))
+    rr = [ln for ln in p.splitlines() if "RoundRobinPartitioning" in ln]
+    assert len(rr) == 1, p
