@@ -367,6 +367,21 @@ def join_bloom_runtime(spark, sf_dir):
     )
 
 
+def _edge_pairs(spark, sf_dir) -> DataFrame:
+    """Raw (src, dst) co-occurrence pairs, NOT yet deduplicated."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # pre-distinct the fact projection: shrinks the join probe side and
+    # the final distinct's input (~25% on the edge build at sf0.1);
+    # result is identical since the pair stream is distinct'd downstream
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    return orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+
+
 def _edges(spark, sf_dir) -> DataFrame:
     """Undirected customer--supplier edges from co-occurrence in orders.
 
@@ -374,21 +389,7 @@ def _edges(spark, sf_dir) -> DataFrame:
     offset by 1e6 to keep the two id spaces disjoint, then the edge
     set is symmetrized so no node dangles.
     """
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # pre-distinct the fact projection: shrinks the join probe side and
-    # the final distinct's input (~25% on the edge build at sf0.1);
-    # result is identical since the join output is distinct'd anyway
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    ).distinct()
-    e = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 1000000).alias("dst"),
-        )
-        .distinct()
-    )
+    e = _edge_pairs(spark, sf_dir).distinct()
     return e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
@@ -402,19 +403,86 @@ def _edges(spark, sf_dir) -> DataFrame:
 _GRAPH_BASE_CACHE: dict = {}
 
 
+#: size-1 memo of the layout decision (pure metadata, no Spark state)
+_GRAPH_LAYOUT_CACHE: dict = {}
+
+
+def _graph_layout(spark, sf_dir) -> tuple[int, str]:
+    """(n_part, partition column) for the cached edge set.
+
+    **n_part is derived from the edge build's INPUT SIZE, not from a
+    core-count constant** (r14; guide §2.4 scale-adaptive
+    partitioning): the r13 form ``defaultParallelism // 4, floor 8``
+    ran the Pregel rounds 8-wide at BOTH 8 and 32 cores at every SF —
+    the r14 sf1 scaling proof measured 24 of 32 cores idle. One
+    partition per ~4 MB of the lineitem fact (the edge build's driver)
+    reproduces the r13-measured optimum at sf0.1 (10.8 MB → floor 8,
+    where 32 partitions measured 4.0 s vs 2.6 s on 16k groups) and
+    widens with the data (sf1: 108 MB → 27); non-local / unstat-able
+    inputs fall back to full parallelism, the cluster-correct default.
+
+    **Partition column is gated on a PROVABLE node-count bound**: node
+    ids are customer keys plus offset supplier keys, so
+    ``count(customer) + count(supplier)`` (two parquet metadata
+    counts) bounds |V| from above. Under ``_BC_GATE_ROWS`` the rank /
+    label vectors are guaranteed to broadcast, the per-round join on
+    ``src`` never moves the edges, and partitioning them by ``dst``
+    instead makes every per-round gather aggregation
+    (``groupBy(dst ...)``) exchange-free — zero shuffles per Pregel
+    round. Past the bound the vectors may have to shuffle TO the
+    edges, so the layout stays ``src`` (the r13 / 100 TB shape:
+    vector-sized exchanges per round, edges never move).
+    """
+    dp = spark.sparkContext.defaultParallelism
+    key = (id(spark.sparkContext), str(sf_dir), dp)
+    hit = _GRAPH_LAYOUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from ..io import table_bytes
+
+    tb = table_bytes(sf_dir, "lineitem")
+    n_part = dp if not tb else max(
+        min(dp, tb // (4 << 20)), max(dp // 4, 8)
+    )
+    # |V| bound from parquet FOOTER row counts (driver-side, ~ms —
+    # a Spark count here would pay two relation builds per graph key);
+    # non-local / non-single-file tables fall back to the scale-safe
+    # src layout, which is the correct default for exactly those.
+    bound = _BC_GATE_ROWS + 1
+    try:
+        import pyarrow.parquet as pq
+
+        bound = (
+            pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+            + pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
+        )
+    except Exception:
+        pass
+    out = (n_part, "dst" if bound <= _BC_GATE_ROWS else "src")
+    _GRAPH_LAYOUT_CACHE.clear()
+    _GRAPH_LAYOUT_CACHE[key] = out
+    return out
+
+
 def _graph_base(spark, sf_dir):
-    """Memoized (edges, deg): symmetric edges repartitioned on src and
-    persisted, plus the persisted out-degree vector. The src-hash
-    partitioning is what every per-round contribution aggregation
-    reuses, so edges never move after the initial build.
+    """Memoized (edges, deg): symmetric edges repartitioned on the
+    `_graph_layout` column and persisted, plus the persisted
+    out-degree vector. In the broadcast regime the dst-hash
+    partitioning is what every per-round gather aggregation reuses; in
+    the scale regime the src-hash partitioning is what the per-round
+    vector join reuses — either way edges never move after the build.
+    The dedup rides the layout exchange (`dropDuplicates` after
+    `repartition` needs only ClusteredDistribution on a subset of its
+    keys), so the build pays ONE exchange where the r13 form paid two
+    (distinct by (src,dst), then repartition by src).
 
     (An r10 experiment pre-joined ``dst_outdeg`` onto the edge set to
     drop pagerank's per-round degree-repair join; the cold-build cost
     outweighed the per-round saving under the cache-isolated bench
     protocol, so the edge set stays (src, dst) — recorded here so the
     idea isn't re-tried without re-measuring.)"""
-    n_part = max(spark.sparkContext.defaultParallelism // 4, 8)
-    key = (id(spark.sparkContext), str(sf_dir), n_part)
+    n_part, col = _graph_layout(spark, sf_dir)
+    key = (id(spark.sparkContext), str(sf_dir), n_part, col)
     hit = _GRAPH_BASE_CACHE.get(key)
     if hit is not None:
         edges, deg = hit
@@ -445,7 +513,15 @@ def _graph_base(spark, sf_dir):
             # it must not poison the new session's first graph query
             pass
     _GRAPH_BASE_CACHE.clear()
-    edges = _edges(spark, sf_dir).repartition(n_part, "src").persist()
+    pairs = _edge_pairs(spark, sf_dir)
+    sym = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # dedup AFTER the layout exchange: HashPartitioning([col]) already
+    # clusters (src, dst), so dropDuplicates adds no exchange — same
+    # distinct edge set as _edges() (the two id spaces are disjoint,
+    # so symmetrize-then-dedup == dedup-then-symmetrize)
+    edges = sym.repartition(n_part, col).dropDuplicates().persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     _GRAPH_BASE_CACHE[key] = (edges, deg)
     return edges, deg
@@ -563,7 +639,7 @@ def graph_pagerank(spark, sf_dir):
     edges, deg = _graph_base(spark, sf_dir)
     n = deg.count()
     ranks = deg.select("src", (F.lit(1.0) / n).alias("r"), "outdeg")
-    for _ in range(3):
+    for i in range(3):
         contribs = (
             edges.join(_bc_if_small(ranks, n), "src")
             .select(F.col("dst").alias("node"), (F.col("r") / F.col("outdeg")).alias("c"))
@@ -578,6 +654,19 @@ def graph_pagerank(spark, sf_dir):
                 "outdeg",
             )
         )
+        # In the broadcast regime the dst-partitioned edge cache makes
+        # the gather aggregation exchange-free (r14) — which also
+        # removes the shuffle AQE used to REUSE each round's result
+        # inside the next round's broadcast subtree: uncached, round
+        # k's broadcast re-executes rounds 1..k-1 from the edges (6
+        # |E|-joins for 3 rounds instead of 3; measured 1.02-1.25×).
+        # Caching the |nodes|-row vector restores one-execution-per-
+        # round. Gated on the same measured count as the broadcast
+        # itself, so a 100 TB rank vector is never pinned; there the
+        # per-round exchange exists and is reused as before. Not the
+        # last round: the returned frame is consumed once by the sink.
+        if n <= _BC_GATE_ROWS and i < 2:
+            ranks = ranks.cache()
     return ranks.select(F.col("src").alias("node"), F.round("r", 8).alias("rank"))
 
 

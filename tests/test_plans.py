@@ -174,6 +174,36 @@ def test_no_static_broadcast_of_scaling_tables(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_graph_rounds_ride_dst_layout_in_broadcast_regime(spark, sf_dir, monkeypatch):
+    """r14: in the broadcast regime (provable |V| bound under the
+    gate) the edge cache is dst-partitioned, so every per-round gather
+    aggregation — pagerank's contribution sum on ``node`` (= dst),
+    LPA's neighbor-mode count on ``nnode`` — rides the cache's
+    partitioning with ZERO per-round exchange. Past the gate the
+    layout must fall back to src (vectors shuffle to stationary edges
+    — the 100 TB shape), and the round exchanges reappear."""
+    from hadoop_tools_spark.operators import analytics
+    from hadoop_tools_spark.operators.analytics import (
+        _graph_layout,
+        graph_label_prop,
+        graph_pagerank,
+    )
+
+    assert _graph_layout(spark, sf_dir)[1] == "dst"
+    for df, key in [
+        (graph_pagerank(spark, sf_dir), "node#"),
+        (graph_label_prop(spark, sf_dir), "nnode#"),
+    ]:
+        for ln in plan_str(df).splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert key not in ln.split("Exchange", 1)[1][:80], ln
+    # scale regime: the bound check fails the gate -> src layout
+    analytics._GRAPH_LAYOUT_CACHE.clear()
+    monkeypatch.setattr(analytics, "_BC_GATE_ROWS", 0)
+    assert _graph_layout(spark, sf_dir)[1] == "src"
+    analytics._GRAPH_LAYOUT_CACHE.clear()
+
+
 def test_graph_vectors_never_broadcast_past_the_gate(spark, sf_dir, monkeypatch):
     """graph_* rank/label/community vectors scale with |nodes|, so
     their broadcasts are gated on the MEASURED node count

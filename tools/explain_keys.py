@@ -1,9 +1,9 @@
-"""Capture .explain('formatted') for given keys into plans/r13/.
+"""Capture .explain('formatted') for given keys into plans/r14/.
 
 Usage: python tools/explain_keys.py <suffix> key [key ...]
        (suffix is e.g. 'before' or 'after')
 
-Writes plans/r13/<key>_<suffix>.txt. Uses sf0.01 so scenario keys
+Writes plans/r14/<key>_<suffix>.txt. Uses sf0.01 so scenario keys
 build quickly; plan SHAPE (exchanges, join strategy, pushed filters)
 is what the files document, not data volume. Optionally times a solo
 run at $SPARK_GRAFT_SF_DIR when SPARK_GRAFT_EXPLAIN_TIME=1.
@@ -28,7 +28,7 @@ def main() -> int:
     from hadoop_tools_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(REPO, "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain_r13")
     spark.range(1).collect()
