@@ -905,21 +905,21 @@ def llm_substring_dedup_sa(spark, sf_dir):
     (same oracle, hash-matched), computed WITHOUT ever shuffling gram
     bytes AND without the hashed twin's collision-repair join.
 
-    Manber–Myers prefix doubling, truncated at the window length and
-    run as ONE QUADRUPLING step (rank of 4L chars = id of the 4-tuple
-    of L-ranks at distances 0, L, 2L, 3L): the corpus explodes once
-    into (doc, pos, char) rows — n rows of ~24 bytes, NOT the anchor's
-    n×k gram bytes — a free 2-char packed base rank, then exactly ONE
-    `_class_ids` pass produces rank₈ (doc-boundary sentinel −1, the
-    standard construction). k = 40 = 5 × 8, so the exact-40-char
-    equivalence classes are the 5-tuples of rank₈ at block starts
-    (p, p+8, .., p+32) — no over-comparison at 41..64, and no second
-    densification round at all (r9: the old rank₃₂ pass was pure
-    fixed overhead — a distinct + range-repartition + checkpoint +
-    merge-join chain replaced by one window-lead projection; bench
-    8.85 s → ~4 s at sf0.1). From there the anchor's own pipeline
-    finishes: >1-distinct-doc test (map-side min/max), semi-join,
-    shared `_merge_islands`.
+    Manber–Myers rank densification, truncated at the window length:
+    positions explode once into (doc, pos, 8-char block) rows, ONE
+    `_class_ids` pass turns the distinct blocks into dense rank₈ ids,
+    and k = 40 = 5 × 8 makes the exact-40-char equivalence classes the
+    5-tuples of rank₈ at block starts (p, p+8, .., p+32) — no
+    over-comparison at 41..64 and no second densification round (r9:
+    the old rank₃₂ pass was pure fixed overhead). r14 collapsed the
+    base-rank construction too: ranks only feed equality tests (the
+    5-tuple grouping and the semi-join), so densifying the 8-char
+    substrings DIRECTLY replaces the old char explode + 2-char pack +
+    windowed quadrupling — one full (doc, p) partition-sort of n char
+    rows and an eager n-row cache gone, identical classes by
+    injectivity (bench 5.5 → ~3.4 s at sf0.1). From there the
+    anchor's own pipeline finishes: >1-distinct-doc test (map-side
+    min/max), semi-join, shared `_merge_islands`.
 
     Exactness: ranks are ids of DISTINCT pairs, so equal 2L-prefixes
     get equal ranks and unequal ones unequal — no collisions, no
@@ -939,53 +939,40 @@ def llm_substring_dedup_sa(spark, sf_dir):
     d = load_spread(spark, sf_dir, "documents").filter(
         F.col("n_chars") >= _SUB_K
     )
-    chars = d.select(
+    # Base blocks are the 8-char substrings THEMSELVES (r14): the rank
+    # of a block only feeds equality tests downstream (the 5-tuple
+    # grouping and the semi-join), so ANY injective id over distinct
+    # blocks yields identical spans — the old 2-char pack + window-
+    # lead quadrupling built the same equivalence classes while paying
+    # a per-char explode, a full (doc, p) partition-sort of n char
+    # rows, and an eager n-row cache (profiled r14: the two passes
+    # were ~1 s of the key's 4.1 s wall). substr(text, p, 8) is
+    # row-side — no exchange, no sort, and cheap enough that BOTH
+    # consumers (the distinct and the join probe) just recompute it
+    # (the r13 hashed-twin lesson: caching a cheap explode lineage
+    # costs more than recomputing it). Doc-end tail blocks are shorter
+    # strings, so they class separately — exactly what the old −1
+    # sentinel packs encoded.
+    pos = d.select(
         "doc_id",
         "n_chars",
-        F.explode(F.sequence(F.lit(1), F.col("n_chars"))).alias("p"),
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_chars"))
+        ).alias("p"),
         F.col("text"),
-    ).select(
-        "doc_id",
-        "n_chars",
-        "p",
-        F.ascii(F.expr("substr(text, p, 1)")).cast("long").alias("c"),
+    )
+    paired = pos.select(
+        "doc_id", "n_chars", "p", F.expr("substr(text, p, 8)").alias("g8")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("p")
-    # ONE quadrupling pass: rank of the first 8 chars = id of the
-    # 4-tuple of 2-char packed base ranks at distances 0, 2, 4, 6 —
-    # and the base packs themselves are built from char leads INSIDE
-    # the same window projection (r9 fuse: the old separate base-rank
-    # pass was a second full partition-sort of n rows). A pack at
-    # p+2j is c(p+2j)·2³¹ + c(p+2j+1)+1, sentinel −1 past the doc end
-    # — code points < 2³¹ keep it injective and order-preserving.
-    def _pack(j):
-        lead0 = F.col("c") if j == 0 else F.lead("c", 2 * j).over(wdoc)
-        lead1 = F.lead("c", 2 * j + 1).over(wdoc)
-        return F.when(lead0.isNull(), F.lit(-1)).otherwise(
-            lead0 * F.lit(2_147_483_648)
-            + F.coalesce(lead1, F.lit(-1)) + 1
-        )
-
-    cols = ["a", "b", "c2", "d2"]
-    # materialized: `paired` feeds BOTH the distinct (class ids) and
-    # the probe side of the rank join — uncached, the explode +
-    # window sort of n char rows ran twice (profiled r13: the two
-    # ~1.9 s stages repeated). The cache holds exactly the n narrow
-    # rows the scale contract already budgets for, spill-safe.
-    paired = materialize(chars.select(
-        "doc_id",
-        "n_chars",
-        "p",
-        *[_pack(j).alias(n) for j, n in enumerate(cols)],
-    ))
     # shuffle_hash, not merge: both joins here are equality-only, so
     # the sort-merge strategy's full sort of the n-row probe side buys
-    # nothing; the build side (distinct tuples / duplicate classes) is
+    # nothing; the build side (distinct blocks / duplicate classes) is
     # the smaller one and is hash-built per partition — still
     # spill-safe and never a driver broadcast (the r7 2 GiB-rehearsal
     # rule: corpus-scaling sides may not ride a broadcast).
-    ids = _class_ids(paired.select(*cols))
-    r8 = paired.join(ids.hint("shuffle_hash"), cols).select(
+    ids = _class_ids(paired.select("g8"))
+    r8 = paired.join(ids.hint("shuffle_hash"), "g8").select(
         "doc_id", "n_chars", "p", F.col("rid").alias("r")
     )
     # exact-40 equivalence class = the 5-tuple of rank₈ values at
