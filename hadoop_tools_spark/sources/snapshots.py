@@ -293,7 +293,51 @@ class SnapshotTable:
             names.extend(
                 os.path.join(rel, f) for f in files if f.endswith(".parquet")
             )
+        self._write_schema_sidecar(df, root, partition_by)
         return sorted(names)
+
+    @staticmethod
+    def _write_schema_sidecar(df, root: str, partition_by) -> None:
+        """Record the commit group's READ-BACK schema next to its data
+        files so the FIRST read of the group skips the driver-side
+        footer inference pass too (r14; the r13 instance cache only
+        covered re-reads). Derivation is free — a parquet read-back of
+        a single Spark write is exactly the written schema with every
+        field nullable (verified empirically) — but only provably so
+        for unpartitioned, flat-typed groups: partitionBy moves
+        columns into dir names whose types are RE-INFERRED at read
+        (e.g. a numeric-looking string column would come back int), so
+        partitioned groups conservatively skip the sidecar and keep
+        inference. Best-effort: readers fall back to inference when
+        the sidecar is absent or unreadable."""
+        if partition_by:
+            return
+        try:
+            from pyspark.sql import types as T
+
+            if any(
+                isinstance(
+                    f.dataType, (T.StructType, T.ArrayType, T.MapType)
+                )
+                for f in df.schema.fields
+            ):
+                return
+            doc = {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": f.dataType.jsonValue(),
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                    for f in df.schema.fields
+                ],
+            }
+            with open(os.path.join(root, "_schema.json"), "w") as fh:
+                json.dump(doc, fh)
+        except Exception:
+            pass
 
     def _publish(self, files: list[str], version: int,
                  extra: dict | None = None) -> int:
@@ -1059,6 +1103,21 @@ class SnapshotTable:
             # reuses a mismatched schema.
             ck = (commit_dir, merge_schema, frozenset(groups[commit_dir]))
             cached = self._group_schema_cache.get(ck)
+            if cached is None:
+                # commit-recorded sidecar (r14): one write produced the
+                # whole group, so its recorded schema is valid for any
+                # file subset and either mergeSchema mode — the first
+                # read skips footer inference like every re-read does
+                try:
+                    with open(
+                        os.path.join(self.path, commit_dir, "_schema.json")
+                    ) as fh:
+                        from pyspark.sql.types import StructType
+
+                        cached = StructType.fromJson(json.load(fh))
+                    self._group_schema_cache[ck] = cached
+                except Exception:
+                    cached = None
             if cached is not None:
                 reader = reader.schema(cached)
             part = reader.parquet(*groups[commit_dir])

@@ -1210,3 +1210,54 @@ def test_snapshot_group_schema_cache_reuses_and_isolates(spark, sf_dir, tmp_path
     before = len(tbl._group_schema_cache)
     tbl._read_files(spark, files, merge_schema=True)
     assert len(tbl._group_schema_cache) > before
+
+
+def test_snapshot_schema_sidecar_matches_inference(spark, sf_dir, tmp_path):
+    """r14: unpartitioned flat-typed commit groups record their
+    read-back schema in a ``_schema.json`` sidecar at stage time, so
+    even the FIRST read of the group skips footer inference. The
+    recorded schema must be byte-identical to what inference yields,
+    partitioned groups must NOT record one (dir-name type re-inference
+    could drift), and a fresh table instance reading sidecar-less vs
+    sidecar-ed groups must return identical rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_tools_spark.sources.snapshots import SnapshotTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    tbl = SnapshotTable(str(tmp_path / "sidecar"))
+    tbl.create(orders.filter("o_orderkey % 2 = 0"))
+    group = sorted(
+        g for g in os.listdir(tbl.path) if g.startswith("data-")
+    )[0]
+    sidecar = os.path.join(tbl.path, group, "_schema.json")
+    assert os.path.exists(sidecar)
+    # recorded == inferred, including field order and nullability
+    inferred = spark.read.option(
+        "basePath", os.path.join(tbl.path, group)
+    ).parquet(os.path.join(tbl.path, group)).schema
+    reader_schema = tbl.read(spark).schema
+    assert reader_schema == inferred
+    # partitioned commits skip the sidecar
+    tbl.append(
+        orders.filter("o_orderkey % 2 = 1").withColumn(
+            "bucket", (F.col("o_orderkey") % 3).cast("int")
+        ),
+        partition_by=["bucket"],
+    )
+    part_group = [
+        g for g in sorted(os.listdir(tbl.path))
+        if g.startswith("data-") and g != group
+    ][0]
+    assert not os.path.exists(
+        os.path.join(tbl.path, part_group, "_schema.json")
+    )
+    # a FRESH instance (empty instance cache) reads the mixed table
+    # correctly: sidecar group pinned, partitioned group inferred
+    fresh = SnapshotTable(tbl.path)
+    rows = fresh.read(spark, merge_schema=True)
+    assert rows.count() == orders.count()
