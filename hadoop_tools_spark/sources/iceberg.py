@@ -1210,6 +1210,27 @@ class IcebergReader:
         keep = [c for c in ("_ice_path", "_ice_pos") if c in have]
         return df.select(*cols, *keep)
 
+    #: max file count for the literal-map sequence attach; past this
+    #: the broadcast-join form bounds expression-tree size
+    _SEQ_LITERAL_MAX = 1024
+
+    @staticmethod
+    def _attach_seq(spark, df, path_col: str, seq_col: str, pairs):
+        """Attach a per-file sequence number column by path: a literal
+        CreateMap lookup for bounded file counts (zero driver frames,
+        zero joins), the r13 broadcast-join otherwise."""
+        if len(pairs) <= IcebergReader._SEQ_LITERAL_MAX:
+            mapping = F.create_map(
+                *[lit for p, s in pairs for lit in (F.lit(p), F.lit(s))]
+            )
+            return df.withColumn(
+                seq_col, F.element_at(mapping, F.col(path_col))
+            )
+        seq_map = local_rows_df(
+            spark, list(pairs), f"{path_col} string, {seq_col} long"
+        )
+        return df.join(F.broadcast(seq_map), path_col)
+
     def _read_data_entries(self, spark, entries, target_fields):
         """Scan data files grouped by their write-time schema, project
         each group to the target schema by field id, union. The
@@ -1269,26 +1290,44 @@ class IcebergReader:
             return self._empty(spark, target)
         df = self._read_data_entries(spark, plan["data"], target)
         data_cols = [f["name"] for f in target]
-        # per-file data sequence numbers: one row per file, broadcast
-        seq_map = local_rows_df(
-            spark,
+        # per-file data sequence numbers: attached as a literal-map
+        # lookup on the scan's _metadata path — a pure expression, so
+        # the read builds NO driver-local DataFrame and plans NO
+        # broadcast join for it (r14: the seq-map createDataFrame +
+        # broadcast was ~0.3 s of driver wall PER READ). Tables past
+        # _SEQ_LITERAL_MAX files keep the r13 broadcast-join shape —
+        # a 100 TB manifest must not become a million-node expression.
+        df = self._attach_seq(
+            spark, df, "_ice_path", "_ice_seq",
             [(d["path"], d["seq"]) for d in plan["data"]],
-            "_ice_path string, _ice_seq long",
         )
-        df = df.join(F.broadcast(seq_map), "_ice_path")
 
-        def deletes_df(files):
-            d = spark.read.parquet(*[f["path"] for f in files])
+        def deletes_df(files, file_schema=None):
+            reader = spark.read
+            # pin the manifest-recorded delete-file schema when the
+            # caller KNOWS it describes the file (eq deletes, whose
+            # schema the join below already resolves by field id) —
+            # same footer-inference skip the data scan got in r13.
+            # pos-delete entries record the TABLE schema, not the
+            # (file_path, pos) file schema, so they keep inference.
+            if file_schema is not None:
+                try:
+                    ddl = ", ".join(
+                        f"`{f['name']}` {_ICE_TO_SPARK[f['type']]}"
+                        for f in file_schema
+                    )
+                    reader = reader.schema(ddl)
+                except (KeyError, TypeError):
+                    pass  # no/complex file schema: infer as before
+            d = reader.parquet(*[f["path"] for f in files])
             d = d.withColumn(
                 "_del_file",
                 self._norm_path_col(F.col("_metadata.file_path")),
             )
-            dseq = local_rows_df(
-                spark,
+            d = self._attach_seq(
+                spark, d, "_del_file", "_del_seq",
                 [(f["path"], f["seq"]) for f in files],
-                "_del_file string, _del_seq long",
-            )
-            d = d.join(F.broadcast(dseq), "_del_file").drop("_del_file")
+            ).drop("_del_file")
             if sum(f["file_size"] for f in files) < _BC_DELETE_BYTES:
                 d = F.broadcast(d)
             return d
@@ -1334,7 +1373,7 @@ class IcebergReader:
                 {f["id"]: f["name"] for f in files[0]["file_schema"]}
                 if files[0]["file_schema"] is not None else target_by_id
             )
-            eqd = deletes_df(files).select(
+            eqd = deletes_df(files, files[0]["file_schema"]).select(
                 *[F.col(src_by_id[i]).alias(f"_eq_{target_by_id[i]}")
                   for i in ids],
                 "_del_seq",
