@@ -94,9 +94,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # the task-time probe needs the status REST endpoint; the listener
     # feeding it (AppStatusListener) runs either way, the UI server is
-    # the only addition. SPARK_GRAFT_TASKTIME=0 restores the r13
-    # UI-off environment exactly.
-    if os.environ.get("SPARK_GRAFT_TASKTIME", "1") != "0":
+    # the addition. OPT-IN (SPARK_GRAFT_TASKTIME=1): a full-board A/B
+    # measured the probed run ~9% slower in TOTAL wall even with the
+    # probe reads outside every timed region and stage retention
+    # capped (the UI enablement itself taxes the driver), and walls
+    # are the graded metric — the r13-comparable UI-off environment
+    # stays the default. The task_sec artifact for the scaling
+    # evidence is produced by a dedicated probed run at round close
+    # (plans/r14/BENCH_TASKTIME_r14.json).
+    if os.environ.get("SPARK_GRAFT_TASKTIME", "0") == "1":
         os.environ.setdefault("SPARK_GRAFT_UI", "1")
     spark = get_spark("bench")
     spark.range(1).collect()  # absorb session startup outside timings
@@ -129,25 +135,28 @@ def main() -> None:
     timings: dict[str, float] = {}
     task_secs: dict[str, float] = {}
     probe = _TaskTimeProbe(spark)
+    probe.mark()  # baseline the watermark past the warmup's stages
     for _ in range(n_passes):
         for key in headline + extra:
             fn = registry.QUERIES[key]
-            probe.mark()
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = round(time.time() - t0, 3)
+                # ONE probe call per key: take() both reads this key's
+                # stage delta and carries the watermark to the next key
+                # (outside the timed region; nothing runs between keys
+                # but the no-job clearCache below)
+                ts = probe.take()
                 prev = timings.get(key)
                 if prev is None or prev < 0 or dt < prev:
                     timings[key] = dt
-                    # task time of the SAME pass the recorded wall
-                    # came from (read outside the timed region)
-                    ts = probe.take()
                     if ts is not None:
                         task_secs[key] = ts
             except Exception as e:  # pragma: no cover - bench must always emit JSON
                 print(f"bench error {key}: {type(e).__name__}: {e}", file=sys.stderr)
                 timings.setdefault(key, -1.0)
+                probe.mark()  # resync past the failed key's stages
             # isolate measurements: operators cache intermediates for
             # reuse within one query; letting 90+ queries' caches
             # accumulate in a single JVM starves executor memory and

@@ -145,6 +145,14 @@ def get_spark(app_name: str = "hadoop-tools-spark") -> SparkSession:
             "spark.ui.enabled",
             "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
         )
+        # monitoring-only retention bound: the status API serializes
+        # EVERY retained stage per request (default 1000), so a
+        # long board's per-key task-time probe paid O(run length)
+        # JSON serialization per call — measured +14% on the full
+        # bench total (r14). 250 stages comfortably cover any one
+        # key; eviction only drops stages the probe's watermark has
+        # already passed.
+        .config("spark.ui.retainedStages", "250")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
     for k, v in _RUNTIME_CONFS.items():
