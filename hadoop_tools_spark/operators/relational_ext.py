@@ -986,8 +986,21 @@ def q21_waiting_supplier(spark, sf_dir):
     # no countDistinct, so no Expand: partial aggregation shrinks the
     # fact rows before any shuffle, and partitioning by orderkey (the
     # SMJ output at fact scale) satisfies both group-bys
+    # pin the fact exchange at the session's parallelism (the
+    # udf_grouped_map pattern, r14): the join + both stacked
+    # aggregations are expression-heavy (date arithmetic per fact
+    # row) but their compressed shuffle input is small, so AQE's
+    # byte-based coalescing ran the whole fact stage on 3 tasks
+    # (profiled: 1.3 s of the key's 2.3 s wall; task/wall said 0.3 s
+    # of ideal compute). Same key as the join ⇒ still exactly one
+    # exchange per side, and both group-bys ride it; at fact scale
+    # the exchange exists anyway and dp partitions ≈ the
+    # shuffle.partitions the session derives from the core count.
+    li2 = li.select("l_orderkey", "l_suppkey", "l_shipdate").repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey"
+    )
     pair = (
-        li.join(o2, li.l_orderkey == o2.o_orderkey)
+        li2.join(o2, li2.l_orderkey == o2.o_orderkey)
         .select("l_orderkey", "l_suppkey", is_late.alias("is_late"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("is_late").alias("late"))
